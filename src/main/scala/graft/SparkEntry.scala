@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
+  *
+  * Every implemented operator has a `queries` entry; `oracleSql` carries the
+  * DuckDB-equivalent SQL the driver cross-checks against at sf=0.01.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §A relational core
+    "q1_pricing_summary"   -> (Relational.q1PricingSummary _),
+    "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "q5_local_supplier"    -> (Relational.q5LocalSupplier _),
+    "q10_returned_items"   -> (Relational.q10ReturnedItems _),
+    "q_market_share"       -> (Relational.qMarketShare _),
+    "q_window_topn"        -> (Relational.qWindowTopN _),
+    "q_rollup_agg"         -> (Relational.qRollupAgg _),
+    "q_semi_anti"          -> (Relational.qSemiAnti _),
+    "q_scalar_subquery"    -> (Relational.qScalarSubquery _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary"   -> Relational.q1Sql,
+    "q3_shipping_priority" -> Relational.q3Sql,
+    "q5_local_supplier"    -> Relational.q5Sql,
+    "q10_returned_items"   -> Relational.q10Sql,
+    "q_market_share"       -> Relational.qMarketShareSql,
+    "q_window_topn"        -> Relational.qWindowTopNSql,
+    "q_rollup_agg"         -> Relational.qRollupAggSql,
+    "q_semi_anti"          -> Relational.qSemiAntiSql,
+    "q_scalar_subquery"    -> Relational.qScalarSubquerySql,
+  )
 }

@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational / analytics core (SURVEY §2A) — TPC-H-style queries adapted to
+  * the graft star schema.
+  *
+  * Determinism rules (SURVEY §5): money math runs on DECIMAL (exact, so
+  * parallel partial aggregation is order-independent and bit-identical to the
+  * DuckDB oracle), final outputs are rounded doubles, every query ends with a
+  * total ORDER BY.
+  *
+  * Scale notes: dimension joins (region/nation/customer/supplier/part) are
+  * explicit `broadcast()`; only lineitem↔orders shuffles, on the join key.
+  */
+object Relational {
+
+  /** Exact money column: double parquet column → DECIMAL(12,2). */
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  /** Small exact factor, e.g. discounts/taxes in [0,1): DECIMAL(3,2). */
+  private def dec3(c: Column): Column = c.cast("decimal(3,2)")
+  private val one = lit(1).cast("decimal(3,2)")
+
+  /** l_extendedprice * (1 - l_discount), exact. */
+  private def discPrice(df: DataFrame): Column =
+    dec(df("l_extendedprice")) * (one - dec3(df("l_discount")))
+
+  /** Pricing summary report — grouped agg with exact sums (TPC-H Q1 analog). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_shipdate") <= lit("2000-09-02").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(dec(col("l_quantity"))).cast("double"), 2).as("sum_qty"),
+        round(sum(dec(col("l_extendedprice"))).cast("double"), 2).as("sum_base_price"),
+        round(sum(discPrice(l)).cast("double"), 2).as("sum_disc_price"),
+        round(sum(discPrice(l) * (one + dec3(col("l_tax")))).cast("double"), 2).as("sum_charge"),
+        round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 4).as("avg_price"),
+        round(sum(dec3(col("l_discount"))).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS sum_disc_price,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE), 2) AS sum_charge,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+      |  round(CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= DATE '2000-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Shipping-priority: top unshipped orders by revenue (TPC-H Q3 analog). */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("date"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-01-01").cast("date"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(discPrice(l)).cast("double"), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        col("o_orderdate").cast("date").cast("string").as("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate, o_orderpriority
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1998-01-01' AND l_shipdate > DATE '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Local-supplier volume per nation in a region (TPC-H Q5 analog). */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+              col("o_orderdate") < lit("1998-01-01").cast("date"))
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+                          c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(discPrice(l)).cast("double"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Returned-item revenue per customer (TPC-H Q10 analog). */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(discPrice(l)).cast("double"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** PROMO-type revenue share per nation (TPC-H Q8/Q14-style ratio agg). */
+  def qMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val dp = discPrice(l)
+    val zero = lit(0).cast("decimal(25,4)")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", dp).otherwise(zero)).cast("double"), 2).as("promo_revenue"),
+        round(sum(dp).cast("double"), 2).as("total_revenue"),
+        round(sum(when(col("p_type") === "PROMO", dp).otherwise(zero)).cast("double") /
+              sum(dp).cast("double"), 4).as("promo_share"))
+      .orderBy(col("n_name"))
+  }
+
+  val qMarketShareSql: String =
+    """SELECT n_name,
+      |  round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE), 2) AS promo_revenue,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS total_revenue,
+      |  round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+      |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 4) AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Window top-N: 2 highest-value orders per customer. */
+  def qWindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val qWindowTopNSql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** ROLLUP aggregation over nation × market segment. */
+  def qRollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(dec(col("c_acctbal"))).cast("double"), 2).as("sum_acctbal"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("n_customers"), col("sum_acctbal"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  val qRollupAggSql: String =
+    """SELECT coalesce(n_name, 'ALL') AS nation, coalesce(c_mktsegment, 'ALL') AS segment,
+      |  count(*) AS n_customers,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP(n_name, c_mktsegment)
+      |ORDER BY nation, segment""".stripMargin
+
+  /** Left-semi + left-anti: customers with ≥1 order but no 'F' order. */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o.select("o_custkey"), c("c_custkey") === o("o_custkey"), "left_semi")
+      .join(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("fk")),
+        col("c_custkey") === col("fk"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qSemiAntiSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Scalar-subquery style: parts priced >5% above their brand average. */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val brandAvg = p.groupBy(col("p_brand").as("b_brand"))
+      .agg((sum(dec(col("p_retailprice"))).cast("double") / count(lit(1))).as("brand_avg"))
+    p.join(broadcast(brandAvg), col("p_brand") === col("b_brand"))
+      .filter(col("p_retailprice") > col("brand_avg") * 1.05)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"),
+        round(col("brand_avg"), 4).as("brand_avg"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val qScalarSubquerySql: String =
+    """SELECT p_partkey, p_name, p_brand, p_retailprice, round(brand_avg, 4) AS brand_avg
+      |FROM part JOIN (
+      |  SELECT p_brand AS b_brand,
+      |    CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS brand_avg
+      |  FROM part GROUP BY p_brand) b ON p_brand = b_brand
+      |WHERE p_retailprice > brand_avg * 1.05
+      |ORDER BY p_partkey""".stripMargin
+}

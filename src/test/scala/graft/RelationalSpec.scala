@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("q1 pricing summary: 6 flag/status groups, exact decimal sums") {
+    val rows = Relational.q1PricingSummary(spark, sf).collect()
+    assert(rows.length == 6)
+    val first = rows.head
+    assert(first.getAs[String]("l_returnflag") == "A")
+    // sums are positive, avg within quantity bounds [1, 50]
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      val avgQty = r.getAs[Double]("avg_qty")
+      assert(avgQty >= 1.0 && avgQty <= 50.0)
+      assert(r.getAs[Double]("sum_disc_price") <= r.getAs[Double]("sum_base_price"))
+      assert(r.getAs[Double]("sum_charge") >= r.getAs[Double]("sum_disc_price"))
+    }
+  }
+
+  test("q3 shipping priority: top-10, revenue descending, deterministic ties") {
+    val rows = Relational.q3ShippingPriority(spark, sf).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q5 local supplier volume: ASIA nations only") {
+    val rows = Relational.q5LocalSupplier(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 5) // ASIA has 5 nations
+  }
+
+  test("q10 returned items: only customers with R-flag lineitems") {
+    val rows = Relational.q10ReturnedItems(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+  }
+
+  test("q_market_share: share in [0,1], promo ≤ total") {
+    val rows = Relational.qMarketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("promo_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Double]("promo_revenue") <= r.getAs[Double]("total_revenue"))
+    }
+  }
+
+  test("q_window_topn: ≤2 rows per customer, rank 1 price ≥ rank 2 price") {
+    val rows = Relational.qWindowTopN(spark, sf).collect()
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.values.foreach { rs =>
+      assert(rs.length <= 2)
+      if (rs.length == 2) {
+        val sorted = rs.sortBy(_.getAs[Int]("rn"))
+        assert(sorted(0).getAs[Double]("o_totalprice") >= sorted(1).getAs[Double]("o_totalprice"))
+      }
+    }
+  }
+
+  test("q_rollup_agg: grand total row equals sum of leaves") {
+    val rows = Relational.qRollupAgg(spark, sf).collect()
+    val grand = rows.filter(r => r.getAs[String]("nation") == "ALL" && r.getAs[String]("segment") == "ALL")
+    assert(grand.length == 1)
+    val leafCount = rows.filter(r => r.getAs[String]("nation") != "ALL" && r.getAs[String]("segment") != "ALL")
+      .map(_.getAs[Long]("n_customers")).sum
+    assert(grand.head.getAs[Long]("n_customers") == leafCount)
+  }
+
+  test("q_semi_anti: no selected customer has an F-status order") {
+    val rows = Relational.qSemiAnti(spark, sf).collect()
+    val selected = rows.map(_.getAs[Long]("c_custkey")).toSet
+    val fCust = sources.Tables.orders(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    assert(selected.intersect(fCust).isEmpty)
+  }
+
+  test("q_scalar_subquery: every row beats its brand average by 5%") {
+    val rows = Relational.qScalarSubquery(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p_retailprice") > r.getAs[Double]("brand_avg") * 1.05 - 1e-6)
+    }
+  }
+
+  test("plans: q5 broadcasts all dimension tables (single shuffle join on facts)") {
+    val plan = Relational.q5LocalSupplier(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
