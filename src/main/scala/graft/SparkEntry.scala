@@ -25,6 +25,19 @@ object SparkEntry {
     "q_rollup_agg"         -> (Relational.qRollupAgg _),
     "q_semi_anti"          -> (Relational.qSemiAnti _),
     "q_scalar_subquery"    -> (Relational.qScalarSubquery _),
+    // §B form-schema ETL pipeline
+    "ingest_blocks"        -> (Ingestion.ingestBlocks _),
+    "ocr_route"            -> (Ingestion.ocrRoute _),
+    "tokenize_words"       -> (Ingestion.tokenizeWords _),
+    "bbox_normalize"       -> (Ingestion.bboxNormalize _),
+    "layout_classify"      -> (Layout.layoutClassify _),
+    "clause_graph"         -> (Layout.clauseGraph _),
+    "extract_fields"       -> (SchemaExtract.extractFields _),
+    "extract_json_fields"  -> (SchemaExtract.extractJsonFields _),
+    "parse_typed"          -> (SchemaExtract.parseTyped _),
+    "validate_fields"      -> (Validation.validateFields _),
+    "form_complete"        -> (Validation.formComplete _),
+    "evaluate_extraction"  -> (Evaluation.evaluateExtraction _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -37,5 +50,17 @@ object SparkEntry {
     "q_rollup_agg"         -> Relational.qRollupAggSql,
     "q_semi_anti"          -> Relational.qSemiAntiSql,
     "q_scalar_subquery"    -> Relational.qScalarSubquerySql,
+    "ingest_blocks"        -> Ingestion.ingestBlocksSql,
+    "ocr_route"            -> Ingestion.ocrRouteSql,
+    "tokenize_words"       -> Ingestion.tokenizeWordsSql,
+    "bbox_normalize"       -> Ingestion.bboxNormalizeSql,
+    "layout_classify"      -> Layout.layoutClassifySql,
+    "clause_graph"         -> Layout.clauseGraphSql,
+    "extract_fields"       -> SchemaExtract.extractFieldsSql,
+    "extract_json_fields"  -> SchemaExtract.extractJsonFieldsSql,
+    "parse_typed"          -> SchemaExtract.parseTypedSql,
+    "validate_fields"      -> Validation.validateFieldsSql,
+    "form_complete"        -> Validation.formCompleteSql,
+    "evaluate_extraction"  -> Evaluation.evaluateExtractionSql,
   )
 }

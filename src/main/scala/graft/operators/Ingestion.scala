@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Corpus-scale ingestion (SURVEY §2B) — the Spark re-expression of the
+  * reference's PDF ingestion stage (`ingestion/ingestion.py`).
+  *
+  * The reference turns ONE pdf into `DocumentBlock{page,text,bbox,confidence,
+  * source}` rows with an OCR fallback keyed on text volume
+  * (ingestion.py:90 `text_volume < ocr_threshold`). Here the same block
+  * model is derived for every document in the corpus as narrow, fully
+  * codegen'd column expressions — no UDFs, so 100 TB of documents stream
+  * through WholeStageCodegen with nothing but a parquet scan + project.
+  */
+object Ingestion {
+
+  /** Words per synthetic block (the reference blocks are pymupdf text blocks;
+    * we chunk the corpus text deterministically).
+    */
+  val BlockWords = 20
+
+  /** Blocks per synthetic page (used for page ids + synthetic bboxes). */
+  val BlocksPerPage = 5
+
+  /** OCR routing threshold on characters (ingestion.py ocr_threshold). */
+  val OcrThreshold = 200
+
+  /** documents → one row per block: (doc_id, block_id, page, block_text,
+    * n_words, n_chars, source, confidence).
+    * Shared base for layout/clause-graph operators.
+    */
+  def blocks(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("block_id",
+        explode(expr(s"sequence(0, cast(ceil(size(ws) / $BlockWords.0) as int) - 1)")))
+      .withColumn("block_words", expr(s"slice(ws, block_id * $BlockWords + 1, $BlockWords)"))
+      .withColumn("block_text", array_join(col("block_words"), " "))
+      .withColumn("block_chars", length(col("block_text")).cast("long"))
+      .select(
+        col("doc_id"),
+        col("block_id").cast("long").as("block_id"),
+        floor(col("block_id") / lit(BlocksPerPage.toDouble)).cast("long").as("page"),
+        col("block_text"),
+        size(col("block_words")).cast("long").as("n_words"),
+        col("block_chars").as("n_chars"),
+        col("source"),
+        when(col("block_chars") < OcrThreshold, lit(0.8)).otherwise(lit(1.0)).as("confidence"))
+  }
+
+  /** `ingest_blocks` query: deterministic block rows, totally ordered. */
+  def ingestBlocks(spark: SparkSession, dir: String): DataFrame =
+    blocks(spark, dir).orderBy("doc_id", "block_id")
+
+  val ingestBlocksSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, n_chars AS doc_chars, string_split(text, ' ') AS ws FROM documents
+       |), b AS (
+       |  SELECT doc_id, source, doc_chars, ws,
+       |    unnest(generate_series(1, CAST(ceil(len(ws) / $BlockWords.0) AS INT))) AS i
+       |  FROM d
+       |)
+       |SELECT doc_id, CAST(i - 1 AS BIGINT) AS block_id,
+       |  CAST(floor((i - 1) / $BlocksPerPage.0) AS BIGINT) AS page,
+       |  array_to_string(ws[(i-1)*$BlockWords+1 : i*$BlockWords], ' ') AS block_text,
+       |  CAST(len(ws[(i-1)*$BlockWords+1 : i*$BlockWords]) AS BIGINT) AS n_words,
+       |  CAST(length(array_to_string(ws[(i-1)*$BlockWords+1 : i*$BlockWords], ' ')) AS BIGINT) AS n_chars,
+       |  source,
+       |  CAST(CASE WHEN length(array_to_string(ws[(i-1)*$BlockWords+1 : i*$BlockWords], ' ')) < $OcrThreshold
+       |       THEN 0.8 ELSE 1.0 END AS DOUBLE) AS confidence
+       |FROM b
+       |ORDER BY doc_id, block_id""".stripMargin
+
+  /** `ocr_route`: the native-vs-OCR routing decision (ingestion.py:90),
+    * aggregated per (source, route) so the operator result stays compact at
+    * any corpus size.
+    */
+  def ocrRoute(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("route", when(col("n_chars") < OcrThreshold, lit("ocr")).otherwise(lit("native")))
+      .groupBy(col("source"), col("route"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 2).as("avg_chars"))
+      .orderBy("source", "route")
+
+  val ocrRouteSql: String =
+    s"""SELECT source,
+       |  CASE WHEN n_chars < $OcrThreshold THEN 'ocr' ELSE 'native' END AS route,
+       |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars
+       |FROM documents
+       |GROUP BY source, CASE WHEN n_chars < $OcrThreshold THEN 'ocr' ELSE 'native' END
+       |ORDER BY source, route""".stripMargin
+
+  /** `tokenize_words`: document → (word_idx, word) rows
+    * (layout_structure.py:85 `text.split()`).
+    */
+  def tokenizeWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("word_idx", "word")))
+      .select(col("doc_id"), col("word_idx").cast("long").as("word_idx"),
+        col("word"), length(col("word")).cast("long").as("word_len"))
+      .orderBy("doc_id", "word_idx")
+
+  val tokenizeWordsSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |SELECT doc_id,
+      |  CAST(unnest(generate_series(1, len(ws))) - 1 AS BIGINT) AS word_idx,
+      |  unnest(ws) AS word,
+      |  CAST(length(unnest(ws)) AS BIGINT) AS word_len
+      |FROM d
+      |ORDER BY doc_id, word_idx""".stripMargin
+
+  // Synthetic page geometry for bbox derivation (US-letter points).
+  val PageW = 612
+  val PageH = 792
+
+  /** `bbox_normalize`: synthetic per-block line bbox → LayoutLM 1000×1000
+    * normalized ints (layout_structure.py:113 `_normalize_bbox`; the
+    * reference truncates via python `int()` → floor here, in both engines).
+    */
+  def bboxNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val b = blocks(spark, dir)
+    val x0 = lit(72L)
+    val x1 = lit(PageW - 72L)
+    val y0 = (lit(72L) + (col("block_id") % BlocksPerPage) * 130L)
+    val y1 = y0 + 120L
+    def norm(c: Column, dim: Int): Column = floor(c * 1000.0 / dim).cast("long")
+    b.select(col("doc_id"), col("block_id"),
+        x0.cast("long").as("x0"), y0.cast("long").as("y0"),
+        x1.cast("long").as("x1"), y1.cast("long").as("y1"),
+        norm(x0, PageW).as("nx0"), norm(y0, PageH).as("ny0"),
+        norm(x1, PageW).as("nx1"), norm(y1, PageH).as("ny1"))
+      .orderBy("doc_id", "block_id")
+  }
+
+  val bboxNormalizeSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |b AS (
+       |  SELECT doc_id, CAST(unnest(generate_series(1, CAST(ceil(len(ws) / $BlockWords.0) AS INT))) - 1 AS BIGINT) AS block_id
+       |  FROM d
+       |), g AS (
+       |  SELECT doc_id, block_id,
+       |    CAST(72 AS BIGINT) AS x0,
+       |    CAST(72 + (block_id % $BlocksPerPage) * 130 AS BIGINT) AS y0,
+       |    CAST(${PageW - 72} AS BIGINT) AS x1,
+       |    CAST(72 + (block_id % $BlocksPerPage) * 130 + 120 AS BIGINT) AS y1
+       |  FROM b
+       |)
+       |SELECT doc_id, block_id, x0, y0, x1, y1,
+       |  CAST(floor(x0 * 1000.0 / $PageW) AS BIGINT) AS nx0,
+       |  CAST(floor(y0 * 1000.0 / $PageH) AS BIGINT) AS ny0,
+       |  CAST(floor(x1 * 1000.0 / $PageW) AS BIGINT) AS nx1,
+       |  CAST(floor(y1 * 1000.0 / $PageH) AS BIGINT) AS ny1
+       |FROM g
+       |ORDER BY doc_id, block_id""".stripMargin
+}

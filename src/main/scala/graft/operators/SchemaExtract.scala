@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Schema model + schema-guided field extraction (SURVEY §2B) — the Spark
+  * re-expression of `schema/schema.py` + `extraction/form_filler.py`.
+  *
+  * The reference defines form schemas as field specs
+  * `{type, required, patterns, keywords}` and extracts each field through a
+  * ladder: regex patterns first (form_filler.py:70), then keyword capture
+  * (form_filler.py:117), then an LLM fallback. Here the same schema object
+  * drives a *generated column expression* per field — a `coalesce` over the
+  * pattern ladder — so the whole form populates for billions of documents in
+  * one codegen'd projection. (The LLM rung is out of scope for a
+  * deterministic engine; the ladder ends at keyword capture.)
+  *
+  * The DuckDB oracle SQL is generated from the SAME schema definition, so
+  * the Spark and oracle ladders can never drift.
+  */
+object SchemaExtract {
+
+  /** Field spec (schema/schema.py fields: type/required/patterns/keywords). */
+  final case class FieldSpec(
+      name: String,
+      fieldType: String,
+      required: Boolean,
+      patterns: Seq[String],
+      keywords: Seq[String] = Nil) {
+    /** Keyword rung: `keyword\s+(\w+)` capture (form_filler.py:123 adapted
+      * to the corpus vocabulary — the reference captures `[^\n\.;,]+`, i.e.
+      * "rest of clause"; corpus text has no clause punctuation so a single
+      * token capture is the faithful analog).
+      */
+    def allPatterns: Seq[String] = patterns ++ keywords.map(k => k + " (\\w+)")
+  }
+
+  final case class FormSchema(formName: String, fields: Seq[FieldSpec])
+
+  /** The corpus form schema (role of schema.py DEFAULT_NDA_SCHEMA). */
+  val QueryLogForm: FormSchema = FormSchema(
+    "QueryLog_Form",
+    Seq(
+      FieldSpec("first_join", "string", required = true, Seq("join (\\w+)")),
+      FieldSpec("table_ref", "string", required = true, Seq("table (\\w+)")),
+      FieldSpec("stream_kind", "string", required = false, Seq("stream (\\w+)")),
+      FieldSpec("sort_mode", "string", required = false,
+        Seq("sort (fast|slow)"), keywords = Seq("merge")),
+      // Reference NDA pattern kept verbatim (schema.py:80) — no dates exist
+      // in this corpus so it extracts NULL, exercising the miss path.
+      FieldSpec("effective_date", "date", required = false,
+        Seq("effective\\s+(?:on\\s+)?(?:as of\\s+)?([A-Za-z]+\\s+\\d{1,2},?\\s+\\d{4}|\\d{4}-\\d{1,2}-\\d{1,2}|\\d{1,2}/\\d{1,2}/\\d{4})"))))
+
+  /** One field's extraction ladder as a Column over `text`. */
+  private def fieldCol(f: FieldSpec): Column = {
+    val rungs = f.allPatterns.map(p => nullif(regexp_extract(col("text"), p, 1), lit("")))
+    coalesce(rungs: _*).as(f.name)
+  }
+
+  private def fieldSql(f: FieldSpec): String = {
+    val rungs = f.allPatterns.map(p => s"nullif(regexp_extract(text, '$p', 1), '')")
+    s"coalesce(${rungs.mkString(", ")}) AS ${f.name}"
+  }
+
+  /** `extract_fields`: the populated form, one row per document. */
+  def extractFields(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: col("lang") +: QueryLogForm.fields.map(fieldCol): _*)
+      .orderBy("doc_id")
+
+  val extractFieldsSql: String =
+    s"""SELECT doc_id, lang, ${QueryLogForm.fields.map(fieldSql).mkString(",\n  ")}
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** `extract_json_fields`: typed JSON field pull from event props
+    * (schema-guided extraction over a semi-structured column), aggregated
+    * per event type.
+    */
+  def extractJsonFields(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
+  val extractJsonFieldsSql: String =
+    """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+      |  min(k) AS min_k, max(k) AS max_k, CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM (SELECT event_type, user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** `parse_typed`: the reference's typed-value parsing
+    * (form_filler.py:137 `_parse_value`, extraction.py:148 `_validate_type`)
+    * as a round-trip: format values to strings in several shapes, parse them
+    * back with the date/number/boolean/currency rules.
+    */
+  def parseTyped(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_iso_str"),
+        date_format(col("o_orderdate"), "MM/dd/yyyy").as("date_slash_str"),
+        col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("parsed_iso", col("date_iso_str").cast("date"))
+      .withColumn("parsed_slash", to_date(col("date_slash_str"), "MM/dd/yyyy"))
+      .withColumn("prio_num",
+        nullif(regexp_extract(col("o_orderpriority"), "(\\d+)", 1), lit("")).cast("long"))
+      .withColumn("flag_str", when(col("o_orderkey") % 2 === 0, "yes").otherwise("no"))
+      .withColumn("parsed_bool", col("flag_str").isin("true", "yes", "1", "agree", "agreed"))
+      .withColumn("currency_str",
+        concat(lit("USD "), col("o_totalprice").cast("decimal(12,2)").cast("string")))
+      .withColumn("currency_valid",
+        col("currency_str").rlike("^[A-Z]{3} [0-9]+\\.[0-9]{2}$"))
+      .withColumn("parsed_amount",
+        nullif(regexp_extract(col("currency_str"), "([0-9]+\\.[0-9]{2})$", 1), lit(""))
+          .cast("decimal(12,2)").cast("double"))
+      .select("o_orderkey", "date_iso_str", "parsed_iso", "parsed_slash", "prio_num",
+        "flag_str", "parsed_bool", "currency_str", "currency_valid", "parsed_amount")
+      .orderBy("o_orderkey")
+  }
+
+  val parseTypedSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey,
+      |    strftime(o_orderdate, '%Y-%m-%d') AS date_iso_str,
+      |    strftime(o_orderdate, '%m/%d/%Y') AS date_slash_str,
+      |    o_orderpriority,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 'yes' ELSE 'no' END AS flag_str,
+      |    'USD ' || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS currency_str
+      |  FROM orders
+      |)
+      |SELECT o_orderkey, date_iso_str,
+      |  CAST(date_iso_str AS DATE) AS parsed_iso,
+      |  CAST(strptime(date_slash_str, '%m/%d/%Y') AS DATE) AS parsed_slash,
+      |  CAST(nullif(regexp_extract(o_orderpriority, '(\d+)', 1), '') AS BIGINT) AS prio_num,
+      |  flag_str,
+      |  flag_str IN ('true','yes','1','agree','agreed') AS parsed_bool,
+      |  currency_str,
+      |  regexp_matches(currency_str, '^[A-Z]{3} [0-9]+\.[0-9]{2}$') AS currency_valid,
+      |  CAST(CAST(nullif(regexp_extract(currency_str, '([0-9]+\.[0-9]{2})$', 1), '') AS DECIMAL(12,2)) AS DOUBLE) AS parsed_amount
+      |FROM base
+      |ORDER BY o_orderkey""".stripMargin
+}
