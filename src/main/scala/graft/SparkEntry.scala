@@ -38,6 +38,18 @@ object SparkEntry {
     "validate_fields"      -> (Validation.validateFields _),
     "form_complete"        -> (Validation.formComplete _),
     "evaluate_extraction"  -> (Evaluation.evaluateExtraction _),
+    // §C LLM-training-data operators
+    "dedup_exact"          -> (Dedup.dedupExact _),
+    "dedup_ngram_jaccard"  -> (Dedup.dedupNgramJaccard _),
+    "dedup_minhash_lsh"    -> (Dedup.dedupMinhashLsh _),
+    "dedup_simhash"        -> (Dedup.dedupSimhash _),
+    "dedup_embedding"      -> (Dedup.dedupEmbedding _),
+    "ann_topk"             -> (Similarity.annTopK _),
+    "lang_id"              -> (TextAnalysis.langId _),
+    "quality_score"        -> (TextAnalysis.qualityScore _),
+    "token_count"          -> (TextAnalysis.tokenCount _),
+    "doc_fingerprint"      -> (TextAnalysis.docFingerprint _),
+    "multimodal_features"  -> (Multimodal.multimodalFeatures _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -62,5 +74,16 @@ object SparkEntry {
     "validate_fields"      -> Validation.validateFieldsSql,
     "form_complete"        -> Validation.formCompleteSql,
     "evaluate_extraction"  -> Evaluation.evaluateExtractionSql,
+    "dedup_exact"          -> Dedup.dedupExactSql,
+    "dedup_ngram_jaccard"  -> Dedup.dedupNgramJaccardSql,
+    "dedup_minhash_lsh"    -> Dedup.dedupMinhashLshSql,
+    "dedup_simhash"        -> Dedup.dedupSimhashSql,
+    "dedup_embedding"      -> Dedup.dedupEmbeddingSql,
+    "ann_topk"             -> Similarity.annTopKSql,
+    "lang_id"              -> TextAnalysis.langIdSql,
+    "quality_score"        -> TextAnalysis.qualityScoreSql,
+    "token_count"          -> TextAnalysis.tokenCountSql,
+    "doc_fingerprint"      -> TextAnalysis.docFingerprintSql,
+    "multimodal_features"  -> Multimodal.multimodalFeaturesSql,
   )
 }

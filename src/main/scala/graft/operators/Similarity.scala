@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Similarity search over the embedding column (SURVEY §2C).
+  *
+  * `ann_topk` is the exact brute-force baseline (the oracle); [[blockedTopK]]
+  * is the scale path: IVF-style blocking on the coarse cluster id so each
+  * probe scans one cluster instead of the corpus. At 100 TB the blocked
+  * variant's probe-side join is a broadcast of the (tiny) query set against
+  * a cluster-pruned scan.
+  */
+object Similarity {
+
+  /** Number of query vectors (lowest vec_ids) and neighbors per query. */
+  val NumQueries = 10
+  val TopK = 5
+
+  private def withDoubleEmb(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("emb"))
+
+  /** `ann_topk`: exact top-k cosine neighbors for the first NumQueries
+    * vectors (embeddings are unit-norm ⇒ cosine = dot).
+    */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = withDoubleEmb(Tables.embeddings(spark, dir))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val scored = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(expr("aggregate(zip_with(qemb, emb, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annTopKSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qemb
+       |  FROM embeddings WHERE vec_id < $NumQueries
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    round(list_inner_product(q.qemb, CAST(e.embedding AS DOUBLE[])), 4) AS cos
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, cos FROM ranked
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Scale path (library API, spec-tested): top-k restricted to the query's
+    * own coarse cluster — probes 1/n_clusters of the corpus.
+    */
+  def blockedTopK(spark: SparkSession, dir: String, numQueries: Int = NumQueries,
+      k: Int = TopK): DataFrame = {
+    val e = withDoubleEmb(Tables.embeddings(spark, dir))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"), col("emb").as("qemb"))
+    val scored = broadcast(q).join(e,
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(expr("aggregate(zip_with(qemb, emb, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+}

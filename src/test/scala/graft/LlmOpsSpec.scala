@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Specs for the LLM-training-data operators (SURVEY §2C). */
+class LlmOpsSpec extends SparkSpec {
+
+  test("dedup_exact: clusters contain ≥2 docs and canonical is the min member") {
+    val c = Dedup.dedupExact(spark, sf).collect()
+    assert(c.nonEmpty)
+    c.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2)
+      val members = r.getAs[String]("members").split(",").map(_.toLong)
+      assert(members.min == r.getAs[Long]("canonical_doc"))
+      assert(members.length == r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("dedup_ngram_jaccard: finds the planted near-dup pairs, jaccard ≥ tau") {
+    val p = Dedup.dedupNgramJaccard(spark, sf).collect()
+    assert(p.nonEmpty)
+    p.foreach { r =>
+      assert(r.getAs[Double]("jaccard") >= Dedup.JaccardTau)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("inter") <= math.min(r.getAs[Long]("na"), r.getAs[Long]("nb")))
+    }
+  }
+
+  test("dedup_minhash_lsh: candidates ⊇ high-jaccard pairs found by exact scan") {
+    val lsh = Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val exact = Dedup.dedupNgramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.9).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // every ≥0.9-jaccard pair must be recalled by 4x4 LSH (P(miss) = (1-j^4)^4 < 1.2% at j=0.9)
+    assert(exact.nonEmpty && (exact -- lsh).isEmpty)
+  }
+
+  test("dedup_simhash: near-identical docs have small hamming distance") {
+    val sig = Dedup.dedupSimhash(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val pairs = Dedup.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    val hams = pairs.map { case (a, b) => java.lang.Long.bitCount(sig(a) ^ sig(b)) }
+    // near-dup docs differ by ≤ a few token votes out of 32 bits
+    assert(hams.max <= 12, s"max hamming ${hams.max}")
+    // unrelated docs are farther apart than near-dups on average (the shared
+    // 30-word vocabulary correlates all signatures, so compare relatively)
+    val ids = sig.keys.toSeq.sorted.take(20)
+    val rand = for (a <- ids; b <- ids if a < b && !pairs.contains((a, b)))
+      yield java.lang.Long.bitCount(sig(a) ^ sig(b))
+    val randAvg = rand.sum.toDouble / rand.size
+    val dupAvg = hams.sum.toDouble / hams.size
+    assert(randAvg > dupAvg, s"random avg $randAvg vs near-dup avg $dupAvg")
+  }
+
+  test("dedup_embedding: pairs are within-label with cos ≥ tau") {
+    val p = Dedup.dedupEmbedding(spark, sf).collect()
+    assert(p.nonEmpty)
+    p.foreach(r => assert(r.getAs[Double]("cos") >= Dedup.CosineTau))
+  }
+
+  test("ann_topk: k neighbors per query, ranked by descending cosine") {
+    val t = Similarity.annTopK(spark, sf).collect()
+    assert(t.length == Similarity.NumQueries * Similarity.TopK)
+    t.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      val coss = sorted.map(_.getAs[Double]("cos"))
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b })
+      assert(!rs.exists(r => r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id")))
+    }
+  }
+
+  test("blockedTopK: neighbors restricted to the query's cluster") {
+    val labels = sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val t = Similarity.blockedTopK(spark, sf).collect()
+    assert(t.nonEmpty)
+    t.foreach { r =>
+      assert(labels(r.getAs[Long]("query_id")) == labels(r.getAs[Long]("neighbor_id")))
+    }
+  }
+
+  test("lang_id: docs with high stopword ratio classified en") {
+    val m = TextAnalysis.langId(spark, sf).collect()
+    val total = m.map(_.getAs[Long]("n_docs")).sum
+    assert(total == sources.Tables.documents(spark, sf).count())
+    m.foreach { r =>
+      if (r.getAs[String]("pred_lang") == "en")
+        assert(r.getAs[Double]("avg_stop_ratio") > TextAnalysis.EnTau / 2)
+    }
+  }
+
+  test("quality_score: score ∈ [0,1] and components consistent") {
+    val q = TextAnalysis.qualityScore(spark, sf).collect()
+    q.foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s >= 0.0 && s <= 1.0)
+      assert(r.getAs[Double]("ttr") <= 1.0)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_words"))
+    }
+  }
+
+  test("token_count: bpe tokens ≥ whitespace tokens (no punctuation corpus ⇒ equal alpha)") {
+    val t = TextAnalysis.tokenCount(spark, sf).collect()
+    t.foreach { r =>
+      assert(r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("alpha_tokens"))
+      assert(r.getAs[Long]("ws_tokens") > 0)
+    }
+  }
+
+  test("doc_fingerprint: fingerprints deterministic + distinct across non-dup docs") {
+    val f1 = TextAnalysis.docFingerprint(spark, sf).collect()
+    val f2 = TextAnalysis.docFingerprint(spark, sf).collect()
+    assert(f1.map(_.toString).sameElements(f2.map(_.toString)))
+    val distinct = f1.map(_.getAs[String]("content_md5")).distinct.length
+    assert(distinct == f1.length) // no exact dups in raw text
+  }
+
+  test("multimodal: stub decode pipeline matches the declarative metadata query") {
+    val viaDecode = Multimodal.decodeStub(spark, sf).collect()
+      .map(m => (m.doc_id, m.modality, m.byte_len, m.content_md5)).sortBy(_._1)
+    val viaQuery = Multimodal.multimodalFeatures(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("modality"),
+        r.getAs[Long]("byte_len"), r.getAs[String]("content_md5"))).sortBy(_._1)
+    assert(viaDecode.sameElements(viaQuery))
+  }
+}
