@@ -50,6 +50,12 @@ object SparkEntry {
     "token_count"          -> (TextAnalysis.tokenCount _),
     "doc_fingerprint"      -> (TextAnalysis.docFingerprint _),
     "multimodal_features"  -> (Multimodal.multimodalFeatures _),
+    // §D events
+    "events_windowed"      -> (Events.eventsWindowed _),
+    "events_sessionize"    -> (Events.eventsSessionize _),
+    "events_funnel"        -> (Events.eventsFunnel _),
+    "events_top_users"     -> (Events.eventsTopUsers _),
+    "events_enrich_join"   -> (Events.eventsEnrichJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -85,5 +91,10 @@ object SparkEntry {
     "token_count"          -> TextAnalysis.tokenCountSql,
     "doc_fingerprint"      -> TextAnalysis.docFingerprintSql,
     "multimodal_features"  -> Multimodal.multimodalFeaturesSql,
+    "events_windowed"      -> Events.eventsWindowedSql,
+    "events_sessionize"    -> Events.eventsSessionizeSql,
+    "events_funnel"        -> Events.eventsFunnelSql,
+    "events_top_users"     -> Events.eventsTopUsersSql,
+    "events_enrich_join"   -> Events.eventsEnrichJoinSql,
   )
 }

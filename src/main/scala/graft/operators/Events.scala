@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Batch event analytics (SURVEY §2D): windowed aggregation, gap
+  * sessionization, funnels, per-user stats, dimension enrichment.
+  *
+  * Scale: every operator shuffles exactly once — on (event_type, window) or
+  * user_id — and sessionization is window functions within the user_id
+  * partition (no driver-side state). Timestamps are compared as epoch
+  * micros (the parquet source is nanos; both engines truncate identically).
+  *
+  * Determinism: money-ish `value` sums go through DECIMAL(12,2); timestamps
+  * in outputs are epoch-micros longs (engine timestamp encodings differ).
+  */
+object Events {
+
+  /** Session gap (ingestion-side telemetry sessionization). */
+  val SessionGapMin = 30
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+
+  /** `events_windowed`: tumbling 1-hour windows per event type. */
+  def eventsWindowed(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(dec(col("value"))).cast("double"), 2).as("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  val eventsWindowedSql: String =
+    """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS window_start,
+      |  event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+      |  round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
+      |FROM events
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** `events_sessionize`: 30-min-gap sessions per user — lag to detect
+    * session starts, running sum to number them, then per-session stats.
+    */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val runing = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > SessionGapMin * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(runing))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(dec(col("value"))).cast("double"), 2).as("sum_value"))
+      .withColumn("duration_sec",
+        ((col("session_end_us") - col("session_start_us")) / lit(1000000L)).cast("long"))
+      .select("user_id", "session_idx", "session_start_us", "session_end_us",
+        "n_events", "sum_value", "duration_sec")
+      .orderBy("user_id", "session_idx")
+  }
+
+  val eventsSessionizeSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+       |), l AS (
+       |  SELECT user_id, event_id, value, ts_us,
+       |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+       |  FROM e
+       |), m AS (
+       |  SELECT user_id, event_id, value, ts_us,
+       |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > ${SessionGapMin} * 60 * 1000000 THEN 1 ELSE 0 END AS is_new
+       |  FROM l
+       |), s AS (
+       |  SELECT user_id, event_id, value, ts_us,
+       |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+       |  FROM m
+       |)
+       |SELECT user_id, session_idx,
+       |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+       |  count(*) AS n_events,
+       |  round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value,
+       |  CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS duration_sec
+       |FROM s
+       |GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
+  /** `events_funnel`: ordered signup→purchase conversion. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val signups = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_us"))
+    val converted = e.filter(col("event_type") === "purchase")
+      .join(signups, "user_id")
+      .filter(col("ts_us") > col("signup_us"))
+      .select(col("user_id")).distinct()
+    val nUsers = e.select(col("user_id")).distinct().count()
+    val nSignup = signups.count()
+    val nConv = converted.count()
+    import spark.implicits._
+    Seq((nUsers, nSignup, nConv,
+      if (nSignup > 0) math.round(nConv.toDouble / nSignup * 10000) / 10000.0 else 0.0))
+      .toDF("n_users", "n_signup", "n_converted", "conversion")
+  }
+
+  val eventsFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+      |), s AS (
+      |  SELECT user_id, min(ts_us) AS signup_us FROM e WHERE event_type = 'signup' GROUP BY user_id
+      |), c AS (
+      |  SELECT DISTINCT e.user_id FROM e JOIN s USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts_us > s.signup_us
+      |)
+      |SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+      |  (SELECT count(*) FROM s) AS n_signup,
+      |  (SELECT count(*) FROM c) AS n_converted,
+      |  round(CAST((SELECT count(*) FROM c) AS DOUBLE) / (SELECT count(*) FROM s), 4) AS conversion""".stripMargin
+
+  /** `events_top_users`: lifetime per-user stats, top 20 by spend. */
+  def eventsTopUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).cast("long").as("n_purchases"),
+        round(sum(dec(col("value"))).cast("double"), 2).as("total_value"),
+        min(col("ts_us")).as("first_us"),
+        max(col("ts_us")).as("last_us"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(20)
+
+  val eventsTopUsersSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      |  round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value,
+      |  min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+      |  max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY total_value DESC, user_id
+      |LIMIT 20""".stripMargin
+
+  /** `events_enrich_join`: stream-table enrichment against the customer
+    * dimension (broadcast — the standard streaming dim-join shape).
+    */
+  def eventsEnrichJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val c = Tables.customer(spark, dir)
+    e.join(broadcast(c), e("user_id") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(dec(col("value"))).cast("double"), 2).as("sum_value"))
+      .orderBy("c_mktsegment", "event_type")
+  }
+
+  val eventsEnrichJoinSql: String =
+    """SELECT c_mktsegment, event_type, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY c_mktsegment, event_type""".stripMargin
+}

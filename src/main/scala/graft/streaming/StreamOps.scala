@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variants of the event operators (SURVEY §2D,
+  * test-only — exercised by MemoryStream specs, not the batch oracle).
+  *
+  * The batch operators in [[graft.operators.Events]] and these share
+  * semantics: tumbling windows ≡ `window()` + watermark; gap sessionization
+  * ≡ flatMapGroupsWithState keyed on user_id (same shuffle key as the batch
+  * window partition).
+  */
+object StreamOps {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, sum_value: Double)
+
+  final case class SessionState(startUs: Long, endUs: Long,
+      n: Long, total: Double)
+
+  /** Timestamp → epoch micros (getTime is millis; nanos carries the
+    * sub-second fraction — matches the batch unix_micros exactly).
+    */
+  def micros(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  /** Tumbling 1-hour windowed counts per event type with a 2-hour watermark
+    * (late data beyond the watermark is dropped, state is bounded).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization with explicit state: emits a Session when the
+    * gap since the last event exceeds `gapMinutes` (or on final timeout).
+    * Same 30-min semantics as the batch `events_sessionize`.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // events within a micro-batch are not ordered; sort the batch
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          sorted.foreach { e =>
+            val us = micros(e.ts)
+            cur match {
+              case Some(s) if us - s.endUs <= gapUs =>
+                cur = Some(SessionState(s.startUs, us, s.n + 1, s.total + e.value))
+              case Some(s) =>
+                closed += Session(userId, s.startUs, s.endUs, s.n,
+                  math.round(s.total * 100) / 100.0)
+                cur = Some(SessionState(us, us, 1L, e.value))
+              case None =>
+                cur = Some(SessionState(us, us, 1L, e.value))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None    => state.remove()
+          }
+          closed.iterator
+      }
+  }
+
+  /** Drain any open sessions (batch-style finalization used by the spec —
+    * in production a timeout would close these).
+    */
+  def openSessions(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id).flatMapGroups { (userId, rows) =>
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var cur: Option[SessionState] = None
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      sorted.foreach { e =>
+        val us = micros(e.ts)
+        cur match {
+          case Some(s) if us - s.endUs <= gapUs =>
+            cur = Some(SessionState(s.startUs, us, s.n + 1, s.total + e.value))
+          case Some(s) =>
+            out += Session(userId, s.startUs, s.endUs, s.n, math.round(s.total * 100) / 100.0)
+            cur = Some(SessionState(us, us, 1L, e.value))
+          case None =>
+            cur = Some(SessionState(us, us, 1L, e.value))
+        }
+      }
+      cur.foreach(s => out += Session(userId, s.startUs, s.endUs, s.n,
+        math.round(s.total * 100) / 100.0))
+      out.iterator
+    }
+  }
+}

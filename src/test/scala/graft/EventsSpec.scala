@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.Events
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Event, Session}
+
+class EventsSpec extends SparkSpec {
+
+  test("events_windowed: totals add up to the event count") {
+    val w = Events.eventsWindowed(spark, sf)
+    val total = w.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == sources.Tables.events(spark, sf).count())
+  }
+
+  test("events_sessionize: sessions partition each user's events; gaps respected") {
+    val s = Events.eventsSessionize(spark, sf)
+    val total = s.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == sources.Tables.events(spark, sf).count())
+    // session_idx dense from 1; durations non-negative
+    val bad = s.groupBy("user_id")
+      .agg(min("session_idx").as("mn"), max("session_idx").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 1 || col("mx") =!= col("n"))
+    assert(bad.count() == 0)
+    assert(s.filter(col("duration_sec") < 0).count() == 0)
+  }
+
+  test("events_funnel: converted ≤ signups ≤ users") {
+    val f = Events.eventsFunnel(spark, sf).collect()(0)
+    assert(f.getAs[Long]("n_converted") <= f.getAs[Long]("n_signup"))
+    assert(f.getAs[Long]("n_signup") <= f.getAs[Long]("n_users"))
+    val conv = f.getAs[Double]("conversion")
+    assert(conv >= 0.0 && conv <= 1.0)
+  }
+
+  test("events_top_users: sorted by spend, purchases ≤ events") {
+    val t = Events.eventsTopUsers(spark, sf).collect()
+    val vals = t.map(_.getAs[Double]("total_value"))
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
+    t.foreach(r => assert(r.getAs[Long]("n_purchases") <= r.getAs[Long]("n_events")))
+  }
+
+  test("events_enrich_join: plan broadcasts the customer dim") {
+    val plan = Events.eventsEnrichJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  // ---- Structured Streaming variants ----
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("streaming windowedCounts: MemoryStream events land in hourly windows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      mem.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(30), 1, "click", 2.0),
+        Event(3, ts(65), 2, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+      assert(rows.map(_.getAs[Long]("n_events")).sum == 3)
+      assert(rows.length == 2) // two hourly windows
+    } finally q.stop()
+  }
+
+  test("streaming sessionize: closed sessions match batch semantics") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 40-min gap
+      // opens a second session → first session closes
+      mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(50), 1, "click", 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess").as[Session].collect()
+      assert(closed.length == 1)
+      assert(closed(0).n_events == 2 && closed(0).sum_value == 3.0)
+      assert(closed(0).session_start_us == StreamOps.micros(ts(0)))
+      assert(closed(0).session_end_us == StreamOps.micros(ts(10)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionize agrees with batch events_sessionize on real data") {
+    import spark.implicits._
+    // batch-drain variant over the real events table
+    val events = sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val streamStyle = StreamOps.openSessions(events).collect()
+      .map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events)).sorted
+    val batch = Events.eventsSessionize(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events"))).sorted
+    assert(streamStyle.sameElements(batch))
+  }
+}
