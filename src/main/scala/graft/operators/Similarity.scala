@@ -32,7 +32,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
     val scored = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
       .withColumn("cos",
-        round(expr("aggregate(zip_with(qemb, emb, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"), 4))
+        round(expr("graft_dot(qemb, emb)"), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
@@ -69,7 +69,7 @@ object Similarity {
     val scored = broadcast(q).join(e,
         col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
       .withColumn("cos",
-        round(expr("aggregate(zip_with(qemb, emb, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"), 4))
+        round(expr("graft_dot(qemb, emb)"), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Specs for native expressions + plan-shape audits (pushdown/pruning). */
+class FunctionsSpec extends SparkSpec {
+
+  test("graft_dot: registered via GraftExtensions, exact left-to-right fold") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val r = df.select(expr("graft_dot(a, b)").as("d")).collect()(0).getDouble(0)
+    assert(r == 32.0)
+    // null propagation
+    val n = df.select(expr("graft_dot(a, cast(null as array<double>))").as("d")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("graft_dot: codegen path matches interpreted eval on real embeddings") {
+    // dedup_embedding (codegen) equals a zip_with fold computed independently
+    val viaExpr = Dedup.dedupEmbedding(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cos")))
+    val e = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val viaFold = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)"), 4))
+      .filter(col("cos") >= Dedup.CosineTau)
+      .select(col("a.vec_id"), col("b.vec_id"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(viaExpr.sorted.sameElements(viaFold.sorted))
+  }
+
+  test("plan audit: extract_fields scan prunes to (doc_id, lang, text)") {
+    val plan = operators.SchemaExtract.extractFields(spark, sf)
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: struct<" +
+      plan.split("ReadSchema: struct<")(1).split(">")(0) + ">"
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"))
+  }
+
+  test("plan audit: q1 pushes the shipdate filter into the parquet scan") {
+    val plan = operators.Relational.q1PricingSummary(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("plan audit: ann_topk broadcasts the query side") {
+    val plan = Similarity.annTopK(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+  }
+}
