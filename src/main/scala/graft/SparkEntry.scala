@@ -10,9 +10,13 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full reference pipeline end-to-end: ingest → layout → clause graph
+    * → schema-guided extract → recover → validate → finalize, one row per
+    * document.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    Orchestrator.pipelineOutput(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §A relational core
@@ -37,6 +41,8 @@ object SparkEntry {
     "parse_typed"          -> (SchemaExtract.parseTyped _),
     "validate_fields"      -> (Validation.validateFields _),
     "form_complete"        -> (Validation.formComplete _),
+    "form_recovered"       -> (Orchestrator.formRecovered _),
+    "pipeline_output"      -> (Orchestrator.pipelineOutput _),
     "evaluate_extraction"  -> (Evaluation.evaluateExtraction _),
     // §C LLM-training-data operators
     "dedup_exact"          -> (Dedup.dedupExact _),
@@ -79,6 +85,8 @@ object SparkEntry {
     "parse_typed"          -> SchemaExtract.parseTypedSql,
     "validate_fields"      -> Validation.validateFieldsSql,
     "form_complete"        -> Validation.formCompleteSql,
+    "form_recovered"       -> Orchestrator.formRecoveredSql,
+    "pipeline_output"      -> Orchestrator.pipelineOutputSql,
     "evaluate_extraction"  -> Evaluation.evaluateExtractionSql,
     "dedup_exact"          -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard"  -> Dedup.dedupNgramJaccardSql,

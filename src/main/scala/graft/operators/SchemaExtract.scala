@@ -27,7 +27,8 @@ object SchemaExtract {
       fieldType: String,
       required: Boolean,
       patterns: Seq[String],
-      keywords: Seq[String] = Nil) {
+      keywords: Seq[String] = Nil,
+      default: Option[String] = None) {
     /** Keyword rung: `keyword\s+(\w+)` capture (form_filler.py:123 adapted
       * to the corpus vocabulary — the reference captures `[^\n\.;,]+`, i.e.
       * "rest of clause"; corpus text has no clause punctuation so a single
@@ -44,9 +45,10 @@ object SchemaExtract {
     Seq(
       FieldSpec("first_join", "string", required = true, Seq("join (\\w+)")),
       FieldSpec("table_ref", "string", required = true, Seq("table (\\w+)")),
-      FieldSpec("stream_kind", "string", required = false, Seq("stream (\\w+)")),
+      FieldSpec("stream_kind", "string", required = false, Seq("stream (\\w+)"),
+        default = Some("none")),
       FieldSpec("sort_mode", "string", required = false,
-        Seq("sort (fast|slow)"), keywords = Seq("merge")),
+        Seq("sort (fast|slow)"), keywords = Seq("merge"), default = Some("unsorted")),
       // Reference NDA pattern kept verbatim (schema.py:80) — no dates exist
       // in this corpus so it extracts NULL, exercising the miss path.
       FieldSpec("effective_date", "date", required = false,
