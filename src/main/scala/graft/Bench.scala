@@ -13,12 +13,17 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // noop write: materializes EVERY output column (count() would let
+    // Catalyst prune the aggregates themselves — flattering but dishonest)
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
     // warm-up: exercise parquet reader + codegen + shuffle machinery once
-    SparkEntry.queries.get("q1_pricing_summary").foreach(fn => fn(spark, sfDir).count())
+    SparkEntry.queries.get("q1_pricing_summary").foreach(run)
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

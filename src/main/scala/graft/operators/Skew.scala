@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling join utility (SURVEY §3/§4): salted equi-join for when a
+  * few hot keys would otherwise overwhelm single reducers and the build
+  * side is too large to broadcast.
+  *
+  * AQE's skew-join split handles sort-merge skew at runtime; salting is the
+  * explicit pre-partitioning form — the left (skewed) side gets a random
+  * salt in [0, salts), the right side is replicated `salts` times, and the
+  * join key becomes (key, salt). Reducer fan-out for a hot key goes from 1
+  * to `salts`.
+  */
+object Skew {
+
+  /** Inner equi-join `left.key == right.key` with `salts`-way salting.
+    * The salt on the left is deterministic (hash of a row-identifying
+    * column) so results are reproducible.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltBy: String, salts: Int = 16): DataFrame = {
+    val salted = left.withColumn("__salt", pmod(hash(col(saltBy)), lit(salts)))
+    val replicated = right.withColumn("__salt",
+      explode(expr(s"sequence(0, ${salts - 1})")))
+    salted.join(replicated,
+        salted(key) === replicated(key) && salted("__salt") === replicated("__salt"))
+      .drop(replicated(key)).drop("__salt")
+  }
+}
