@@ -49,6 +49,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"  -> (Dedup.dedupNgramJaccard _),
     "dedup_minhash_lsh"    -> (Dedup.dedupMinhashLsh _),
     "dedup_simhash"        -> (Dedup.dedupSimhash _),
+    "dedup_simhash_pairs"  -> (Dedup.dedupSimhashPairs _),
     "dedup_embedding"      -> (Dedup.dedupEmbedding _),
     "ann_topk"             -> (Similarity.annTopK _),
     "lang_id"              -> (TextAnalysis.langId _),
@@ -62,6 +63,7 @@ object SparkEntry {
     "events_funnel"        -> (Events.eventsFunnel _),
     "events_top_users"     -> (Events.eventsTopUsers _),
     "events_enrich_join"   -> (Events.eventsEnrichJoin _),
+    "events_asof_join"     -> (AsOf.eventsAsofJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -92,6 +94,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"  -> Dedup.dedupNgramJaccardSql,
     "dedup_minhash_lsh"    -> Dedup.dedupMinhashLshSql,
     "dedup_simhash"        -> Dedup.dedupSimhashSql,
+    "dedup_simhash_pairs"  -> Dedup.dedupSimhashPairsSql,
     "dedup_embedding"      -> Dedup.dedupEmbeddingSql,
     "ann_topk"             -> Similarity.annTopKSql,
     "lang_id"              -> TextAnalysis.langIdSql,
@@ -104,5 +107,6 @@ object SparkEntry {
     "events_funnel"        -> Events.eventsFunnelSql,
     "events_top_users"     -> Events.eventsTopUsersSql,
     "events_enrich_join"   -> Events.eventsEnrichJoinSql,
+    "events_asof_join"     -> AsOf.eventsAsofJoinSql,
   )
 }
