@@ -24,6 +24,8 @@ object SparkEntry {
     "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
     "q5_local_supplier"    -> (Relational.q5LocalSupplier _),
     "q10_returned_items"   -> (Relational.q10ReturnedItems _),
+    "q4_order_priority"    -> (Relational.q4OrderPriority _),
+    "q18_large_orders"     -> (Relational.q18LargeOrders _),
     "q_market_share"       -> (Relational.qMarketShare _),
     "q_window_topn"        -> (Relational.qWindowTopN _),
     "q_rollup_agg"         -> (Relational.qRollupAgg _),
@@ -71,6 +73,8 @@ object SparkEntry {
     "q3_shipping_priority" -> Relational.q3Sql,
     "q5_local_supplier"    -> Relational.q5Sql,
     "q10_returned_items"   -> Relational.q10Sql,
+    "q4_order_priority"    -> Relational.q4Sql,
+    "q18_large_orders"     -> Relational.q18Sql,
     "q_market_share"       -> Relational.qMarketShareSql,
     "q_window_topn"        -> Relational.qWindowTopNSql,
     "q_rollup_agg"         -> Relational.qRollupAggSql,

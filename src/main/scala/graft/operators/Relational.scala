@@ -236,6 +236,62 @@ object Relational {
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin
 
+  /** Order-priority check: orders with ≥1 late-shipped line, counted per
+    * priority (TPC-H Q4 analog — EXISTS via left-semi).
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+              col("o_orderdate") < lit("1997-01-01").cast("date"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Large-volume orders: total quantity above threshold, with customer
+    * (TPC-H Q18 analog — HAVING + join).
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(round(sum(dec(col("l_quantity"))).cast("double"), 2).as("total_qty"))
+      .filter(col("total_qty") > 120)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    big.join(o, big("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").cast("string").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, c_name, o_orderkey,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate, o_totalprice, total_qty
+      |FROM (
+      |  SELECT l_orderkey, round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) > 120
+      |) big
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 50""".stripMargin
+
   /** Scalar-subquery style: parts priced >5% above their brand average. */
   def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
