@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+class GraftFacadeSpec extends SparkSpec {
+
+  test("registerViews: spark.sql works over every table") {
+    Graft.registerViews(spark, sf)
+    Graft.TableNames.foreach { t =>
+      assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) > 0, t)
+    }
+    // a join through SQL over the registered views
+    val n = spark.sql(
+      """SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey""")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+  }
+
+  test("streaming file source: windowed counts over the events parquet dir") {
+    // stream the real events table (nanos ts shimmed to micros like the
+    // batch path) through the streaming windowed aggregation
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file streams need a directory source; stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = StreamOps.windowedCounts(stream)
+      .writeStream.format("memory").queryName("file_wc").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_wc")
+        .agg(sum("n_events")).collect()(0).getLong(0)
+      assert(streamed == sources.Tables.events(spark, sf).count())
+    } finally q.stop()
+  }
+}
