@@ -59,6 +59,10 @@ object SparkEntry {
     "token_count"          -> (TextAnalysis.tokenCount _),
     "doc_fingerprint"      -> (TextAnalysis.docFingerprint _),
     "multimodal_features"  -> (Multimodal.multimodalFeatures _),
+    "split_assign"         -> (CorpusOps.splitAssign _),
+    "stratified_sample"    -> (CorpusOps.stratifiedSample _),
+    "text_normalize"       -> (CorpusOps.textNormalize _),
+    "corpus_stats"         -> (CorpusOps.corpusStats _),
     // §D events
     "events_windowed"      -> (Events.eventsWindowed _),
     "events_sessionize"    -> (Events.eventsSessionize _),
@@ -106,6 +110,10 @@ object SparkEntry {
     "token_count"          -> TextAnalysis.tokenCountSql,
     "doc_fingerprint"      -> TextAnalysis.docFingerprintSql,
     "multimodal_features"  -> Multimodal.multimodalFeaturesSql,
+    "split_assign"         -> CorpusOps.splitAssignSql,
+    "stratified_sample"    -> CorpusOps.stratifiedSampleSql,
+    "text_normalize"       -> CorpusOps.textNormalizeSql,
+    "corpus_stats"         -> CorpusOps.corpusStatsSql,
     "events_windowed"      -> Events.eventsWindowedSql,
     "events_sessionize"    -> Events.eventsSessionizeSql,
     "events_funnel"        -> Events.eventsFunnelSql,

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Corpus management operators (SURVEY §2C) every training-data pipeline
+  * needs: deterministic splits, stratified sampling, PII redaction /
+  * normalization, global stats. All are hash-deterministic (never RNG-
+  * based) so reruns, retries, and the DuckDB oracle agree at any scale.
+  */
+object CorpusOps {
+
+  /** Train/val/test boundaries on the 0..99 hash-bucket space. */
+  val TrainUpto = 80
+  val ValUpto = 90
+  /** Stratified sample keeps buckets < this per stratum (20%). */
+  val SampleUpto = 20
+
+  /** 0..99 bucket from a stable content-independent key (doc_id) — docs
+    * keep their split across corpus versions.
+    */
+  private val bucketExpr =
+    "pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), 100)"
+  private val bucketSql =
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+  /** `split_assign`: deterministic 80/10/10 train/val/test assignment. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", expr(bucketExpr))
+      .withColumn("split",
+        when(col("bucket") < TrainUpto, "train")
+          .when(col("bucket") < ValUpto, "val")
+          .otherwise("test"))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+
+  val splitAssignSql: String =
+    s"""SELECT doc_id, $bucketSql AS bucket,
+       |  CASE WHEN $bucketSql < $TrainUpto THEN 'train'
+       |       WHEN $bucketSql < $ValUpto THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** `stratified_sample`: hash-deterministic 20% sample per language
+    * stratum (uniform within stratum, stable across runs).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", expr(bucketExpr))
+      .filter(col("bucket") < SampleUpto)
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+
+  val stratifiedSampleSql: String =
+    s"""SELECT doc_id, lang, $bucketSql AS bucket
+       |FROM documents
+       |WHERE $bucketSql < $SampleUpto
+       |ORDER BY doc_id""".stripMargin
+
+  /** Redaction bank: the production patterns (emails, long digit runs,
+    * phone-ish) plus `customer` standing in for a named-entity hit — the
+    * synthetic corpus has no real PII, so the entity rule keeps the
+    * replace path exercised.
+    */
+  val RedactPatterns: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}" -> "<PHONE>",
+    "[0-9]{6,}" -> "<NUM>",
+    "customer" -> "<ENTITY>")
+
+  /** `text_normalize`: redact + collapse whitespace + trim, with change
+    * accounting.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val redacted = RedactPatterns.foldLeft(col("text")) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("norm_text", trim(regexp_replace(redacted, " +", " ")))
+      .withColumn("n_entities", regexp_count(col("text"), lit("customer")).cast("long"))
+      .withColumn("changed", col("norm_text") =!= col("text"))
+      .select("doc_id", "norm_text", "n_entities", "changed")
+      .orderBy("doc_id")
+  }
+
+  val textNormalizeSql: String = {
+    val redacted = RedactPatterns.foldLeft("text") {
+      case (c, (p, r)) => s"regexp_replace($c, '$p', '$r', 'g')"
+    }
+    s"""SELECT doc_id,
+       |  trim(regexp_replace($redacted, ' +', ' ', 'g')) AS norm_text,
+       |  CAST(len(regexp_extract_all(text, 'customer')) AS BIGINT) AS n_entities,
+       |  trim(regexp_replace($redacted, ' +', ' ', 'g')) <> text AS changed
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** `corpus_stats`: one-row global profile of the corpus. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_chars")).as("total_chars"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 2).as("avg_doc_chars"),
+        sum(when(col("text").rlike("\\bdup\\b"), 1).otherwise(0)).cast("long").as("n_dup_marked"))
+
+  val corpusStatsSql: String =
+    """SELECT count(*) AS n_docs,
+      |  count(DISTINCT lang) AS n_langs,
+      |  count(DISTINCT source) AS n_sources,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_doc_chars,
+      |  CAST(sum(CASE WHEN regexp_matches(text, '\bdup\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_marked
+      |FROM documents""".stripMargin
+}

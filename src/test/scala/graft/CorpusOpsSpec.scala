@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusOps
+
+class CorpusOpsSpec extends SparkSpec {
+
+  test("split_assign: every doc assigned once, split matches bucket, ~80/10/10") {
+    val s = CorpusOps.splitAssign(spark, sf)
+    val total = sources.Tables.documents(spark, sf).count()
+    assert(s.count() == total)
+    assert(s.filter(col("split") === "train" && col("bucket") >= 80).count() == 0)
+    assert(s.filter(col("split") === "test" && col("bucket") < 90).count() == 0)
+    val train = s.filter(col("split") === "train").count().toDouble / total
+    assert(train > 0.7 && train < 0.9, s"train frac $train")
+    // deterministic: second run identical
+    val again = CorpusOps.splitAssign(spark, sf).collect().map(_.toString)
+    assert(s.collect().map(_.toString).sameElements(again))
+  }
+
+  test("stratified_sample: subset of corpus, every stratum represented") {
+    val sample = CorpusOps.stratifiedSample(spark, sf)
+    val langs = sources.Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(sample.select("lang").distinct().count() == langs)
+    val frac = sample.count().toDouble / sources.Tables.documents(spark, sf).count()
+    assert(frac > 0.1 && frac < 0.3, s"sample frac $frac")
+  }
+
+  test("text_normalize: entity tokens redacted, idempotent on normalized text") {
+    val n = CorpusOps.textNormalize(spark, sf)
+    assert(n.filter(col("norm_text").contains("customer")).count() == 0)
+    assert(n.filter(col("n_entities") > 0 && !col("changed")).count() == 0)
+    // docs that had the entity token now carry the placeholder
+    assert(n.filter(col("n_entities") > 0 &&
+      !col("norm_text").contains("<ENTITY>")).count() == 0)
+  }
+
+  test("corpus_stats: totals agree with direct aggregation") {
+    val st = CorpusOps.corpusStats(spark, sf).collect()(0)
+    val docs = sources.Tables.documents(spark, sf)
+    assert(st.getAs[Long]("n_docs") == docs.count())
+    assert(st.getAs[Long]("total_chars") ==
+      docs.agg(sum("n_chars")).collect()(0).getLong(0))
+    assert(st.getAs[Long]("n_dup_marked") ==
+      docs.filter(col("text").rlike("\\bdup\\b")).count())
+  }
+}
