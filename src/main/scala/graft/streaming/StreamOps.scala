@@ -43,6 +43,17 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** In-stream exact deduplication: drop events whose content key was
+    * already seen, with state bounded by the watermark (the streaming rung
+    * of the dedup family — [[graft.operators.Dedup]] is the batch side).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("content_key",
+        md5(concat_ws("|", col("user_id"), col("event_type"), col("value"))))
+      .dropDuplicates("content_key", "ts")
+
   /** Gap-based sessionization with explicit state: emits a Session when the
     * gap since the last event exceeds `gapMinutes` (or on final timeout).
     * Same 30-min semantics as the batch `events_sessionize`.

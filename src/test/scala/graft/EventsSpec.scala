@@ -91,6 +91,22 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicate events dropped within the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(0), 1, "click", 1.0),  // exact dup of event 1
+        Event(3, ts(5), 1, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming sessionize agrees with batch events_sessionize on real data") {
     import spark.implicits._
     // batch-drain variant over the real events table
