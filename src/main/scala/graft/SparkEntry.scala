@@ -66,6 +66,7 @@ object SparkEntry {
     // §D events
     "events_windowed"      -> (Events.eventsWindowed _),
     "events_sessionize"    -> (Events.eventsSessionize _),
+    "events_session_window" -> (Events.eventsSessionWindow _),
     "events_funnel"        -> (Events.eventsFunnel _),
     "events_top_users"     -> (Events.eventsTopUsers _),
     "events_enrich_join"   -> (Events.eventsEnrichJoin _),
@@ -116,6 +117,7 @@ object SparkEntry {
     "corpus_stats"         -> CorpusOps.corpusStatsSql,
     "events_windowed"      -> Events.eventsWindowedSql,
     "events_sessionize"    -> Events.eventsSessionizeSql,
+    "events_session_window" -> Events.eventsSessionWindowSql,
     "events_funnel"        -> Events.eventsFunnelSql,
     "events_top_users"     -> Events.eventsTopUsersSql,
     "events_enrich_join"   -> Events.eventsEnrichJoinSql,

@@ -96,6 +96,44 @@ object Events {
        |GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
 
+  /** `events_session_window`: the same 30-min-gap sessionization through
+    * Spark's NATIVE `session_window` operator (merging session windows in
+    * the aggregation layer, no explicit lag/cumsum). The oracle reuses the
+    * window-function formulation — two different algorithms, same rows.
+    */
+  def eventsSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$SessionGapMin minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(dec(col("value"))).cast("double"), 2).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start_us")
+
+  val eventsSessionWindowSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+       |), l AS (
+       |  SELECT user_id, event_id, value, ts_us,
+       |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+       |  FROM e
+       |), m AS (
+       |  SELECT user_id, event_id, value, ts_us,
+       |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > ${SessionGapMin} * 60 * 1000000 THEN 1 ELSE 0 END AS is_new
+       |  FROM l
+       |), s AS (
+       |  SELECT user_id, value, ts_us,
+       |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM m
+       |)
+       |SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events,
+       |  round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
+       |FROM s
+       |GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_start_us""".stripMargin
+
   /** `events_funnel`: ordered signup→purchase conversion. */
   def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).withColumn("ts_us", unix_micros(col("ts")))
