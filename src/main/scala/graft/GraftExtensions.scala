@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.DotProduct
+import graft.functions.{BottomK, DotProduct}
 
 /** Session extensions: registers graft's native expressions so they're
   * callable from SQL / `expr(...)` in any session built with
@@ -16,5 +16,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bottomk"),
+      new ExpressionInfo(classOf[BottomK].getName, "graft_bottomk"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val k = exprs(1).eval().asInstanceOf[Number].intValue()
+        BottomK(exprs.head, k).toAggregateExpression()
+      }))
   }
 }

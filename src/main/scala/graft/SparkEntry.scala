@@ -63,6 +63,7 @@ object SparkEntry {
     "stratified_sample"    -> (CorpusOps.stratifiedSample _),
     "text_normalize"       -> (CorpusOps.textNormalize _),
     "corpus_stats"         -> (CorpusOps.corpusStats _),
+    "bottomk_sample"       -> (CorpusOps.bottomkSample _),
     // §D events
     "events_windowed"      -> (Events.eventsWindowed _),
     "events_sessionize"    -> (Events.eventsSessionize _),
@@ -115,6 +116,7 @@ object SparkEntry {
     "stratified_sample"    -> CorpusOps.stratifiedSampleSql,
     "text_normalize"       -> CorpusOps.textNormalizeSql,
     "corpus_stats"         -> CorpusOps.corpusStatsSql,
+    "bottomk_sample"       -> CorpusOps.bottomkSampleSql,
     "events_windowed"      -> Events.eventsWindowedSql,
     "events_sessionize"    -> Events.eventsSessionizeSql,
     "events_session_window" -> Events.eventsSessionWindowSql,

@@ -98,6 +98,30 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** `bottomk_sample`: deterministic k-doc sample per language via the
+    * [[graft.functions.BottomK]] bounded-state aggregate (the scalable
+    * replacement for `sort_array(collect_list(...))[1:k]`, whose buffer is
+    * unbounded). The same hashes double as a KMV distinct sketch.
+    */
+  val SampleK = 5
+
+  def bottomkSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .groupBy(col("lang"))
+      .agg(
+        expr(s"array_join(graft_bottomk(h, $SampleK), ',')").as("sample_hashes"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  val bottomkSampleSql: String =
+    s"""SELECT lang,
+       |  array_to_string(list_sort(list(md5(CAST(doc_id AS VARCHAR))))[1:$SampleK], ',') AS sample_hashes,
+       |  count(*) AS n_docs
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   /** `corpus_stats`: one-row global profile of the corpus. */
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
