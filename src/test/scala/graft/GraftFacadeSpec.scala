@@ -17,6 +17,28 @@ class GraftFacadeSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("stream-static enrich: streamed events joined to the customer dim") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps.Event
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val customers = sources.Tables.customer(spark, sf)
+    val mem = MemoryStream[Event]
+    val enriched = mem.toDF()
+      .join(broadcast(customers), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    val q = enriched.writeStream.format("memory").queryName("enrich")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        Event(1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Event(2, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      val n = spark.table("enrich").agg(sum("n")).collect()(0).getLong(0)
+      assert(n == 2) // both users exist in the customer dim
+    } finally q.stop()
+  }
+
   test("streaming file source: windowed counts over the events parquet dir") {
     // stream the real events table (nanos ts shimmed to micros like the
     // batch path) through the streaming windowed aggregation
