@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BottomK, DotProduct}
+import graft.functions.{BottomK, DotProduct, SimhashAgg}
 
 /** Session extensions: registers graft's native expressions so they're
   * callable from SQL / `expr(...)` in any session built with
@@ -23,5 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val k = exprs(1).eval().asInstanceOf[Number].intValue()
         BottomK(exprs.head, k).toAggregateExpression()
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashAgg].getName, "graft_simhash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimhashAgg(exprs.head).toAggregateExpression()))
   }
 }
