@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_simhash_pairs"  -> (Dedup.dedupSimhashPairs _),
     "dedup_embedding"      -> (Dedup.dedupEmbedding _),
     "ann_topk"             -> (Similarity.annTopK _),
+    "retrieve_similar_docs" -> (Similarity.retrieveSimilarDocs _),
     "lang_id"              -> (TextAnalysis.langId _),
     "quality_score"        -> (TextAnalysis.qualityScore _),
     "token_count"          -> (TextAnalysis.tokenCount _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "dedup_simhash_pairs"  -> Dedup.dedupSimhashPairsSql,
     "dedup_embedding"      -> Dedup.dedupEmbeddingSql,
     "ann_topk"             -> Similarity.annTopKSql,
+    "retrieve_similar_docs" -> Similarity.retrieveSimilarDocsSql,
     "lang_id"              -> TextAnalysis.langIdSql,
     "quality_score"        -> TextAnalysis.qualityScoreSql,
     "token_count"          -> TextAnalysis.tokenCountSql,

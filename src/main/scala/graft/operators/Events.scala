@@ -50,13 +50,13 @@ object Events {
     val e = Tables.events(spark, dir)
       .withColumn("ts_us", unix_micros(col("ts")))
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    val runing = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val running = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     e.withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_us").isNull ||
           col("ts_us") - col("prev_us") > SessionGapMin * 60L * 1000000L, 1L).otherwise(0L))
-      .withColumn("session_idx", sum(col("is_new")).over(runing))
+      .withColumn("session_idx", sum(col("is_new")).over(running))
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
         min(col("ts_us")).as("session_start_us"),

@@ -58,6 +58,40 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** `retrieve_similar_docs`: the retrieval shape — ANN neighbors joined
+    * back to the document store (vec_id aligns with doc_id), returning the
+    * neighbor text preview alongside the score. At scale the doc-store join
+    * is a key-shuffle against the (much larger) documents table with the
+    * tiny neighbor set broadcast.
+    */
+  def retrieveSimilarDocs(spark: SparkSession, dir: String): DataFrame = {
+    val hits = annTopK(spark, dir).filter(col("rank") <= 3)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 60).as("preview"), col("lang"))
+    broadcast(hits).join(docs, hits("neighbor_id") === docs("doc_id"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"),
+        col("lang"), col("preview"))
+      .orderBy("query_id", "rank")
+  }
+
+  val retrieveSimilarDocsSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qemb
+       |  FROM embeddings WHERE vec_id < $NumQueries
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    round(list_inner_product(q.qemb, CAST(e.embedding AS DOUBLE[])), 4) AS cos
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, cos, d.lang, substr(d.text, 1, 60) AS preview
+       |FROM ranked JOIN documents d ON neighbor_id = d.doc_id
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Scale path (library API, spec-tested): top-k restricted to the query's
     * own coarse cluster — probes 1/n_clusters of the corpus.
     */
