@@ -51,6 +51,28 @@ class OrchestratorSpec extends SparkSpec {
     assert(back.columns.contains("first_join") && back.columns.contains("is_complete"))
   }
 
+  test("sinks: bucketed tables join without a shuffle on the bucket key") {
+    import graft.sources.{Sinks, Tables}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      Sinks.writeBucketed(Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_quantity"), "li_b", "l_orderkey", buckets = 8)
+      Sinks.writeBucketed(Tables.orders(spark, sf)
+        .select("o_orderkey", "o_totalprice"), "o_b", "o_orderkey", buckets = 8)
+      val joined = spark.table("li_b").join(spark.table("o_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located: sort-merge join with NO Exchange feeding it
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+
   test("sinks: partitioned parquet write prunes partitions on read") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     Sinks.writePartitioned(sources.Tables.documents(spark, sf), tmp, "lang")
