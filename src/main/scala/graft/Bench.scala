@@ -27,8 +27,12 @@ object Bench {
       // inputs don't flatter the timed run...
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failing query reports -1, not a flatteringly tiny elapsed time
+      val elapsed =
+        try { run(fn); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

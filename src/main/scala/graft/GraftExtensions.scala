@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bottomk"),
       new ExpressionInfo(classOf[BottomK].getName, "graft_bottomk"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "graft_bottomk(col, k) takes exactly 2 arguments")
+        require(exprs(1).foldable, "graft_bottomk's k must be a literal integer")
         val k = exprs(1).eval().asInstanceOf[Number].intValue()
         BottomK(exprs.head, k).toAggregateExpression()
       }))

@@ -22,6 +22,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects; read
+      // nanos as long session-wide (Tables.events rebuilds micros) so the
+      // flag isn't a hidden order-dependent side effect of a table loader
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")

@@ -164,7 +164,9 @@ object Events {
       |SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
       |  (SELECT count(*) FROM s) AS n_signup,
       |  (SELECT count(*) FROM c) AS n_converted,
-      |  round(CAST((SELECT count(*) FROM c) AS DOUBLE) / (SELECT count(*) FROM s), 4) AS conversion""".stripMargin
+      |  CASE WHEN (SELECT count(*) FROM s) > 0
+      |    THEN round(CAST((SELECT count(*) FROM c) AS DOUBLE) / (SELECT count(*) FROM s), 4)
+      |    ELSE 0.0 END AS conversion""".stripMargin
 
   /** `events_top_users`: lifetime per-user stats, top 20 by spend. */
   def eventsTopUsers(spark: SparkSession, dir: String): DataFrame =

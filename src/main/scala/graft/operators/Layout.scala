@@ -46,8 +46,14 @@ object Layout {
       .select("doc_id", "block_id", "first_word", "n_words", "label")
       .orderBy("doc_id", "block_id")
 
-  private def blocksCte: String = {
+  /** Shared CTE prelude (documents → labeled blocks) for every oracle that
+    * derives from the block/label model — word lists interpolated from the
+    * SAME constants the Spark side uses, so they cannot drift.
+    */
+  private[operators] def blocksCte: String = {
     import Ingestion._
+    val headings = HeadingWords.map("'" + _ + "'").mkString(",")
+    val lists = ListWords.map("'" + _ + "'").mkString(",")
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |b AS (
        |  SELECT doc_id, ws, unnest(generate_series(1, CAST(ceil(len(ws) / $BlockWords.0) AS INT))) AS i FROM d
@@ -59,8 +65,8 @@ object Layout {
        |), lab AS (
        |  SELECT doc_id, block_id, block_text, n_words,
        |    split_part(block_text, ' ', 1) AS first_word,
-       |    CASE WHEN split_part(block_text, ' ', 1) IN ('section','article','part','table') THEN 'heading'
-       |         WHEN split_part(block_text, ' ', 1) IN ('line','row') THEN 'list_item'
+       |    CASE WHEN split_part(block_text, ' ', 1) IN ($headings) THEN 'heading'
+       |         WHEN split_part(block_text, ' ', 1) IN ($lists) THEN 'list_item'
        |         WHEN n_words <= $CaptionMaxWords THEN 'caption'
        |         ELSE 'paragraph' END AS label
        |  FROM blk

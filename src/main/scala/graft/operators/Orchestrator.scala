@@ -99,26 +99,8 @@ object Orchestrator {
       s"(CASE WHEN ${f.name} IS NULL THEN 1 ELSE 0 END)" }.mkString(" + ")
     val isComplete = required.map(f => s"${f.name} IS NOT NULL").mkString(" AND ")
     val missing = required.map(f => s"CASE WHEN ${f.name} IS NULL THEN '${f.name}' END").mkString(", ")
-    // clause-graph CTE (same derivation as Layout.clauseGraphSql, re-grouped per doc)
-    import Ingestion.{BlockWords, BlocksPerPage, OcrThreshold}
-    val captionMax = Layout.CaptionMaxWords
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       |b AS (
-       |  SELECT doc_id, ws, unnest(generate_series(1, CAST(ceil(len(ws) / $BlockWords.0) AS INT))) AS i FROM d
-       |), blk AS (
-       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS block_id,
-       |    array_to_string(ws[(i-1)*$BlockWords+1 : i*$BlockWords], ' ') AS block_text,
-       |    CAST(len(ws[(i-1)*$BlockWords+1 : i*$BlockWords]) AS BIGINT) AS n_words
-       |  FROM b
-       |), lab AS (
-       |  SELECT doc_id, block_id, block_text, n_words,
-       |    split_part(block_text, ' ', 1) AS first_word,
-       |    CASE WHEN split_part(block_text, ' ', 1) IN ('section','article','part','table') THEN 'heading'
-       |         WHEN split_part(block_text, ' ', 1) IN ('line','row') THEN 'list_item'
-       |         WHEN n_words <= $captionMax THEN 'caption'
-       |         ELSE 'paragraph' END AS label
-       |  FROM blk
-       |), sec AS (
+    // block/label CTEs come from Layout (same constants as the Spark side)
+    s"""${Layout.blocksCte}, sec AS (
        |  SELECT doc_id, block_id, label,
        |    last_value(CASE WHEN label = 'heading' THEN first_word || '_' || CAST(block_id AS VARCHAR) END IGNORE NULLS)
        |      OVER (PARTITION BY doc_id ORDER BY block_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS section

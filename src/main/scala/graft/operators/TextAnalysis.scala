@@ -136,8 +136,9 @@ object TextAnalysis {
     val parts = (1 to FpShingle).map(k => s"element_at(ws, i + $k)").mkString(", ")
     Tables.documents(spark, dir)
       .withColumn("ws", split(col("text"), " "))
+      // short-doc guard: ANSI element_at past the end throws (see Dedup)
       .withColumn("sh5",
-        expr(s"transform(sequence(0, greatest(size(ws) - $FpShingle, 0)), i -> concat_ws(' ', $parts))"))
+        expr(s"CASE WHEN size(ws) >= $FpShingle THEN transform(sequence(0, size(ws) - $FpShingle), i -> concat_ws(' ', $parts)) ELSE array(text) END"))
       .withColumn("content_md5", md5(col("text")))
       .withColumn("winnow_fp", expr("array_min(transform(sh5, s -> substr(md5(s), 1, 16)))"))
       .select("doc_id", "content_md5", "winnow_fp")
@@ -149,7 +150,9 @@ object TextAnalysis {
     s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
        |SELECT doc_id, md5(text) AS content_md5,
        |  list_min(list_transform(
-       |    list_transform(generate_series(1, greatest(len(ws) - ${FpShingle - 1}, 1)), i -> $parts),
+       |    CASE WHEN len(ws) >= $FpShingle
+       |      THEN list_transform(generate_series(1, len(ws) - ${FpShingle - 1}), i -> $parts)
+       |      ELSE [text] END,
        |    s -> substr(md5(s), 1, 16))) AS winnow_fp
        |FROM d
        |ORDER BY doc_id""".stripMargin

@@ -52,7 +52,9 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .withColumn("content_key",
         md5(concat_ws("|", col("user_id"), col("event_type"), col("value"))))
-      .dropDuplicates("content_key", "ts")
+      // key is content alone — a retried event with a later timestamp still
+      // dedups; state stays bounded because expiry follows the watermark
+      .dropDuplicatesWithinWatermark("content_key")
 
   /** Gap-based sessionization with explicit state: emits a Session when the
     * gap since the last event exceeds `gapMinutes` (or on final timeout).
