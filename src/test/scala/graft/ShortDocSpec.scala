@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Regression: documents shorter than the shingle width must not crash
+  * under Spark 4's default ANSI mode (element_at past the array end throws)
+  * — they get empty/degenerate shingle sets instead.
+  */
+class ShortDocSpec extends SparkSpec {
+
+  private def shortDocsDir(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_short").toString
+    Seq(
+      (0L, "one", "en", "src0", 3L),
+      (1L, "two words", "en", "src0", 9L),
+      (2L, "three tiny words here now plus a few more to pass five", "en", "src1", 54L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("ANSI mode is actually on (the guard is load-bearing)") {
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+  }
+
+  test("dedup shingle ops survive 1-2 word documents") {
+    val dir = shortDocsDir()
+    // empty candidate sets, but no INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    assert(operators.Dedup.dedupNgramJaccard(spark, dir).count() == 0)
+    assert(operators.Dedup.dedupMinhashLsh(spark, dir).count() == 0)
+  }
+
+  test("doc_fingerprint survives short documents and stays total") {
+    val dir = shortDocsDir()
+    val f = operators.TextAnalysis.docFingerprint(spark, dir).collect()
+    assert(f.length == 3)
+    assert(f.forall(r => r.getAs[String]("winnow_fp") != null))
+  }
+}
