@@ -112,7 +112,7 @@ object TextAnalysis {
       .withColumn("bpe_tokens",
         regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")).cast("long"))
       .withColumn("chars_per_token",
-        round(col("n_chars").cast("double") / col("bpe_tokens"), 4))
+        round(col("n_chars").cast("double") / nullif(col("bpe_tokens"), lit(0L)), 4))
       .select("doc_id", "ws_tokens", "alpha_tokens", "digit_tokens", "bpe_tokens", "chars_per_token")
       .orderBy("doc_id")
 
@@ -122,7 +122,7 @@ object TextAnalysis {
       |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS alpha_tokens,
       |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS digit_tokens,
       |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens,
-      |  round(CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 4) AS chars_per_token
+      |  round(CAST(n_chars AS DOUBLE) / nullif(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')), 0), 4) AS chars_per_token
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 

@@ -14,7 +14,8 @@ class ShortDocSpec extends SparkSpec {
     Seq(
       (0L, "one", "en", "src0", 3L),
       (1L, "two words", "en", "src0", 9L),
-      (2L, "three tiny words here now plus a few more to pass five", "en", "src1", 54L))
+      (2L, "three tiny words here now plus a few more to pass five", "en", "src1", 54L),
+      (3L, "", "en", "src1", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
@@ -34,7 +35,16 @@ class ShortDocSpec extends SparkSpec {
   test("doc_fingerprint survives short documents and stays total") {
     val dir = shortDocsDir()
     val f = operators.TextAnalysis.docFingerprint(spark, dir).collect()
-    assert(f.length == 3)
+    assert(f.length == 4)
     assert(f.forall(r => r.getAs[String]("winnow_fp") != null))
+  }
+
+  test("token_count survives empty text (no ANSI divide-by-zero)") {
+    val dir = shortDocsDir()
+    val t = operators.TextAnalysis.tokenCount(spark, dir).collect()
+    assert(t.length == 4)
+    val empty = t.find(_.getAs[Long]("doc_id") == 3L).get
+    assert(empty.getAs[Long]("bpe_tokens") == 0)
+    assert(empty.isNullAt(empty.fieldIndex("chars_per_token")))
   }
 }
