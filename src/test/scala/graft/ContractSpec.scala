@@ -1,0 +1,31 @@
+package graft
+
+/** Driver-contract invariants: keeps future operator additions honest. */
+class ContractSpec extends SparkSpec {
+
+  test("every oracle key has a query; every query has an oracle (or is documented rows-only)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracle without query: ${o -- q}")
+    // current inventory is fully oracle-checked; if a rows-only op is ever
+    // added, list it here explicitly instead of silently weakening the gate
+    val rowsOnly = Set.empty[String]
+    assert((q -- o) == rowsOnly, s"query without oracle: ${q -- o -- rowsOnly}")
+  }
+
+  test("every query's plan analyzes against the test data (no wiring breaks)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val schema = fn(spark, sf).schema // analysis only, no execution
+      assert(schema.fields.nonEmpty, name)
+    }
+  }
+
+  test("oracle SQL is ASCII-only and JSON-escapable (driver reads it via json.load)") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.forall(_ < 128.toChar), s"$name contains non-ASCII")
+      // no control characters besides newline (invisible NUL/tab would
+      // survive into the JSON and break the driver compare subtly)
+      assert(sql.forall(c => c >= ' ' || c == '\n'), s"$name contains control chars")
+    }
+  }
+}
