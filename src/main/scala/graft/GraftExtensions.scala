@@ -28,7 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashAgg].getName, "graft_simhash"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimhashAgg(exprs.head).toAggregateExpression()))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, "graft_simhash(hi, lo) takes exactly 2 arguments")
+        SimhashAgg(exprs.head, exprs(1)).toAggregateExpression()
+      }))
   }
 }
