@@ -18,21 +18,28 @@ object Bench {
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // timed repetitions per query: the VM shows ~2x run-to-run variance
+    // spikes, so report the per-query MEDIAN of 3 — stable enough for
+    // honest round-over-round comparison
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
       // warm run first: plan + Janino codegen compilation is a fixed per-
       // query JVM cost (measured: up to ~7 s vs ~0.9 s execution) that
       // amortizes to zero at real scale — report steady-state throughput.
       try run(fn) catch { case _: Throwable => () }
-      // isolate queries: drop caches the warm run materialized so cached
-      // inputs don't flatter the timed run...
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      // a failing query reports -1, not a flatteringly tiny elapsed time
-      val elapsed =
+      val times = (1 to reps).map { _ =>
+        // isolate runs: drop caches the previous run materialized so cached
+        // inputs don't flatter the timed run
+        graft.operators.Dedup.releaseIntermediates()
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        // a failing query reports -1, not a flatteringly tiny elapsed time
         try { run(fn); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
-      name -> elapsed
+      }
+      val median = times.sorted.apply(times.length / 2)
+      name -> (if (times.contains(-1.0)) -1.0 else median)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

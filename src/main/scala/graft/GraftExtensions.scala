@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{BottomK, DotProduct, SimhashAgg}
 
 /** Session extensions: registers graft's native expressions so they're
@@ -10,26 +10,49 @@ import graft.functions.{BottomK, DotProduct, SimhashAgg}
   * `spark.sql.extensions=graft.GraftExtensions` (GraftSession sets this).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Standard SQL analysis error for wrong arity — `graft_simhash(x)` fails
+    * like any misused built-in (WRONG_NUM_ARGS, SQLSTATE 42605) instead of a
+    * raw IllegalArgumentException.
+    */
+  private def requireArity(name: String, expected: Int, exprs: Seq[Expression]): Unit =
+    if (exprs.length != expected)
+      throw new AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        requireArity("graft_dot", 2, exprs)
+        DotProduct(exprs.head, exprs(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bottomk"),
       new ExpressionInfo(classOf[BottomK].getName, "graft_bottomk"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 2, "graft_bottomk(col, k) takes exactly 2 arguments")
-        require(exprs(1).foldable, "graft_bottomk's k must be a literal integer")
+      (exprs: Seq[Expression]) => {
+        requireArity("graft_bottomk", 2, exprs)
+        if (!exprs(1).foldable)
+          throw new AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map(
+              "funcName" -> "`graft_bottomk`",
+              "paramName" -> "`k`",
+              "paramType" -> "\"INT\""))
         val k = exprs(1).eval().asInstanceOf[Number].intValue()
         BottomK(exprs.head, k).toAggregateExpression()
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashAgg].getName, "graft_simhash"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 2, "graft_simhash(hi, lo) takes exactly 2 arguments")
+      (exprs: Seq[Expression]) => {
+        requireArity("graft_simhash", 2, exprs)
         SimhashAgg(exprs.head, exprs(1)).toAggregateExpression()
       }))
   }

@@ -42,10 +42,12 @@ object SparkEntry {
     "extract_json_fields"  -> (SchemaExtract.extractJsonFields _),
     "parse_typed"          -> (SchemaExtract.parseTyped _),
     "validate_fields"      -> (Validation.validateFields _),
+    "form_field_validate"  -> (Validation.formFieldValidate _),
     "form_complete"        -> (Validation.formComplete _),
     "form_recovered"       -> (Orchestrator.formRecovered _),
     "pipeline_output"      -> (Orchestrator.pipelineOutput _),
     "evaluate_extraction"  -> (Evaluation.evaluateExtraction _),
+    "evaluate_vs_baseline" -> (Evaluation.evaluateVsBaseline _),
     // §C LLM-training-data operators
     "dedup_exact"          -> (Dedup.dedupExact _),
     "dedup_ngram_jaccard"  -> (Dedup.dedupNgramJaccard _),
@@ -54,6 +56,7 @@ object SparkEntry {
     "dedup_simhash_pairs"  -> (Dedup.dedupSimhashPairs _),
     "dedup_embedding"      -> (Dedup.dedupEmbedding _),
     "ann_topk"             -> (Similarity.annTopK _),
+    "ann_topk_ivf"         -> (Similarity.annTopKIvf _),
     "retrieve_similar_docs" -> (Similarity.retrieveSimilarDocs _),
     "lang_id"              -> (TextAnalysis.langId _),
     "quality_score"        -> (TextAnalysis.qualityScore _),
@@ -97,10 +100,12 @@ object SparkEntry {
     "extract_json_fields"  -> SchemaExtract.extractJsonFieldsSql,
     "parse_typed"          -> SchemaExtract.parseTypedSql,
     "validate_fields"      -> Validation.validateFieldsSql,
+    "form_field_validate"  -> Validation.formFieldValidateSql,
     "form_complete"        -> Validation.formCompleteSql,
     "form_recovered"       -> Orchestrator.formRecoveredSql,
     "pipeline_output"      -> Orchestrator.pipelineOutputSql,
     "evaluate_extraction"  -> Evaluation.evaluateExtractionSql,
+    "evaluate_vs_baseline" -> Evaluation.evaluateVsBaselineSql,
     "dedup_exact"          -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard"  -> Dedup.dedupNgramJaccardSql,
     "dedup_minhash_lsh"    -> Dedup.dedupMinhashLshSql,
@@ -108,6 +113,7 @@ object SparkEntry {
     "dedup_simhash_pairs"  -> Dedup.dedupSimhashPairsSql,
     "dedup_embedding"      -> Dedup.dedupEmbeddingSql,
     "ann_topk"             -> Similarity.annTopKSql,
+    "ann_topk_ivf"         -> Similarity.annTopKIvfSql,
     "retrieve_similar_docs" -> Similarity.retrieveSimilarDocsSql,
     "lang_id"              -> TextAnalysis.langIdSql,
     "quality_score"        -> TextAnalysis.qualityScoreSql,

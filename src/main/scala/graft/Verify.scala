@@ -18,6 +18,7 @@ object Verify {
       }
       // operators may cache intermediates (dedup signatures etc.); don't
       // let 50 queries' worth of cached blocks accumulate in one session
+      graft.operators.Dedup.releaseIntermediates()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -40,7 +40,7 @@ object AsOf {
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("click_event"), col("click_us"),
         expr("(ts_us - click_us) div 1000000").as("gap_sec"))
-      .orderBy("event_id")
+      .contractOrderBy("event_id")
   }
 
   val eventsAsofJoinSql: String =

@@ -34,7 +34,7 @@ object CorpusOps {
           .when(col("bucket") < ValUpto, "val")
           .otherwise("test"))
       .select("doc_id", "bucket", "split")
-      .orderBy("doc_id")
+      .contractOrderBy("doc_id")
 
   val splitAssignSql: String =
     s"""SELECT doc_id, $bucketSql AS bucket,
@@ -52,7 +52,7 @@ object CorpusOps {
       .withColumn("bucket", expr(bucketExpr))
       .filter(col("bucket") < SampleUpto)
       .select("doc_id", "lang", "bucket")
-      .orderBy("doc_id")
+      .contractOrderBy("doc_id")
 
   val stratifiedSampleSql: String =
     s"""SELECT doc_id, lang, $bucketSql AS bucket
@@ -83,7 +83,7 @@ object CorpusOps {
       .withColumn("n_entities", regexp_count(col("text"), lit("customer")).cast("long"))
       .withColumn("changed", col("norm_text") =!= col("text"))
       .select("doc_id", "norm_text", "n_entities", "changed")
-      .orderBy("doc_id")
+      .contractOrderBy("doc_id")
   }
 
   val textNormalizeSql: String = {
@@ -112,7 +112,7 @@ object CorpusOps {
       .agg(
         expr(s"array_join(graft_bottomk(h, $SampleK), ',')").as("sample_hashes"),
         count(lit(1)).as("n_docs"))
-      .orderBy("lang")
+      .contractOrderBy("lang")
 
   val bottomkSampleSql: String =
     s"""SELECT lang,

@@ -33,7 +33,7 @@ object Events {
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
         round(sum(dec(col("value"))).cast("double"), 2).as("sum_value"))
-      .orderBy("window_start", "event_type")
+      .contractOrderBy("window_start", "event_type")
 
   val eventsWindowedSql: String =
     """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS window_start,
@@ -67,7 +67,7 @@ object Events {
         ((col("session_end_us") - col("session_start_us")) / lit(1000000L)).cast("long"))
       .select("user_id", "session_idx", "session_start_us", "session_end_us",
         "n_events", "sum_value", "duration_sec")
-      .orderBy("user_id", "session_idx")
+      .contractOrderBy("user_id", "session_idx")
   }
 
   val eventsSessionizeSql: String =
@@ -109,7 +109,7 @@ object Events {
         round(sum(dec(col("value"))).cast("double"), 2).as("sum_value"))
       .select(col("user_id"), unix_micros(col("sw.start")).as("session_start_us"),
         col("n_events"), col("sum_value"))
-      .orderBy("user_id", "session_start_us")
+      .contractOrderBy("user_id", "session_start_us")
 
   val eventsSessionWindowSql: String =
     s"""WITH e AS (
@@ -134,39 +134,48 @@ object Events {
        |GROUP BY user_id, session_idx
        |ORDER BY user_id, session_start_us""".stripMargin
 
-  /** `events_funnel`: ordered signup→purchase conversion. */
+  /** `events_funnel`: ordered signup→purchase conversion — ONE plan, one
+    * scan of events: a per-user conditional aggregation (a user converts iff
+    * their latest purchase is strictly after their first signup — equivalent
+    * to "exists a purchase after the first signup"), then a global reduce.
+    * No driver-side actions or math: two shuffles total (user_id, then the
+    * single-row final agg), both map-side combined.
+    */
   def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir).withColumn("ts_us", unix_micros(col("ts")))
-    val signups = e.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_us"))
-    val converted = e.filter(col("event_type") === "purchase")
-      .join(signups, "user_id")
-      .filter(col("ts_us") > col("signup_us"))
-      .select(col("user_id")).distinct()
-    val nUsers = e.select(col("user_id")).distinct().count()
-    val nSignup = signups.count()
-    val nConv = converted.count()
-    import spark.implicits._
-    Seq((nUsers, nSignup, nConv,
-      if (nSignup > 0) math.round(nConv.toDouble / nSignup * 10000) / 10000.0 else 0.0))
-      .toDF("n_users", "n_signup", "n_converted", "conversion")
+    val perUser = Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts_us"))).as("signup_us"),
+        max(when(col("event_type") === "purchase", col("ts_us"))).as("last_purchase_us"))
+    perUser.agg(
+        count(lit(1)).as("n_users"),
+        count(col("signup_us")).as("n_signup"),
+        sum(when(col("signup_us").isNotNull && col("last_purchase_us") > col("signup_us"), 1)
+          .otherwise(0)).cast("long").as("n_converted"))
+      .withColumn("conversion",
+        when(col("n_signup") > 0,
+          round(col("n_converted").cast("double") / col("n_signup"), 4)).otherwise(0.0))
   }
 
   val eventsFunnelSql: String =
     """WITH e AS (
       |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
-      |), s AS (
-      |  SELECT user_id, min(ts_us) AS signup_us FROM e WHERE event_type = 'signup' GROUP BY user_id
-      |), c AS (
-      |  SELECT DISTINCT e.user_id FROM e JOIN s USING (user_id)
-      |  WHERE e.event_type = 'purchase' AND e.ts_us > s.signup_us
+      |), u AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN ts_us END) AS signup_us,
+      |    max(CASE WHEN event_type = 'purchase' THEN ts_us END) AS last_purchase_us
+      |  FROM e GROUP BY user_id
       |)
-      |SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
-      |  (SELECT count(*) FROM s) AS n_signup,
-      |  (SELECT count(*) FROM c) AS n_converted,
-      |  CASE WHEN (SELECT count(*) FROM s) > 0
-      |    THEN round(CAST((SELECT count(*) FROM c) AS DOUBLE) / (SELECT count(*) FROM s), 4)
-      |    ELSE 0.0 END AS conversion""".stripMargin
+      |SELECT count(*) AS n_users,
+      |  count(signup_us) AS n_signup,
+      |  CAST(sum(CASE WHEN signup_us IS NOT NULL AND last_purchase_us > signup_us
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+      |  CASE WHEN count(signup_us) > 0
+      |    THEN round(CAST(CAST(sum(CASE WHEN signup_us IS NOT NULL AND last_purchase_us > signup_us
+      |                                  THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(signup_us), 4)
+      |    ELSE 0.0 END AS conversion
+      |FROM u""".stripMargin
 
   /** `events_top_users`: lifetime per-user stats, top 20 by spend. */
   def eventsTopUsers(spark: SparkSession, dir: String): DataFrame =
@@ -205,7 +214,7 @@ object Events {
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
         round(sum(dec(col("value"))).cast("double"), 2).as("sum_value"))
-      .orderBy("c_mktsegment", "event_type")
+      .contractOrderBy("c_mktsegment", "event_type")
   }
 
   val eventsEnrichJoinSql: String =

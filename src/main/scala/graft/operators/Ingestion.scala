@@ -52,7 +52,7 @@ object Ingestion {
 
   /** `ingest_blocks` query: deterministic block rows, totally ordered. */
   def ingestBlocks(spark: SparkSession, dir: String): DataFrame =
-    blocks(spark, dir).orderBy("doc_id", "block_id")
+    blocks(spark, dir).contractOrderBy("doc_id", "block_id")
 
   val ingestBlocksSql: String =
     s"""WITH d AS (
@@ -86,7 +86,7 @@ object Ingestion {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"),
         round(sum(col("n_chars")).cast("double") / count(lit(1)), 2).as("avg_chars"))
-      .orderBy("source", "route")
+      .contractOrderBy("source", "route")
 
   val ocrRouteSql: String =
     s"""SELECT source,
@@ -105,7 +105,7 @@ object Ingestion {
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("word_idx", "word")))
       .select(col("doc_id"), col("word_idx").cast("long").as("word_idx"),
         col("word"), length(col("word")).cast("long").as("word_len"))
-      .orderBy("doc_id", "word_idx")
+      .contractOrderBy("doc_id", "word_idx")
 
   val tokenizeWordsSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
@@ -136,7 +136,7 @@ object Ingestion {
         x1.cast("long").as("x1"), y1.cast("long").as("y1"),
         norm(x0, PageW).as("nx0"), norm(y0, PageH).as("ny0"),
         norm(x1, PageW).as("nx1"), norm(y1, PageH).as("ny1"))
-      .orderBy("doc_id", "block_id")
+      .contractOrderBy("doc_id", "block_id")
   }
 
   val bboxNormalizeSql: String =

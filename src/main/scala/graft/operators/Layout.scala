@@ -44,7 +44,7 @@ object Layout {
   def layoutClassify(spark: SparkSession, dir: String): DataFrame =
     classify(spark, dir)
       .select("doc_id", "block_id", "first_word", "n_words", "label")
-      .orderBy("doc_id", "block_id")
+      .contractOrderBy("doc_id", "block_id")
 
   /** Shared CTE prelude (documents → labeled blocks) for every oracle that
     * derives from the block/label model — word lists interpolated from the
@@ -99,7 +99,7 @@ object Layout {
           .as("clause_text"),
         count(lit(1)).as("n_blocks"),
         sum(length(col("block_text"))).cast("long").as("clause_chars"))
-      .orderBy("doc_id", "section")
+      .contractOrderBy("doc_id", "section")
   }
 
   val clauseGraphSql: String =

@@ -51,7 +51,7 @@ object Multimodal {
         when(col("modality").isin("audio", "video"),
           round(col("byte_len").cast("double") / 16000.0, 6)).otherwise(lit(0.0)))
       .select("doc_id", "modality", "byte_len", "content_md5", "width", "height", "duration")
-      .orderBy("doc_id")
+      .contractOrderBy("doc_id")
 
   val multimodalFeaturesSql: String =
     """WITH m AS (

@@ -35,7 +35,7 @@ object Orchestrator {
         when(col(f.name).isNull, 1).otherwise(0) }
       .reduce(_ + _).cast("long")
     form.select(col("doc_id") +: cols :+ recoveredCount.as("n_recovered"): _*)
-      .orderBy("doc_id")
+      .contractOrderBy("doc_id")
   }
 
   val formRecoveredSql: String = {
@@ -80,7 +80,7 @@ object Orchestrator {
       .select(col("doc_id") +: QueryLogForm.fields.map(f => col(f.name)) :+
         col("n_recovered") :+ col("is_complete") :+ col("missing_fields") :+
         col("n_clauses") :+ col("n_clause_blocks"): _*)
-      .orderBy("doc_id")
+      .contractOrderBy("doc_id")
   }
 
   val pipelineOutputSql: String = {

@@ -41,7 +41,7 @@ object Relational {
         round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 4).as("avg_price"),
         round(sum(dec3(col("l_discount"))).cast("double") / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .contractOrderBy("l_returnflag", "l_linestatus")
   }
 
   val q1Sql: String =
@@ -103,7 +103,7 @@ object Relational {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(discPrice(l)).cast("double"), 2).as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      .contractOrderBy(col("revenue").desc, col("n_name"))
   }
 
   val q5Sql: String =
@@ -161,7 +161,7 @@ object Relational {
         round(sum(dp).cast("double"), 2).as("total_revenue"),
         round(sum(when(col("p_type") === "PROMO", dp).otherwise(zero)).cast("double") /
               sum(dp).cast("double"), 4).as("promo_share"))
-      .orderBy(col("n_name"))
+      .contractOrderBy(col("n_name"))
   }
 
   val qMarketShareSql: String =
@@ -185,7 +185,7 @@ object Relational {
     o.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
-      .orderBy(col("o_custkey"), col("rn"))
+      .contractOrderBy(col("o_custkey"), col("rn"))
   }
 
   val qWindowTopNSql: String =
@@ -207,7 +207,7 @@ object Relational {
       .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
         coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
         col("n_customers"), col("sum_acctbal"))
-      .orderBy(col("nation"), col("segment"))
+      .contractOrderBy(col("nation"), col("segment"))
   }
 
   val qRollupAggSql: String =
@@ -226,7 +226,7 @@ object Relational {
       .join(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("fk")),
         col("c_custkey") === col("fk"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      .orderBy(col("c_custkey"))
+      .contractOrderBy(col("c_custkey"))
   }
 
   val qSemiAntiSql: String =
@@ -249,7 +249,7 @@ object Relational {
     o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
-      .orderBy("o_orderpriority")
+      .contractOrderBy("o_orderpriority")
   }
 
   val q4Sql: String =
@@ -301,7 +301,7 @@ object Relational {
       .filter(col("p_retailprice") > col("brand_avg") * 1.05)
       .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"),
         round(col("brand_avg"), 4).as("brand_avg"))
-      .orderBy(col("p_partkey"))
+      .contractOrderBy(col("p_partkey"))
   }
 
   val qScalarSubquerySql: String =

@@ -69,7 +69,7 @@ object SchemaExtract {
   def extractFields(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id") +: col("lang") +: QueryLogForm.fields.map(fieldCol): _*)
-      .orderBy("doc_id")
+      .contractOrderBy("doc_id")
 
   val extractFieldsSql: String =
     s"""SELECT doc_id, lang, ${QueryLogForm.fields.map(fieldSql).mkString(",\n  ")}
@@ -90,7 +90,7 @@ object SchemaExtract {
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"),
         sum(col("k")).as("sum_k"))
-      .orderBy("event_type")
+      .contractOrderBy("event_type")
 
   val extractJsonFieldsSql: String =
     """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
@@ -126,7 +126,7 @@ object SchemaExtract {
           .cast("decimal(12,2)").cast("double"))
       .select("o_orderkey", "date_iso_str", "parsed_iso", "parsed_slash", "prio_num",
         "flag_str", "parsed_bool", "currency_str", "currency_valid", "parsed_amount")
-      .orderBy("o_orderkey")
+      .contractOrderBy("o_orderkey")
   }
 
   val parseTypedSql: String =

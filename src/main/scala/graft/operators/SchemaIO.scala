@@ -65,3 +65,50 @@ object SchemaIO {
   def load(path: String): FormSchema =
     fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
 }
+
+/** Directory-backed schema catalog — the reference `SchemaManager`
+  * (schema/schema.py:21-63): loads every `*.json` in the schema directory at
+  * construction (keyed by `form_name`, falling back to the file stem),
+  * lists/gets by name, and `addSchema` both registers and persists to
+  * `<dir>/<form_name>.json`. Unparseable files are skipped (schema.py:34
+  * logs-and-continues), never fatal.
+  */
+final class SchemaManager(schemaDir: String) {
+  import java.nio.file.{Files, Path, Paths}
+  import scala.jdk.CollectionConverters._
+
+  private val schemas = scala.collection.mutable.LinkedHashMap[String, SchemaExtract.FormSchema]()
+  loadAll()
+
+  private def loadAll(): Unit = {
+    val dir = Paths.get(schemaDir)
+    if (Files.isDirectory(dir)) {
+      val files = Files.list(dir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".json")).sortBy(_.getFileName.toString)
+      files.foreach { p: Path =>
+        try {
+          val s = SchemaIO.fromJson(Files.readString(p))
+          val name = if (s.formName == "Unknown")
+            p.getFileName.toString.stripSuffix(".json") else s.formName
+          schemas(name) = s.copy(formName = name)
+        } catch { case _: Exception => () } // skip unparseable, like the reference
+      }
+    }
+  }
+
+  def getSchema(formName: String): Option[SchemaExtract.FormSchema] = schemas.get(formName)
+
+  def listSchemas: Seq[String] = schemas.keys.toSeq
+
+  /** Register + persist; false when the schema has no usable name. */
+  def addSchema(schema: SchemaExtract.FormSchema): Boolean =
+    if (schema.formName == null || schema.formName.isEmpty) false
+    else {
+      schemas(schema.formName) = schema
+      try {
+        Files.createDirectories(Paths.get(schemaDir))
+        SchemaIO.save(schema, s"$schemaDir/${schema.formName}.json")
+        true
+      } catch { case _: Exception => false }
+    }
+}

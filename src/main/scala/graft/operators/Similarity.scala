@@ -38,7 +38,7 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy("query_id", "rank")
+      .contractOrderBy("query_id", "rank")
   }
 
   val annTopKSql: String =
@@ -71,7 +71,7 @@ object Similarity {
     broadcast(hits).join(docs, hits("neighbor_id") === docs("doc_id"))
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"),
         col("lang"), col("preview"))
-      .orderBy("query_id", "rank")
+      .contractOrderBy("query_id", "rank")
   }
 
   val retrieveSimilarDocsSql: String =
@@ -92,8 +92,10 @@ object Similarity {
        |WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
-  /** Scale path (library API, spec-tested): top-k restricted to the query's
-    * own coarse cluster — probes 1/n_clusters of the corpus.
+  /** `ann_topk_ivf` — the scale path: top-k restricted to the query's own
+    * coarse cluster (IVF nprobe=1) — each probe scans 1/n_clusters of the
+    * corpus instead of all of it. This is the variant the 100 TB ANN story
+    * runs on; `ann_topk` (brute force) is its exact-recall baseline.
     */
   def blockedTopK(spark: SparkSession, dir: String, numQueries: Int = NumQueries,
       k: Int = TopK): DataFrame = {
@@ -109,6 +111,27 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy("query_id", "rank")
+      .contractOrderBy("query_id", "rank")
   }
+
+  /** Contract wrapper for [[blockedTopK]] (driver needs the 2-arg shape). */
+  def annTopKIvf(spark: SparkSession, dir: String): DataFrame =
+    blockedTopK(spark, dir)
+
+  val annTopKIvfSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qemb
+       |  FROM embeddings WHERE vec_id < $NumQueries
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    round(list_inner_product(q.qemb, CAST(e.embedding AS DOUBLE[])), 4) AS cos
+       |  FROM q JOIN embeddings e ON e.label = q.qlabel AND e.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, cos FROM ranked
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
 }

@@ -33,7 +33,7 @@ object TextAnalysis {
     d.groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"),
         round(sum(col("n_stop")).cast("double") / sum(col("n_words")), 4).as("avg_stop_ratio"))
-      .orderBy("lang", "pred_lang")
+      .contractOrderBy("lang", "pred_lang")
   }
 
   val langIdSql: String = {
@@ -76,7 +76,7 @@ object TextAnalysis {
           + (lit(10000L) - expr(s"(10000 * size(filter(ws, w -> w IN ($stopList)))) div n_words")) * 3
           + least(col("n_words") * 100, lit(10000L)) * 4).cast("double") / 100000.0)
       .select("doc_id", "n_words", "n_distinct", "ttr", "stop_ratio", "avg_word_len", "score")
-      .orderBy("doc_id")
+      .contractOrderBy("doc_id")
   }
 
   val qualityScoreSql: String = {
@@ -114,7 +114,7 @@ object TextAnalysis {
       .withColumn("chars_per_token",
         round(col("n_chars").cast("double") / nullif(col("bpe_tokens"), lit(0L)), 4))
       .select("doc_id", "ws_tokens", "alpha_tokens", "digit_tokens", "bpe_tokens", "chars_per_token")
-      .orderBy("doc_id")
+      .contractOrderBy("doc_id")
 
   val tokenCountSql: String =
     """SELECT doc_id,
@@ -142,7 +142,7 @@ object TextAnalysis {
       .withColumn("content_md5", md5(col("text")))
       .withColumn("winnow_fp", expr("array_min(transform(sh5, s -> substr(md5(s), 1, 16)))"))
       .select("doc_id", "content_md5", "winnow_fp")
-      .orderBy("doc_id")
+      .contractOrderBy("doc_id")
   }
 
   val docFingerprintSql: String = {

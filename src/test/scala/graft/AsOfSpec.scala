@@ -48,11 +48,35 @@ class AsOfSpec extends SparkSpec {
       val ham = java.lang.Long.bitCount(sig(r.getAs[Long]("doc_a")) ^ sig(r.getAs[Long]("doc_b")))
       assert(ham == r.getAs[Long]("hamming") && ham <= Dedup.SimHamMax)
     }
-    // completeness at hamming 0: byte-banding guarantees recall ≤ SimHamMax;
-    // exhaustively check distance-0 pairs are all present
+    // completeness at hamming 0: identical-signature pairs are emitted
+    // exactly (never through banding); exhaustively check they're all there
     val found = p.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     val ids = sig.keys.toSeq.sorted
     for (a <- ids; b <- ids if a < b && sig(a) == sig(b))
       assert(found.contains((a, b)), s"missing identical-signature pair ($a,$b)")
+  }
+
+  test("dedup_simhash_pairs: a dup cluster LARGER than HotBandDocs keeps all hamming-0 pairs") {
+    // regression: the old plan banded raw docs, so a >64-doc identical-
+    // signature cluster overflowed every band bucket and lost even its
+    // hamming-0 pairs; identical signatures now pair exactly, pre-banding
+    import spark.implicits._
+    val clusterSize = Dedup.HotBandDocs + 6
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_reg").toString
+    val clusterText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val cluster = (0L until clusterSize.toLong).map(i =>
+      (i, clusterText, "en", "synthetic", clusterText.length.toLong))
+    val noise = (100L until 120L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f", "en", "synthetic", 30L))
+    (cluster ++ noise).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.dedupSimhashPairs(spark, dir).collect()
+    val found = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    for (a <- 0L until clusterSize.toLong; b <- (a + 1) until clusterSize.toLong)
+      assert(found.contains((a, b)), s"missing in-cluster pair ($a,$b)")
+    pairs.filter(r => r.getAs[Long]("doc_b") < clusterSize)
+      .foreach(r => assert(r.getAs[Long]("hamming") == 0L))
+    Dedup.releaseIntermediates()
+    spark.catalog.clearCache()
   }
 }

@@ -44,8 +44,10 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
     assert(pairs.nonEmpty)
     val hams = pairs.map { case (a, b) => java.lang.Long.bitCount(sig(a) ^ sig(b)) }
-    // near-dup docs differ by ≤ a few token votes out of 32 bits
-    assert(hams.max <= 12, s"max hamming ${hams.max}")
+    // near-dup docs flip only marginal-vote bits; scale the bound by the
+    // signature width (64-bit signatures flip ~2x the bits 32-bit ones did)
+    val maxHam = 12 * 64 / 32
+    assert(hams.max <= maxHam, s"max hamming ${hams.max} > $maxHam (of 64 bits)")
     // unrelated docs are farther apart than near-dups on average (the shared
     // 30-word vocabulary correlates all signatures, so compare relatively)
     val ids = sig.keys.toSeq.sorted.take(20)
