@@ -55,8 +55,10 @@ object SparkEntry {
     "dedup_simhash"        -> (Dedup.dedupSimhash _),
     "dedup_simhash_pairs"  -> (Dedup.dedupSimhashPairs _),
     "dedup_embedding"      -> (Dedup.dedupEmbedding _),
+    "dedup_clusters"       -> (Dedup.dedupClusters _),
     "ann_topk"             -> (Similarity.annTopK _),
     "ann_topk_ivf"         -> (Similarity.annTopKIvf _),
+    "bm25_search"          -> (Similarity.bm25Search _),
     "retrieve_similar_docs" -> (Similarity.retrieveSimilarDocs _),
     "lang_id"              -> (TextAnalysis.langId _),
     "quality_score"        -> (TextAnalysis.qualityScore _),
@@ -68,6 +70,10 @@ object SparkEntry {
     "text_normalize"       -> (CorpusOps.textNormalize _),
     "corpus_stats"         -> (CorpusOps.corpusStats _),
     "bottomk_sample"       -> (CorpusOps.bottomkSample _),
+    "quality_filter"       -> (Curation.qualityFilter _),
+    "decontaminate"        -> (Curation.decontaminate _),
+    "pack_sequences"       -> (Curation.packSequences _),
+    "domain_mix_sample"    -> (Curation.domainMixSample _),
     // §D events
     "events_windowed"      -> (Events.eventsWindowed _),
     "events_sessionize"    -> (Events.eventsSessionize _),
@@ -112,8 +118,10 @@ object SparkEntry {
     "dedup_simhash"        -> Dedup.dedupSimhashSql,
     "dedup_simhash_pairs"  -> Dedup.dedupSimhashPairsSql,
     "dedup_embedding"      -> Dedup.dedupEmbeddingSql,
+    "dedup_clusters"       -> Dedup.dedupClustersSql,
     "ann_topk"             -> Similarity.annTopKSql,
     "ann_topk_ivf"         -> Similarity.annTopKIvfSql,
+    "bm25_search"          -> Similarity.bm25SearchSql,
     "retrieve_similar_docs" -> Similarity.retrieveSimilarDocsSql,
     "lang_id"              -> TextAnalysis.langIdSql,
     "quality_score"        -> TextAnalysis.qualityScoreSql,
@@ -125,6 +133,10 @@ object SparkEntry {
     "text_normalize"       -> CorpusOps.textNormalizeSql,
     "corpus_stats"         -> CorpusOps.corpusStatsSql,
     "bottomk_sample"       -> CorpusOps.bottomkSampleSql,
+    "quality_filter"       -> Curation.qualityFilterSql,
+    "decontaminate"        -> Curation.decontaminateSql,
+    "pack_sequences"       -> Curation.packSequencesSql,
+    "domain_mix_sample"    -> Curation.domainMixSampleSql,
     "events_windowed"      -> Events.eventsWindowedSql,
     "events_sessionize"    -> Events.eventsSessionizeSql,
     "events_session_window" -> Events.eventsSessionWindowSql,

@@ -1,0 +1,316 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Training-data curation operators (SURVEY §2C): the corpus-preparation
+  * steps a 100 TB pretraining pipeline runs between raw ingestion and
+  * training — hard quality filtering (Gopher/C4 rule family), benchmark
+  * decontamination, sequence packing, and domain-mixture sampling.
+  *
+  * All rule thresholds compare in EXACT integer space (`a*scale < b`) so
+  * the Spark and DuckDB sides can never disagree on a float boundary.
+  */
+object Curation {
+
+  // ---- quality_filter -----------------------------------------------------
+
+  /** Gopher-style hard bounds (tuned so every rule fires on a real slice of
+    * the synthetic corpus — see SURVEY §6).
+    */
+  val MinWords = 20
+  val MaxWords = 80
+  /** Stopword fraction below this ⇒ not prose (Gopher's stopword rule). */
+  val MinStopFrac = 0.01 // compared as n_stop * 100 < n_words
+  /** Fraction of tokens covered by the most frequent bigram above this ⇒
+    * repetitive boilerplate (Gopher's top-2-gram rule).
+    */
+  val MaxTopBigramFrac = 0.2 // compared as 10 * max_bg > n_words
+
+  /** `quality_filter`: per-doc C4/Gopher rule evaluation — word-count
+    * bounds, stopword floor, top-bigram repetition ceiling — with a keep
+    * flag and the list of failed rules.
+    *
+    * Plan shape: one stateless projection for the per-doc counters, plus
+    * one explode → two map-side-combined aggregations for the top-bigram
+    * count (keyed on (doc_id, bigram) then doc_id — never a per-doc O(L²)
+    * expression, which would blow up on long documents at scale), joined
+    * back on doc_id.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val stopList = TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(",")
+    val base = Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(ws, w -> w IN ($stopList)))").cast("long"))
+    val bigrams = base.select(col("doc_id"),
+        explode(expr(
+          """CASE WHEN size(ws) >= 2
+            | THEN transform(sequence(0, size(ws) - 2),
+            |                i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))
+            | ELSE array() END""".stripMargin.replace("\n", ""))).as("bg"))
+    val topBg = bigrams.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_bg"))
+    val joined = base.join(topBg, Seq("doc_id"), "left")
+      .withColumn("top_bg", coalesce(col("top_bg"), lit(0L)))
+    val rShort = col("n_words") < MinWords
+    val rLong = col("n_words") > MaxWords
+    val rStop = col("n_stop") * 100 < col("n_words")
+    val rRep = col("top_bg") * 10 > col("n_words")
+    joined
+      .withColumn("keep", !rShort && !rLong && !rStop && !rRep)
+      .withColumn("reasons", array_join(concat(
+        when(rShort, array(lit("too_short"))).otherwise(array()),
+        when(rLong, array(lit("too_long"))).otherwise(array()),
+        when(rStop, array(lit("low_stopword"))).otherwise(array()),
+        when(rRep, array(lit("repetitive"))).otherwise(array())), ","))
+      .select("doc_id", "n_words", "n_stop", "top_bg", "keep", "reasons")
+      .contractOrderBy("doc_id")
+  }
+
+  val qualityFilterSql: String = {
+    val stopList = TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(",")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), base AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(ws, w -> w IN ($stopList))) AS BIGINT) AS n_stop,
+       |    CASE WHEN len(ws) >= 2
+       |      THEN list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])
+       |      ELSE CAST([] AS VARCHAR[]) END AS bgs
+       |  FROM d
+       |), bg AS (
+       |  SELECT doc_id, unnest(bgs) AS bg FROM base
+       |), topbg AS (
+       |  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bg FROM (
+       |    SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg)
+       |  GROUP BY doc_id
+       |), j AS (
+       |  SELECT b.doc_id, b.n_words, b.n_stop, coalesce(t.top_bg, 0) AS top_bg
+       |  FROM base b LEFT JOIN topbg t ON b.doc_id = t.doc_id
+       |)
+       |SELECT doc_id, n_words, n_stop, top_bg,
+       |  NOT (n_words < $MinWords OR n_words > $MaxWords
+       |       OR n_stop * 100 < n_words OR top_bg * 10 > n_words) AS keep,
+  coalesce(array_to_string(
+       |    (CASE WHEN n_words < $MinWords THEN ['too_short'] ELSE [] END)
+       |    || (CASE WHEN n_words > $MaxWords THEN ['too_long'] ELSE [] END)
+       |    || (CASE WHEN n_stop * 100 < n_words THEN ['low_stopword'] ELSE [] END)
+       |    || (CASE WHEN top_bg * 10 > n_words THEN ['repetitive'] ELSE [] END), ','), '') AS reasons
+       |FROM j
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- decontaminate ------------------------------------------------------
+
+  /** Benchmark-decontamination n-gram width (the 13-gram of the GPT-3/PaLM
+    * decontamination recipe, scaled to the short synthetic docs).
+    */
+  val ContamNgram = 5
+  /** Deterministic pseudo-benchmark: docs whose id ≡ 0 (mod 97) play the
+    * held-out eval set.
+    */
+  val EvalIdMod = 97
+
+  private def ngramExpr(k: Int): String = {
+    val parts = (1 to k).map(j => s"element_at(ws, i + $j)").mkString(", ")
+    s"""CASE WHEN size(ws) >= $k
+       | THEN array_distinct(transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', $parts)))
+       | ELSE array() END""".stripMargin.replace("\n", "")
+  }
+
+  private def ngramSqlExpr(k: Int): String = {
+    val parts = (0 until k).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(ws) >= $k
+       | THEN list_distinct(list_transform(generate_series(1, len(ws) - ${k - 1}), i -> $parts))
+       | ELSE CAST([] AS VARCHAR[]) END""".stripMargin.replace("\n", "")
+  }
+
+  /** `decontaminate`: flag training documents sharing any [[ContamNgram]]-
+    * gram with the benchmark (eval) set — the standard pretraining
+    * decontamination sweep. Per train doc: distinct n-gram count, how many
+    * hit the eval n-gram set, overlap fraction, contaminated flag.
+    *
+    * Scale shape: the eval side is benchmark-sized (thousands of docs, not
+    * billions), so its distinct n-gram set is BROADCAST and the 100 TB
+    * train side streams through a broadcast hash join — no shuffle of the
+    * corpus. N-grams travel as 16-hex md5 prefixes, not raw strings.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("ngs", expr(ngramExpr(ContamNgram)))
+      .withColumn("is_eval", col("doc_id") % EvalIdMod === 0)
+    // explode_outer, not explode: plain explode pushes a `size(ngs) > 0 AND
+    // isnotnull(ngs)` filter below the Generate, and because higher-order
+    // functions are interpreted (not codegen'd) that re-evaluates the whole
+    // n-gram construction 3x per row — measured 2x wall-clock on this query.
+    // With the outer variant a no-ngram doc yields one null row, which the
+    // count(h)/count-non-null aggregates below ignore — and it keeps the doc
+    // in the output without a second corpus scan for the left join.
+    val evalNgrams = docs.filter(col("is_eval"))
+      .select(explode(col("ngs")).as("ng"))
+      .select(expr("substr(md5(ng), 1, 16)").as("h"))
+      .distinct()
+    val trainNgrams = docs.filter(!col("is_eval"))
+      .select(col("doc_id"), explode_outer(col("ngs")).as("ng"))
+      .select(col("doc_id"), expr("substr(md5(ng), 1, 16)").as("h"))
+    trainNgrams
+      .join(broadcast(evalNgrams.withColumn("hit", lit(1))), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("h")).as("n_ngrams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_matched"))
+      .withColumn("overlap_frac",
+        coalesce(round(col("n_matched").cast("double") / nullif(col("n_ngrams"), lit(0L)), 4),
+          lit(0.0)))
+      .withColumn("contaminated", col("n_matched") > 0)
+      .select("doc_id", "n_ngrams", "n_matched", "overlap_frac", "contaminated")
+      .contractOrderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws, doc_id % $EvalIdMod = 0 AS is_eval
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, is_eval, ${ngramSqlExpr(ContamNgram)} AS ngs FROM d
+       |), ev AS (
+       |  SELECT DISTINCT substr(md5(unnest(ngs)), 1, 16) AS h FROM g WHERE is_eval
+       |), tr AS (
+       |  SELECT doc_id, substr(md5(unnest(ngs)), 1, 16) AS h FROM g WHERE NOT is_eval
+       |), agg AS (
+       |  SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+       |    CAST(count(ev.h) AS BIGINT) AS n_matched
+       |  FROM tr LEFT JOIN ev ON tr.h = ev.h
+       |  GROUP BY tr.doc_id
+       |)
+       |SELECT g.doc_id,
+       |  coalesce(a.n_ngrams, 0) AS n_ngrams,
+       |  coalesce(a.n_matched, 0) AS n_matched,
+       |  coalesce(round(CAST(a.n_matched AS DOUBLE) / nullif(a.n_ngrams, 0), 4), 0.0) AS overlap_frac,
+       |  coalesce(a.n_matched, 0) > 0 AS contaminated
+       |FROM g LEFT JOIN agg a ON g.doc_id = a.doc_id
+       |WHERE NOT g.is_eval
+       |ORDER BY g.doc_id""".stripMargin
+
+  // ---- pack_sequences -----------------------------------------------------
+
+  /** Training-sequence token budget (context window of the packed model). */
+  val SeqBudget = 512
+  /** Independent packing shards (per-executor streams at scale). */
+  val PackShards = 8
+
+  /** `pack_sequences`: concat-and-chop sequence packing — the standard
+    * pretraining batching step. Documents are deterministically sharded
+    * (md5 of doc_id), concatenated in doc_id order within their shard, and
+    * the token stream is chopped into fixed [[SeqBudget]]-token training
+    * sequences. Emits, per document: its shard, the sequence its first
+    * token lands in, the offset inside that sequence, and how many
+    * sequences it spans.
+    *
+    * One shuffle (repartition by shard + in-partition sort — a window over
+    * the shard key); all math is integer, so order and parity are exact.
+    * Shard count at 100 TB = O(executors), each shard a independent
+    * streaming cumsum.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("shard",
+        expr(s"pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), $PackShards)"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before div $SeqBudget"))
+      .withColumn("seq_offset", expr(s"cum_before % $SeqBudget"))
+      .withColumn("n_seqs",
+        expr(s"(cum_before + n_tokens - 1) div $SeqBudget") - col("seq_id") + 1)
+      .select("doc_id", "shard", "seq_id", "seq_offset", "n_tokens", "n_seqs")
+      .contractOrderBy("doc_id")
+  }
+
+  val packSequencesSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $PackShards AS shard
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM d
+       |)
+       |SELECT doc_id, shard, cum_before // $SeqBudget AS seq_id,
+       |  cum_before % $SeqBudget AS seq_offset, n_tokens,
+       |  (cum_before + n_tokens - 1) // $SeqBudget - cum_before // $SeqBudget + 1 AS n_seqs
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- domain_mix_sample --------------------------------------------------
+
+  /** Integer domain weights (exact arithmetic): src0 is upweighted past its
+    * natural share (rate clamps at 1.0 — the oversampled-domain case),
+    * src1 moderately, the rest share the remainder.
+    */
+  val MixWeightSrc0 = 16L
+  val MixWeightSrc1 = 8L
+  val MixWeightOther = 1L
+  /** Total weight = 16 + 8 + 18×1 over the 20 sources. */
+  val MixWeightTotal = MixWeightSrc0 + MixWeightSrc1 + 18 * MixWeightOther
+  /** Target sample budget in documents. */
+  val MixBudget = 100L
+
+  /** `domain_mix_sample`: sample the corpus to a target DOMAIN MIXTURE —
+    * per-source rate = budget·weight / (total_weight·source_count), taken
+    * hash-deterministically (docs keep/lose membership stably across
+    * reruns). The keep test is exact integer math:
+    * `u40 · count · total_weight < budget · weight · 2^40` with u40 the
+    * doc's 40-bit hash — no float rate is ever compared.
+    *
+    * Scale shape: per-source counts are a map-side-combined aggregation of
+    * 20 rows, broadcast back over the corpus scan; one wide scan, no
+    * corpus shuffle.
+    */
+  def domainMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("src_count"))
+    val weight = when(col("source") === "src0", MixWeightSrc0)
+      .when(col("source") === "src1", MixWeightSrc1)
+      .otherwise(MixWeightOther)
+    docs.join(broadcast(counts), "source")
+      .withColumn("weight", weight)
+      .withColumn("u40",
+        expr("cast(conv(substr(md5(concat(cast(doc_id as string), '|mix')), 1, 10), 16, 10) as bigint)"))
+      .filter(col("u40") * col("src_count") * MixWeightTotal <
+        lit(MixBudget * 1099511627776L) * col("weight")) // 2^40
+      .withColumn("rate",
+        round(least(lit(1.0),
+          lit(MixBudget.toDouble) * col("weight") / (col("src_count") * MixWeightTotal)), 6))
+      .select("doc_id", "source", "weight", "src_count", "rate")
+      .contractOrderBy("doc_id")
+  }
+
+  val domainMixSampleSql: String =
+    s"""WITH counts AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS src_count FROM documents GROUP BY source
+       |), d AS (
+       |  SELECT doc_id, d.source,
+       |    CASE WHEN d.source = 'src0' THEN $MixWeightSrc0
+       |         WHEN d.source = 'src1' THEN $MixWeightSrc1
+       |         ELSE $MixWeightOther END AS weight,
+       |    src_count,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 10)) AS BIGINT) AS u40
+       |  FROM documents d JOIN counts USING (source)
+       |)
+       |SELECT doc_id, source, weight, src_count,
+       |  round(least(CAST(1.0 AS DOUBLE),
+       |    CAST($MixBudget AS DOUBLE) * weight / (src_count * $MixWeightTotal)), 6) AS rate
+       |FROM d
+       |WHERE u40 * src_count * $MixWeightTotal < $MixBudget * 1099511627776 * weight
+       |ORDER BY doc_id""".stripMargin
+}

@@ -134,4 +134,87 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, cos FROM ranked
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
+
+  // ---- bm25_search --------------------------------------------------------
+
+  /** Keyword retrieval query terms (chosen for spread document frequency
+    * in the synthetic vocabulary).
+    */
+  val QueryTerms: Seq[String] = Seq("vector", "merge", "stream")
+  val Bm25TopK = 20
+
+  /** `bm25_search`: Okapi BM25 (k1=1.2, b=0.75) keyword retrieval over the
+    * corpus — the lexical side of a retrieval stack next to [[annTopK]]'s
+    * dense side. Corpus stats (N, avgdl, per-term df) are one tiny
+    * aggregated row BROADCAST over a single corpus scan; top-k is
+    * TakeOrdered (never a global sort of all scored docs).
+    *
+    * Determinism: idf is rounded to 6 places the moment it leaves `ln` (the
+    * one libm call — both engines then compose identical doubles), term
+    * contributions sum in fixed term order, ranking ties break on doc_id
+    * over the ROUNDED score.
+    */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val withTf = QueryTerms.zipWithIndex.foldLeft(d) { case (df, (t, i)) =>
+      df.withColumn(s"tf_$i", expr(s"size(filter(ws, w -> w = '$t'))").cast("long"))
+    }
+    val statAggs = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      QueryTerms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1).otherwise(0)).cast("long").as(s"df_$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+    val termW = QueryTerms.indices.map { i =>
+      val idf = round(log((col("n_docs") - col(s"df_$i") + lit(0.5)) /
+        (col(s"df_$i") + lit(0.5)) + lit(1.0)), 6)
+      idf * (col(s"tf_$i") * lit(2.2)) /
+        (col(s"tf_$i") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+    }
+    val hits = scored
+      .filter(QueryTerms.indices.map(i => col(s"tf_$i")).reduce(_ + _) > 0)
+      .withColumn("score", round(termW.reduce(_ + _), 4))
+      .select(Seq(col("doc_id")) ++ QueryTerms.indices.map(i => col(s"tf_$i")) :+ col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+    hits.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(Seq(col("rank"), col("doc_id")) ++
+        QueryTerms.indices.map(i => col(s"tf_$i")) :+ col("score"): _*)
+      .contractOrderBy("rank")
+  }
+
+  val bm25SearchSql: String = {
+    val tfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ws, w -> w = '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n    ")
+    val dfCols = QueryTerms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(", ")
+    val termW = QueryTerms.indices.map { i =>
+      s"""round(ln((n_docs - df_$i + CAST(0.5 AS DOUBLE)) / (df_$i + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 6)
+         | * (tf_$i * CAST(2.2 AS DOUBLE)) / (tf_$i + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / avgdl)))"""
+        .stripMargin.replace("\n", "")
+    }
+    val tfOut = QueryTerms.indices.map(i => s"tf_$i").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |), s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, $dfCols
+       |  FROM f
+       |), scored AS (
+       |  SELECT doc_id, $tfOut,
+       |    round(${termW.mkString("\n      + ")}, 4) AS score
+       |  FROM (SELECT f.*, s.*, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM f CROSS JOIN s)
+       |  WHERE ${QueryTerms.indices.map(i => s"tf_$i").mkString(" + ")} > 0
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       |  doc_id, $tfOut, score
+       |FROM scored
+       |ORDER BY score DESC, doc_id
+       |LIMIT $Bm25TopK""".stripMargin
+  }
 }

@@ -20,6 +20,27 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  test("orderedOutput=false removes the terminal global sort from library plans") {
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    // representative per-document queries whose ONLY sort is the contract's
+    // terminal ORDER BY (top-k queries keep theirs — it's semantic there);
+    // assert on the optimized LOGICAL plan (AQE hides the physical tree)
+    val perDoc = Seq("dedup_exact", "extract_fields", "split_assign",
+      "form_complete", "token_count", "text_normalize")
+    def globalSorts(name: String): Int = {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      plan.collect { case s: Sort if s.global => s }.size
+    }
+    perDoc.foreach { name =>
+      assert(globalSorts(name) > 0, s"$name: contract path should globally sort")
+    }
+    spark.conf.set(graft.operators.OrderedOutputKey, "false")
+    try perDoc.foreach { name =>
+      assert(globalSorts(name) == 0,
+        s"$name: library path (orderedOutput=false) must not globally sort")
+    } finally spark.conf.set(graft.operators.OrderedOutputKey, "true")
+  }
+
   test("oracle SQL is ASCII-only and JSON-escapable (driver reads it via json.load)") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.forall(_ < 128.toChar), s"$name contains non-ASCII")

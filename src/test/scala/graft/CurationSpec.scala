@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.{Curation, Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the training-data curation operators
+  * (quality filter, decontamination, packing, domain mix, clusters, BM25)
+  * — checks the oracle can't express: cross-query consistency, planted
+  * contamination, and an in-memory packing reference.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("quality_filter: every rule fires on the corpus and keep agrees with reasons") {
+    val rows = Curation.qualityFilter(spark, sf).collect()
+    val reasons = rows.flatMap(_.getAs[String]("reasons").split(",").filter(_.nonEmpty))
+    for (r <- Seq("too_short", "too_long", "low_stopword", "repetitive"))
+      assert(reasons.contains(r), s"rule $r never fired at sf0.001")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == r.getAs[String]("reasons").isEmpty)
+      val nw = r.getAs[Long]("n_words")
+      if (r.getAs[String]("reasons").contains("too_short")) assert(nw < Curation.MinWords)
+      if (r.getAs[String]("reasons").contains("too_long")) assert(nw > Curation.MaxWords)
+    }
+    assert(rows.exists(_.getAs[Boolean]("keep")), "no doc survives the filter")
+  }
+
+  test("decontaminate: planted eval-set overlap is flagged, clean docs are not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam").toString
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (0L, shared, "en", "synthetic", shared.length.toLong), // eval (0 % 97 == 0)
+      (1L, shared + " tail tail", "en", "synthetic", 50L),   // train, contaminated
+      (2L, "alpha beta gamma delta epsilon zeta", "en", "synthetic", 40L), // clean
+      (3L, "tiny doc", "en", "synthetic", 8L))               // < 5 words: 0 ngrams
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.decontaminate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(0L), "eval doc must not appear in train output")
+    assert(out(1L).getAs[Boolean]("contaminated") && out(1L).getAs[Long]("n_matched") > 0)
+    assert(!out(2L).getAs[Boolean]("contaminated"))
+    assert(out(3L).getAs[Long]("n_ngrams") == 0L &&
+      out(3L).getAs[Double]("overlap_frac") == 0.0, "short doc must survive with 0 ngrams")
+  }
+
+  test("pack_sequences matches an in-memory concat-and-chop reference") {
+    val rows = Curation.packSequences(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        val n = r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("seq_id") == cum / Curation.SeqBudget)
+        assert(r.getAs[Long]("seq_offset") == cum % Curation.SeqBudget)
+        assert(r.getAs[Long]("n_seqs") ==
+          (cum + n - 1) / Curation.SeqBudget - cum / Curation.SeqBudget + 1)
+        cum += n
+      }
+    }
+    assert(rows.map(_.getAs[Long]("shard")).distinct.length == Curation.PackShards)
+  }
+
+  test("domain_mix_sample: oversampled domain clamps to rate 1.0 and keeps every doc") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val src0Total = docs.filter(col("source") === "src0").count()
+    val out = Curation.domainMixSample(spark, sf)
+    val src0 = out.filter(col("source") === "src0").collect()
+    assert(src0.length == src0Total, "src0 rate clamps at 1.0 -> all docs kept")
+    src0.foreach(r => assert(r.getAs[Double]("rate") == 1.0))
+    // the downweighted tail is actually sampled, not taken wholesale
+    val otherKept = out.filter(!col("source").isin("src0", "src1")).count()
+    val otherTotal = docs.filter(!col("source").isin("src0", "src1")).count()
+    assert(otherKept > 0 && otherKept < otherTotal / 2)
+    // hash-determinism: rerun is identical
+    assert(out.collect().map(_.toString).sorted
+      .sameElements(Curation.domainMixSample(spark, sf).collect().map(_.toString).sorted))
+  }
+
+  test("dedup_clusters: components are consistent with the minhash pair graph") {
+    val pairs = Dedup.dedupMinhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+    val comp = clusters.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // every edge is intra-cluster
+    pairs.foreach { case (a, b) => assert(comp(a) == comp(b), s"edge ($a,$b) split") }
+    // cluster id is the min member; exactly one canonical per cluster
+    val byCluster = clusters.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getAs[Long]("doc_id")).min == cid)
+      assert(members.count(_.getAs[Boolean]("is_canonical")) == 1)
+      members.foreach(m => assert(m.getAs[Long]("cluster_size") == members.length))
+      assert(members.length >= 2, "singleton node can't come from a pair graph")
+    }
+    Dedup.releaseIntermediates()
+    spark.catalog.clearCache()
+  }
+
+  test("bm25_search: ranked top-k with scores consistent with a scala reference") {
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ")).toMap
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.length).sum / n
+    def tf(ws: Array[String], t: String) = ws.count(_ == t)
+    val dfs = Similarity.QueryTerms.map(t => t -> docs.values.count(ws => tf(ws, t) > 0)).toMap
+    def score(ws: Array[String]): Double = Similarity.QueryTerms.map { t =>
+      val idf = BigDecimal(math.log((n - dfs(t) + 0.5) / (dfs(t) + 0.5) + 1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val f = tf(ws, t)
+      idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * (ws.length / avgdl)))
+    }.sum
+    val rows = Similarity.bm25Search(spark, sf).collect()
+    assert(rows.length == Similarity.Bm25TopK)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to Similarity.Bm25TopK))
+    val scores = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sortBy(-_)), "scores must be non-increasing by rank")
+    rows.foreach { r =>
+      val expected = score(docs(r.getAs[Long]("doc_id")))
+      assert(math.abs(r.getAs[Double]("score") - expected) < 2e-4,
+        s"doc ${r.getAs[Long]("doc_id")}: ${r.getAs[Double]("score")} vs $expected")
+    }
+  }
+}
