@@ -47,4 +47,24 @@ class ShortDocSpec extends SparkSpec {
     assert(empty.getAs[Long]("bpe_tokens") == 0)
     assert(empty.isNullAt(empty.fieldIndex("chars_per_token")))
   }
+
+  test("curation ops survive short/empty documents") {
+    val dir = shortDocsDir()
+    val qf = operators.Curation.qualityFilter(spark, dir).collect()
+    assert(qf.length == 4 && qf.forall(!_.getAs[Boolean]("keep"))) // all too_short
+    // doc 0 is the eval set (0 % 97 == 0); 1-2 word train docs have 0 ngrams
+    val dc = operators.Curation.decontaminate(spark, dir).collect()
+    assert(dc.length == 3)
+    assert(dc.filter(_.getAs[Long]("n_ngrams") == 0L).map(_.getAs[Long]("doc_id")).sorted
+      .sameElements(Array(1L, 3L)))
+    assert(operators.Curation.packSequences(spark, dir).count() == 4)
+    assert(operators.Curation.domainMixSample(spark, dir).collect()
+      .forall(_.getAs[Double]("rate") == 1.0)) // tiny sources -> rate clamps
+    // no query term appears anywhere -> empty result, not a crash
+    assert(operators.Similarity.bm25Search(spark, dir).count() == 0)
+    // no near-dup pairs -> empty cluster set, not an NPE on the empty sum
+    assert(operators.Dedup.dedupClusters(spark, dir).count() == 0)
+    operators.Dedup.releaseIntermediates()
+    spark.catalog.clearCache()
+  }
 }
