@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Distributed k-means (Lloyd) over the embedding column — trains the coarse
+  * centroids the IVF ANN path ([[Similarity.blockedTopK]]) probes against,
+  * instead of relying on pre-assigned labels.
+  *
+  * Determinism (SURVEY §5): embeddings are quantized once to 1e-6-scaled
+  * BIGINTs, so every distance is an exact integer (order-independent partial
+  * aggregation, bit-identical to DuckDB). Centroid updates divide exact
+  * integer sums (< 2^53, so the double quotient is identical in both
+  * engines) and re-round to the integer grid. Assignment argmin breaks d2
+  * ties on centroid id.
+  *
+  * Scale: centroids are K rows — always broadcast; each Lloyd round is ONE
+  * corpus scan (assignment, map-side-combined argmin) + one (cluster, dim)
+  * keyed aggregation of K·dims rows for the update. Rounds are a fixed
+  * constant (2 here), so at 100 TB the cost is 2 linear scans — no
+  * all-pairs anything. Empty clusters keep their previous centroid (the
+  * standard Lloyd fallback), expressed as a left join + coalesce.
+  */
+object Clustering {
+
+  /** Cluster count and the fixed-point scale of the integer grid. */
+  val K = 10
+  val Scale = 1000000L
+
+  /** (vec_id, se: array<bigint>) — embeddings quantized to the exact grid. */
+  private def scaledEmb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      expr(s"transform(embedding, x -> cast(round(cast(x as double) * $Scale) as bigint))")
+        .as("se"))
+
+  /** Exact squared L2 distance between the row's `se` and centroid `cemb`. */
+  private val d2: org.apache.spark.sql.Column =
+    expr("aggregate(zip_with(se, cemb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+
+  /** Argmin assignment of every vector to a centroid set (broadcast). */
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("d2", d2)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+
+  /** `kmeans_train`: 2 exact Lloyd iterations, k = [[K]], initialized from
+    * the K lowest vec_ids (deterministic seeding). Returns the final
+    * assignment (vec_id, cluster, d2).
+    */
+  def kmeansTrain(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = scaledEmb(spark, dir)
+    val cent0 = vecs.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("se").as("cemb"))
+
+    val a1 = assign(vecs, cent0).select(col("vec_id"), col("m.cid").as("cluster"))
+    // update: exact integer sums per (cluster, dim), re-rounded to the grid
+    val dims = vecs.select(col("vec_id"), posexplode(col("se")).as(Seq("pos", "v")))
+    val cent1 = a1.join(dims, "vec_id")
+      .groupBy(col("cluster"), col("pos"))
+      .agg(round(sum(col("v")).cast("double") / count(lit(1))).cast("bigint").as("nv"))
+      .groupBy(col("cluster").as("cid"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, nv))), x -> x.nv)").as("cemb1"))
+    val cent2 = cent0.join(cent1, Seq("cid"), "left_outer")
+      .select(col("cid"), coalesce(col("cemb1"), col("cemb")).as("cemb"))
+
+    assign(vecs, cent2)
+      .select(col("vec_id"), col("m.cid").as("cluster"), col("m.d2").as("d2"))
+      .contractOrderBy("vec_id")
+  }
+
+  val kmeansTrainSql: String =
+    s"""WITH scaled AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS se
+       |  FROM embeddings
+       |), ev AS (
+       |  SELECT vec_id, unnest(se) AS v, unnest(generate_series(1, len(se))) AS pos FROM scaled
+       |), cent0 AS (
+       |  SELECT vec_id AS cid, se AS cemb FROM scaled WHERE vec_id < $K
+       |), cv0 AS (
+       |  SELECT cid, unnest(cemb) AS cv, unnest(generate_series(1, len(cemb))) AS pos FROM cent0
+       |), d0 AS (
+       |  SELECT vec_id, cid, CAST(sum((v - cv) * (v - cv)) AS BIGINT) AS d2
+       |  FROM ev JOIN cv0 USING (pos) GROUP BY vec_id, cid
+       |), a1 AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM d0) WHERE rn = 1
+       |), upd AS (
+       |  SELECT cluster, pos,
+       |    CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS nv
+       |  FROM a1 JOIN ev USING (vec_id) GROUP BY cluster, pos
+       |), cent1 AS (
+       |  SELECT cluster AS cid, list(nv ORDER BY pos) AS cemb1 FROM upd GROUP BY cluster
+       |), cent2 AS (
+       |  SELECT c0.cid, coalesce(c1.cemb1, c0.cemb) AS cemb
+       |  FROM cent0 c0 LEFT JOIN cent1 c1 ON c0.cid = c1.cid
+       |), cv2 AS (
+       |  SELECT cid, unnest(cemb) AS cv, unnest(generate_series(1, len(cemb))) AS pos FROM cent2
+       |), d2t AS (
+       |  SELECT vec_id, cid, CAST(sum((v - cv) * (v - cv)) AS BIGINT) AS d2
+       |  FROM ev JOIN cv2 USING (pos) GROUP BY vec_id, cid
+       |)
+       |SELECT vec_id, cid AS cluster, d2 FROM (
+       |  SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM d2t) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+}

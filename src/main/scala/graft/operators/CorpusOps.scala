@@ -135,6 +135,42 @@ object CorpusOps {
         round(sum(col("n_chars")).cast("double") / count(lit(1)), 2).as("avg_doc_chars"),
         sum(when(col("text").rlike("\\bdup\\b"), 1).otherwise(0)).cast("long").as("n_dup_marked"))
 
+  /** `vocab_top_tokens`: top-[[VocabK]] token vocabulary with corpus
+    * coverage — the first step of any BPE/WordPiece-style tokenizer build.
+    *
+    * Scale: token counts are one map-side-combined aggregation; the global
+    * total is a SECOND tiny aggregate broadcast back (never a global
+    * window, which would single-partition a 100 TB-vocabulary). Top-k is
+    * orderBy+limit = TakeOrdered, not a full sort.
+    */
+  val VocabK = 50
+
+  def vocabTopTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("token"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("coverage"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(VocabK)
+  }
+
+  val vocabTopTokensSql: String =
+    s"""WITH t AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+       |), c AS (
+       |  SELECT token, count(*) AS n FROM t WHERE token <> '' GROUP BY token
+       |), tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS total FROM c
+       |)
+       |SELECT token, n, round(CAST(n AS DOUBLE) / total, 6) AS coverage
+       |FROM c CROSS JOIN tot
+       |ORDER BY n DESC, token
+       |LIMIT $VocabK""".stripMargin
+
   val corpusStatsSql: String =
     """SELECT count(*) AS n_docs,
       |  count(DISTINCT lang) AS n_langs,

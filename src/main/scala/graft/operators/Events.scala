@@ -224,4 +224,114 @@ object Events {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment, event_type
       |ORDER BY c_mktsegment, event_type""".stripMargin
+
+  /** `events_retention`: weekly cohort retention matrix. Cohort = the
+    * Monday-aligned week of a user's FIRST event; a user is active at
+    * offset w if they have any event in cohort-week + w. All calendar math
+    * is exact epoch-DAY integer arithmetic (epoch day 4 = Monday
+    * 1970-01-05), so both engines agree bit-for-bit; the only date type
+    * appears in the final formatted string.
+    *
+    * Scale: two user_id-keyed aggregations + one broadcast join of the
+    * (tiny) cohort-size table — no window over a single partition.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .select("user_id", "day")
+    val cohorts = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+      .withColumn("cohort_monday", expr("first_day - ((first_day - 4) % 7)"))
+      .select("user_id", "cohort_monday")
+    val active = e.distinct()
+      .join(cohorts, "user_id")
+      .withColumn("week_offset", expr("(day - cohort_monday) div 7"))
+      .select("user_id", "cohort_monday", "week_offset")
+      .distinct()
+    val sizes = cohorts.groupBy(col("cohort_monday"))
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    active.groupBy(col("cohort_monday"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), "cohort_monday")
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("cohort_monday").cast("int"))
+          .cast("string").as("cohort_week"),
+        col("week_offset"), col("cohort_size"), col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_size"), 4).as("retention"))
+      .contractOrderBy("cohort_week", "week_offset")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events
+      |), c AS (
+      |  SELECT user_id, first_day - ((first_day - 4) % 7) AS cohort_monday
+      |  FROM (SELECT user_id, min(day) AS first_day FROM e GROUP BY user_id) f
+      |), a AS (
+      |  SELECT DISTINCT d.user_id, cohort_monday, (day - cohort_monday) // 7 AS week_offset
+      |  FROM (SELECT DISTINCT user_id, day FROM e) d JOIN c ON d.user_id = c.user_id
+      |), sizes AS (
+      |  SELECT cohort_monday, count(DISTINCT user_id) AS cohort_size FROM c GROUP BY cohort_monday
+      |)
+      |SELECT CAST(DATE '1970-01-01' + CAST(a.cohort_monday AS INTEGER) AS VARCHAR) AS cohort_week,
+      |  week_offset, cohort_size, count(DISTINCT a.user_id) AS n_active,
+      |  round(CAST(count(DISTINCT a.user_id) AS DOUBLE) / cohort_size, 4) AS retention
+      |FROM a JOIN sizes ON a.cohort_monday = sizes.cohort_monday
+      |GROUP BY a.cohort_monday, week_offset, cohort_size
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** `events_session_paths`: top-20 most common session event-type paths
+    * (path analysis over gap sessions). The path is rebuilt from a
+    * sort_array over (ts_us, event_id, type) structs — (ts_us, event_id) is
+    * a total order, so the collect_list's partition nondeterminism cannot
+    * leak into the output (the oracle's `string_agg ... ORDER BY` states
+    * the same order declaratively).
+    *
+    * Scale: per-session arrays are bounded by session length; the path
+    * table after the first agg is tiny relative to the event log.
+    */
+  def eventsSessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val running = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > SessionGapMin * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(running))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("event_type"))))
+        .as("evs"))
+      .select(array_join(expr("transform(evs, x -> x.event_type)"), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  val eventsSessionPathsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+       |), l AS (
+       |  SELECT user_id, event_id, event_type, ts_us,
+       |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+       |  FROM e
+       |), s AS (
+       |  SELECT user_id, event_id, event_type, ts_us,
+       |    sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > ${SessionGapMin} * 60 * 1000000
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM l
+       |), p AS (
+       |  SELECT user_id, session_idx,
+       |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+       |  FROM s GROUP BY user_id, session_idx
+       |)
+       |SELECT path, count(*) AS n_sessions
+       |FROM p GROUP BY path
+       |ORDER BY n_sessions DESC, path
+       |LIMIT 20""".stripMargin
 }

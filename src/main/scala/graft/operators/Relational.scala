@@ -312,4 +312,191 @@ object Relational {
       |  FROM part GROUP BY p_brand) b ON p_brand = b_brand
       |WHERE p_retailprice > brand_avg * 1.05
       |ORDER BY p_partkey""".stripMargin
+
+  /** Cross-nation trade volume per (supplier nation, customer nation, year)
+    * (TPC-H Q7 analog). The nation dim joins TWICE under different roles —
+    * both broadcast; only lineitem↔orders shuffles.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val s = Tables.supplier(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+              col("l_shipdate") < lit("1998-01-01").cast("date"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), s("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), c("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      // round in DECIMAL space, then cast: round(CAST(sum AS DOUBLE), 2)
+      // flips on exact .xx5 boundaries (Spark rounds the decimal string
+      // repr, DuckDB the binary double), and DuckDB's decimal-downscale
+      // CAST truncates — round(decimal, 2) is HALF_UP in both engines
+      .agg(round(sum(discPrice(l)), 2).cast("double").as("volume"))
+      .contractOrderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS volume
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+      |  AND n1.n_name <> n2.n_name
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** Priority-class line counts per line status (TPC-H Q12 analog — the
+    * schema has no shipmode, so linestatus plays its role): high = URGENT /
+    * HIGH orders, low = the rest, one conditional aggregation.
+    */
+  def q12PriorityClass(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+              col("l_shipdate") < lit("1998-01-01").cast("date"))
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(isHigh, 1).otherwise(0)).cast("long").as("high_line_count"),
+        sum(when(isHigh, 0).otherwise(1)).cast("long").as("low_line_count"))
+      .contractOrderBy("l_linestatus")
+  }
+
+  val q12Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** Customer order-count distribution (TPC-H Q13 analog): LEFT OUTER join
+    * so zero-order customers survive, per-customer count of non-final
+    * orders, then a histogram over the counts (two aggregations, each
+    * map-side combined).
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") =!= "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .contractOrderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Supplier variety per (brand, type) (TPC-H Q16 analog — supplier↔part
+    * pairs come from lineitem since the schema has no partsupp): DISTINCT
+    * aggregation = two-phase shuffle, partial distinct map-side.
+    */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_size") <= 25)
+    val l = Tables.lineitem(spark, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .contractOrderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size <= 25
+      |GROUP BY p_brand, p_type
+      |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin
+
+  /** Disjunctive-predicate revenue (TPC-H Q19 analog): an OR of AND-blocks
+    * over part attributes × lineitem quantity — the shape that exercises
+    * predicate normalization/pushdown (the common `p_partkey = l_partkey`
+    * join key still drives one broadcast join, each block prunes inside).
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val blocks =
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#5" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 35)) ||
+      (col("p_brand") === "Brand#7" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 50))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .filter(blocks)
+      .agg(
+        round(sum(discPrice(l)).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19Sql: String =
+    """SELECT
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+      |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
+  /** Idle high-balance customers per nation (TPC-H Q22 analog): customers
+    * above the average POSITIVE balance with no URGENT order — a scalar
+    * aggregate (broadcast single row) + left-anti join, grouped per nation.
+    */
+  def q22IdleRich(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    // exact scalar: decimal sum / count, one double division at the end
+    val avgPos = c.filter(col("c_acctbal") > 0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("numcust"),
+        round(sum(dec(col("c_acctbal"))).cast("double"), 2).as("totacctbal"))
+      .contractOrderBy("n_name")
+  }
+
+  val q22Sql: String =
+    """SELECT n_name, count(*) AS numcust,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS totacctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > (
+      |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+      |    FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
 }

@@ -56,6 +56,31 @@ object StreamOps {
       // dedups; state stays bounded because expiry follows the watermark
       .dropDuplicatesWithinWatermark("content_key")
 
+  /** Stream-stream interval join: each purchase joined to the clicks of the
+    * same user in the preceding hour. Both sides carry watermarks, so the
+    * join state (buffered clicks awaiting purchases and vice versa) is
+    * BOUNDED — Spark evicts rows once the interval condition can no longer
+    * match under the watermark. This is the attribution-join shape of a
+    * streaming pipeline; the batch as-of join ([[graft.operators.AsOf]]) is
+    * its offline twin.
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Gap-based sessionization with explicit state: emits a Session when the
     * gap since the last event exceeds `gapMinutes` (or on final timeout).
     * Same 30-min semantics as the batch `events_sessionize`.

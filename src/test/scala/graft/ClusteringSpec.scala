@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Clustering
+
+/** `kmeans_train` vs a from-scratch in-memory Lloyd reference — a THIRD
+  * independent implementation (next to the DuckDB oracle) of the same exact
+  * integer-grid algorithm, compared assignment-for-assignment.
+  */
+class ClusteringSpec extends SparkSpec {
+
+  /** Mirror of the engines' round-half-up on the shortest decimal repr of a
+    * double (java BigDecimal.valueOf = Double.toString).
+    */
+  private def gridRound(x: Double): Long =
+    java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+
+  test("kmeans_train matches an in-memory exact Lloyd reference") {
+    val rows = sources.Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+    val vecs: Array[(Long, Array[Long])] = rows.map { r =>
+      val arr = r.getSeq[Float](1).map(f => gridRound(f.toDouble * Clustering.Scale)).toArray
+      (r.getAs[Long]("vec_id"), arr)
+    }.sortBy(_._1)
+
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    def assign(cents: Map[Long, Array[Long]]): Array[(Long, Long, Long)] =
+      vecs.map { case (id, v) =>
+        val (cid, dist) = cents.toSeq.map { case (c, ce) => (c, d2(v, ce)) }
+          .minBy { case (c, dist) => (dist, c) }
+        (id, cid, dist)
+      }
+
+    val cent0: Map[Long, Array[Long]] =
+      vecs.filter(_._1 < Clustering.K).map { case (id, v) => id -> v }.toMap
+    val a1 = assign(cent0)
+    val members = a1.groupBy(_._2)
+    val cent2 = cent0.map { case (cid, old) =>
+      members.get(cid) match {
+        case Some(ms) =>
+          val ids = ms.map(_._1).toSet
+          val vs = vecs.filter(v => ids.contains(v._1)).map(_._2)
+          val nv = Array.tabulate(old.length) { d =>
+            gridRound(vs.map(_(d)).sum.toDouble / vs.length)
+          }
+          cid -> nv
+        case None => cid -> old
+      }
+    }
+    val expected = assign(cent2)
+
+    val got = Clustering.kmeansTrain(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"), r.getAs[Long]("d2")))
+    assert(got.sameElements(expected))
+    // the clustering is non-degenerate: more than one cluster survives
+    assert(got.map(_._2).distinct.length > 1)
+  }
+}

@@ -35,6 +35,22 @@ class CorpusOpsSpec extends SparkSpec {
       !col("norm_text").contains("<ENTITY>")).count() == 0)
   }
 
+  test("vocab_top_tokens: counts agree with a direct recount, coverage ≤ 1") {
+    val v = CorpusOps.vocabTopTokens(spark, sf).collect()
+    assert(v.nonEmpty && v.length <= CorpusOps.VocabK)
+    val ns = v.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // each coverage is rounded half-up to 6 places, so the sum can overshoot
+    // 1.0 by up to 5e-7 per token
+    assert(v.map(_.getAs[Double]("coverage")).sum <= 1.0 + v.length * 5e-7)
+    // top token count agrees with a direct filter count
+    val top = v.head
+    val direct = sources.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") === top.getAs[String]("token")).count()
+    assert(top.getAs[Long]("n") == direct)
+  }
+
   test("corpus_stats: totals agree with direct aggregation") {
     val st = CorpusOps.corpusStats(spark, sf).collect()(0)
     val docs = sources.Tables.documents(spark, sf)

