@@ -278,16 +278,22 @@ object Curation {
     */
   def domainMixSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("src_count"))
     val weight = when(col("source") === "src0", MixWeightSrc0)
       .when(col("source") === "src1", MixWeightSrc1)
       .otherwise(MixWeightOther)
-    docs.join(broadcast(counts), "source")
+    // Keep test `u40·src_count·total_weight < budget·2^40·weight` would
+    // overflow Long once a source exceeds ~2e5 docs (u40 alone is up to
+    // 2^40). Exact-equivalent per-source threshold, computed once in the
+    // 20-row broadcast aggregate:  u40·d < R  ⟺  u40 < (R−1) div d + 1
+    // with R = budget·2^40·weight ≤ 1.8e15 (fits Long for any corpus size).
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("src_count"))
       .withColumn("weight", weight)
+      .withColumn("keep_thresh",
+        expr(s"(${MixBudget}L * 1099511627776L * weight - 1L) div (src_count * $MixWeightTotal) + 1L")) // 2^40
+    docs.join(broadcast(counts), "source")
       .withColumn("u40",
         expr("cast(conv(substr(md5(concat(cast(doc_id as string), '|mix')), 1, 10), 16, 10) as bigint)"))
-      .filter(col("u40") * col("src_count") * MixWeightTotal <
-        lit(MixBudget * 1099511627776L) * col("weight")) // 2^40
+      .filter(col("u40") < col("keep_thresh"))
       .withColumn("rate",
         round(least(lit(1.0),
           lit(MixBudget.toDouble) * col("weight") / (col("src_count") * MixWeightTotal)), 6))
@@ -297,20 +303,24 @@ object Curation {
 
   val domainMixSampleSql: String =
     s"""WITH counts AS (
-       |  SELECT source, CAST(count(*) AS BIGINT) AS src_count FROM documents GROUP BY source
+       |  SELECT source, CAST(count(*) AS BIGINT) AS src_count,
+       |    CASE WHEN source = 'src0' THEN $MixWeightSrc0
+       |         WHEN source = 'src1' THEN $MixWeightSrc1
+       |         ELSE $MixWeightOther END AS weight
+       |  FROM documents GROUP BY source
+       |), c AS (
+       |  SELECT source, src_count, weight,
+       |    ($MixBudget * 1099511627776 * weight - 1) // (src_count * $MixWeightTotal) + 1 AS keep_thresh
+       |  FROM counts
        |), d AS (
-       |  SELECT doc_id, d.source,
-       |    CASE WHEN d.source = 'src0' THEN $MixWeightSrc0
-       |         WHEN d.source = 'src1' THEN $MixWeightSrc1
-       |         ELSE $MixWeightOther END AS weight,
-       |    src_count,
+       |  SELECT doc_id, d.source, weight, src_count, keep_thresh,
        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 10)) AS BIGINT) AS u40
-       |  FROM documents d JOIN counts USING (source)
+       |  FROM documents d JOIN c USING (source)
        |)
        |SELECT doc_id, source, weight, src_count,
        |  round(least(CAST(1.0 AS DOUBLE),
        |    CAST($MixBudget AS DOUBLE) * weight / (src_count * $MixWeightTotal)), 6) AS rate
        |FROM d
-       |WHERE u40 * src_count * $MixWeightTotal < $MixBudget * 1099511627776 * weight
+       |WHERE u40 < keep_thresh
        |ORDER BY doc_id""".stripMargin
 }

@@ -450,13 +450,14 @@ object Relational {
     l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
       .filter(blocks)
       .agg(
-        round(sum(discPrice(l)).cast("double"), 2).as("revenue"),
+        // q7 form: round in DECIMAL space (HALF_UP both engines), then cast
+        round(sum(discPrice(l)), 2).cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 
   val q19Sql: String =
     """SELECT
-      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS revenue,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
       |  count(*) AS n_lines
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)

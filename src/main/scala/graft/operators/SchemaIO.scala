@@ -83,8 +83,11 @@ final class SchemaManager(schemaDir: String) {
   private def loadAll(): Unit = {
     val dir = Paths.get(schemaDir)
     if (Files.isDirectory(dir)) {
-      val files = Files.list(dir).iterator().asScala.toSeq
-        .filter(_.getFileName.toString.endsWith(".json")).sortBy(_.getFileName.toString)
+      val listing = Files.list(dir)
+      val files =
+        try listing.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".json")).sortBy(_.getFileName.toString)
+        finally listing.close()
       files.foreach { p: Path =>
         try {
           val s = SchemaIO.fromJson(Files.readString(p))
