@@ -54,27 +54,105 @@ object SchemaExtract {
       FieldSpec("effective_date", "date", required = false,
         Seq("effective\\s+(?:on\\s+)?(?:as of\\s+)?([A-Za-z]+\\s+\\d{1,2},?\\s+\\d{4}|\\d{4}-\\d{1,2}-\\d{1,2}|\\d{1,2}/\\d{1,2}/\\d{4})"))))
 
-  /** One field's extraction ladder as a Column over `text`. */
-  private def fieldCol(f: FieldSpec): Column = {
-    val rungs = f.allPatterns.map(p => nullif(regexp_extract(col("text"), p, 1), lit("")))
-    coalesce(rungs: _*).as(f.name)
-  }
+  /** One field's extraction ladder as a Column over `text`. A field with no
+    * patterns/keywords (e.g. every Employment_Agreement field — the
+    * reference fills those via the out-of-scope LLM rung) extracts NULL.
+    */
+  def fieldCol(f: FieldSpec): Column =
+    if (f.allPatterns.isEmpty) lit(null).cast("string").as(f.name)
+    else coalesce(f.allPatterns.map(p =>
+      nullif(regexp_extract(col("text"), p, 1), lit(""))): _*).as(f.name)
 
-  private def fieldSql(f: FieldSpec): String = {
-    val rungs = f.allPatterns.map(p => s"nullif(regexp_extract(text, '$p', 1), '')")
-    s"coalesce(${rungs.mkString(", ")}) AS ${f.name}"
-  }
+  def fieldSql(f: FieldSpec): String =
+    if (f.allPatterns.isEmpty) s"CAST(NULL AS VARCHAR) AS ${f.name}"
+    else {
+      val rungs = f.allPatterns.map(p => s"nullif(regexp_extract(text, '$p', 1), '')")
+      s"coalesce(${rungs.mkString(", ")}) AS ${f.name}"
+    }
 
   /** `extract_fields`: the populated form, one row per document. */
   def extractFields(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id") +: col("lang") +: QueryLogForm.fields.map(fieldCol): _*)
+      .select(col("doc_id") +: col("lang") +: QueryLogForm.fields.map(f => fieldCol(f)): _*)
       .contractOrderBy("doc_id")
 
   val extractFieldsSql: String =
     s"""SELECT doc_id, lang, ${QueryLogForm.fields.map(fieldSql).mkString(",\n  ")}
        |FROM documents
        |ORDER BY doc_id""".stripMargin
+
+  // ---- schema-parameterized extraction (form_filler.py:19 populate) -------
+
+  /** Run ANY loaded [[FormSchema]]'s extraction ladder over the corpus —
+    * the reference's `populate(clause_graph, schema)` (form_filler.py:19)
+    * driven by a `SchemaManager`-loaded JSON instead of a built-in schema.
+    * One codegen'd projection regardless of the schema's field count.
+    */
+  def extractFieldsFor(spark: SparkSession, dir: String, schema: FormSchema): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: schema.fields.map(f => fieldCol(f)): _*)
+      .contractOrderBy("doc_id")
+
+  def extractFieldsForSql(schema: FormSchema): String =
+    s"""SELECT doc_id, ${schema.fields.map(fieldSql).mkString(",\n  ")}
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** Planted NDA clauses, one per `doc_id % 7` case (case 6 = no clause —
+    * the miss path). The synthetic corpus vocabulary has no contract
+    * language, so each document is prefixed with one deterministic clause
+    * the reference schema's ladder should capture; the SAME construction
+    * runs in the DuckDB oracle, so what's under test is the
+    * schema-JSON-driven regex ladder itself, field by field.
+    */
+  private[graft] val NdaClauses = Seq(
+    "effective 2024-03-15 ",                             // effective_date
+    "termination notice period 30 days written notice ", // termination_notice
+    "governed by the State of California. ",             // governing_law
+    "disclosing party means Widget Co, ",                // disclosing_party
+    "recipient means Acme Corp, ",                       // receiving_party
+    "for a period of 5 years ")                          // confidentiality_period
+
+  /** `extract_fields_nda`: the reference's DEFAULT_NDA_SCHEMA
+    * (schema/schema.py:67), loaded from its bundled JSON through
+    * [[Schemas.manager]], populated over the corpus. Emits the six
+    * extracted fields plus `n_found` (how many rungs captured).
+    */
+  def extractFieldsNda(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Schemas.nda
+    val clause = NdaClauses.zipWithIndex.foldRight(lit(""): Column) {
+      case ((txt, i), els) => when(col("doc_id") % 7 === i, txt).otherwise(els)
+    }
+    val extracted = Tables.documents(spark, dir)
+      .withColumn("clause_case", (col("doc_id") % 7).cast("long"))
+      .withColumn("text", concat(clause, col("text")))
+      .select(col("doc_id") +: col("clause_case") +: schema.fields.map(f => fieldCol(f)): _*)
+    val nFound = schema.fields
+      .map(f => when(col(f.name).isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    extracted
+      .withColumn("n_found", nFound.cast("long"))
+      .contractOrderBy("doc_id")
+  }
+
+  def extractFieldsNdaSql: String = {
+    val schema = Schemas.nda
+    val cases = NdaClauses.zipWithIndex
+      .map { case (txt, i) => s"WHEN $i THEN '$txt'" }.mkString(" ")
+    val nFound = schema.fields
+      .map(f => s"CASE WHEN ${f.name} IS NOT NULL THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(doc_id % 7 AS BIGINT) AS clause_case,
+       |    (CASE doc_id % 7 $cases ELSE '' END) || text AS text
+       |  FROM documents
+       |), e AS (
+       |  SELECT doc_id, clause_case, ${schema.fields.map(fieldSql).mkString(",\n  ")}
+       |  FROM d
+       |)
+       |SELECT e.*, CAST($nFound AS BIGINT) AS n_found
+       |FROM e
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** `extract_json_fields`: typed JSON field pull from event props
     * (schema-guided extraction over a semi-structured column), aggregated

@@ -66,6 +66,35 @@ object SchemaIO {
     fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
 }
 
+/** The reference's shipped default schemas (schema/schema.py:67
+  * DEFAULT_NDA_SCHEMA, :141 DEFAULT_EMPLOYMENT_SCHEMA), bundled as
+  * reference-format JSON resources and loaded through the same
+  * [[SchemaManager]] directory-catalog path a user's own schema directory
+  * takes — so `extract_fields_nda`'s Spark plan AND its DuckDB oracle are
+  * both generated from a SchemaManager-loaded JSON, never from hardcoded
+  * Scala.
+  */
+object Schemas {
+  import java.nio.file.Files
+
+  private val Bundled = Seq("NDA_Form", "Employment_Agreement")
+
+  lazy val manager: SchemaManager = {
+    val dir = Files.createTempDirectory("graft-schemas")
+    Bundled.foreach { name =>
+      val in = getClass.getResourceAsStream(s"/graft/schemas/$name.json")
+      require(in != null, s"bundled schema resource missing: $name.json")
+      try Files.copy(in, dir.resolve(s"$name.json")) finally in.close()
+    }
+    new SchemaManager(dir.toString)
+  }
+
+  lazy val nda: SchemaExtract.FormSchema =
+    manager.getSchema("NDA_Form").getOrElse(sys.error("NDA_Form failed to load"))
+  lazy val employment: SchemaExtract.FormSchema =
+    manager.getSchema("Employment_Agreement").getOrElse(sys.error("Employment_Agreement failed to load"))
+}
+
 /** Directory-backed schema catalog — the reference `SchemaManager`
   * (schema/schema.py:21-63): loads every `*.json` in the schema directory at
   * construction (keyed by `form_name`, falling back to the file stem),

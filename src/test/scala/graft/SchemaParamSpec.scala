@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{SchemaExtract, SchemaIO, SchemaManager, Schemas}
+
+/** Schema-PARAMETERIZED extraction: the reference drives `populate` from a
+  * SchemaManager-loaded JSON (form_filler.py:19, schema.py:181); these specs
+  * prove graft's extractor runs end-to-end from the bundled reference-format
+  * schema files, not from hardcoded Scala.
+  */
+class SchemaParamSpec extends SparkSpec {
+
+  test("bundled reference schemas load through the SchemaManager catalog") {
+    assert(Schemas.manager.listSchemas.toSet == Set("NDA_Form", "Employment_Agreement"))
+    val nda = Schemas.nda
+    assert(nda.fields.map(_.name) == Seq("effective_date", "termination_notice",
+      "governing_law", "disclosing_party", "receiving_party", "confidentiality_period"))
+    assert(nda.fields.filter(_.required).map(_.name).toSet ==
+      Set("effective_date", "governing_law", "disclosing_party", "receiving_party"))
+    assert(nda.fields.forall(_.allPatterns.nonEmpty))
+    val emp = Schemas.employment
+    assert(emp.fields.map(_.name).toSet == Set("employee_name", "employer_name",
+      "start_date", "position", "salary", "vacation_days"))
+    // the reference fills Employment fields via the (out-of-scope) LLM rung:
+    // no patterns/keywords, so the deterministic ladder extracts NULL
+    assert(emp.fields.forall(_.allPatterns.isEmpty))
+  }
+
+  test("NDA ladder extracts reference-style clauses field by field") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "This Agreement is effective 2024-01-15 between the parties."),
+      (1L, "termination notice period 60 days written notice applies."),
+      (2L, "This contract is governed by the State of New York. See annex."),
+      (3L, "The disclosing party means Globex Corp, a Delaware company."),
+      (4L, "The recipient means Initech LLC, for all purposes."),
+      (5L, "held confidential for a period of 5 years after termination."),
+      (6L, "no contract language at all in this one.")
+    ).toDF("doc_id", "text")
+    val out = docs
+      .select(col("doc_id") +: Schemas.nda.fields.map(f => SchemaExtract.fieldCol(f)): _*)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "2024-01-15")
+    assert(out(1).getString(2) == "60 days written notice")
+    assert(out(2).getString(3) == "State of New York")
+    assert(out(3).getString(4) == "Globex Corp")
+    assert(out(4).getString(5) == "Initech LLC")
+    assert(out(5).getString(6) == "5 years")
+    assert((1 to 6).forall(out(6).isNullAt)) // miss path: every field NULL
+  }
+
+  test("extract_fields_nda: every planted clause case captures its field") {
+    val out = SchemaExtract.extractFieldsNda(spark, sf)
+      .groupBy(col("clause_case"))
+      .agg(min(col("n_found")).as("min_found"), max(col("n_found")).as("max_found"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0L to 5L).foreach { c => assert(out(c)._1 >= 1L, s"clause case $c never captured") }
+    assert(out(6L) == (0L, 0L), "no-clause case must extract nothing")
+  }
+
+  test("a user schema round-trips through a SchemaManager directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-user-schemas")
+    val m1 = new SchemaManager(dir.toString)
+    assert(m1.addSchema(Schemas.nda))
+    val m2 = new SchemaManager(dir.toString) // fresh load from disk
+    assert(m2.getSchema("NDA_Form").contains(Schemas.nda))
+    // and the reloaded schema generates the identical oracle SQL
+    assert(SchemaExtract.extractFieldsForSql(m2.getSchema("NDA_Form").get) ==
+      SchemaExtract.extractFieldsForSql(Schemas.nda))
+  }
+}
