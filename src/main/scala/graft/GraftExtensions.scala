@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BottomK, DotProduct, SimhashAgg}
+import graft.functions.{BottomK, DotProduct, L2Squared, SimhashAgg}
 
 /** Session extensions: registers graft's native expressions so they're
   * callable from SQL / `expr(...)` in any session built with
@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         requireArity("graft_dot", 2, exprs)
         DotProduct(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2Squared].getName, "graft_l2sq"),
+      (exprs: Seq[Expression]) => {
+        requireArity("graft_l2sq", 2, exprs)
+        L2Squared(exprs.head, exprs(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_bottomk"),

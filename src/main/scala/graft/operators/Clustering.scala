@@ -35,9 +35,13 @@ object Clustering {
       expr(s"transform(embedding, x -> cast(round(cast(x as double) * $Scale) as bigint))")
         .as("se"))
 
-  /** Exact squared L2 distance between the row's `se` and centroid `cemb`. */
-  private val d2: org.apache.spark.sql.Column =
-    expr("aggregate(zip_with(se, cemb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+  /** Exact squared L2 distance between the row's `se` and centroid `cemb` —
+    * the native codegen'd [[graft.functions.L2Squared]] (a primitive loop in
+    * WholeStageCodegen), not `aggregate(zip_with(...))` which allocates a
+    * zipped array and boxes the accumulator per (vector × centroid) pair in
+    * the assignment scan's hot loop.
+    */
+  private val d2: org.apache.spark.sql.Column = expr("graft_l2sq(se, cemb)")
 
   /** Argmin assignment of every vector to a centroid set (broadcast). */
   private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =

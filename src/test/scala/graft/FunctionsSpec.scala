@@ -33,6 +33,32 @@ class FunctionsSpec extends SparkSpec {
     assert(viaExpr.sorted.sameElements(viaFold.sorted))
   }
 
+  test("graft_l2sq: exact over both bigint and double arrays, null-safe") {
+    import spark.implicits._
+    val df = Seq((Array(3L, -1L, 4L), Array(1L, 1L, 1L))).toDF("a", "b")
+    assert(df.select(expr("graft_l2sq(a, b)")).collect()(0).getLong(0) == 17L)
+    val dd = Seq((Array(1.5, 2.0), Array(0.5, 0.0))).toDF("a", "b")
+    assert(dd.select(expr("graft_l2sq(a, b)")).collect()(0).getDouble(0) == 5.0)
+    assert(df.select(expr("graft_l2sq(a, cast(null as array<bigint>))"))
+      .collect()(0).isNullAt(0))
+    // matches the interpreted higher-order-function formulation it replaced
+    val both = sources.Tables.embeddings(spark, sf)
+      .select(expr(s"transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))").as("se"))
+      .withColumn("cemb", expr("transform(se, x -> 0L)"))
+      .select(
+        expr("graft_l2sq(se, cemb)").as("native"),
+        expr("aggregate(zip_with(se, cemb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)").as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(both == 0L)
+  }
+
+  test("plan audit: kmeans assignment runs graft_l2sq inside codegen, no zip_with") {
+    val plan = operators.Clustering.kmeansTrain(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_l2sq"))
+    assert(!plan.contains("zip_with") && !plan.contains("aggregate("))
+  }
+
   test("plan audit: extract_fields scan prunes to (doc_id, lang, text)") {
     val plan = operators.SchemaExtract.extractFields(spark, sf)
       .queryExecution.executedPlan.toString
