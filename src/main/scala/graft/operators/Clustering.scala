@@ -29,7 +29,7 @@ object Clustering {
   val Scale = 1000000L
 
   /** (vec_id, se: array<bigint>) — embeddings quantized to the exact grid. */
-  private def scaledEmb(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def scaledEmb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).select(
       col("vec_id"),
       expr(s"transform(embedding, x -> cast(round(cast(x as double) * $Scale) as bigint))")
@@ -50,11 +50,12 @@ object Clustering {
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("cid"))).as("m"))
 
-  /** `kmeans_train`: 2 exact Lloyd iterations, k = [[K]], initialized from
-    * the K lowest vec_ids (deterministic seeding). Returns the final
-    * assignment (vec_id, cluster, d2).
+  /** Trained centroids after the fixed Lloyd rounds: (cid, cemb) on the
+    * exact integer grid. This is the coarse quantizer the IVF ANN path
+    * ([[Similarity.trainedIvfTopK]]) probes. K rows — at 100 TB a caller
+    * persists this tiny table once and broadcasts it everywhere.
     */
-  def kmeansTrain(spark: SparkSession, dir: String): DataFrame = {
+  def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
     val vecs = scaledEmb(spark, dir)
     val cent0 = vecs.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("se").as("cemb"))
@@ -67,16 +68,26 @@ object Clustering {
       .agg(round(sum(col("v")).cast("double") / count(lit(1))).cast("bigint").as("nv"))
       .groupBy(col("cluster").as("cid"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, nv))), x -> x.nv)").as("cemb1"))
-    val cent2 = cent0.join(cent1, Seq("cid"), "left_outer")
+    cent0.join(cent1, Seq("cid"), "left_outer")
       .select(col("cid"), coalesce(col("cemb1"), col("cemb")).as("cemb"))
-
-    assign(vecs, cent2)
-      .select(col("vec_id"), col("m.cid").as("cluster"), col("m.d2").as("d2"))
-      .contractOrderBy("vec_id")
   }
 
-  val kmeansTrainSql: String =
-    s"""WITH scaled AS (
+  /** `kmeans_train`: 2 exact Lloyd iterations, k = [[K]], initialized from
+    * the K lowest vec_ids (deterministic seeding). Returns the final
+    * assignment (vec_id, cluster, d2).
+    */
+  def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
+    assign(scaledEmb(spark, dir), trainedCentroids(spark, dir))
+      .select(col("vec_id"), col("m.cid").as("cluster"), col("m.d2").as("d2"))
+      .contractOrderBy("vec_id")
+
+  /** Shared oracle CTE body: embeddings → trained centroids (`cent2`) →
+    * `d2t` = exact distance of every vector to every trained centroid.
+    * Reused verbatim by `kmeans_train` and `ann_topk_ivf2`, so the two
+    * oracles can never disagree about the quantizer.
+    */
+  private[operators] val kmeansCtesSql: String =
+    s"""scaled AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS se
        |  FROM embeddings
@@ -107,7 +118,10 @@ object Clustering {
        |), d2t AS (
        |  SELECT vec_id, cid, CAST(sum((v - cv) * (v - cv)) AS BIGINT) AS d2
        |  FROM ev JOIN cv2 USING (pos) GROUP BY vec_id, cid
-       |)
+       |)""".stripMargin
+
+  val kmeansTrainSql: String =
+    s"""WITH $kmeansCtesSql
        |SELECT vec_id, cid AS cluster, d2 FROM (
        |  SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
        |  FROM d2t) WHERE rn = 1

@@ -135,6 +135,86 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** IVF probe width for the trained-quantizer path. */
+  val NProbe = 2
+
+  /** The end-to-end IVF stack: [[Clustering.trainedCentroids]] (trained
+    * in-engine, exact integer grid) acts as the coarse quantizer — every
+    * corpus vector is assigned to its argmin centroid cell, each query
+    * probes its `nprobe` nearest cells, and exact cosine runs only inside
+    * the probed cells. nprobe ≥ 2 recovers neighbors that sit just across a
+    * cell boundary — the classic IVF recall lever.
+    *
+    * Scale shape: the quantizer is K rows (broadcast); cell assignment is
+    * one corpus scan (argmin over K, codegen'd graft_l2sq); each probe
+    * touches nprobe/K of the corpus. The (query × probed-cell) set stays
+    * tiny and is broadcast — the corpus never shuffles.
+    */
+  def trainedIvfTopK(spark: SparkSession, dir: String, nprobe: Int = NProbe): DataFrame = {
+    val e = withDoubleEmb(Tables.embeddings(spark, dir))
+    val cents = Clustering.trainedCentroids(spark, dir)
+    val dAll = Clustering.scaledEmb(spark, dir)
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", expr("graft_l2sq(se, cemb)"))
+    val assigned = dAll.groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cluster"))
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val probe = dAll.filter(col("vec_id") < NumQueries)
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid").as("pcell"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val qcells = probe.join(q, col("query_id") === col("qid"))
+      .select("query_id", "pcell", "qemb")
+    // cells are disjoint (argmin assignment), so probing 2 cells can never
+    // produce a duplicate candidate
+    val scored = broadcast(qcells)
+      .join(e.join(assigned, "vec_id"),
+        col("cluster") === col("pcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(expr("graft_dot(qemb, emb)"), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+      .contractOrderBy("query_id", "rank")
+  }
+
+  /** `ann_topk_ivf2`: contract wrapper for [[trainedIvfTopK]] at nprobe=2. */
+  def annTopKIvf2(spark: SparkSession, dir: String): DataFrame =
+    trainedIvfTopK(spark, dir)
+
+  val annTopKIvf2Sql: String =
+    s"""WITH ${Clustering.kmeansCtesSql},
+       |a2 AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM d2t) WHERE rn = 1
+       |), probe AS (
+       |  SELECT vec_id AS query_id, cid AS pcell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM d2t WHERE vec_id < $NumQueries) WHERE rn <= $NProbe
+       |), qv AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qemb
+       |  FROM embeddings WHERE vec_id < $NumQueries
+       |), scored AS (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id,
+       |    round(list_inner_product(q.qemb, CAST(e.embedding AS DOUBLE[])), 4) AS cos
+       |  FROM probe p
+       |  JOIN qv q ON p.query_id = q.qid
+       |  JOIN a2 ON a2.cluster = p.pcell
+       |  JOIN embeddings e ON e.vec_id = a2.vec_id AND e.vec_id <> p.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, cos FROM ranked
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   // ---- bm25_search --------------------------------------------------------
 
   /** Keyword retrieval query terms (chosen for spread document frequency

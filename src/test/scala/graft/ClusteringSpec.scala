@@ -57,4 +57,19 @@ class ClusteringSpec extends SparkSpec {
     // the clustering is non-degenerate: more than one cluster survives
     assert(got.map(_._2).distinct.length > 1)
   }
+
+  test("trained IVF: nprobe=2 recall vs brute force ≥ nprobe=1, and positive") {
+    import graft.operators.Similarity
+    val exact = Similarity.annTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(np: Int): Double = {
+      val got = Similarity.trainedIvfTopK(spark, sf, np).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r2 >= r1, s"widening the probe lost recall: nprobe1=$r1 nprobe2=$r2")
+    assert(r2 > 0.0)
+  }
 }
