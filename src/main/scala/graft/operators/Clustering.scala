@@ -24,8 +24,14 @@ import graft.sources.Tables
   */
 object Clustering {
 
-  /** Cluster count and the fixed-point scale of the integer grid. */
-  val K = 10
+  /** Cluster count (`spark.graft.kmeans.k`, default 10 at test scale; size
+    * to O(√corpus) cells for IVF) and assignment rounds
+    * (`spark.graft.kmeans.iters`, default 2). Conf-driven — the oracle SQL
+    * generator reads the same confs, so parity holds at any setting.
+    */
+  def K: Int = GraftConf.kmeansK
+  def Iters: Int = GraftConf.kmeansIters
+  /** Fixed-point scale of the exact integer grid. */
   val Scale = 1000000L
 
   /** (vec_id, se: array<bigint>) — embeddings quantized to the exact grid. */
@@ -59,68 +65,81 @@ object Clustering {
     val vecs = scaledEmb(spark, dir)
     val cent0 = vecs.filter(col("vec_id") < K)
       .select(col("vec_id").as("cid"), col("se").as("cemb"))
-
-    val a1 = assign(vecs, cent0).select(col("vec_id"), col("m.cid").as("cluster"))
-    // update: exact integer sums per (cluster, dim), re-rounded to the grid
     val dims = vecs.select(col("vec_id"), posexplode(col("se")).as(Seq("pos", "v")))
-    val cent1 = a1.join(dims, "vec_id")
-      .groupBy(col("cluster"), col("pos"))
-      .agg(round(sum(col("v")).cast("double") / count(lit(1))).cast("bigint").as("nv"))
-      .groupBy(col("cluster").as("cid"))
-      .agg(expr("transform(sort_array(collect_list(struct(pos, nv))), x -> x.nv)").as("cemb1"))
-    cent0.join(cent1, Seq("cid"), "left_outer")
-      .select(col("cid"), coalesce(col("cemb1"), col("cemb")).as("cemb"))
+    // each round: assign (argmin over current centroids), then update —
+    // exact integer sums per (cluster, dim), re-rounded to the grid;
+    // empty clusters keep their previous centroid (left join + coalesce)
+    (1 until Iters).foldLeft(cent0) { (cent, _) =>
+      val a = assign(vecs, cent).select(col("vec_id"), col("m.cid").as("cluster"))
+      val cNew = a.join(dims, "vec_id")
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(sum(col("v")).cast("double") / count(lit(1))).cast("bigint").as("nv"))
+        .groupBy(col("cluster").as("cid"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, nv))), x -> x.nv)").as("cemb1"))
+      cent.join(cNew, Seq("cid"), "left_outer")
+        .select(col("cid"), coalesce(col("cemb1"), col("cemb")).as("cemb"))
+    }
   }
 
-  /** `kmeans_train`: 2 exact Lloyd iterations, k = [[K]], initialized from
-    * the K lowest vec_ids (deterministic seeding). Returns the final
-    * assignment (vec_id, cluster, d2).
+  /** `kmeans_train`: [[Iters]] exact Lloyd assignment rounds, k = [[K]],
+    * initialized from the K lowest vec_ids (deterministic seeding). Returns
+    * the final assignment (vec_id, cluster, d2).
     */
   def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
     assign(scaledEmb(spark, dir), trainedCentroids(spark, dir))
       .select(col("vec_id"), col("m.cid").as("cluster"), col("m.d2").as("d2"))
       .contractOrderBy("vec_id")
 
-  /** Shared oracle CTE body: embeddings → trained centroids (`cent2`) →
-    * `d2t` = exact distance of every vector to every trained centroid.
-    * Reused verbatim by `kmeans_train` and `ann_topk_ivf2`, so the two
-    * oracles can never disagree about the quantizer.
+  /** Shared oracle CTE body, generated for the conf'd [[K]]/[[Iters]]:
+    * embeddings → [[Iters]]−1 assign/update rounds → trained centroids
+    * (`cent{Iters-1}`) → `d2t` = exact distance of every vector to every
+    * trained centroid. Reused verbatim by `kmeans_train` and
+    * `ann_topk_ivf2`, so the two oracles can never disagree about the
+    * quantizer.
     */
-  private[operators] val kmeansCtesSql: String =
-    s"""scaled AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS se
-       |  FROM embeddings
-       |), ev AS (
-       |  SELECT vec_id, unnest(se) AS v, unnest(generate_series(1, len(se))) AS pos FROM scaled
-       |), cent0 AS (
-       |  SELECT vec_id AS cid, se AS cemb FROM scaled WHERE vec_id < $K
-       |), cv0 AS (
-       |  SELECT cid, unnest(cemb) AS cv, unnest(generate_series(1, len(cemb))) AS pos FROM cent0
-       |), d0 AS (
-       |  SELECT vec_id, cid, CAST(sum((v - cv) * (v - cv)) AS BIGINT) AS d2
-       |  FROM ev JOIN cv0 USING (pos) GROUP BY vec_id, cid
-       |), a1 AS (
-       |  SELECT vec_id, cid AS cluster FROM (
-       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-       |    FROM d0) WHERE rn = 1
-       |), upd AS (
-       |  SELECT cluster, pos,
-       |    CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS nv
-       |  FROM a1 JOIN ev USING (vec_id) GROUP BY cluster, pos
-       |), cent1 AS (
-       |  SELECT cluster AS cid, list(nv ORDER BY pos) AS cemb1 FROM upd GROUP BY cluster
-       |), cent2 AS (
-       |  SELECT c0.cid, coalesce(c1.cemb1, c0.cemb) AS cemb
-       |  FROM cent0 c0 LEFT JOIN cent1 c1 ON c0.cid = c1.cid
-       |), cv2 AS (
-       |  SELECT cid, unnest(cemb) AS cv, unnest(generate_series(1, len(cemb))) AS pos FROM cent2
-       |), d2t AS (
-       |  SELECT vec_id, cid, CAST(sum((v - cv) * (v - cv)) AS BIGINT) AS d2
-       |  FROM ev JOIN cv2 USING (pos) GROUP BY vec_id, cid
-       |)""".stripMargin
+  private[operators] def kmeansCtesSql: String = {
+    val base =
+      s"""scaled AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS se
+         |  FROM embeddings
+         |), ev AS (
+         |  SELECT vec_id, unnest(se) AS v, unnest(generate_series(1, len(se))) AS pos FROM scaled
+         |), cent0 AS (
+         |  SELECT vec_id AS cid, se AS cemb FROM scaled WHERE vec_id < $K
+         |)""".stripMargin
+    val rounds = (1 until Iters).map { r =>
+      s"""cv${r - 1} AS (
+         |  SELECT cid, unnest(cemb) AS cv, unnest(generate_series(1, len(cemb))) AS pos FROM cent${r - 1}
+         |), dd${r - 1} AS (
+         |  SELECT vec_id, cid, CAST(sum((v - cv) * (v - cv)) AS BIGINT) AS d2
+         |  FROM ev JOIN cv${r - 1} USING (pos) GROUP BY vec_id, cid
+         |), a$r AS (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM dd${r - 1}) WHERE rn = 1
+         |), upd$r AS (
+         |  SELECT cluster, pos,
+         |    CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS nv
+         |  FROM a$r JOIN ev USING (vec_id) GROUP BY cluster, pos
+         |), cl$r AS (
+         |  SELECT cluster AS cid, list(nv ORDER BY pos) AS cemb1 FROM upd$r GROUP BY cluster
+         |), cent$r AS (
+         |  SELECT c0.cid, coalesce(c1.cemb1, c0.cemb) AS cemb
+         |  FROM cent${r - 1} c0 LEFT JOIN cl$r c1 ON c0.cid = c1.cid
+         |)""".stripMargin
+    }
+    val footer =
+      s"""cvf AS (
+         |  SELECT cid, unnest(cemb) AS cv, unnest(generate_series(1, len(cemb))) AS pos FROM cent${Iters - 1}
+         |), d2t AS (
+         |  SELECT vec_id, cid, CAST(sum((v - cv) * (v - cv)) AS BIGINT) AS d2
+         |  FROM ev JOIN cvf USING (pos) GROUP BY vec_id, cid
+         |)""".stripMargin
+    (base +: rounds :+ footer).mkString(",\n")
+  }
 
-  val kmeansTrainSql: String =
+  def kmeansTrainSql: String =
     s"""WITH $kmeansCtesSql
        |SELECT vec_id, cid AS cluster, d2 FROM (
        |  SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn

@@ -200,10 +200,15 @@ object Curation {
 
   // ---- pack_sequences -----------------------------------------------------
 
-  /** Training-sequence token budget (context window of the packed model). */
-  val SeqBudget = 512
-  /** Independent packing shards (per-executor streams at scale). */
-  val PackShards = 8
+  /** Training-sequence token budget (context window of the packed model) —
+    * `spark.graft.pack.seqTokens`, default 512.
+    */
+  def SeqBudget: Int = GraftConf.packSeqTokens
+  /** Independent packing shards — `spark.graft.pack.shards`, default 8 for
+    * the test scale; size to O(executors) on a cluster so no reducer sorts
+    * more than corpus/shards tokens.
+    */
+  def PackShards: Int = GraftConf.packShards
 
   /** `pack_sequences`: concat-and-chop sequence packing — the standard
     * pretraining batching step. Documents are deterministically sharded
@@ -234,7 +239,7 @@ object Curation {
       .contractOrderBy("doc_id")
   }
 
-  val packSequencesSql: String =
+  def packSequencesSql: String =
     s"""WITH d AS (
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $PackShards AS shard

@@ -186,7 +186,7 @@ object Similarity {
   def annTopKIvf2(spark: SparkSession, dir: String): DataFrame =
     trainedIvfTopK(spark, dir)
 
-  val annTopKIvf2Sql: String =
+  def annTopKIvf2Sql: String =
     s"""WITH ${Clustering.kmeansCtesSql},
        |a2 AS (
        |  SELECT vec_id, cid AS cluster FROM (
@@ -217,10 +217,13 @@ object Similarity {
 
   // ---- bm25_search --------------------------------------------------------
 
-  /** Keyword retrieval query terms (chosen for spread document frequency
-    * in the synthetic vocabulary).
+  /** Keyword retrieval query terms — `spark.graft.bm25.terms`
+    * (comma-separated); defaults chosen for spread document frequency in
+    * the synthetic vocabulary. Conf-driven so a deployment queries its own
+    * terms without a recompile; the oracle SQL generator reads the same
+    * conf, so parity holds for any term set.
     */
-  val QueryTerms: Seq[String] = Seq("vector", "merge", "stream")
+  def QueryTerms: Seq[String] = GraftConf.bm25Terms
   val Bm25TopK = 20
 
   /** `bm25_search`: Okapi BM25 (k1=1.2, b=0.75) keyword retrieval over the
@@ -266,7 +269,7 @@ object Similarity {
       .contractOrderBy("rank")
   }
 
-  val bm25SearchSql: String = {
+  def bm25SearchSql: String = {
     val tfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(ws, w -> w = '$t')) AS BIGINT) AS tf_$i"
     }.mkString(",\n    ")

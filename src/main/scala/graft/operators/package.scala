@@ -13,6 +13,33 @@ package object operators {
     */
   val OrderedOutputKey = "spark.graft.orderedOutput"
 
+  /** Tunable scale knobs, read from the active session's `spark.graft.*`
+    * confs at plan-build time with the test-scale values as defaults. The
+    * oracle SQL generators read the SAME accessors, so a non-default knob
+    * flows into both engines and parity holds at any setting. At 100 TB
+    * these are the numbers a deployment sizes to its cluster (shards =
+    * O(executors), k = O(√corpus) cells, …) — they must never require a
+    * recompile.
+    */
+  object GraftConf {
+    private def get(key: String, default: String): String =
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.conf.get(key, default)).getOrElse(default)
+
+    /** Independent packing shards (`spark.graft.pack.shards`). */
+    def packShards: Int = get("spark.graft.pack.shards", "8").toInt
+    /** Packed-sequence token budget (`spark.graft.pack.seqTokens`). */
+    def packSeqTokens: Int = get("spark.graft.pack.seqTokens", "512").toInt
+    /** BM25 query terms, comma-separated (`spark.graft.bm25.terms`). */
+    def bm25Terms: Seq[String] =
+      get("spark.graft.bm25.terms", "vector,merge,stream").split(",").toSeq
+    /** k-means cluster count (`spark.graft.kmeans.k`). */
+    def kmeansK: Int = get("spark.graft.kmeans.k", "10").toInt
+    /** k-means assignment rounds, ≥ 1 (`spark.graft.kmeans.iters`). */
+    def kmeansIters: Int = get("spark.graft.kmeans.iters", "2").toInt
+  }
+
   /** `contractOrderBy` = `orderBy` that exists only for the contract layer.
     * Used ONLY where ordering is presentation (stable output for hashing) —
     * never where it is semantic (top-k `orderBy(...).limit(n)` keeps plain
