@@ -223,7 +223,12 @@ object Curation {
     * Shard count at 100 TB = O(executors), each shard a independent
     * streaming cumsum.
     */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared placement stage: (doc_id, n_tokens, shard, cum_before) — the
+    * md5 shard assignment + per-shard doc_id-ordered token cumsum both
+    * `pack_sequences` and `pack_manifest` read from. One shuffle (the shard
+    * window).
+    */
+  private def packPlaced(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(spark, dir)
@@ -231,6 +236,22 @@ object Curation {
       .withColumn("shard",
         expr(s"pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), $PackShards)"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+  }
+
+  private def packPlacedSql: String =
+    s"""d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $PackShards AS shard
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM d
+       |)""".stripMargin
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    packPlaced(spark, dir)
       .withColumn("seq_id", expr(s"cum_before div $SeqBudget"))
       .withColumn("seq_offset", expr(s"cum_before % $SeqBudget"))
       .withColumn("n_seqs",
@@ -240,21 +261,67 @@ object Curation {
   }
 
   def packSequencesSql: String =
-    s"""WITH d AS (
-       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $PackShards AS shard
-       |  FROM documents
-       |), c AS (
-       |  SELECT doc_id, shard, n_tokens,
-       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-       |  FROM d
-       |)
+    s"""WITH $packPlacedSql
        |SELECT doc_id, shard, cum_before // $SeqBudget AS seq_id,
        |  cum_before % $SeqBudget AS seq_offset, n_tokens,
        |  (cum_before + n_tokens - 1) // $SeqBudget - cum_before // $SeqBudget + 1 AS n_seqs
        |FROM c
        |ORDER BY doc_id""".stripMargin
+
+  /** `pack_manifest`: the packed output a TRAINER consumes — one row per
+    * (shard, seq_id) with the ordered doc spans that tile the sequence:
+    * `spans` = space-joined `doc_id:offset:length` entries (offset inside
+    * the sequence), plus doc count and total tokens. Every sequence is
+    * exactly [[SeqBudget]] tokens except the final remainder of each shard,
+    * and spans tile each sequence gap-free from offset 0 — both
+    * spec-asserted.
+    *
+    * Plan: the placement cumsum (one shuffle, shared with
+    * `pack_sequences`), a per-doc explode over the ≤ ⌈len/budget⌉+1
+    * sequences the doc crosses (bounded row growth), and one (shard,
+    * seq_id) aggregation — map-side combined, no further shuffle of the
+    * corpus beyond those two keyed exchanges.
+    */
+  def packManifest(spark: SparkSession, dir: String): DataFrame = {
+    val b = SeqBudget
+    packPlaced(spark, dir)
+      .withColumn("first_seq", expr(s"cum_before div $b"))
+      .withColumn("last_seq", expr(s"(cum_before + n_tokens - 1) div $b"))
+      .withColumn("seq_id", explode(expr("sequence(first_seq, last_seq)")))
+      .withColumn("off",
+        when(col("seq_id") > col("first_seq"), lit(0L))
+          .otherwise(expr(s"cum_before % $b")))
+      .withColumn("len",
+        least(expr(s"(seq_id + 1) * ${b}L"), col("cum_before") + col("n_tokens")) -
+          greatest(expr(s"seq_id * ${b}L"), col("cum_before")))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("len")).cast("long").as("seq_tokens"),
+        expr("""array_join(
+                 transform(sort_array(collect_list(struct(off, doc_id, len))),
+                   x -> concat(cast(x.doc_id as string), ':', cast(x.off as string), ':', cast(x.len as string))),
+                 ' ')""").as("spans"))
+      .contractOrderBy("shard", "seq_id")
+  }
+
+  def packManifestSql: String =
+    s"""WITH $packPlacedSql, sp AS (
+       |  SELECT doc_id, shard, cum_before, n_tokens,
+       |    unnest(generate_series(cum_before // $SeqBudget, (cum_before + n_tokens - 1) // $SeqBudget)) AS seq_id
+       |  FROM c
+       |), spans AS (
+       |  SELECT shard, seq_id, doc_id,
+       |    CASE WHEN seq_id > cum_before // $SeqBudget THEN 0 ELSE cum_before % $SeqBudget END AS off,
+       |    least((seq_id + 1) * $SeqBudget, cum_before + n_tokens) - greatest(seq_id * $SeqBudget, cum_before) AS len
+       |  FROM sp
+       |)
+       |SELECT shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len) AS BIGINT) AS seq_tokens,
+       |  string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(off AS VARCHAR) || ':' || CAST(len AS VARCHAR), ' ' ORDER BY off) AS spans
+       |FROM spans
+       |GROUP BY shard, seq_id
+       |ORDER BY shard, seq_id""".stripMargin
 
   // ---- domain_mix_sample --------------------------------------------------
 

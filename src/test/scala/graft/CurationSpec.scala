@@ -60,6 +60,39 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("shard")).distinct.length == Curation.PackShards)
   }
 
+  test("pack_manifest: sequences tile gap-free at exactly SeqBudget tokens bar the shard remainder") {
+    val b = Curation.SeqBudget.toLong
+    val rows = Curation.packManifest(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, seqs) =>
+      val maxSeq = seqs.map(_.getAs[Long]("seq_id")).max
+      // every seq_id 0..max present, full except the remainder
+      assert(seqs.map(_.getAs[Long]("seq_id")).sorted.sameElements(0L to maxSeq))
+      seqs.foreach { r =>
+        val full = r.getAs[Long]("seq_id") < maxSeq
+        assert(!full || r.getAs[Long]("seq_tokens") == b,
+          s"non-final sequence not exactly $b tokens in shard $shard")
+        assert(r.getAs[Long]("seq_tokens") <= b)
+        // spans tile the sequence contiguously from offset 0
+        val spans = r.getAs[String]("spans").split(" ").map { s =>
+          val Array(doc, off, len) = s.split(":").map(_.toLong); (doc, off, len)
+        }
+        assert(spans.length == r.getAs[Long]("n_docs"))
+        assert(spans.head._2 == 0L)
+        spans.sliding(2).foreach {
+          case Array((_, o1, l1), (_, o2, _)) => assert(o2 == o1 + l1)
+          case _ => ()
+        }
+        assert(spans.map(_._3).sum == r.getAs[Long]("seq_tokens"))
+      }
+    }
+    // agreement with pack_sequences: a doc appears in exactly n_seqs manifests
+    val perDoc = rows.flatMap(r => r.getAs[String]("spans").split(" ")
+      .map(_.split(":")(0).toLong)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    Curation.packSequences(spark, sf).collect().foreach { r =>
+      assert(perDoc(r.getAs[Long]("doc_id")) == r.getAs[Long]("n_seqs"))
+    }
+  }
+
   test("domain_mix_sample: oversampled domain clamps to rate 1.0 and keeps every doc") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val src0Total = docs.filter(col("source") === "src0").count()
