@@ -81,6 +81,53 @@ object StreamOps {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  final case class FunnelClose(user_id: Long, signup_us: Long, converted: Boolean)
+
+  final case class FunnelState(signupUs: Long, converted: Boolean, lastMs: Long)
+
+  /** Streaming signup→purchase funnel with watermark expiry — the streaming
+    * twin of the batch `events_funnel` ([[graft.operators.Events]]): per
+    * user, track the earliest signup and whether any later purchase
+    * followed; once the event-time watermark passes the user's last
+    * activity plus the expiry horizon, the state times out and the user's
+    * final funnel row is emitted (and the state removed — state size is
+    * bounded by ACTIVE users, never by history, which is what makes this
+    * run forever at production event rates).
+    *
+    * With events fed in event-time order, `converted` here ≡ the batch
+    * rule `max(purchase_us) > min(signup_us)`: a purchase is compared
+    * against the minimum signup seen so far, and any signup earlier than a
+    * converting purchase sorts before it.
+    */
+  def funnel(events: Dataset[Event], expiry: String = "2 hours"): Dataset[FunnelClose] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", expiry)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelClose](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(FunnelClose(userId,
+              if (s.signupUs == Long.MaxValue) -1L else s.signupUs, s.converted))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var s = state.getOption.getOrElse(FunnelState(Long.MaxValue, converted = false, 0L))
+            sorted.foreach { e =>
+              val us = micros(e.ts)
+              if (e.event_type == "signup" && us < s.signupUs) s = s.copy(signupUs = us)
+              if (e.event_type == "purchase" && us > s.signupUs) s = s.copy(converted = true)
+              s = s.copy(lastMs = math.max(s.lastMs, math.floorDiv(us, 1000L)))
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastMs, expiry)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Gap-based sessionization with explicit state: emits a Session when the
     * gap since the last event exceeds `gapMinutes` (or on final timeout).
     * Same 30-min semantics as the batch `events_sessionize`.

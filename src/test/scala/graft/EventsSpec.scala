@@ -153,6 +153,71 @@ class EventsSpec extends SparkSpec {
     assert(streamStyle.sameElements(batch))
   }
 
+  test("streaming funnel: state expires on watermark, stages match the strict-order rule") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.funnel(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_small").outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "signup", 0.0),    // converts: purchase strictly later
+        Event(2, ts(10), 1, "purchase", 5.0),
+        Event(3, ts(0), 2, "purchase", 5.0),  // purchase BEFORE signup: no conversion
+        Event(4, ts(10), 2, "signup", 0.0),
+        Event(5, ts(0), 3, "signup", 0.0),    // signup only
+        Event(6, ts(0), 4, "purchase", 1.0),  // purchase only
+        Event(7, ts(0), 5, "signup", 0.0),    // same-instant purchase: strict >, no conversion
+        Event(8, ts(0), 5, "purchase", 2.0))
+      q.processAllAvailable()
+      // push the watermark far past every user's last activity + expiry,
+      // then one more batch so the timed-out state is processed
+      mem.addData(Event(100, ts(100000), -1, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(101, ts(100001), -1, "click", 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("funnel_small").as[StreamOps.FunnelClose]
+        .collect().filter(_.user_id > 0).map(c => c.user_id -> c).toMap
+      assert(closed.keySet == Set(1L, 2L, 3L, 4L, 5L), "every expired user emits exactly once")
+      assert(closed(1L).converted)
+      assert(!closed(2L).converted && closed(2L).signup_us == StreamOps.micros(ts(10)))
+      assert(!closed(3L).converted)
+      assert(closed(4L).signup_us == -1L && !closed(4L).converted)
+      assert(!closed(5L).converted)
+    } finally q.stop()
+  }
+
+  test("streaming funnel agrees with batch events_funnel on real data") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val events = sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (StreamOps.micros(e.ts), e.event_id))
+    val mem = MemoryStream[Event]
+    // expiry longer than the corpus' event-time span, so every user closes
+    // exactly once — at the default 2h horizon users legitimately expire
+    // and re-enter mid-stream, which the one-shot batch query can't express
+    val q = StreamOps.funnel(mem.toDS(), expiry = "2000 hours")
+      .writeStream.format("memory").queryName("funnel_real").outputMode("append").start()
+    try {
+      val (h1, h2) = events.splitAt(events.length / 2)
+      mem.addData(h1.toSeq); q.processAllAvailable()
+      mem.addData(h2.toSeq); q.processAllAvailable()
+      val farUs = StreamOps.micros(events.last.ts) + 200L * 24 * 3600 * 1000000
+      val far = new Timestamp(farUs / 1000)
+      mem.addData(Event(-100, far, -1, "click", 0.0)); q.processAllAvailable()
+      mem.addData(Event(-101, new Timestamp(farUs / 1000 + 1000), -1, "click", 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("funnel_real").as[StreamOps.FunnelClose]
+        .collect().filter(_.user_id >= 0)
+      val batch = Events.eventsFunnel(spark, sf).collect()(0)
+      assert(closed.length == batch.getAs[Long]("n_users"))
+      assert(closed.count(_.signup_us >= 0) == batch.getAs[Long]("n_signup"))
+      assert(closed.count(_.converted) == batch.getAs[Long]("n_converted"))
+    } finally q.stop()
+  }
+
   test("streaming clickPurchaseJoin: interval join attributes clicks within 1h only") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
