@@ -44,7 +44,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout tail-capture can truncate the (long) JSON line — persist the
+    // artifact too so it survives log truncation
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] bench.json write failed: $e") }
     spark.stop()
   }
 }

