@@ -500,4 +500,153 @@ object Relational {
       |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
+
+  /** Forecast-revenue change (TPC-H Q6 analog): single-table filter +
+    * aggregate — the pure scan-throughput headliner. All three predicates
+    * push into the parquet scan; revenue = price × discount, exact decimal.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+        col("l_shipdate") < lit("1998-01-01").cast("date") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        round(sum(dec(col("l_extendedprice")) * dec3(col("l_discount"))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q6Sql: String =
+    """SELECT
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Promotion revenue share (TPC-H Q14 analog): conditional aggregation
+    * ratio over one month — both sums exact decimal, ONE double division at
+    * the end (§5 rule: never a float composite of rounded terms).
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("date") &&
+              col("l_shipdate") < lit("1997-10-01").cast("date"))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", discPrice(l)).otherwise(lit(0).cast("decimal(16,4)")))
+          .as("promo_d"),
+        sum(discPrice(l)).as("total_d"))
+      .select(
+        round(lit(100.0) * col("promo_d").cast("double") / col("total_d").cast("double"), 4)
+          .as("promo_share"),
+        round(col("promo_d"), 2).cast("double").as("promo_revenue"),
+        round(col("total_d"), 2).cast("double").as("total_revenue"))
+  }
+
+  val q14Sql: String =
+    """WITH a AS (
+      |  SELECT
+      |    sum(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+      |        ELSE 0 END) AS promo_d,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS total_d
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'
+      |)
+      |SELECT round(100.0 * CAST(promo_d AS DOUBLE) / CAST(total_d AS DOUBLE), 4) AS promo_share,
+      |  CAST(round(promo_d, 2) AS DOUBLE) AS promo_revenue,
+      |  CAST(round(total_d, 2) AS DOUBLE) AS total_revenue
+      |FROM a""".stripMargin
+
+  /** Top supplier (TPC-H Q15 analog): quarterly revenue per supplier, keep
+    * the max — the scalar-subquery-over-aggregate shape. The max compare
+    * runs on the EXACT decimal sums (ties survive; equality on decimals is
+    * safe, on rounded doubles it would not be).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+              col("l_shipdate") < lit("1997-04-01").cast("date"))
+    val rev = l.groupBy(col("l_suppkey")).agg(sum(discPrice(l)).as("rev_d"))
+    val maxRev = rev.agg(max(col("rev_d")).as("max_rev"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("rev_d") === col("max_rev"))
+      .join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev_d"), 2).cast("double").as("total_revenue"))
+      .contractOrderBy("s_suppkey")
+  }
+
+  val q15Sql: String =
+    """WITH r AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS rev_d
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, CAST(round(rev_d, 2) AS DOUBLE) AS total_revenue
+      |FROM r JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_d = (SELECT max(rev_d) FROM r)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Suppliers who kept multi-supplier orders waiting (TPC-H Q21 analog —
+    * the schema has no commit/receipt dates, so "late" = sole supplier at
+    * the order's latest ship date). The heavy shape survives: a fact
+    * self-comparison resolved with ONE orderkey-grain aggregation + a
+    * re-join (never an O(lines²) self-join), then EXISTS (n_supp > 1) and
+    * NOT-EXISTS (n_late = 1) as integer predicates on the aggregate.
+    */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val lf = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val facts = lf.groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("max_ship"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+    val atMax = lf.join(facts, "l_orderkey")
+      .filter(col("l_shipdate") === col("max_ship"))
+      .groupBy(col("l_orderkey"), col("n_supp"))
+      .agg(countDistinct(col("l_suppkey")).as("n_late"),
+        min(col("l_suppkey")).as("late_supp"))
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    atMax.filter(col("n_supp") > 1 && col("n_late") === 1)
+      .groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(s), col("late_supp") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .select(col("s_name"), col("n_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q21Sql: String =
+    """WITH lf AS (
+      |  SELECT l_orderkey, l_suppkey, l_shipdate
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |), f AS (
+      |  SELECT l_orderkey, max(l_shipdate) AS max_ship,
+      |    count(DISTINCT l_suppkey) AS n_supp
+      |  FROM lf GROUP BY l_orderkey
+      |), am AS (
+      |  SELECT lf.l_orderkey, f.n_supp, count(DISTINCT l_suppkey) AS n_late,
+      |    min(l_suppkey) AS late_supp
+      |  FROM lf JOIN f ON lf.l_orderkey = f.l_orderkey AND lf.l_shipdate = f.max_ship
+      |  GROUP BY lf.l_orderkey, f.n_supp
+      |)
+      |SELECT s_name, n_name, count(*) AS numwait
+      |FROM am JOIN supplier ON late_supp = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_supp > 1 AND n_late = 1
+      |GROUP BY s_name, n_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
 }

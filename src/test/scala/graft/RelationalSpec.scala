@@ -147,6 +147,34 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q6_forecast_revenue: predicates push into the parquet scan, result sane") {
+    val df = Relational.q6ForecastRevenue(spark, sf)
+    val row = df.collect().head
+    assert(row.getAs[Long]("n_lines") > 0 && row.getAs[Double]("revenue") > 0)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [IsNotNull(l_shipdate)"))
+  }
+
+  test("q14_promo_share: share in (0,100), components reconcile") {
+    val r = Relational.q14PromoShare(spark, sf).collect().head
+    val share = r.getAs[Double]("promo_share")
+    assert(share > 0 && share < 100)
+    assert(r.getAs[Double]("promo_revenue") < r.getAs[Double]("total_revenue"))
+  }
+
+  test("q15_top_supplier: every returned supplier holds the exact max revenue") {
+    val rows = Relational.q15TopSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Double]("total_revenue")).distinct.length == 1)
+  }
+
+  test("q21_waiting_supplier: sole-latest-shipper blame, counts descend") {
+    val rows = Relational.q21WaitingSupplier(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val waits = rows.map(_.getAs[Long]("numwait"))
+    assert(waits.forall(_ > 0) && waits.sameElements(waits.sortBy(-_)))
+  }
+
   test("plans: q5 broadcasts all dimension tables (single shuffle join on facts)") {
     val plan = Relational.q5LocalSupplier(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
