@@ -83,7 +83,13 @@ object Layout {
     * section token; paragraph/list_item content appends; other labels are
     * skipped; content before the first heading is dropped).
     */
-  def clauseGraph(spark: SparkSession, dir: String): DataFrame = {
+  def clauseGraph(spark: SparkSession, dir: String): DataFrame =
+    clauseGraphRaw(spark, dir).contractOrderBy("doc_id", "section")
+
+  /** The clause graph without the contract ordering — downstream operators
+    * (schema-scoped extraction) consume this directly.
+    */
+  private[operators] def clauseGraphRaw(spark: SparkSession, dir: String): DataFrame = {
     val labeled = classify(spark, dir)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("block_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -99,7 +105,6 @@ object Layout {
           .as("clause_text"),
         count(lit(1)).as("n_blocks"),
         sum(length(col("block_text"))).cast("long").as("clause_chars"))
-      .contractOrderBy("doc_id", "section")
   }
 
   val clauseGraphSql: String =

@@ -21,14 +21,18 @@ import graft.sources.Tables
   */
 object SchemaExtract {
 
-  /** Field spec (schema/schema.py fields: type/required/patterns/keywords). */
+  /** Field spec (schema/schema.py fields: type/section/required/patterns/
+    * keywords/default). `section` is the clause-graph hint `_find_context`
+    * scopes extraction to (form_filler.py:102).
+    */
   final case class FieldSpec(
       name: String,
       fieldType: String,
       required: Boolean,
       patterns: Seq[String],
       keywords: Seq[String] = Nil,
-      default: Option[String] = None) {
+      default: Option[String] = None,
+      section: Option[String] = None) {
     /** Keyword rung: `keyword\s+(\w+)` capture (form_filler.py:123 adapted
       * to the corpus vocabulary — the reference captures `[^\n\.;,]+`, i.e.
       * "rest of clause"; corpus text has no clause punctuation so a single
@@ -39,34 +43,49 @@ object SchemaExtract {
 
   final case class FormSchema(formName: String, fields: Seq[FieldSpec])
 
-  /** The corpus form schema (role of schema.py DEFAULT_NDA_SCHEMA). */
+  /** The corpus form schema (role of schema.py DEFAULT_NDA_SCHEMA). Section
+    * hints name the clause vocabulary each field lives near — used only by
+    * the scoped (`_find_context`) extraction path.
+    */
   val QueryLogForm: FormSchema = FormSchema(
     "QueryLog_Form",
     Seq(
-      FieldSpec("first_join", "string", required = true, Seq("join (\\w+)")),
-      FieldSpec("table_ref", "string", required = true, Seq("table (\\w+)")),
+      FieldSpec("first_join", "string", required = true, Seq("join (\\w+)"),
+        section = Some("join")),
+      FieldSpec("table_ref", "string", required = true, Seq("table (\\w+)"),
+        section = Some("table")),
       FieldSpec("stream_kind", "string", required = false, Seq("stream (\\w+)"),
-        default = Some("none")),
+        default = Some("none"), section = Some("stream")),
       FieldSpec("sort_mode", "string", required = false,
-        Seq("sort (fast|slow)"), keywords = Seq("merge"), default = Some("unsorted")),
+        Seq("sort (fast|slow)"), keywords = Seq("merge"), default = Some("unsorted"),
+        section = Some("sort")),
       // Reference NDA pattern kept verbatim (schema.py:80) — no dates exist
-      // in this corpus so it extracts NULL, exercising the miss path.
+      // in this corpus so it extracts NULL, exercising the miss path (and
+      // its section hint matches no clause, exercising the no-context path).
       FieldSpec("effective_date", "date", required = false,
-        Seq("effective\\s+(?:on\\s+)?(?:as of\\s+)?([A-Za-z]+\\s+\\d{1,2},?\\s+\\d{4}|\\d{4}-\\d{1,2}-\\d{1,2}|\\d{1,2}/\\d{1,2}/\\d{4})"))))
+        Seq("effective\\s+(?:on\\s+)?(?:as of\\s+)?([A-Za-z]+\\s+\\d{1,2},?\\s+\\d{4}|\\d{4}-\\d{1,2}-\\d{1,2}|\\d{1,2}/\\d{1,2}/\\d{4})"),
+        section = Some("effective"))))
 
   /** One field's extraction ladder as a Column over `text`. A field with no
     * patterns/keywords (e.g. every Employment_Agreement field — the
     * reference fills those via the out-of-scope LLM rung) extracts NULL.
     */
-  def fieldCol(f: FieldSpec): Column =
+  def fieldCol(f: FieldSpec): Column = fieldColFrom(f, col("text"))
+
+  /** The ladder over an arbitrary context column (full text or the
+    * section-scoped context).
+    */
+  def fieldColFrom(f: FieldSpec, ctx: Column): Column =
     if (f.allPatterns.isEmpty) lit(null).cast("string").as(f.name)
     else coalesce(f.allPatterns.map(p =>
-      nullif(regexp_extract(col("text"), p, 1), lit(""))): _*).as(f.name)
+      nullif(regexp_extract(ctx, p, 1), lit(""))): _*).as(f.name)
 
-  def fieldSql(f: FieldSpec): String =
+  def fieldSql(f: FieldSpec): String = fieldSqlFrom(f, "text")
+
+  def fieldSqlFrom(f: FieldSpec, ctxExpr: String): String =
     if (f.allPatterns.isEmpty) s"CAST(NULL AS VARCHAR) AS ${f.name}"
     else {
-      val rungs = f.allPatterns.map(p => s"nullif(regexp_extract(text, '$p', 1), '')")
+      val rungs = f.allPatterns.map(p => s"nullif(regexp_extract($ctxExpr, '$p', 1), '')")
       s"coalesce(${rungs.mkString(", ")}) AS ${f.name}"
     }
 
@@ -97,6 +116,85 @@ object SchemaExtract {
     s"""SELECT doc_id, ${schema.fields.map(fieldSql).mkString(",\n  ")}
        |FROM documents
        |ORDER BY doc_id""".stripMargin
+
+  /** `extract_fields_scoped`: the reference's populate-WITHOUT-full-text
+    * path — each field's extraction ladder runs over the section-scoped
+    * context `_find_context(section, clause_graph)` builds
+    * (form_filler.py:102-116): clauses whose key or text contains the
+    * field's section hint (case-insensitive), joined in clause order. No
+    * matching clause → no context → NULL (the reference logs and returns
+    * None; the LLM rung is out of scope).
+    *
+    * Plan: clause graph (two keyed shuffles) → ONE doc-grain aggregation
+    * building every field's context simultaneously (conditional
+    * collect_list per field — fields are few and fixed, so this stays one
+    * pass over clause rows) → left join back to documents so clause-less
+    * docs keep their all-NULL row → one codegen'd projection of ladders.
+    */
+  def extractFieldsScoped(spark: SparkSession, dir: String): DataFrame = {
+    val schema = QueryLogForm
+    val cg = Layout.clauseGraphRaw(spark, dir)
+      .withColumn("hb", element_at(split(col("section"), "_"), 2).cast("long"))
+    val ctxAggs = schema.fields.zipWithIndex.map { case (f, i) =>
+      val hint = f.section.get.toLowerCase
+      val matches = instr(lower(col("section")), hint) > 0 ||
+        instr(lower(col("clause_text")), hint) > 0
+      array_join(
+        transform(
+          array_sort(collect_list(when(matches, struct(col("hb"), col("clause_text"))))),
+          x => x.getField("clause_text")),
+        " ").as(s"ctx_$i")
+    }
+    val ctx = cg.groupBy(col("doc_id")).agg(ctxAggs.head, ctxAggs.tail: _*)
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      fieldColFrom(f, nullif(col(s"ctx_$i"), lit(""))) // empty context ≡ none
+    }
+    val extracted = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(ctx, Seq("doc_id"), "left_outer")
+      .select(col("doc_id") +: fields: _*)
+    val nFound = schema.fields
+      .map(f => when(col(f.name).isNotNull, 1).otherwise(0)).reduce(_ + _)
+    extracted.withColumn("n_found", nFound.cast("long"))
+      .contractOrderBy("doc_id")
+  }
+
+  def extractFieldsScopedSql: String = {
+    val schema = QueryLogForm
+    val ctxCols = schema.fields.zipWithIndex.map { case (f, i) =>
+      val hint = f.section.get.toLowerCase
+      s"""string_agg(clause_text, ' ' ORDER BY hb) FILTER (
+         |      WHERE position('$hint' IN lower(section)) > 0 OR position('$hint' IN lower(clause_text)) > 0) AS ctx_$i"""
+        .stripMargin
+    }.mkString(",\n    ")
+    val fieldCols = schema.fields.zipWithIndex
+      .map { case (f, i) => fieldSqlFrom(f, s"nullif(ctx_$i, '')") }.mkString(",\n  ")
+    val nFound = schema.fields
+      .map(f => s"CASE WHEN ${f.name} IS NOT NULL THEN 1 ELSE 0 END").mkString(" + ")
+    s"""${Layout.blocksCte}, sec AS (
+       |  SELECT doc_id, block_id, block_text, label,
+       |    last_value(CASE WHEN label = 'heading' THEN first_word || '_' || CAST(block_id AS VARCHAR) END IGNORE NULLS)
+       |      OVER (PARTITION BY doc_id ORDER BY block_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS section
+       |  FROM lab
+       |), cg AS (
+       |  SELECT doc_id, section,
+       |    string_agg(block_text, ' ' ORDER BY block_id) AS clause_text,
+       |    CAST(split_part(section, '_', 2) AS BIGINT) AS hb
+       |  FROM sec
+       |  WHERE label IN ('paragraph','list_item') AND section IS NOT NULL
+       |  GROUP BY doc_id, section
+       |), ctx AS (
+       |  SELECT doc_id,
+       |    $ctxCols
+       |  FROM cg GROUP BY doc_id
+       |), e AS (
+       |  SELECT d.doc_id,
+       |  $fieldCols
+       |  FROM documents d LEFT JOIN ctx ON d.doc_id = ctx.doc_id
+       |)
+       |SELECT e.*, CAST($nFound AS BIGINT) AS n_found
+       |FROM e
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Planted NDA clauses, one per `doc_id % 7` case (case 6 = no clause —
     * the miss path). The synthetic corpus vocabulary has no contract

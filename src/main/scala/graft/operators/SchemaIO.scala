@@ -34,7 +34,8 @@ object SchemaIO {
         required = Option(f.get("required")).exists(_.asBoolean),
         patterns = strings("patterns"),
         keywords = strings("keywords"),
-        default = Option(f.get("default")).filter(!_.isNull).map(_.asText))
+        default = Option(f.get("default")).filter(!_.isNull).map(_.asText),
+        section = Option(f.get("section")).filter(!_.isNull).map(_.asText))
     }
     FormSchema(formName, fields)
   }
@@ -47,6 +48,7 @@ object SchemaIO {
     schema.fields.foreach { f =>
       val n: ObjectNode = fields.putObject(f.name)
       n.put("type", f.fieldType)
+      f.section.foreach(s => n.put("section", s))
       n.put("required", f.required)
       val pats = n.putArray("patterns")
       f.patterns.foreach(pats.add)

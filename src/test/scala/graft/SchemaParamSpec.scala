@@ -58,6 +58,43 @@ class SchemaParamSpec extends SparkSpec {
     assert(out(6L) == (0L, 0L), "no-clause case must extract nothing")
   }
 
+  test("extract_fields_scoped matches an in-memory _find_context reference") {
+    // third independent implementation of the reference's fuzzy section
+    // scoping (form_filler.py:102-116) + regex ladder, compared row-for-row
+    val cg = graft.operators.Layout.clauseGraph(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("section"), r.getAs[String]("clause_text")))
+      .groupBy(_._1)
+      .view.mapValues(_.sortBy(t => t._2.split("_")(1).toLong)).toMap
+    val schema = SchemaExtract.QueryLogForm
+    val allDocs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = allDocs.sorted.map { doc =>
+      val clauses = cg.getOrElse(doc, Array.empty[(Long, String, String)])
+      val fields = schema.fields.map { f =>
+        val hint = f.section.get.toLowerCase
+        val ctx = clauses.filter(c =>
+          c._2.toLowerCase.contains(hint) || c._3.toLowerCase.contains(hint))
+          .map(_._3).mkString(" ")
+        if (ctx.isEmpty) null
+        else f.allPatterns.iterator
+          .map(p => p.r.findFirstMatchIn(ctx).map(_.group(1)).filter(_.nonEmpty).orNull)
+          .collectFirst { case v if v != null => v }.orNull
+      }
+      (doc, fields)
+    }
+    val got = SchemaExtract.extractFieldsScoped(spark, sf).collect()
+      .map(r => (r.getLong(0), schema.fields.indices.map(i =>
+        if (r.isNullAt(i + 1)) null else r.getString(i + 1))))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case ((gd, gf), (ed, ef)) =>
+      assert(gd == ed)
+      assert(gf == ef.toSeq, s"doc $gd: got $gf expected ${ef.toSeq}")
+    }
+    // the scoping is non-trivial on this corpus: some field captured somewhere
+    assert(got.exists(_._2.exists(_ != null)))
+  }
+
   test("a user schema round-trips through a SchemaManager directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft-user-schemas")
     val m1 = new SchemaManager(dir.toString)
