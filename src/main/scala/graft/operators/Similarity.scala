@@ -152,7 +152,10 @@ object Similarity {
     */
   def trainedIvfTopK(spark: SparkSession, dir: String, nprobe: Int = NProbe): DataFrame = {
     val e = withDoubleEmb(Tables.embeddings(spark, dir))
-    val cents = Clustering.trainedCentroids(spark, dir)
+    // the quantizer is K rows but costs Lloyd rounds over the corpus to
+    // build — pin it so the plan's two consumers (cell assignment, query
+    // probe) don't each retrain it
+    val cents = Intermediates.persist(Clustering.trainedCentroids(spark, dir))
     val dAll = Clustering.scaledEmb(spark, dir)
       .crossJoin(broadcast(cents))
       .withColumn("d2", expr("graft_l2sq(se, cemb)"))

@@ -40,6 +40,31 @@ package object operators {
     def kmeansIters: Int = get("spark.graft.kmeans.iters", "2").toInt
   }
 
+  /** Session-lifetime registry of persisted operator intermediates. An
+    * operator pins a DataFrame that its plan references more than once
+    * (dedup signature tables, the trained IVF quantizer); the session
+    * releases everything after the terminal action via
+    * [[Dedup.releaseIntermediates]] (the name Verify/Bench already call).
+    * Level from `spark.graft.dedup.storageLevel` (default MEMORY_AND_DISK;
+    * 100 TB deployments set DISK_ONLY so wide intermediates never compete
+    * with shuffle memory).
+    */
+  private[operators] object Intermediates {
+    private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+    def persist(df: DataFrame): DataFrame = {
+      val lvl = df.sparkSession.conf.get("spark.graft.dedup.storageLevel", "MEMORY_AND_DISK")
+      val p = df.persist(org.apache.spark.storage.StorageLevel.fromString(lvl))
+      live.add(p)
+      p
+    }
+
+    def release(): Unit = {
+      var d = live.poll()
+      while (d != null) { d.unpersist(blocking = false); d = live.poll() }
+    }
+  }
+
   /** `contractOrderBy` = `orderBy` that exists only for the contract layer.
     * Used ONLY where ordering is presentation (stable output for hashing) —
     * never where it is semantic (top-k `orderBy(...).limit(n)` keeps plain
