@@ -68,6 +68,68 @@ object Multimodal {
       |FROM m
       |ORDER BY doc_id""".stripMargin
 
+  /** Frame geometry for the frame-sampling operator: fixed-size frames over
+    * the byte stream, every [[FrameStride]]-th frame kept, at most
+    * [[MaxFrames]] samples per video.
+    */
+  val FrameBytes = 64L
+  val FrameStride = 2L
+  val MaxFrames = 8L
+
+  /** `multimodal_frames`: frame sampling over the video payloads — the
+    * video rung of the decode ladder. Each video's byte stream is treated
+    * as fixed-[[FrameBytes]] frames; every [[FrameStride]]-th frame is
+    * sampled (capped at [[MaxFrames]]) and sliced OUT OF THE BINARY column
+    * (`substring` on binary — payload bytes never round-trip through
+    * strings), with per-frame md5 and an md5-derived 16-bit brightness
+    * standing in for the real pixel statistic (decode is stubbed — no
+    * codecs in this container; the slicing/explode/metadata plumbing is the
+    * real shape).
+    *
+    * Row growth is bounded (≤ MaxFrames per video), the explode is
+    * per-row-local (no shuffle), and frame extraction prunes to the payload
+    * column only. The oracle slices the same ranges out of the VARCHAR text
+    * — the corpus is ASCII, so byte ranges ≡ char ranges, and md5 agrees.
+    */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .filter(col("modality") === "video")
+      .withColumn("byte_len", octet_length(col("payload")).cast("long"))
+      .withColumn("n_total", expr(s"(byte_len + ${FrameBytes - 1}) div $FrameBytes"))
+      .withColumn("n_samp",
+        least(expr(s"(n_total + ${FrameStride - 1}) div $FrameStride"), lit(MaxFrames)))
+      .withColumn("k", explode(expr("sequence(0L, n_samp - 1)")))
+      .withColumn("frame_idx", col("k") * FrameStride)
+      .withColumn("frame_off", col("frame_idx") * FrameBytes)
+      .withColumn("frame_len", least(lit(FrameBytes), col("byte_len") - col("frame_off")))
+      .withColumn("frame",
+        expr("substring(payload, cast(frame_off + 1 as int), cast(frame_len as int))"))
+      .withColumn("frame_md5", md5(col("frame")))
+      .withColumn("brightness",
+        expr("cast(conv(substr(md5(frame), 1, 4), 16, 10) as bigint)"))
+      .select("doc_id", "frame_idx", "frame_off", "frame_len", "frame_md5", "brightness")
+      .contractOrderBy("doc_id", "frame_idx")
+
+  val multimodalFramesSql: String =
+    s"""WITH v AS (
+       |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+       |  FROM documents WHERE doc_id % 3 = 2
+       |), f AS (
+       |  SELECT doc_id, text, byte_len,
+       |    unnest(generate_series(0, least(((byte_len + ${FrameBytes - 1}) // $FrameBytes + ${FrameStride - 1}) // $FrameStride, $MaxFrames) - 1)) AS k
+       |  FROM v
+       |), g AS (
+       |  SELECT doc_id, k * $FrameStride AS frame_idx, k * $FrameStride * $FrameBytes AS frame_off,
+       |    least($FrameBytes, byte_len - k * $FrameStride * $FrameBytes) AS frame_len,
+       |    substr(text, CAST(k * $FrameStride * $FrameBytes + 1 AS BIGINT),
+       |           least($FrameBytes, byte_len - k * $FrameStride * $FrameBytes)) AS frame
+       |  FROM f
+       |)
+       |SELECT doc_id, frame_idx, frame_off, frame_len, md5(frame) AS frame_md5,
+       |  CAST(('0x' || substr(md5(frame), 1, 4)) AS BIGINT) AS brightness
+       |FROM g
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** The batch decoder seam. Production would JNI into a codec here; the
     * stub derives deterministic features so the plumbing is testable.
     */

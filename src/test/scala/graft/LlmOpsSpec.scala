@@ -130,4 +130,24 @@ class LlmOpsSpec extends SparkSpec {
         r.getAs[Long]("byte_len"), r.getAs[String]("content_md5"))).sortBy(_._1)
     assert(viaDecode.sameElements(viaQuery))
   }
+
+  test("multimodal_frames: sampled frames slice the exact payload bytes") {
+    val texts = sources.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .filter(_.getLong(0) % 3 == 2).map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Multimodal.multimodalFrames(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bytes = texts(r.getAs[Long]("doc_id")).getBytes("UTF-8")
+      val off = r.getAs[Long]("frame_off").toInt
+      val len = r.getAs[Long]("frame_len").toInt
+      assert(len > 0 && off + len <= bytes.length)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes.slice(off, off + len)).map("%02x".format(_)).mkString
+      assert(r.getAs[String]("frame_md5") == hex, s"frame bytes mismatch at doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("frame_idx") % Multimodal.FrameStride == 0)
+    }
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, fs) =>
+      assert(fs.length <= Multimodal.MaxFrames)
+    }
+  }
 }
