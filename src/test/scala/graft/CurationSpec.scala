@@ -129,6 +129,29 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dedup_keep: cleaned corpus = uniques + exactly one canonical per cluster") {
+    val docsN = graft.sources.Tables.documents(spark, sf).count()
+    val clusters = graft.operators.Dedup.dedupClusters(spark, sf).collect()
+    val kept = graft.operators.Dedup.dedupKeep(spark, sf).collect()
+    val keptIds = kept.map(_.getAs[Long]("doc_id")).toSet
+    assert(keptIds.size == kept.length)
+    // every cluster contributes exactly its canonical; non-canonicals dropped
+    clusters.foreach { c =>
+      val id = c.getAs[Long]("doc_id")
+      assert(keptIds.contains(id) == c.getAs[Boolean]("is_canonical"))
+    }
+    // count reconciliation: n_kept = n_docs − (cluster members − clusters)
+    val members = clusters.length
+    val nClusters = clusters.map(_.getAs[Long]("cluster_id")).distinct.length
+    assert(kept.length == docsN - (members - nClusters))
+    // status tags agree with membership
+    kept.foreach { r =>
+      val inCluster = clusters.exists(_.getAs[Long]("doc_id") == r.getAs[Long]("doc_id"))
+      assert(r.getAs[String]("status") == (if (inCluster) "canonical" else "unique"))
+      assert(r.getAs[Long]("cluster_size") >= 1)
+    }
+  }
+
   test("bm25_search: ranked top-k with scores consistent with a scala reference") {
     val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ")).toMap
