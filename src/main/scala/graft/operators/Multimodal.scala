@@ -130,6 +130,61 @@ object Multimodal {
        |FROM g
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Resize target: fit the longest side to [[ResizeFit]] px, never
+    * upscale.
+    */
+  val ResizeFit = 256L
+
+  /** `multimodal_resize`: the resize rung of the image ladder — compute the
+    * aspect-preserving target geometry (fit longest side to [[ResizeFit]],
+    * never upscale) for every image payload, all in exact integer math
+    * (`w·fit div max(w,h)`), plus the projected decoded-RGB byte size the
+    * resized image would occupy. The pixel transform itself belongs to the
+    * stubbed decoder seam ([[decodeStub]]) — what the engine owns is the
+    * metadata plan: a stateless codegen'd projection that never touches
+    * payload bytes, so planning 100 TB of resizes reads only the metadata
+    * columns.
+    */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .filter(col("modality") === "image")
+      .withColumn("byte_len", octet_length(col("payload")).cast("long"))
+      .withColumn("width", lit(64L) + col("byte_len") % 512)
+      .withColumn("height", lit(64L) + (col("byte_len") * 7) % 512)
+      .withColumn("long_side", greatest(col("width"), col("height")))
+      .withColumn("downscaled", col("long_side") > ResizeFit)
+      .withColumn("new_width",
+        when(col("downscaled"), expr(s"(width * $ResizeFit) div long_side"))
+          .otherwise(col("width")))
+      .withColumn("new_height",
+        when(col("downscaled"), expr(s"(height * $ResizeFit) div long_side"))
+          .otherwise(col("height")))
+      .withColumn("resized_rgb_bytes", col("new_width") * col("new_height") * 3)
+      .select("doc_id", "width", "height", "new_width", "new_height",
+        "downscaled", "resized_rgb_bytes")
+      .contractOrderBy("doc_id")
+
+  val multimodalResizeSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+       |  FROM documents WHERE doc_id % 3 = 0
+       |), g AS (
+       |  SELECT doc_id, 64 + byte_len % 512 AS width, 64 + (byte_len * 7) % 512 AS height
+       |  FROM m
+       |), s AS (
+       |  SELECT doc_id, width, height, greatest(width, height) AS long_side,
+       |    greatest(width, height) > $ResizeFit AS downscaled
+       |  FROM g
+       |)
+       |SELECT doc_id, width, height,
+       |  CASE WHEN downscaled THEN (width * $ResizeFit) // long_side ELSE width END AS new_width,
+       |  CASE WHEN downscaled THEN (height * $ResizeFit) // long_side ELSE height END AS new_height,
+       |  downscaled,
+       |  (CASE WHEN downscaled THEN (width * $ResizeFit) // long_side ELSE width END) *
+       |  (CASE WHEN downscaled THEN (height * $ResizeFit) // long_side ELSE height END) * 3 AS resized_rgb_bytes
+       |FROM s
+       |ORDER BY doc_id""".stripMargin
+
   /** The batch decoder seam. Production would JNI into a codec here; the
     * stub derives deterministic features so the plumbing is testable.
     */

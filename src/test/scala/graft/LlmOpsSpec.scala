@@ -150,4 +150,20 @@ class LlmOpsSpec extends SparkSpec {
       assert(fs.length <= Multimodal.MaxFrames)
     }
   }
+
+  test("multimodal_resize: aspect preserved, longest side fit, never upscaled") {
+    val rows = Multimodal.multimodalResize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
+      val (nw, nh) = (r.getAs[Long]("new_width"), r.getAs[Long]("new_height"))
+      assert(nw <= w && nh <= h)
+      if (r.getAs[Boolean]("downscaled")) {
+        assert(math.max(nw, nh) == Multimodal.ResizeFit) // long side lands exactly on the fit
+        // aspect ratio preserved within integer truncation
+        assert(math.abs(nw * h - nh * w) < math.max(w, h))
+      } else assert(nw == w && nh == h)
+      assert(r.getAs[Long]("resized_rgb_bytes") == nw * nh * 3)
+    }
+  }
 }
