@@ -27,17 +27,31 @@ package object operators {
         .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
         .map(_.conf.get(key, default)).getOrElse(default)
 
+    private def positive(key: String, default: String): Int = {
+      val v = get(key, default).toInt
+      require(v >= 1, s"$key must be >= 1, got $v")
+      v
+    }
+
     /** Independent packing shards (`spark.graft.pack.shards`). */
-    def packShards: Int = get("spark.graft.pack.shards", "8").toInt
+    def packShards: Int = positive("spark.graft.pack.shards", "8")
     /** Packed-sequence token budget (`spark.graft.pack.seqTokens`). */
-    def packSeqTokens: Int = get("spark.graft.pack.seqTokens", "512").toInt
-    /** BM25 query terms, comma-separated (`spark.graft.bm25.terms`). */
-    def bm25Terms: Seq[String] =
-      get("spark.graft.bm25.terms", "vector,merge,stream").split(",").toSeq
+    def packSeqTokens: Int = positive("spark.graft.pack.seqTokens", "512")
+    /** BM25 query terms, comma-separated (`spark.graft.bm25.terms`).
+      * Terms are interpolated into generated SQL and lambda predicates, so
+      * only word characters are accepted — a quote or regex metachar in a
+      * term fails loudly here instead of silently corrupting the query.
+      */
+    def bm25Terms: Seq[String] = {
+      val terms = get("spark.graft.bm25.terms", "vector,merge,stream").split(",").toSeq
+      require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_]+")),
+        s"spark.graft.bm25.terms must be comma-separated word-character terms, got: ${terms.mkString(",")}")
+      terms
+    }
     /** k-means cluster count (`spark.graft.kmeans.k`). */
-    def kmeansK: Int = get("spark.graft.kmeans.k", "10").toInt
+    def kmeansK: Int = positive("spark.graft.kmeans.k", "10")
     /** k-means assignment rounds, ≥ 1 (`spark.graft.kmeans.iters`). */
-    def kmeansIters: Int = get("spark.graft.kmeans.iters", "2").toInt
+    def kmeansIters: Int = positive("spark.graft.kmeans.iters", "2")
   }
 
   /** Session-lifetime registry of persisted operator intermediates. An

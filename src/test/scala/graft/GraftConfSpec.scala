@@ -50,6 +50,15 @@ class GraftConfSpec extends SparkSpec {
     }
   }
 
+  test("malformed conf values fail loudly, not by corrupting generated SQL") {
+    withConf("spark.graft.bm25.terms" -> "ok',bad") {
+      intercept[IllegalArgumentException](Similarity.QueryTerms)
+    }
+    withConf("spark.graft.pack.shards" -> "0") {
+      intercept[IllegalArgumentException](Curation.PackShards)
+    }
+  }
+
   test("kmeans at k=5, iters=3: output domain and generated CTE chain track the conf") {
     withConf("spark.graft.kmeans.k" -> "5", "spark.graft.kmeans.iters" -> "3") {
       val got = Clustering.kmeansTrain(spark, sf).collect()
