@@ -334,4 +334,50 @@ object Events {
        |FROM p GROUP BY path
        |ORDER BY n_sessions DESC, path
        |LIMIT 20""".stripMargin
+
+  /** `events_spike`: trailing-average anomaly detection — hourly event
+    * buckets whose count exceeds 1.5× the mean of the previous 24 observed
+    * buckets of the same type (≥ 6 buckets of history required before a
+    * bucket is judged). The threshold test is the exact integer
+    * cross-multiply `2·cnt·n_prev > 3·sum_prev` — no float average is ever
+    * compared, so both engines agree bit-for-bit.
+    *
+    * Scale: one event_type-keyed hourly aggregation (map-side combined —
+    * the hourly table is tiny relative to the log), then a bounded 24-row
+    * window per type. The frame is ROWS-based over OBSERVED buckets:
+    * silent hours don't pad the baseline, which is the behavior a sparse
+    * event type wants.
+    */
+  def eventsSpike(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .withColumn("hour_us", expr("unix_micros(date_trunc('HOUR', ts))"))
+      .groupBy(col("event_type"), col("hour_us"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_us"))
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("prev_sum", coalesce(sum(col("cnt")).over(w), lit(0L)).cast("long"))
+      .withColumn("prev_n", count(lit(1)).over(w).cast("long"))
+      .filter(col("prev_n") >= 6 &&
+        lit(2L) * col("cnt") * col("prev_n") > lit(3L) * col("prev_sum"))
+      .select("event_type", "hour_us", "cnt", "prev_n", "prev_sum")
+      .contractOrderBy("event_type", "hour_us")
+  }
+
+  val eventsSpikeSql: String =
+    """WITH h AS (
+      |  SELECT event_type, epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY event_type, hour_us
+      |), t AS (
+      |  SELECT event_type, hour_us, cnt,
+      |    CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT) AS prev_sum,
+      |    CAST(count(*) OVER w AS BIGINT) AS prev_n
+      |  FROM h
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_us ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_type, hour_us, cnt, prev_n, prev_sum
+      |FROM t
+      |WHERE prev_n >= 6 AND 2 * cnt * prev_n > 3 * prev_sum
+      |ORDER BY event_type, hour_us""".stripMargin
 }

@@ -153,6 +153,20 @@ class EventsSpec extends SparkSpec {
     assert(streamStyle.sameElements(batch))
   }
 
+  test("events_spike: every flagged bucket beats 1.5x its observed trailing mean") {
+    val rows = Events.eventsSpike(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cnt, n, s) = (r.getAs[Long]("cnt"), r.getAs[Long]("prev_n"), r.getAs[Long]("prev_sum"))
+      assert(n >= 6 && 2 * cnt * n > 3 * s)
+    }
+    // spikes are rare: far fewer flagged buckets than hourly buckets exist
+    val hourly = sources.Tables.events(spark, sf)
+      .select(expr("unix_micros(date_trunc('HOUR', ts))").as("h"), col("event_type"))
+      .distinct().count()
+    assert(rows.length < hourly / 4)
+  }
+
   test("streaming funnel: state expires on watermark, stages match the strict-order rule") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
