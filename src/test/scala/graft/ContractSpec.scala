@@ -13,6 +13,17 @@ class ContractSpec extends SparkSpec {
     assert((q -- o) == rowsOnly, s"query without oracle: ${q -- o -- rowsOnly}")
   }
 
+  test("SURVEY §2 lists every registered query (the inventory is the grading contract)") {
+    // an operator missing from the SURVEY checklist is invisible to review;
+    // this failed silently twice before — enforce the sync mechanically
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val section2 = survey.split("## §2")(1).split("## §3")(0)
+    val listed = "`([a-z0-9_\\.]+)`".r.findAllMatchIn(section2).map(_.group(1)).toSet
+    val missing = SparkEntry.queries.keySet.filterNot(listed.contains)
+    assert(missing.isEmpty, s"queries absent from SURVEY.md §2: $missing")
+  }
+
   test("every query's plan analyzes against the test data (no wiring breaks)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val schema = fn(spark, sf).schema // analysis only, no execution
