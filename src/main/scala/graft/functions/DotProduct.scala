@@ -1,8 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
@@ -16,11 +18,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * which is the difference between scanning 100 TB of embeddings at array
   * width × memory bandwidth vs. GC churn.
   *
+  * Null semantics match `aggregate(zip_with(...))`: a length mismatch or a
+  * null element yields NULL (never a silently-truncated partial product);
+  * the per-element null check compiles away when both array types declare
+  * `containsNull = false` — the engine-built embedding columns.
+  *
   * Accumulation order is left-to-right in double — bit-identical to the
   * sequential fold the DuckDB oracle computes.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  private def anyContainsNull: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, cn) => cn
+      case _                => true
+    }
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall {
@@ -37,35 +51,65 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = anyContainsNull
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
     acc
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    val elemNullCheck =
+      if (anyContainsNull)
+        s"""if (${leftGen.value}.isNullAt($i) || ${rightGen.value}.isNullAt($i)) {
+           |  ${ev.isNull} = true; break;
+           |}""".stripMargin
+      else ""
+    val resultCode =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${leftGen.isNull} && !${rightGen.isNull}) {
+          int $n = ${leftGen.value}.numElements();
+          if ($n == ${rightGen.value}.numElements()) {
+            ${ev.isNull} = false;
+            double $acc = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              $elemNullCheck
+              $acc += ${leftGen.value}.getDouble($i) * ${rightGen.value}.getDouble($i);
+            }
+            if (!${ev.isNull}) {
+              ${ev.value} = $acc;
+            }
+          }
+        }
+      """
+    ev.copy(code = resultCode)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

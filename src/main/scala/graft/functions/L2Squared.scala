@@ -1,8 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
@@ -16,6 +18,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * lambda accumulator per element (the same reason [[DotProduct]] exists);
   * this compiles to a tight primitive loop inside WholeStageCodegen.
   *
+  * Null semantics match the `aggregate(zip_with(...))` formulation this
+  * replaces: a length mismatch or a null element yields NULL (never a
+  * silently-truncated "plausible" distance), and the per-element null check
+  * compiles away entirely when the array type's `containsNull` is false —
+  * the engine-built embedding columns — so the hot loop stays tight.
+  *
   * The bigint variant is exact integer math (order-independent, bit-identical
   * to the DuckDB oracle); with 1e-6-grid unit vectors the accumulator peaks
   * at ~4e12·dims, far inside Long range.
@@ -25,6 +33,13 @@ case class L2Squared(left: Expression, right: Expression)
 
   private def elemType: DataType =
     left.dataType.asInstanceOf[ArrayType].elementType
+
+  private def anyContainsNull: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, cn) => cn
+      case _                => true
+    }
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val types = Seq(left, right).map(_.dataType)
@@ -41,17 +56,26 @@ case class L2Squared(left: Expression, right: Expression)
 
   override def dataType: DataType = elemType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_l2sq"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = anyContainsNull
     elemType match {
       case LongType =>
         var acc = 0L
         var i = 0
         while (i < n) {
+          if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
           val d = x.getLong(i) - y.getLong(i)
           acc += d * d
           i += 1
@@ -61,6 +85,7 @@ case class L2Squared(left: Expression, right: Expression)
         var acc = 0.0
         var i = 0
         while (i < n) {
+          if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
           val d = x.getDouble(i) - y.getDouble(i)
           acc += d * d
           i += 1
@@ -74,21 +99,41 @@ case class L2Squared(left: Expression, right: Expression)
       case LongType => ("long", "getLong")
       case DoubleType => ("double", "getDouble")
     }
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val d = ctx.freshName("d")
-      val acc = ctx.freshName("acc")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |$jt $acc = 0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $jt $d = $a.$getter($i) - $b.$getter($i);
-         |  $acc += $d * $d;
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val d = ctx.freshName("d")
+    val acc = ctx.freshName("acc")
+    val elemNullCheck =
+      if (anyContainsNull)
+        s"""if (${leftGen.value}.isNullAt($i) || ${rightGen.value}.isNullAt($i)) {
+           |  ${ev.isNull} = true; break;
+           |}""".stripMargin
+      else ""
+    val resultCode =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        $jt ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+        if (!${leftGen.isNull} && !${rightGen.isNull}) {
+          int $n = ${leftGen.value}.numElements();
+          if ($n == ${rightGen.value}.numElements()) {
+            ${ev.isNull} = false;
+            $jt $acc = 0;
+            for (int $i = 0; $i < $n; $i++) {
+              $elemNullCheck
+              $jt $d = ${leftGen.value}.$getter($i) - ${rightGen.value}.$getter($i);
+              $acc += $d * $d;
+            }
+            if (!${ev.isNull}) {
+              ${ev.value} = $acc;
+            }
+          }
+        }
+      """
+    ev.copy(code = resultCode)
   }
 
   override protected def withNewChildrenInternal(

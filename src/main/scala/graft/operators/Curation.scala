@@ -318,7 +318,7 @@ object Curation {
        |)
        |SELECT shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(len) AS BIGINT) AS seq_tokens,
-       |  string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(off AS VARCHAR) || ':' || CAST(len AS VARCHAR), ' ' ORDER BY off) AS spans
+       |  string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(off AS VARCHAR) || ':' || CAST(len AS VARCHAR), ' ' ORDER BY off, doc_id) AS spans
        |FROM spans
        |GROUP BY shard, seq_id
        |ORDER BY shard, seq_id""".stripMargin

@@ -92,9 +92,18 @@ object Multimodal {
     * — the corpus is ASCII, so byte ranges ≡ char ranges, and md5 agrees.
     */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
-    mediaTable(spark, dir)
-      .filter(col("modality") === "video")
+    framesOf(mediaTable(spark, dir).filter(col("modality") === "video"))
+
+  /** Frame sampling over any (doc_id, payload binary) frame source.
+    * Zero-byte payloads yield no frames: without the `byte_len > 0` guard,
+    * `sequence(0L, n_samp - 1)` with n_samp = 0 is the DESCENDING [0, -1]
+    * sequence and would emit two bogus negative-offset rows (the DuckDB
+    * oracle's generate_series(0, -1) is empty — an engine divergence).
+    */
+  def framesOf(videos: DataFrame): DataFrame =
+    videos
       .withColumn("byte_len", octet_length(col("payload")).cast("long"))
+      .filter(col("byte_len") > 0)
       .withColumn("n_total", expr(s"(byte_len + ${FrameBytes - 1}) div $FrameBytes"))
       .withColumn("n_samp",
         least(expr(s"(n_total + ${FrameStride - 1}) div $FrameStride"), lit(MaxFrames)))

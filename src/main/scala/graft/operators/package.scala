@@ -28,7 +28,12 @@ package object operators {
         .map(_.conf.get(key, default)).getOrElse(default)
 
     private def positive(key: String, default: String): Int = {
-      val v = get(key, default).toInt
+      val raw = get(key, default)
+      val v = try raw.toInt catch {
+        case e: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$key must be an integer >= 1, got '$raw'", e)
+      }
       require(v >= 1, s"$key must be >= 1, got $v")
       v
     }

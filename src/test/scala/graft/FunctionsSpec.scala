@@ -52,6 +52,28 @@ class FunctionsSpec extends SparkSpec {
     assert(both == 0L)
   }
 
+  test("graft_dot/graft_l2sq: length mismatch and null elements yield NULL") {
+    import spark.implicits._
+    // Column-built arrays (non-foldable) so the CODEGEN path is exercised,
+    // not just constant-folded interpreted eval.
+    val df = Seq((1.0, 2.0)).toDF("x", "y")
+    val r = df.select(
+      expr("graft_dot(array(x), array(x, y))").as("d_mis"),
+      expr("graft_dot(array(x, cast(null as double)), array(x, y))").as("d_nel"),
+      expr("graft_l2sq(array(cast(x as bigint)), array(cast(x as bigint), cast(y as bigint)))").as("l_mis"),
+      expr("graft_l2sq(array(cast(x as bigint), cast(null as bigint)), array(cast(x as bigint), cast(y as bigint)))").as("l_nel"),
+      expr("graft_dot(array(x, y), array(y, x))").as("d_ok"),
+      expr("graft_l2sq(array(cast(x as bigint), cast(y as bigint)), array(cast(y as bigint), cast(x as bigint)))").as("l_ok"))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    assert(r.getDouble(4) == 4.0 && r.getLong(5) == 2L)
+    // interpreted eval path agrees (literal args are constant-folded)
+    val lit = df.select(
+      expr("graft_dot(array(cast(1.0 as double)), array(cast(1.0 as double), cast(2.0 as double)))"),
+      expr("graft_l2sq(array(1L, cast(null as bigint)), array(1L, 2L))")).collect()(0)
+    assert(lit.isNullAt(0) && lit.isNullAt(1))
+  }
+
   test("plan audit: kmeans assignment runs graft_l2sq inside codegen, no zip_with") {
     val plan = operators.Clustering.kmeansTrain(spark, sf)
       .queryExecution.executedPlan.toString

@@ -151,6 +151,21 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal_frames: zero-byte payloads yield no frame rows") {
+    // Without the byte_len > 0 guard, sequence(0L, n_samp - 1) at n_samp = 0
+    // is the DESCENDING [0, -1] — two bogus negative-offset rows where the
+    // DuckDB oracle's generate_series(0, -1) is empty.
+    import spark.implicits._
+    val videos = Seq(
+      (1L, Array.emptyByteArray),
+      (2L, Array.fill[Byte](10)(65))).toDF("doc_id", "payload")
+    val rows = Multimodal.framesOf(videos).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(2L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("frame_off") >= 0 && r.getAs[Long]("frame_len") > 0)
+    }
+  }
+
   test("multimodal_resize: aspect preserved, longest side fit, never upscaled") {
     val rows = Multimodal.multimodalResize(spark, sf).collect()
     assert(rows.nonEmpty)
