@@ -649,4 +649,215 @@ object Relational {
       |GROUP BY s_name, n_name
       |ORDER BY numwait DESC, s_name
       |LIMIT 20""".stripMargin
+
+  /** Min-cost supplier per part (TPC-H Q2 analog, correlated-min shape).
+    * The star schema has no partsupp, so the supply relation is derived:
+    * per (part, supplier) the minimum observed list price in lineitem. The
+    * correlated `WHERE cost = (SELECT min(cost) ... WHERE pk = outer.pk)`
+    * becomes, Spark-side, a per-part min re-aggregation joined back on the
+    * same key — the standard decorrelation Catalyst itself would produce.
+    * Dimension sides (part slice, supplier×nation×region) broadcast; only
+    * lineitem→(partkey,suppkey) shuffles, then the per-part min reuses the
+    * much smaller supply relation.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val pp = Tables.part(spark, dir).filter(col("p_type") === "STANDARD")
+    val sd = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val l = Tables.lineitem(spark, dir)
+    val supply = l
+      .join(broadcast(pp), l("l_partkey") === pp("p_partkey"))
+      .join(broadcast(sd), l("l_suppkey") === sd("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      .agg(min(dec(col("l_extendedprice"))).as("ucost"))
+    val minCost = supply.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("ucost")).as("min_cost"))
+    supply.join(minCost,
+        supply("l_partkey") === minCost("m_partkey") && supply("ucost") === minCost("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("ucost").cast("double").as("ucost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  val q2Sql: String =
+    """WITH supply AS (
+      |  SELECT l_partkey, l_suppkey, s_name, s_acctbal, n_name,
+      |    min(CAST(l_extendedprice AS DECIMAL(12,2))) AS ucost
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+      |  GROUP BY 1, 2, 3, 4, 5
+      |)
+      |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+      |  CAST(ucost AS DOUBLE) AS ucost
+      |FROM supply s
+      |WHERE ucost = (SELECT min(ucost) FROM supply s2 WHERE s2.l_partkey = s.l_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** Product-profit by supplier nation and order year (TPC-H Q9 analog).
+    * No partsupp → unit cost is the part's retail price, so
+    * profit = disc price − p_retailprice·quantity, all in exact DECIMAL
+    * (order-independent partial aggregation), rounded in decimal space at
+    * the boundary (q7 form). part/supplier/nation broadcast; only the
+    * lineitem↔orders join shuffles.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_name").like("%red%"))
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val profit = discPrice(l) - dec(col("p_retailprice")) * dec(col("l_quantity"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(sum(profit), 2).cast("double").as("sum_profit"))
+      .contractOrderBy(col("n_name"), col("o_year").desc)
+  }
+
+  val q9Sql: String =
+    """SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(round(sum(
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+      |    - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_profit
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY n_name, o_year
+      |ORDER BY n_name, o_year DESC""".stripMargin
+
+  /** High-value parts for one region's suppliers (TPC-H Q11 analog:
+    * group-HAVING over a scalar aggregate). A part qualifies when its value
+    * exceeds 1.5× the average part value — the threshold compares in exact
+    * integer cents (value·n·2 > total·3) so no division ever happens and
+    * both engines decide boundaries identically. The scalar (total, n) row
+    * broadcasts via crossJoin; the value relation shuffles once on partkey.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val sd = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"))
+    val l = Tables.lineitem(spark, dir)
+    val v = l.join(broadcast(sd), l("l_suppkey") === sd("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("value"))
+      .withColumn("vcents", (col("value") * 100).cast("long"))
+    val tot = v.agg(sum(col("vcents")).as("tcents"), count(lit(1)).as("nparts"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("vcents") * col("nparts") * 2 > col("tcents") * 3)
+      .select(col("l_partkey").as("p_partkey"), col("value").cast("double").as("value"))
+      .contractOrderBy(col("value").desc, col("p_partkey"))
+  }
+
+  val q11Sql: String =
+    """WITH v AS (
+      |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS val,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS vcents
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'
+      |  GROUP BY 1
+      |), tot AS (SELECT CAST(sum(vcents) AS BIGINT) AS tcents, count(*) AS nparts FROM v)
+      |SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS value
+      |FROM v, tot
+      |WHERE vcents * nparts * 2 > tcents * 3
+      |ORDER BY value DESC, p_partkey""".stripMargin
+
+  /** Small-lot revenue for one brand (TPC-H Q17 analog: per-part scalar
+    * average threshold). Revenue of lineitems whose quantity is below 1/5 of
+    * the part's average — `qty·5·cnt < sum_qty` in exact DECIMAL, the
+    * division-free form of `qty < 0.2·avg`. The per-part aggregate is a
+    * 1/25-of-parts brand slice, small enough to broadcast back onto
+    * lineitem at any scale where `part` itself is broadcastable.
+    */
+  def q17SmallLots(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_brand") === "Brand#3")
+    val l = Tables.lineitem(spark, dir)
+    val pa = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("l_partkey").as("pa_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("cnt"))
+    val l2 = Tables.lineitem(spark, dir)
+    l2.join(broadcast(pa), l2("l_partkey") === pa("pa_partkey"))
+      .filter(dec(col("l_quantity")) * 5 * col("cnt") < col("sq"))
+      .agg(
+        round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("revenue_small_lots"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q17Sql: String =
+    """WITH pa AS (
+      |  SELECT l_partkey AS pa_partkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+      |    count(*) AS cnt
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#3'
+      |  GROUP BY 1
+      |)
+      |SELECT
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue_small_lots,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN pa ON l_partkey = pa_partkey
+      |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sq""".stripMargin
+
+  /** Suppliers dominating a part's volume (TPC-H Q20 analog: nested
+    * semi-join over an aggregate). A (supplier, part) pair qualifies when
+    * its quantity exceeds 2× the part's average pair quantity (exact cents:
+    * q·np > tq·2); suppliers with any qualifying 'blue' part, restricted to
+    * one region, survive a LEFT SEMI join. The pair aggregate shuffles on
+    * (suppkey, partkey); the part re-aggregate rides the far smaller pair
+    * relation; supplier×nation×region broadcasts.
+    */
+  def q20PromoSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_name").like("%blue%"))
+    val l = Tables.lineitem(spark, dir)
+    val pairq = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("q"))
+      .withColumn("qcents", (col("q") * 100).cast("long"))
+    val partq = pairq.groupBy(col("l_partkey").as("pq_partkey"))
+      .agg(sum(col("qcents")).as("tqcents"), count(lit(1)).as("np"))
+    val qualifying = pairq
+      .join(partq, pairq("l_partkey") === partq("pq_partkey"))
+      .filter(col("qcents") * col("np") > col("tqcents") * 2)
+      .select(col("l_suppkey").as("qual_suppkey"))
+    val s = Tables.supplier(spark, dir)
+    s.join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(qualifying, col("s_suppkey") === col("qual_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .contractOrderBy(col("s_name"))
+  }
+
+  val q20Sql: String =
+    """WITH pairq AS (
+      |  SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS q,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS qcents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE '%blue%'
+      |  GROUP BY 1, 2
+      |), partq AS (
+      |  SELECT l_partkey, CAST(sum(qcents) AS BIGINT) AS tqcents, count(*) AS np
+      |  FROM pairq GROUP BY 1
+      |)
+      |SELECT s_name, s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' AND s_suppkey IN (
+      |  SELECT l_suppkey FROM pairq JOIN partq USING (l_partkey)
+      |  WHERE qcents * np > tqcents * 2)
+      |ORDER BY s_name""".stripMargin
 }

@@ -179,4 +179,67 @@ class RelationalSpec extends SparkSpec {
     val plan = Relational.q5LocalSupplier(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("q2_min_cost_supplier: each row holds its part's regional min cost") {
+    val rows = Relational.q2MinCostSupplier(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // per part, every returned cost equals the min over returned rows of
+    // that part (the query returns ALL min-achieving suppliers, so within
+    // the output each part's costs are a single value)
+    rows.groupBy(_.getAs[Long]("p_partkey")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Double]("ucost")).distinct.length == 1)
+    }
+    val bals = rows.map(_.getAs[Double]("s_acctbal"))
+    assert(bals.sameElements(bals.sortBy(-(_: Double))))
+  }
+
+  test("q9_product_profit: one row per (nation, year), years inside order range") {
+    val rows = Relational.q9ProductProfit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getAs[String]("n_name"), r.getAs[Long]("o_year")))
+    assert(keys.distinct.length == keys.length)
+    assert(rows.forall { r => val y = r.getAs[Long]("o_year"); y >= 1995 && y <= 2001 })
+  }
+
+  test("q11_important_parts: every part beats 1.5x the average part value") {
+    import org.apache.spark.sql.functions.{broadcast => b, col => f, sum => fsum, lit}
+    val sd = sources.Tables.supplier(spark, sf)
+      .join(b(sources.Tables.nation(spark, sf)), f("s_nationkey") === f("n_nationkey"))
+      .join(b(sources.Tables.region(spark, sf).filter(f("r_name") === "ASIA")),
+        f("n_regionkey") === f("r_regionkey"))
+      .select(f("s_suppkey"))
+    val l = sources.Tables.lineitem(spark, sf)
+    val v = l.join(b(sd), l("l_suppkey") === sd("s_suppkey"))
+      .groupBy(f("l_partkey"))
+      .agg((fsum(f("l_extendedprice").cast("decimal(12,2)")) * 100).cast("long").as("vc"))
+      .collect()
+    val (t, n) = (v.map(_.getAs[Long]("vc")).sum, v.length.toLong)
+    val rows = Relational.q11ImportantParts(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length < n)
+    rows.foreach { r =>
+      val vc = math.round(r.getAs[Double]("value") * 100)
+      assert(vc * n * 2 > t * 3)
+    }
+  }
+
+  test("q17_small_lots: single row, consistent sign and count") {
+    val r = Relational.q17SmallLots(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_lines") > 0)
+    assert(r.head.getAs[Double]("revenue_small_lots") > 0)
+  }
+
+  test("q20_promo_suppliers: suppliers are from ASIA, names ascend") {
+    import org.apache.spark.sql.functions.{broadcast => b, col => f}
+    val rows = Relational.q20PromoSuppliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val names = rows.map(_.getAs[String]("s_name"))
+    assert(names.sameElements(names.sorted))
+    val asia = sources.Tables.supplier(spark, sf)
+      .join(b(sources.Tables.nation(spark, sf)), f("s_nationkey") === f("n_nationkey"))
+      .join(b(sources.Tables.region(spark, sf).filter(f("r_name") === "ASIA")),
+        f("n_regionkey") === f("r_regionkey"))
+      .select(f("s_name")).collect().map(_.getString(0)).toSet
+    assert(names.forall(asia.contains))
+  }
 }
