@@ -17,17 +17,22 @@ object Curation {
 
   // ---- quality_filter -----------------------------------------------------
 
-  /** Gopher-style hard bounds (tuned so every rule fires on a real slice of
-    * the synthetic corpus — see SURVEY §6).
+  /** Gopher-style hard bounds (defaults tuned so every rule fires on a real
+    * slice of the synthetic corpus — see SURVEY §6). Conf-driven
+    * (`spark.graft.quality.*`); percent knobs keep every threshold an exact
+    * integer cross-multiply in both engines.
     */
-  val MinWords = 20
-  val MaxWords = 80
-  /** Stopword fraction below this ⇒ not prose (Gopher's stopword rule). */
-  val MinStopFrac = 0.01 // compared as n_stop * 100 < n_words
-  /** Fraction of tokens covered by the most frequent bigram above this ⇒
-    * repetitive boilerplate (Gopher's top-2-gram rule).
+  def MinWords: Int = GraftConf.qualityMinWords
+  def MaxWords: Int = GraftConf.qualityMaxWords
+  /** Stopword percent below this ⇒ not prose (Gopher's stopword rule),
+    * compared as `n_stop * 100 < n_words * pct`.
     */
-  val MaxTopBigramFrac = 0.2 // compared as 10 * max_bg > n_words
+  def MinStopPct: Int = GraftConf.qualityMinStopPct
+  /** Percent of tokens covered by the most frequent bigram above this ⇒
+    * repetitive boilerplate (Gopher's top-2-gram rule), compared as
+    * `top_bg * 100 > n_words * pct`.
+    */
+  def MaxTopBigramPct: Int = GraftConf.qualityMaxTopBigramPct
 
   /** `quality_filter`: per-doc C4/Gopher rule evaluation — word-count
     * bounds, stopword floor, top-bigram repetition ceiling — with a keep
@@ -60,8 +65,8 @@ object Curation {
       .withColumn("top_bg", coalesce(col("top_bg"), lit(0L)))
     val rShort = col("n_words") < MinWords
     val rLong = col("n_words") > MaxWords
-    val rStop = col("n_stop") * 100 < col("n_words")
-    val rRep = col("top_bg") * 10 > col("n_words")
+    val rStop = col("n_stop") * 100 < col("n_words") * MinStopPct
+    val rRep = col("top_bg") * 100 > col("n_words") * MaxTopBigramPct
     joined
       .withColumn("keep", !rShort && !rLong && !rStop && !rRep)
       .withColumn("reasons", array_join(concat(
@@ -73,7 +78,7 @@ object Curation {
       .contractOrderBy("doc_id")
   }
 
-  val qualityFilterSql: String = {
+  def qualityFilterSql: String = {
     val stopList = TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(",")
     s"""WITH d AS (
        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -96,12 +101,12 @@ object Curation {
        |)
        |SELECT doc_id, n_words, n_stop, top_bg,
        |  NOT (n_words < $MinWords OR n_words > $MaxWords
-       |       OR n_stop * 100 < n_words OR top_bg * 10 > n_words) AS keep,
+       |       OR n_stop * 100 < n_words * $MinStopPct OR top_bg * 100 > n_words * $MaxTopBigramPct) AS keep,
   coalesce(array_to_string(
        |    (CASE WHEN n_words < $MinWords THEN ['too_short'] ELSE [] END)
        |    || (CASE WHEN n_words > $MaxWords THEN ['too_long'] ELSE [] END)
-       |    || (CASE WHEN n_stop * 100 < n_words THEN ['low_stopword'] ELSE [] END)
-       |    || (CASE WHEN top_bg * 10 > n_words THEN ['repetitive'] ELSE [] END), ','), '') AS reasons
+       |    || (CASE WHEN n_stop * 100 < n_words * $MinStopPct THEN ['low_stopword'] ELSE [] END)
+       |    || (CASE WHEN top_bg * 100 > n_words * $MaxTopBigramPct THEN ['repetitive'] ELSE [] END), ','), '') AS reasons
        |FROM j
        |ORDER BY doc_id""".stripMargin
   }

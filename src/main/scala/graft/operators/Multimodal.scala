@@ -212,13 +212,39 @@ object Multimodal {
     }
   }
 
-  /** Per-partition batch decode (mapInPandas analog): the real plumbing —
-    * one decoder instance per partition, iterator in / iterator out.
+  /** REAL image decode over the JDK's bundled codecs (PNG/JPEG/GIF/BMP via
+    * `javax.imageio` — zero external dependencies), proving the
+    * [[MediaDecoder]] seam with an actual codec: true width/height come out
+    * of the pixel data, not the byte length. Non-image modalities and
+    * undecodable payloads fall back to [[StubDecoder]] (production policy
+    * would route failures to a quarantine column instead).
+    *
+    * The synthetic corpus carries text bytes, so the oracle-checked
+    * `multimodal_*` queries keep the stub; the spec drives in-test-encoded
+    * PNGs through [[decodeMedia]]'s partition iterator and asserts the true
+    * geometry round-trips.
     */
-  def decodeStub(spark: SparkSession, dir: String,
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte], modality: String): (Long, Long, Double) =
+      if (modality == "image") {
+        // never spill decode scratch to disk tmp files on executors
+        javax.imageio.ImageIO.setUseCache(false)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) StubDecoder.decode(payload, modality)
+        else (img.getWidth.toLong, img.getHeight.toLong, 0.0)
+      } else StubDecoder.decode(payload, modality)
+  }
+
+  /** Per-partition batch decode (mapInPandas analog) over any
+    * (doc_id, modality, payload binary) relation: the real plumbing — one
+    * decoder instance per partition, iterator in / iterator out.
+    */
+  def decodeMedia(media: DataFrame,
       decoder: MediaDecoder = StubDecoder): Dataset[MediaMeta] = {
-    import spark.implicits._
-    mediaTable(spark, dir)
+    import media.sparkSession.implicits._
+    media
       .select(col("doc_id"), col("modality"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
@@ -230,4 +256,9 @@ object Multimodal {
         }
       }
   }
+
+  /** [[decodeMedia]] over the synthetic corpus (driver-contract shape). */
+  def decodeStub(spark: SparkSession, dir: String,
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaMeta] =
+    decodeMedia(mediaTable(spark, dir), decoder)
 }

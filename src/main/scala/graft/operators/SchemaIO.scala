@@ -82,11 +82,16 @@ object Schemas {
   private val Bundled = Seq("NDA_Form", "Employment_Agreement")
 
   lazy val manager: SchemaManager = {
+    // one temp dir per JVM (lazy val), removed on exit — files first, then
+    // the dir (deleteOnExit runs in reverse registration order)
     val dir = Files.createTempDirectory("graft-schemas")
+    dir.toFile.deleteOnExit()
     Bundled.foreach { name =>
       val in = getClass.getResourceAsStream(s"/graft/schemas/$name.json")
       require(in != null, s"bundled schema resource missing: $name.json")
-      try Files.copy(in, dir.resolve(s"$name.json")) finally in.close()
+      val dst = dir.resolve(s"$name.json")
+      try Files.copy(in, dst) finally in.close()
+      dst.toFile.deleteOnExit()
     }
     new SchemaManager(dir.toString)
   }

@@ -15,9 +15,12 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Number of query vectors (lowest vec_ids) and neighbors per query. */
-  val NumQueries = 10
-  val TopK = 5
+  /** Number of query vectors (lowest vec_ids) and neighbors per query —
+    * conf-driven (`spark.graft.ann.*`); the oracle SQL generators read the
+    * same accessors so parity holds at any setting.
+    */
+  def NumQueries: Int = GraftConf.annQueries
+  def TopK: Int = GraftConf.annTopK
 
   private def withDoubleEmb(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("label"),
@@ -41,7 +44,7 @@ object Similarity {
       .contractOrderBy("query_id", "rank")
   }
 
-  val annTopKSql: String =
+  def annTopKSql: String =
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qemb
        |  FROM embeddings WHERE vec_id < $NumQueries
@@ -74,7 +77,7 @@ object Similarity {
       .contractOrderBy("query_id", "rank")
   }
 
-  val retrieveSimilarDocsSql: String =
+  def retrieveSimilarDocsSql: String =
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qemb
        |  FROM embeddings WHERE vec_id < $NumQueries
@@ -118,7 +121,7 @@ object Similarity {
   def annTopKIvf(spark: SparkSession, dir: String): DataFrame =
     blockedTopK(spark, dir)
 
-  val annTopKIvfSql: String =
+  def annTopKIvfSql: String =
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, label AS qlabel, CAST(embedding AS DOUBLE[]) AS qemb
        |  FROM embeddings WHERE vec_id < $NumQueries
@@ -135,8 +138,10 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
-  /** IVF probe width for the trained-quantizer path. */
-  val NProbe = 2
+  /** IVF probe width for the trained-quantizer path
+    * (`spark.graft.ann.nprobe`).
+    */
+  def NProbe: Int = GraftConf.annNProbe
 
   /** The end-to-end IVF stack: [[Clustering.trainedCentroids]] (trained
     * in-engine, exact integer grid) acts as the coarse quantizer — every

@@ -38,6 +38,18 @@ package object operators {
       v
     }
 
+    /** Fraction in (0, 1]: similarity thresholds. */
+    private def fraction(key: String, default: String): Double = {
+      val raw = get(key, default)
+      val v = try raw.toDouble catch {
+        case e: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$key must be a fraction in (0, 1], got '$raw'", e)
+      }
+      require(v > 0 && v <= 1, s"$key must be in (0, 1], got $v")
+      v
+    }
+
     /** Independent packing shards (`spark.graft.pack.shards`). */
     def packShards: Int = positive("spark.graft.pack.shards", "8")
     /** Packed-sequence token budget (`spark.graft.pack.seqTokens`). */
@@ -57,6 +69,45 @@ package object operators {
     def kmeansK: Int = positive("spark.graft.kmeans.k", "10")
     /** k-means assignment rounds, ≥ 1 (`spark.graft.kmeans.iters`). */
     def kmeansIters: Int = positive("spark.graft.kmeans.iters", "2")
+
+    // -- dedup knobs: a deployment tunes recall and skew caps per corpus --
+    /** Shingle width in words (`spark.graft.dedup.shingleWords`). */
+    def shingleWords: Int = positive("spark.graft.dedup.shingleWords", "3")
+    /** Hot-shingle document-frequency cap (`spark.graft.dedup.hotShingleDf`). */
+    def hotShingleDf: Int = positive("spark.graft.dedup.hotShingleDf", "64")
+    /** LSH bands (`spark.graft.dedup.bands`). */
+    def minhashBands: Int = positive("spark.graft.dedup.bands", "4")
+    /** MinHash rows per band (`spark.graft.dedup.rowsPerBand`). */
+    def minhashRowsPerBand: Int = positive("spark.graft.dedup.rowsPerBand", "4")
+    /** Jaccard similarity threshold (`spark.graft.dedup.jaccardTau`). */
+    def jaccardTau: Double = fraction("spark.graft.dedup.jaccardTau", "0.5")
+    /** MinHash verify threshold (`spark.graft.dedup.minhashTau`). */
+    def minhashTau: Double = fraction("spark.graft.dedup.minhashTau", "0.5")
+    /** Embedding near-dup cosine threshold (`spark.graft.dedup.cosineTau`). */
+    def cosineTau: Double = fraction("spark.graft.dedup.cosineTau", "0.35")
+    /** Hot band-bucket cap (`spark.graft.dedup.hotBandDocs`). */
+    def hotBandDocs: Int = positive("spark.graft.dedup.hotBandDocs", "64")
+
+    // -- ANN knobs --
+    /** Query-vector count (`spark.graft.ann.queries`). */
+    def annQueries: Int = positive("spark.graft.ann.queries", "10")
+    /** Neighbors per query (`spark.graft.ann.topK`). */
+    def annTopK: Int = positive("spark.graft.ann.topK", "5")
+    /** IVF probe width (`spark.graft.ann.nprobe`). */
+    def annNProbe: Int = positive("spark.graft.ann.nprobe", "2")
+
+    // -- quality-filter bounds (integer percents: thresholds compare as
+    //    exact integer cross-multiplies in both engines, never a float) --
+    /** Minimum words per document (`spark.graft.quality.minWords`). */
+    def qualityMinWords: Int = positive("spark.graft.quality.minWords", "20")
+    /** Maximum words per document (`spark.graft.quality.maxWords`). */
+    def qualityMaxWords: Int = positive("spark.graft.quality.maxWords", "80")
+    /** Stopword floor, percent (`spark.graft.quality.minStopPct`). */
+    def qualityMinStopPct: Int = positive("spark.graft.quality.minStopPct", "1")
+    /** Top-bigram repetition ceiling, percent
+      * (`spark.graft.quality.maxTopBigramPct`).
+      */
+    def qualityMaxTopBigramPct: Int = positive("spark.graft.quality.maxTopBigramPct", "10")
   }
 
   /** Session-lifetime registry of persisted operator intermediates. An

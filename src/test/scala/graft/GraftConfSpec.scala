@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Clustering, Curation, Similarity}
+import graft.operators.{Clustering, Curation, Dedup, Similarity}
 
 /** The `spark.graft.*` scale knobs: non-default settings must flow into BOTH
   * the Spark plan and the generated oracle SQL (so cross-engine parity holds
@@ -56,6 +56,76 @@ class GraftConfSpec extends SparkSpec {
     }
     withConf("spark.graft.pack.shards" -> "0") {
       intercept[IllegalArgumentException](Curation.PackShards)
+    }
+  }
+
+  test("dedup knobs at non-default values: plan and oracle SQL track the conf") {
+    withConf(
+      "spark.graft.dedup.shingleWords" -> "2",
+      "spark.graft.dedup.hotShingleDf" -> "32",
+      "spark.graft.dedup.bands" -> "8",
+      "spark.graft.dedup.rowsPerBand" -> "2",
+      "spark.graft.dedup.jaccardTau" -> "0.4",
+      "spark.graft.dedup.minhashTau" -> "0.4",
+      "spark.graft.dedup.hotBandDocs" -> "32") {
+      assert(Dedup.ShingleWords == 2 && Dedup.MinHashK == 16 && Dedup.Bands == 8)
+      val sql = Dedup.dedupMinhashLshSql
+      assert(sql.contains("sig_15") && !sql.contains("sig_16")) // 8x2 perms
+      assert(sql.contains("7 AS band_id"))
+      assert(sql.contains(">= 0.4") && sql.contains("count(*) <= 32"))
+      // relaxed tau + narrower shingles recall at least the default pairs
+      val pairs = Dedup.dedupMinhashLsh(spark, sf).collect()
+      assert(pairs.nonEmpty)
+      pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.4))
+      // the incremental path stays equivalent under non-default banding
+      val delta = Dedup.dedupDelta(spark, sf).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      val full = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+        .filter(p => p._1 % Dedup.DeltaIdMod == 0 || p._2 % Dedup.DeltaIdMod == 0).toSet
+      assert(delta == full)
+    }
+    withConf("spark.graft.dedup.cosineTau" -> "0.3") {
+      assert(Dedup.dedupEmbeddingSql.contains(">= 0.3"))
+      val p = Dedup.dedupEmbedding(spark, sf).collect()
+      assert(p.nonEmpty)
+      p.foreach(r => assert(r.getAs[Double]("cos") >= 0.3))
+    }
+  }
+
+  test("ANN knobs at non-default values: result shape and oracle SQL track the conf") {
+    withConf(
+      "spark.graft.ann.queries" -> "5",
+      "spark.graft.ann.topK" -> "3",
+      "spark.graft.ann.nprobe" -> "1") {
+      val rows = Similarity.annTopK(spark, sf).collect()
+      assert(rows.length == 5 * 3)
+      assert(Similarity.annTopKSql.contains("vec_id < 5") &&
+        Similarity.annTopKSql.contains("rank <= 3"))
+      assert(Similarity.annTopKIvf2Sql.contains("rn <= 1"))
+      val ivf2 = Similarity.annTopKIvf2(spark, sf).collect()
+      assert(ivf2.groupBy(_.getAs[Long]("query_id")).forall(_._2.length <= 3))
+    }
+  }
+
+  test("quality-filter bounds at non-default values: keep/reasons track the conf") {
+    withConf(
+      "spark.graft.quality.minWords" -> "10",
+      "spark.graft.quality.maxWords" -> "60",
+      "spark.graft.quality.minStopPct" -> "2",
+      "spark.graft.quality.maxTopBigramPct" -> "15") {
+      val sql = Curation.qualityFilterSql
+      assert(sql.contains("n_words < 10") && sql.contains("n_words > 60") &&
+        sql.contains("n_words * 2") && sql.contains("n_words * 15"))
+      val rows = Curation.qualityFilter(spark, sf).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (nw, ns, bg) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_stop"), r.getAs[Long]("top_bg"))
+        val expectKeep = !(nw < 10 || nw > 60 || ns * 100 < nw * 2 || bg * 100 > nw * 15)
+        assert(r.getAs[Boolean]("keep") == expectKeep)
+        assert(r.getAs[Boolean]("keep") == r.getAs[String]("reasons").isEmpty)
+      }
+      // the non-default bounds actually change at least one verdict
+      assert(rows.exists(!_.getAs[Boolean]("keep")) && rows.exists(_.getAs[Boolean]("keep")))
     }
   }
 

@@ -37,6 +37,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(exact.nonEmpty && (exact -- lsh).isEmpty)
   }
 
+  test("dedup_delta: incremental pairs ≡ full-corpus LSH restricted to delta ids") {
+    val delta = Dedup.dedupDelta(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
+    val full = Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+      .filter(p => p._1 % Dedup.DeltaIdMod == 0 || p._2 % Dedup.DeltaIdMod == 0).toSet
+    assert(delta.nonEmpty, "planted dups must straddle the snapshot split")
+    assert(delta == full,
+      s"delta-only: ${delta -- full}; full-only: ${full -- delta}")
+    // and the incremental path found pairs on BOTH lanes at least once
+    // across the planted data: delta-internal and delta-vs-base
+    assert(delta.exists(p => p._1 % Dedup.DeltaIdMod == 0 && p._2 % Dedup.DeltaIdMod == 0) ||
+           delta.exists(p => p._1 % Dedup.DeltaIdMod != 0 || p._2 % Dedup.DeltaIdMod != 0))
+  }
+
+  test("dedupKeepFrom: acting on a precomputed cluster table ≡ dedup_keep") {
+    val clusters = Dedup.dedupClusters(spark, sf)
+    val viaFrom = Dedup.dedupKeepFrom(
+        sources.Tables.documents(spark, sf), clusters).collect()
+      .map(_.toSeq).toSet
+    val direct = Dedup.dedupKeep(spark, sf).collect().map(_.toSeq).toSet
+    assert(viaFrom.nonEmpty && viaFrom == direct)
+  }
+
   test("dedup_simhash: near-identical docs have small hamming distance") {
     val sig = Dedup.dedupSimhash(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
@@ -164,6 +188,32 @@ class LlmOpsSpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.getAs[Long]("frame_off") >= 0 && r.getAs[Long]("frame_len") > 0)
     }
+  }
+
+  test("ImageIoDecoder: real PNG geometry round-trips through the partition iterator") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF8800) // non-trivial pixel so the encoder writes real data
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, "image", png(17, 5)),
+      (2L, "image", png(320, 200)),
+      (3L, "image", "not a png".getBytes("UTF-8")), // undecodable → stub fallback
+      (4L, "audio", Array.fill[Byte](32000)(1)))    // non-image → stub duration
+      .toDF("doc_id", "modality", "payload")
+    val got = Multimodal.decodeMedia(media, Multimodal.ImageIoDecoder)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(got(1L).width == 17 && got(1L).height == 5)
+    assert(got(2L).width == 320 && got(2L).height == 200)
+    val stub3 = Multimodal.StubDecoder.decode("not a png".getBytes("UTF-8"), "image")
+    assert(got(3L).width == stub3._1 && got(3L).height == stub3._2)
+    assert(got(4L).duration == 2.0 && got(4L).width == 0)
+    // content integrity rides along regardless of decoder
+    assert(got(2L).content_md5.matches("[0-9a-f]{32}") && got(2L).byte_len > 0)
   }
 
   test("multimodal_resize: aspect preserved, longest side fit, never upscaled") {
