@@ -52,6 +52,24 @@ class LlmOpsSpec extends SparkSpec {
            delta.exists(p => p._1 % Dedup.DeltaIdMod != 0 || p._2 % Dedup.DeltaIdMod != 0))
   }
 
+  test("dedup_delta from a parquet-persisted band index ≡ in-memory (the production shape)") {
+    val docs = sources.Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % Dedup.DeltaIdMod =!= 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft-bandindex").toString
+    // index time: persist sets + bands (what a crawl pipeline writes once)
+    sources.Sinks.writePartitioned(Dedup.bandTableOf(Dedup.hashedShingleSetsOf(base)),
+      s"$idx/bands", "band_id")
+    Dedup.hashedShingleSetsOf(base).write.mode("overwrite").parquet(s"$idx/sets")
+    // crawl time: only the delta is shingled; base comes back from disk
+    val got = Dedup.dedupDeltaFrom(
+        spark.read.parquet(s"$idx/sets"),
+        spark.read.parquet(s"$idx/bands"),
+        docs.filter(col("doc_id") % Dedup.DeltaIdMod === 0))
+      .collect().map(_.toSeq).toSet
+    val inMem = Dedup.dedupDelta(spark, sf).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == inMem)
+  }
+
   test("dedupKeepFrom: acting on a precomputed cluster table ≡ dedup_keep") {
     val clusters = Dedup.dedupClusters(spark, sf)
     val viaFrom = Dedup.dedupKeepFrom(
