@@ -237,6 +237,33 @@ object Multimodal {
       } else StubDecoder.decode(payload, modality)
   }
 
+  /** REAL audio decode over the JDK's bundled `javax.sound.sampled`
+    * (WAV/AIFF/AU — zero external dependencies): true duration comes out of
+    * the frame count ÷ frame rate in the container header, proving the
+    * audio rung of the [[MediaDecoder]] seam the same way [[ImageIoDecoder]]
+    * proves the image rung. Non-audio modalities and undecodable payloads
+    * fall back to [[StubDecoder]].
+    */
+  object AudioWavDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte], modality: String): (Long, Long, Double) =
+      if (modality == "audio") {
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val fmt = in.getFormat
+            val frames = in.getFrameLength
+            if (frames >= 0 && fmt.getFrameRate > 0)
+              (0L, 0L, math.round(frames / fmt.getFrameRate.toDouble * 1e6) / 1e6)
+            else StubDecoder.decode(payload, modality)
+          } finally in.close()
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException => StubDecoder.decode(payload, modality)
+        }
+      } else StubDecoder.decode(payload, modality)
+  }
+
   /** Per-partition batch decode (mapInPandas analog) over any
     * (doc_id, modality, payload binary) relation: the real plumbing — one
     * decoder instance per partition, iterator in / iterator out.

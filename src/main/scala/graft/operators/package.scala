@@ -87,6 +87,10 @@ package object operators {
     def cosineTau: Double = fraction("spark.graft.dedup.cosineTau", "0.35")
     /** Hot band-bucket cap (`spark.graft.dedup.hotBandDocs`). */
     def hotBandDocs: Int = positive("spark.graft.dedup.hotBandDocs", "64")
+    /** Connected-components iteration backstop
+      * (`spark.graft.dedup.ccMaxIters`).
+      */
+    def ccMaxIters: Int = positive("spark.graft.dedup.ccMaxIters", "20")
 
     // -- ANN knobs --
     /** Query-vector count (`spark.graft.ann.queries`). */

@@ -84,6 +84,9 @@ class GraftConfSpec extends SparkSpec {
         .filter(p => p._1 % Dedup.DeltaIdMod == 0 || p._2 % Dedup.DeltaIdMod == 0).toSet
       assert(delta == full)
     }
+    withConf("spark.graft.dedup.ccMaxIters" -> "7") {
+      assert(Dedup.CcMaxIters == 7)
+    }
     withConf("spark.graft.dedup.cosineTau" -> "0.3") {
       assert(Dedup.dedupEmbeddingSql.contains(">= 0.3"))
       val p = Dedup.dedupEmbedding(spark, sf).collect()

@@ -234,6 +234,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(2L).content_md5.matches("[0-9a-f]{32}") && got(2L).byte_len > 0)
   }
 
+  test("AudioWavDecoder: real WAV duration round-trips through the partition iterator") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(sampleRate: Float, nFrames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      val out = new java.io.ByteArrayOutputStream()
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, "audio", wav(16000f, 8000)),  // 0.5 s
+      (2L, "audio", wav(8000f, 12000)),  // 1.5 s
+      (3L, "audio", "not a wav".getBytes("UTF-8")), // undecodable → stub
+      (4L, "image", "png?".getBytes("UTF-8")))      // non-audio → stub
+      .toDF("doc_id", "modality", "payload")
+    val got = Multimodal.decodeMedia(media, Multimodal.AudioWavDecoder)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(got(1L).duration == 0.5 && got(2L).duration == 1.5)
+    val stub3 = Multimodal.StubDecoder.decode("not a wav".getBytes("UTF-8"), "audio")
+    assert(got(3L).duration == stub3._3)
+    val stub4 = Multimodal.StubDecoder.decode("png?".getBytes("UTF-8"), "image")
+    assert(got(4L).width == stub4._1 && got(4L).height == stub4._2)
+  }
+
   test("multimodal_resize: aspect preserved, longest side fit, never upscaled") {
     val rows = Multimodal.multimodalResize(spark, sf).collect()
     assert(rows.nonEmpty)
