@@ -56,6 +56,54 @@ object StreamOps {
       // dedups; state stays bounded because expiry follows the watermark
       .dropDuplicatesWithinWatermark("content_key")
 
+  /** Streaming INCREMENTAL dedup: a stream of new documents near-dup-checked
+    * against the STATIC persisted band index of the base corpus — the
+    * streaming twin of [[graft.operators.Dedup.dedupDeltaFrom]]. The join is
+    * stream-static, which Structured Streaming executes stateLESSly (the
+    * static side is just re-scannable; no join state accumulates), so this
+    * runs forever at crawl rates: per micro-batch the new docs are shingled,
+    * MinHash-signed and banded (stateless projections), bucket-joined
+    * against the stored index, and exact-Jaccard-verified against the
+    * stored shingle sets.
+    *
+    * Semantics vs the batch path: this covers the delta×base lane
+    * (delta-internal pairs need a stream-stream self-join — the batch
+    * [[graft.operators.Dedup.dedupDelta]] owns that lane), and the
+    * hot-bucket cap reads the STORED index occupancy (an unbounded stream
+    * has no global delta counts; base-corpus occupancy is what production
+    * stores alongside the index). A pair sharing several cool buckets is
+    * emitted once per bucket — production chains `dropDuplicates` under a
+    * watermark or per-sink dedup; the spec normalizes to a set.
+    */
+  def deltaDedupStream(deltaDocs: DataFrame, baseBands: DataFrame,
+      baseSets: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val cap = Dedup.HotBandDocs
+    val cool = baseBands.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") <= cap)
+      .select("band_id", "band_hash")
+    // the stream side carries its shingle set THROUGH the banding
+    // (keepSets): re-attaching it later would be a stream-stream self-join
+    val d = Dedup.bandTableOf(Dedup.hashedShingleSetsOf(deltaDocs), keepSets = true)
+      .withColumnRenamed("doc_id", "delta_id")
+      .withColumnRenamed("hs", "sha")
+    // keep the delta/base roles separate through the verify so every join
+    // stays an equi-join; normalize to (doc_a < doc_b) only at the end
+    d
+      .join(baseBands.join(cool, Seq("band_id", "band_hash"))
+          .withColumnRenamed("doc_id", "base_id"),
+        Seq("band_id", "band_hash"))
+      .join(baseSets.select(col("doc_id").as("base_id"), col("hs").as("shb")), "base_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")), 4))
+      .filter(col("jaccard") >= Dedup.MinHashTau)
+      .select(least(col("delta_id"), col("base_id")).as("doc_a"),
+        greatest(col("delta_id"), col("base_id")).as("doc_b"), col("jaccard"))
+  }
+
   /** Stream-stream interval join: each purchase joined to the clicks of the
     * same user in the preceding hour. Both sides carry watermarks, so the
     * join state (buffered clicks awaiting purchases and vice versa) is

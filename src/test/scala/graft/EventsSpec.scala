@@ -138,6 +138,40 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming deltaDedupStream: stream-static join vs stored band index ≡ batch") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sq = spark.sqlContext
+    val docs = sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % Dedup.DeltaIdMod =!= 0)
+    val baseSets = Dedup.hashedShingleSetsOf(base).cache()
+    val baseBands = Dedup.bandTableOf(baseSets).cache()
+    val delta = docs.filter(col("doc_id") % Dedup.DeltaIdMod === 0)
+    def toSet(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
+    // same code path over a batch DataFrame is the reference result
+    val expected = toSet(StreamOps.deltaDedupStream(delta, baseBands, baseSets).collect())
+    assert(expected.nonEmpty, "planted dups must straddle the snapshot split")
+    // and it must agree with the batch incremental operator's delta×base lane
+    val batchLane = toSet(Dedup.dedupDelta(spark, sf).collect())
+      .filter(p => (p._1 % Dedup.DeltaIdMod == 0) != (p._2 % Dedup.DeltaIdMod == 0))
+    assert(expected == batchLane)
+    // now the same delta docs arriving as a STREAM across two micro-batches
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.deltaDedupStream(
+        mem.toDF().toDF("doc_id", "text"), baseBands, baseSets)
+      .writeStream.format("memory").queryName("ddelta").outputMode("append").start()
+    try {
+      val rows = delta.as[(Long, String)].collect()
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      assert(toSet(spark.table("ddelta").collect()) == expected)
+    } finally { q.stop(); baseSets.unpersist(); baseBands.unpersist() }
+  }
+
   test("streaming sessionize agrees with batch events_sessionize on real data") {
     import spark.implicits._
     // batch-drain variant over the real events table
