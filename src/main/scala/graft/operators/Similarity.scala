@@ -246,28 +246,31 @@ object Similarity {
     * over the ROUNDED score.
     */
   def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    // snapshot the conf-driven term list once: a conf change mid-build must
+    // not desync the tf_i columns from the scoring expressions
+    val terms = QueryTerms
     val d = Tables.documents(spark, dir)
       .withColumn("ws", split(col("text"), " "))
       .withColumn("dl", size(col("ws")).cast("long"))
-    val withTf = QueryTerms.zipWithIndex.foldLeft(d) { case (df, (t, i)) =>
+    val withTf = terms.zipWithIndex.foldLeft(d) { case (df, (t, i)) =>
       df.withColumn(s"tf_$i", expr(s"size(filter(ws, w -> w = '$t'))").cast("long"))
     }
     val statAggs = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
-      QueryTerms.indices.map(i =>
+      terms.indices.map(i =>
         sum(when(col(s"tf_$i") > 0, 1).otherwise(0)).cast("long").as(s"df_$i"))
     val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
     val scored = withTf.crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-    val termW = QueryTerms.indices.map { i =>
+    val termW = terms.indices.map { i =>
       val idf = round(log((col("n_docs") - col(s"df_$i") + lit(0.5)) /
         (col(s"df_$i") + lit(0.5)) + lit(1.0)), 6)
       idf * (col(s"tf_$i") * lit(2.2)) /
         (col(s"tf_$i") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
     }
     val hits = scored
-      .filter(QueryTerms.indices.map(i => col(s"tf_$i")).reduce(_ + _) > 0)
+      .filter(terms.indices.map(i => col(s"tf_$i")).reduce(_ + _) > 0)
       .withColumn("score", round(termW.reduce(_ + _), 4))
-      .select(Seq(col("doc_id")) ++ QueryTerms.indices.map(i => col(s"tf_$i")) :+ col("score"): _*)
+      .select(Seq(col("doc_id")) ++ terms.indices.map(i => col(s"tf_$i")) :+ col("score"): _*)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(Bm25TopK)
     // single-partition window over the already-limited top-k rows is
@@ -279,22 +282,23 @@ object Similarity {
         row_number().over(Window.partitionBy(pmod(col("doc_id"), lit(1)))
           .orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(Seq(col("rank"), col("doc_id")) ++
-        QueryTerms.indices.map(i => col(s"tf_$i")) :+ col("score"): _*)
+        terms.indices.map(i => col(s"tf_$i")) :+ col("score"): _*)
       .contractOrderBy("rank")
   }
 
   def bm25SearchSql: String = {
-    val tfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
+    val terms = QueryTerms
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(ws, w -> w = '$t')) AS BIGINT) AS tf_$i"
     }.mkString(",\n    ")
-    val dfCols = QueryTerms.indices.map(i =>
+    val dfCols = terms.indices.map(i =>
       s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(", ")
-    val termW = QueryTerms.indices.map { i =>
+    val termW = terms.indices.map { i =>
       s"""round(ln((n_docs - df_$i + CAST(0.5 AS DOUBLE)) / (df_$i + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)), 6)
          | * (tf_$i * CAST(2.2 AS DOUBLE)) / (tf_$i + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / avgdl)))"""
         .stripMargin.replace("\n", "")
     }
-    val tfOut = QueryTerms.indices.map(i => s"tf_$i").mkString(", ")
+    val tfOut = terms.indices.map(i => s"tf_$i").mkString(", ")
     s"""WITH f AS (
        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
        |    $tfCols
@@ -306,7 +310,7 @@ object Similarity {
        |  SELECT doc_id, $tfOut,
        |    round(${termW.mkString("\n      + ")}, 4) AS score
        |  FROM (SELECT f.*, s.*, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM f CROSS JOIN s)
-       |  WHERE ${QueryTerms.indices.map(i => s"tf_$i").mkString(" + ")} > 0
+       |  WHERE ${terms.indices.map(i => s"tf_$i").mkString(" + ")} > 0
        |)
        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
        |  doc_id, $tfOut, score
