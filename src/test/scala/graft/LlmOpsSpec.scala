@@ -52,6 +52,22 @@ class LlmOpsSpec extends SparkSpec {
            delta.exists(p => p._1 % Dedup.DeltaIdMod != 0 || p._2 % Dedup.DeltaIdMod != 0))
   }
 
+  test("dedupDeltaFrom is split-invariant: any base/delta partition reproduces full LSH") {
+    val docs = sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val full = Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    for (mod <- Seq(3L, 7L)) {
+      val isDelta = col("doc_id") % mod === 1
+      val baseSets = Dedup.hashedShingleSetsOf(docs.filter(!isDelta))
+      val got = Dedup.dedupDeltaFrom(baseSets, Dedup.bandTableOf(baseSets),
+          docs.filter(isDelta)).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
+      val expected = full.filter(p => p._1 % mod == 1 || p._2 % mod == 1).toSet
+      assert(got == expected, s"mod=$mod: delta-only ${got -- expected}, missing ${expected -- got}")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("dedup_delta from a parquet-persisted band index ≡ in-memory (the production shape)") {
     val docs = sources.Tables.documents(spark, sf)
     val base = docs.filter(col("doc_id") % Dedup.DeltaIdMod =!= 0)
