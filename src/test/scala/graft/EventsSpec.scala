@@ -172,6 +172,25 @@ class EventsSpec extends SparkSpec {
     } finally { q.stop(); baseSets.unpersist(); baseBands.unpersist() }
   }
 
+  test("deltaDedupStream: hot-bucket cap on the stored index drops oversized buckets") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base = (1L to 6L).map(i => (i, text)).toDF("doc_id", "text")
+    val delta = Seq((100L, text)).toDF("doc_id", "text")
+    val baseSets = Dedup.hashedShingleSetsOf(base)
+    val baseBands = Dedup.bandTableOf(baseSets)
+    // identical docs ⇒ identical signatures ⇒ every band bucket holds all 6
+    val normal = StreamOps.deltaDedupStream(delta, baseBands, baseSets).collect()
+    assert(normal.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet ==
+      (1L to 6L).map(i => (i, 100L)).toSet)
+    try {
+      spark.conf.set("spark.graft.dedup.hotBandDocs", "3")
+      val capped = StreamOps.deltaDedupStream(delta, baseBands, baseSets).collect()
+      assert(capped.isEmpty, "buckets of 6 must be dropped at cap 3")
+    } finally spark.conf.unset("spark.graft.dedup.hotBandDocs")
+  }
+
   test("streaming sessionize agrees with batch events_sessionize on real data") {
     import spark.implicits._
     // batch-drain variant over the real events table
