@@ -95,7 +95,8 @@ object Bench {
     // `value`/`queries` carry the per-query MIN — the steady-state number a
     // quiet machine reproduces (SURVEY §8 documents this as authoritative).
     val json =
-      s"""{"metric":"total","value":$totalMin,"unit":"sec","min":$totalMin,"median":$totalMedian,""" +
+      s"""{"metric":"total","value":$totalMin,"unit":"sec","stat":"min","schema_version":2,""" +
+      s""""min":$totalMin,"median":$totalMedian,""" +
       s""""contended":$contended,"probe_sec":[$probeBefore,$probeAfter],"probe_bound":$probeBound,""" +
       s""""queries":${qJson(_._1)},"queries_median":${qJson(_._2)},"sf":"$sfDir"}"""
     println(json)

@@ -229,9 +229,12 @@ object Multimodal {
       if (modality == "image") {
         // never spill decode scratch to disk tmp files on executors
         javax.imageio.ImageIO.setUseCache(false)
+        // NonFatal, not just IOException: JDK image codecs throw runtime
+        // exceptions (ArrayIndexOutOfBounds, IllegalArgument) on malformed
+        // payloads — quarantine policy means ANY decode failure falls back
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) StubDecoder.decode(payload, modality)
         else (img.getWidth.toLong, img.getHeight.toLong, 0.0)
       } else StubDecoder.decode(payload, modality)
@@ -258,8 +261,9 @@ object Multimodal {
             else StubDecoder.decode(payload, modality)
           } finally in.close()
         } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException |
-               _: java.io.IOException => StubDecoder.decode(payload, modality)
+          // NonFatal (not just the two declared exceptions): malformed
+          // containers can surface runtime exceptions from header parsing
+          case scala.util.control.NonFatal(_) => StubDecoder.decode(payload, modality)
         }
       } else StubDecoder.decode(payload, modality)
   }

@@ -756,8 +756,13 @@ object Relational {
       .agg(sum(dec(col("l_extendedprice"))).as("value"))
       .withColumn("vcents", (col("value") * 100).cast("long"))
     val tot = v.agg(sum(col("vcents")).as("tcents"), count(lit(1)).as("nparts"))
+    // cross-multiply in DECIMAL(38,0), not Long: a Long product wraps
+    // silently with ANSI off at large SF; decimal stays exact to 1e38
+    // (far beyond any real corpus) and overflows LOUDLY under ANSI.
+    // DuckDB side uses HUGEINT (int128) — same exact-or-loud contract.
     v.crossJoin(broadcast(tot))
-      .filter(col("vcents") * col("nparts") * 2 > col("tcents") * 3)
+      .filter(col("vcents").cast("decimal(38,0)") * col("nparts") * 2 >
+        col("tcents").cast("decimal(38,0)") * 3)
       .select(col("l_partkey").as("p_partkey"), col("value").cast("double").as("value"))
       .contractOrderBy(col("value").desc, col("p_partkey"))
   }
@@ -774,7 +779,7 @@ object Relational {
       |), tot AS (SELECT CAST(sum(vcents) AS BIGINT) AS tcents, count(*) AS nparts FROM v)
       |SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS value
       |FROM v, tot
-      |WHERE vcents * nparts * 2 > tcents * 3
+      |WHERE CAST(vcents AS HUGEINT) * nparts * 2 > CAST(tcents AS HUGEINT) * 3
       |ORDER BY value DESC, p_partkey""".stripMargin
 
   /** Small-lot revenue for one brand (TPC-H Q17 analog: per-part scalar
@@ -829,9 +834,12 @@ object Relational {
       .withColumn("qcents", (col("q") * 100).cast("long"))
     val partq = pairq.groupBy(col("l_partkey").as("pq_partkey"))
       .agg(sum(col("qcents")).as("tqcents"), count(lit(1)).as("np"))
+    // DECIMAL(38,0) cross-multiply (HUGEINT in the oracle): exact-or-loud
+    // at any scale, never a silent Long wrap — same contract as q11
     val qualifying = pairq
       .join(partq, pairq("l_partkey") === partq("pq_partkey"))
-      .filter(col("qcents") * col("np") > col("tqcents") * 2)
+      .filter(col("qcents").cast("decimal(38,0)") * col("np") >
+        col("tqcents").cast("decimal(38,0)") * 2)
       .select(col("l_suppkey").as("qual_suppkey"))
     val s = Tables.supplier(spark, dir)
     s.join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
@@ -858,6 +866,6 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |WHERE r_name = 'ASIA' AND s_suppkey IN (
       |  SELECT l_suppkey FROM pairq JOIN partq USING (l_partkey)
-      |  WHERE qcents * np > tqcents * 2)
+      |  WHERE CAST(qcents AS HUGEINT) * np > CAST(tqcents AS HUGEINT) * 2)
       |ORDER BY s_name""".stripMargin
 }

@@ -91,6 +91,11 @@ package object operators {
       * (`spark.graft.dedup.ccMaxIters`).
       */
     def ccMaxIters: Int = positive("spark.graft.dedup.ccMaxIters", "20")
+    /** Multi-probe cell-assignment width for trained-quantizer embedding
+      * dedup (`spark.graft.dedup.embedNProbe`): each vector blocks into its
+      * N nearest trained cells so near-boundary pairs still share a cell.
+      */
+    def dedupEmbedNProbe: Int = positive("spark.graft.dedup.embedNProbe", "2")
 
     // -- ANN knobs --
     /** Query-vector count (`spark.graft.ann.queries`). */

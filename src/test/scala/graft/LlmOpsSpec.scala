@@ -122,6 +122,31 @@ class LlmOpsSpec extends SparkSpec {
     p.foreach(r => assert(r.getAs[Double]("cos") >= Dedup.CosineTau))
   }
 
+  test("dedup_embedding_ivf: trained-quantizer recall ≥ label-blocked recall on true pairs") {
+    // ground truth: UNBLOCKED all-pairs cosine scan (fine at spec scale)
+    val e = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val truth = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(expr("graft_dot(a.emb, b.emb)"), 4))
+      .filter(col("cos") >= Dedup.CosineTau)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val ivf = Dedup.dedupEmbeddingIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val labeled = Dedup.dedupEmbedding(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(truth.nonEmpty && ivf.nonEmpty)
+    // blocking never invents pairs: both are subsets of the true pair set
+    assert((ivf -- truth).isEmpty && (labeled -- truth).isEmpty)
+    val ivfRecall = (ivf & truth).size.toDouble / truth.size
+    val labelRecall = (labeled & truth).size.toDouble / truth.size
+    // the trained quantizer with multi-probe must match the hand-labeled
+    // blocking on the planted pairs — labels are what a real corpus lacks
+    assert(ivfRecall >= labelRecall,
+      s"ivf recall $ivfRecall < label-blocked recall $labelRecall " +
+        s"(ivf-only: ${(ivf -- labeled).size}, label-only: ${(labeled -- ivf).size})")
+  }
+
   test("ann_topk: k neighbors per query, ranked by descending cosine") {
     val t = Similarity.annTopK(spark, sf).collect()
     assert(t.length == Similarity.NumQueries * Similarity.TopK)
