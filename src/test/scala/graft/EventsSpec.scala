@@ -172,6 +172,68 @@ class EventsSpec extends SparkSpec {
     } finally { q.stop(); baseSets.unpersist(); baseBands.unpersist() }
   }
 
+  test("IncrementalDedupIndex: streamed lanes ≡ one-shot batch delta, incl. cross-batch intra-delta pair") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sq = spark.sqlContext
+    val docs = sources.Tables.documents(spark, sf).select("doc_id", "text")
+    // delta = the standard snapshot PLUS both ends of one known near-dup
+    // pair, which the stream will deliver in SEPARATE micro-batches — the
+    // cross-batch intra-delta case the single-query lane cannot see
+    val pair = Dedup.dedupMinhashLsh(spark, sf).orderBy("doc_a", "doc_b").limit(1).collect().head
+    val (pa, pb) = (pair.getAs[Long]("doc_a"), pair.getAs[Long]("doc_b"))
+    val deltaIds = docs.filter(col("doc_id") % Dedup.DeltaIdMod === 0)
+      .select("doc_id").as[Long].collect().toSet + pa + pb
+    val base = docs.filter(!col("doc_id").isInCollection(deltaIds))
+    val delta = docs.filter(col("doc_id").isInCollection(deltaIds))
+    val baseSets = Dedup.hashedShingleSetsOf(base).cache()
+    val baseBands = Dedup.bandTableOf(baseSets).cache()
+    def toSet(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
+    // full-hindsight arbiter: the one-shot batch incremental core
+    val expected = toSet(Dedup.dedupDeltaFrom(baseSets, baseBands, delta).collect())
+    assert(expected.exists(p => p._1 == pa && p._2 == pb),
+      "the chosen pair must be a delta-internal near-dup")
+    val idx = new StreamOps.IncrementalDedupIndex(baseSets, baseBands)
+    val collected = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        collected.synchronized { collected ++= toSet(idx.processBatch(batch).collect()) }
+        ()
+      }
+      .start()
+    try {
+      val rows = delta.as[(Long, String)].collect()
+      // pa rides micro-batch 1, pb micro-batch 2
+      mem.addData(rows.filter(_._1 != pb).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(rows.filter(_._1 == pb).toIndexedSeq)
+      q.processAllAvailable()
+      assert(collected.toSet == expected,
+        s"stream-only: ${collected.toSet -- expected}; batch-only: ${expected -- collected}")
+    } finally { q.stop(); baseSets.unpersist(); baseBands.unpersist() }
+  }
+
+  test("IncrementalDedupIndex: a micro-batch flooding one bucket is capped like the batch path") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // base holds ONE doc in the bucket; a burst of 5 identical docs arrives
+    // in a single micro-batch → base+batch occupancy 6 > cap 3 → dropped
+    // (the single-query lane's stored-index-only cap would have passed it)
+    val base = Seq((1L, text)).toDF("doc_id", "text")
+    val burst = (100L to 104L).map(i => (i, text)).toDF("doc_id", "text")
+    val baseSets = Dedup.hashedShingleSetsOf(base)
+    val baseBands = Dedup.bandTableOf(baseSets)
+    try {
+      spark.conf.set("spark.graft.dedup.hotBandDocs", "3")
+      val idx = new StreamOps.IncrementalDedupIndex(baseSets, baseBands)
+      assert(idx.processBatch(burst).collect().isEmpty,
+        "base+batch bucket of 6 must be dropped at cap 3")
+    } finally spark.conf.unset("spark.graft.dedup.hotBandDocs")
+  }
+
   test("deltaDedupStream: hot-bucket cap on the stored index drops oversized buckets") {
     import spark.implicits._
     import graft.operators.Dedup

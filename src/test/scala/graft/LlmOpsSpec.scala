@@ -86,6 +86,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.nonEmpty && got == inMem)
   }
 
+  test("dedupDeltaFrom fails fast when the stored index's banding conf drifts from the live conf") {
+    val docs = sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val baseSets = Dedup.hashedShingleSetsOf(docs.filter(col("doc_id") % 2 === 0))
+    // index stamped under the DEFAULT banding conf, round-tripped through
+    // parquet the way production stores it
+    val idx = java.nio.file.Files.createTempDirectory("graft-fpr").toString
+    Dedup.bandTableOf(baseSets).write.mode("overwrite").parquet(idx)
+    val stored = spark.read.parquet(idx)
+    try {
+      spark.conf.set("spark.graft.dedup.bands", "8")
+      val e = intercept[IllegalStateException] {
+        Dedup.dedupDeltaFrom(baseSets, stored, docs.filter(col("doc_id") % 2 === 1))
+      }
+      assert(e.getMessage.contains("banding conf"))
+    } finally spark.conf.unset("spark.graft.dedup.bands")
+    // back at the index-time conf the same stored table is accepted
+    assert(Dedup.dedupDeltaFrom(baseSets, stored,
+      docs.filter(col("doc_id") % 2 === 1)).columns.contains("jaccard"))
+  }
+
   test("dedupKeepFrom: acting on a precomputed cluster table ≡ dedup_keep") {
     val clusters = Dedup.dedupClusters(spark, sf)
     val viaFrom = Dedup.dedupKeepFrom(
