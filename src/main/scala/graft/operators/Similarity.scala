@@ -223,6 +223,77 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Quantization levels for [[annTopKQ8]] (`spark.graft.ann.quantLevels`). */
+  def QuantLevels: Int = GraftConf.annQuantLevels
+
+  /** `ann_topk_q8`: top-k cosine over INT8-QUANTIZED embeddings — the
+    * ANN memory lever at 100 TB. A 64-dim float64 vector is 512 B/row; at
+    * corpus scale the vector table dominates probe-side IO. Scale-per-vector
+    * quantization stores 1 byte per component plus one float scale
+    * (~8× less probe-side IO): `s = max|x| / QuantLevels`,
+    * `q_i = floor(x_i/s + 0.5)` (clipped into a signed byte by
+    * construction), and `cos ≈ s_a·s_b·Σ q_a·q_b` — the integer dot is
+    * EXACT in double (|q| ≤ 127, 64 terms), so the only loss is the
+    * per-component rounding, which the recall spec bounds against the
+    * float path on the planted neighbors.
+    *
+    * Determinism: `floor(x/s + 0.5)` (never `round(double)` — the two
+    * engines disagree on decimal-string-vs-binary .5 ties), zero-vector
+    * scale coalesced to 1.0, and the final score composes left-associated
+    * `(s_a · s_b) · dot` in both engines.
+    *
+    * The quantized column materializes as `array<tinyint>` (1 byte per
+    * element in Tungsten) — the layout a persisted quantized index would
+    * carry — and is widened back to double only inside the codegen'd dot.
+    */
+  def annTopKQ8(spark: SparkSession, dir: String): DataFrame = {
+    val levels = QuantLevels
+    val qt = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      .withColumn("mx", expr("array_max(transform(emb, x -> abs(x)))"))
+      .withColumn("s", when(col("mx") === 0.0, lit(1.0))
+        .otherwise(col("mx") / lit(levels).cast("double")))
+      .withColumn("q8", expr("transform(emb, x -> cast(floor(x / s + 0.5d) as tinyint))"))
+      .select(col("vec_id"), col("s"), col("q8"),
+        expr("transform(q8, v -> cast(v as double))").as("qd"))
+    val q = qt.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("s").as("qs"), col("qd").as("qqd"))
+    val scored = broadcast(q).join(qt, col("vec_id") =!= col("query_id"))
+      .withColumn("cos_q8",
+        round(col("qs") * col("s") * expr("graft_dot(qqd, qd)"), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_q8").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos_q8"))
+      .contractOrderBy("query_id", "rank")
+  }
+
+  def annTopKQ8Sql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+       |  FROM embeddings
+       |), qt AS (
+       |  SELECT vec_id, s, list_transform(emb, x -> floor(x / s + 0.5)) AS qd
+       |  FROM (SELECT vec_id, emb,
+       |        CASE WHEN mx = 0 THEN CAST(1.0 AS DOUBLE) ELSE mx / CAST($QuantLevels AS DOUBLE) END AS s
+       |        FROM base)
+       |), q AS (
+       |  SELECT vec_id AS query_id, s AS qs, qd AS qqd FROM qt WHERE vec_id < $NumQueries
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    round(q.qs * e.s * list_inner_product(q.qqd, e.qd), 4) AS cos_q8
+       |  FROM q JOIN qt e ON e.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_q8,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_q8 DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, cos_q8 FROM ranked
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   // ---- bm25_search --------------------------------------------------------
 
   /** Keyword retrieval query terms — `spark.graft.bm25.terms`

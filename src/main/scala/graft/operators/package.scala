@@ -104,6 +104,15 @@ package object operators {
     def annTopK: Int = positive("spark.graft.ann.topK", "5")
     /** IVF probe width (`spark.graft.ann.nprobe`). */
     def annNProbe: Int = positive("spark.graft.ann.nprobe", "2")
+    /** Quantization levels per sign for the int8 cosine path
+      * (`spark.graft.ann.quantLevels`): 127 = full int8, 7 = int4-style.
+      * Capped at 127 so quantized components always fit a signed byte.
+      */
+    def annQuantLevels: Int = {
+      val v = positive("spark.graft.ann.quantLevels", "127")
+      require(v <= 127, s"spark.graft.ann.quantLevels must be <= 127, got $v")
+      v
+    }
 
     // -- quality-filter bounds (integer percents: thresholds compare as
     //    exact integer cross-multiplies in both engines, never a float) --

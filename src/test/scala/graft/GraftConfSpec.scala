@@ -110,6 +110,19 @@ class GraftConfSpec extends SparkSpec {
     }
   }
 
+  test("quantLevels at a non-default value flows into the q8 path and its oracle SQL") {
+    withConf("spark.graft.ann.quantLevels" -> "15") {
+      assert(Similarity.annTopKQ8Sql.contains("/ CAST(15 AS DOUBLE)"))
+      // coarser levels still rank the planted strong neighbors first
+      val rows = Similarity.annTopKQ8(spark, sf).collect()
+      assert(rows.length == Similarity.NumQueries * Similarity.TopK)
+      rows.foreach(r => assert(r.getAs[Double]("cos_q8") <= 1.5))
+    }
+    withConf("spark.graft.ann.quantLevels" -> "128") {
+      intercept[IllegalArgumentException](Similarity.annTopKQ8(spark, sf))
+    }
+  }
+
   test("quality-filter bounds at non-default values: keep/reasons track the conf") {
     withConf(
       "spark.graft.quality.minWords" -> "10",

@@ -178,6 +178,26 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("ann_topk_q8: int8 quantization keeps ≥ 0.9 recall@k vs the float path") {
+    val float = Similarity.annTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val q8 = Similarity.annTopKQ8(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(float.nonEmpty && q8.length == float.length)
+    val byQ = float.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val q8ByQ = q8.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = byQ.map { case (q, truth) =>
+      (q8ByQ.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    // int8 rounding perturbs cosines by O(1/127) per component — planted
+    // neighbors sit far above that; the measured mean recall is recorded
+    // in SURVEY §4 (update it if the corpus changes)
+    assert(mean >= 0.9, s"mean recall@k $mean, per-query $recalls")
+    // and quantized scores stay close to float: same top-1 for most queries
+    info(s"measured mean recall@${Similarity.TopK}: $mean")
+  }
+
   test("blockedTopK: neighbors restricted to the query's cluster") {
     val labels = sources.Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()
