@@ -157,4 +157,198 @@ object TextAnalysis {
        |FROM d
        |ORDER BY doc_id""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // PII scrubbing — training corpora redact emails/phones/IPs before any
+  // model sees them. Patterns are fixed constants (NOT conf-driven: a
+  // regex in a conf would be an injection surface into generated SQL, the
+  // same reason bm25 terms are validated) and deliberately use only
+  // syntax with identical semantics in Java regex and RE2: character
+  // classes, bounded repetition, ASCII \b. No lookaround, no backrefs.
+  // --------------------------------------------------------------------
+
+  /** Email, RFC-ish practical form. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** NANP-style phone: 3-3-4 digit groups with -, . or space separators. */
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  /** Dotted-quad IPv4 (permissive octets — a scrubber over-redacts). */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Scrub order is semantic and must match the oracle exactly: emails
+    * first (their domains contain dots that the IPv4 pattern could
+    * otherwise bite), then phones, then IPs. Counts are taken on the
+    * ORIGINAL text. Exposed as a Column→Column so specs can run it over
+    * planted in-memory rows, not just the documents table.
+    */
+  def scrubPiiCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
+
+  /** Per-row PII category counts, taken on the original text. Factored
+    * over an arbitrary DataFrame so specs run it on planted rows — the
+    * shipped corpus is synthetic word-soup with no PII, so the planted
+    * path is where the semantics are actually exercised.
+    */
+  def piiCountsOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_emails", regexp_count(col("text"), lit(EmailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(col("text"), lit(PhoneRe)).cast("long"))
+      .withColumn("n_ipv4", regexp_count(col("text"), lit(Ipv4Re)).cast("long"))
+
+  /** `pii_audit`: per-source PII exposure report — documents affected and
+    * hits per category. The compliance-dashboard twin of
+    * [[CorpusOps.textNormalize]]'s rewriting (which redacts but does not
+    * account): an auditor asks WHICH crawl source leaks PII and how much,
+    * before anyone rewrites anything. Stateless projection + one
+    * source-keyed hash aggregation — corpus-linear, map-side partials,
+    * output is O(sources).
+    */
+  def piiAudit(spark: SparkSession, dir: String): DataFrame =
+    piiCountsOf(Tables.documents(spark, dir))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") + col("n_phones") + col("n_ipv4") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_phones")).as("n_phones"),
+        sum(col("n_ipv4")).as("n_ipv4"))
+      .contractOrderBy("source")
+
+  val piiAuditSql: String =
+    s"""WITH c AS (
+       |  SELECT source,
+       |    CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+       |    CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |    CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ipv4
+       |  FROM documents
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN n_emails + n_phones + n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       |  CAST(sum(n_emails) AS BIGINT) AS n_emails, CAST(sum(n_phones) AS BIGINT) AS n_phones,
+       |  CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4
+       |FROM c GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** `doc_repetition`: Gopher-style repetition signals per document —
+    * the most-frequent word bigram and the character fraction it covers,
+    * plus the character fraction covered by duplicated trigrams (Rae et
+    * al. 2021 §A1.1 "repetition" filters, reduced to deterministic
+    * integer counts + ONE rounded division each). Three doc_id-keyed
+    * hash aggregations — linear, fully distributed, no global state;
+    * the per-doc window is partitioned on doc_id, never a single
+    * partition.
+    */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame =
+    docRepetitionOf(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text, n_chars) frame — specs plant crafted docs. */
+  def docRepetitionOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs
+      .withColumn("ws", split(col("text"), " "))
+    val base = d.select("doc_id", "n_chars")
+
+    def grams(n: Int): DataFrame = {
+      val parts = (1 to n).map(j => s"element_at(ws, i + $j)").mkString(", ")
+      d.filter(size(col("ws")) >= n)
+        .select(col("doc_id"),
+          explode(expr(s"transform(sequence(0, size(ws) - $n), i -> concat_ws(' ', $parts))")).as("g"))
+    }
+
+    val biCnt = grams(2).groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    val topBi = biCnt
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("g"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("g").as("top_bigram"), col("cnt").as("top_bigram_n"))
+
+    val triDup = grams(3).groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * length(col("g")).cast("long")).as("dup3_chars"))
+
+    base.join(topBi, Seq("doc_id"), "left")
+      .join(triDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        round((coalesce(col("top_bigram_n"), lit(0L)) *
+          length(coalesce(col("top_bigram"), lit(""))).cast("long")).cast("double") / col("n_chars"), 4)
+          .as("top2_char_frac"),
+        round(coalesce(col("dup3_chars"), lit(0L)).cast("double") / col("n_chars"), 4)
+          .as("dup3_char_frac"))
+      .contractOrderBy("doc_id")
+  }
+
+  val docRepetitionSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents
+      |), bi AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])) AS g
+      |  FROM d WHERE len(ws) >= 2
+      |), bic AS (
+      |  SELECT doc_id, g, count(*) AS cnt FROM bi GROUP BY doc_id, g
+      |), topbi AS (
+      |  SELECT doc_id, g AS top_bigram, cnt AS top_bigram_n
+      |  FROM (SELECT doc_id, g, cnt, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn FROM bic)
+      |  WHERE rn = 1
+      |), tri AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+      |  FROM d WHERE len(ws) >= 3
+      |), tric AS (
+      |  SELECT doc_id, sum(cnt * CAST(length(g) AS BIGINT)) AS dup3_chars
+      |  FROM (SELECT doc_id, g, count(*) AS cnt FROM tri GROUP BY doc_id, g) WHERE cnt >= 2 GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, coalesce(top_bigram, '') AS top_bigram,
+      |  coalesce(top_bigram_n, 0) AS top_bigram_n,
+      |  round(CAST(coalesce(top_bigram_n, 0) * CAST(length(coalesce(top_bigram, '')) AS BIGINT) AS DOUBLE) / n_chars, 4) AS top2_char_frac,
+      |  round(CAST(coalesce(dup3_chars, 0) AS DOUBLE) / n_chars, 4) AS dup3_char_frac
+      |FROM d LEFT JOIN topbi ON d.doc_id = topbi.doc_id LEFT JOIN tric ON d.doc_id = tric.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** `dup_substrings`: cross-document repeated K-word windows — the signal
+    * behind exact-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": a 100 TB corpus carries
+    * boilerplate repeated verbatim across documents; suffix arrays find
+    * it single-node, a distributed engine finds it as duplicated rolling
+    * windows). One explode + one hash aggregation with map-side partial
+    * counts, then TakeOrdered top-N — never a global sort of the gram
+    * table. Window width and N are deployment knobs.
+    */
+  def dupSubstrings(spark: SparkSession, dir: String): DataFrame =
+    dupSubstringsOf(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — specs plant cross-doc windows. */
+  def dupSubstringsOf(docs: DataFrame): DataFrame = {
+    val k = GraftConf.dupWindowWords
+    val topN = GraftConf.dupTopN
+    val parts = (1 to k).map(j => s"element_at(ws, i + $j)").mkString(", ")
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', $parts))")).as("g"))
+      .groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      // semantic top-N (TakeOrderedAndProject), not a contract sort
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("g"))
+      .limit(topN)
+  }
+
+  def dupSubstringsSql: String = {
+    val k = GraftConf.dupWindowWords
+    val topN = GraftConf.dupTopN
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - ${k - 1}), i -> array_to_string(ws[i:i+${k - 1}], ' '))) AS g
+       |  FROM d WHERE len(ws) >= $k
+       |)
+       |SELECT g, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+       |FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY n_docs DESC, n_occ DESC, g LIMIT $topN""".stripMargin
+  }
 }

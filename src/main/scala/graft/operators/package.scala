@@ -114,6 +114,16 @@ package object operators {
       v
     }
 
+    // -- text-analysis knobs --
+    /** Repeated-substring window width in words
+      * (`spark.graft.text.dupWindowWords`): ~50 BPE tokens in the exact-
+      * substring-dedup literature maps to ~8 words at test vocab; a
+      * deployment sizes it to its tokenizer.
+      */
+    def dupWindowWords: Int = positive("spark.graft.text.dupWindowWords", "8")
+    /** Top-N repeated windows reported (`spark.graft.text.dupTopN`). */
+    def dupTopN: Int = positive("spark.graft.text.dupTopN", "20")
+
     // -- quality-filter bounds (integer percents: thresholds compare as
     //    exact integer cross-multiplies in both engines, never a float) --
     /** Minimum words per document (`spark.graft.quality.minWords`). */

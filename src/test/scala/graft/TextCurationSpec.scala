@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** pii_audit / doc_repetition / dup_substrings: the shipped corpus is
+  * synthetic word-soup, so PII semantics are exercised on PLANTED rows here
+  * (the corpus-level query proves only the all-clean shape); repetition and
+  * cross-doc window semantics are asserted against hand-computed values.
+  */
+class TextCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scrubPiiCol: planted emails/phones/IPs redact exactly, order-sensitively") {
+    val rows = Seq(
+      "mail bob.smith+x@corp-site.co.uk now",
+      "call 555-123-4567 or 555 123 4567 today",
+      "host 10.0.0.1 and 192.168.255.3",
+      // email domain has dots: must become [EMAIL], never a partial [IP]
+      "ping alice@10.0.0.1.example.com ok",
+      "none here 12345")
+      .toDF("text")
+    val got = rows.select(TextAnalysis.scrubPiiCol(col("text")).as("s")).as[String].collect()
+    assert(got(0) == "mail [EMAIL] now")
+    assert(got(1) == "call [PHONE] or [PHONE] today")
+    assert(got(2) == "host [IP] and [IP]")
+    assert(got(3) == "ping [EMAIL] ok")
+    assert(got(4) == "none here 12345")
+  }
+
+  test("piiCountsOf: per-category counts on planted rows; audit rolls up per source") {
+    val docs = Seq(
+      (1L, "a@b.co and c@d.io plus 1.2.3.4", "srcA"),
+      (2L, "call 555-123-4567", "srcA"),
+      (3L, "clean text only", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val c = TextAnalysis.piiCountsOf(docs)
+      .select("doc_id", "n_emails", "n_phones", "n_ipv4")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(c(1L) == ((2L, 0L, 1L)))
+    assert(c(2L) == ((0L, 1L, 0L)))
+    assert(c(3L) == ((0L, 0L, 0L)))
+
+    val audit = TextAnalysis.piiAudit(spark, sf).collect()
+    assert(audit.nonEmpty)
+    // synthetic corpus is clean: every source reports zero PII but real doc counts
+    audit.foreach { r =>
+      assert(r.getAs[Long]("docs_with_pii") == 0L && r.getAs[Long]("n_emails") == 0L)
+      assert(r.getAs[Long]("n_docs") > 0L)
+    }
+  }
+
+  test("doc_repetition: hand-computed top bigram and duplicated-trigram fraction") {
+    // "x y x y x y" (11 chars): bigrams = [x y, y x, x y, y x, x y] → top "x y"×3
+    // trigrams = [x y x, y x y, x y x, y x y] → both dup ⇒ dup3_chars = 2*5 + 2*5 = 20
+    // (overlapping occurrences can push the fraction past 1.0 — it's a
+    // repetition score, not a coverage measure)
+    val docs = Seq((1L, "x y x y x y", 11L), (2L, "p q r s", 7L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = graft.operators.TextAnalysis.docRepetitionOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[String]("top_bigram") == "x y" && r1.getAs[Long]("top_bigram_n") == 3L)
+    assert(r1.getAs[Double]("top2_char_frac") == math.rint(3 * 3 / 11.0 * 10000) / 10000)
+    assert(r1.getAs[Double]("dup3_char_frac") == math.rint(20 / 11.0 * 10000) / 10000)
+    val r2 = out(2L)
+    // all bigrams distinct: count 1, lexicographically smallest wins the tie
+    assert(r2.getAs[Long]("top_bigram_n") == 1L && r2.getAs[String]("top_bigram") == "p q")
+    assert(r2.getAs[Double]("dup3_char_frac") == 0.0)
+  }
+
+  test("doc_repetition survives 1-word docs (no bigrams → zero-frac row, not a crash)") {
+    val docs = Seq((7L, "lone", 4L)).toDF("doc_id", "text", "n_chars")
+    val r = graft.operators.TextAnalysis.docRepetitionOf(docs).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[String]("top_bigram") == "" && r(0).getAs[Long]("top_bigram_n") == 0L)
+    assert(r(0).getAs[Double]("top2_char_frac") == 0.0 && r(0).getAs[Double]("dup3_char_frac") == 0.0)
+  }
+
+  test("dup_substrings: planted cross-doc window found; within-doc repeats alone excluded") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 words
+    val docs = Seq(
+      (1L, s"one two $shared tail1"),
+      (2L, s"$shared other words here"),
+      (3L, s"$shared middle $shared"), // within-doc repeat, also cross-doc
+      (4L, "solo solo solo solo solo solo solo solo solo")) // 9 words, within-doc only
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.dupSubstringsOf(docs).collect()
+    val byGram = out.map(r => r.getAs[String]("g") -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ"))).toMap
+    assert(byGram.contains(shared), s"expected planted window in ${byGram.keys}")
+    assert(byGram(shared) == ((3L, 4L))) // docs 1,2,3; doc 3 twice
+    // doc 4's repeated window never crosses documents → must be absent
+    assert(!byGram.keys.exists(_.startsWith("solo")))
+    // corpus-level query returns the conf-bounded top-N with planted dups present
+    val corpus = TextAnalysis.dupSubstrings(spark, sf).collect()
+    assert(corpus.nonEmpty && corpus.length <= graft.operators.GraftConf.dupTopN)
+    corpus.foreach(r => assert(r.getAs[Long]("n_docs") >= 2L))
+  }
+
+  test("text knobs at non-default values: plan and oracle SQL track the conf") {
+    try {
+      spark.conf.set("spark.graft.text.dupWindowWords", "6")
+      spark.conf.set("spark.graft.text.dupTopN", "7")
+      assert(graft.operators.GraftConf.dupWindowWords == 6)
+      val sql = TextAnalysis.dupSubstringsSql
+      assert(sql.contains("len(ws) >= 6") && sql.contains("LIMIT 7"))
+      val rows = TextAnalysis.dupSubstrings(spark, sf).collect()
+      assert(rows.length <= 7 && rows.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.text.dupWindowWords")
+      spark.conf.unset("spark.graft.text.dupTopN")
+    }
+  }
+}
