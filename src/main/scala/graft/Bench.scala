@@ -63,7 +63,12 @@ object Bench {
     val probeBefore = probeSeconds(cpus.toInt)
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // comma-separated query-name filter for single-query adjudication runs;
+    // unset (the driver's mode) = every registered query
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // warm run first: plan + Janino codegen compilation is a fixed per-
       // query JVM cost (measured: up to ~7 s vs ~0.9 s execution) that
       // amortizes to zero at real scale — report steady-state throughput.
