@@ -31,6 +31,10 @@ object Clustering {
     */
   def K: Int = GraftConf.kmeansK
   def Iters: Int = GraftConf.kmeansIters
+  /** Train-sample modulus (`spark.graft.kmeans.trainSampleMod`, default 1 =
+    * full corpus). See [[GraftConf.kmeansTrainSampleMod]].
+    */
+  def TrainSampleMod: Int = GraftConf.kmeansTrainSampleMod
   /** Fixed-point scale of the exact integer grid. */
   val Scale = 1000000L
 
@@ -62,15 +66,21 @@ object Clustering {
     * persists this tiny table once and broadcasts it everywhere.
     */
   def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val mod = TrainSampleMod
+    // Lloyd rounds see the deterministic vec_id-modulus sample only; the
+    // K seeds are the sample's K lowest ids (vec_id < K·mod on the id
+    // grid — the same pushdown-able shape as the full-corpus vec_id < K).
+    // Assignment consumers (kmeansTrain, IVF cells) still cover everything.
     val vecs = scaledEmb(spark, dir)
-    val cent0 = vecs.filter(col("vec_id") < K)
+    val train = if (mod == 1) vecs else vecs.filter(col("vec_id") % mod === 0)
+    val cent0 = train.filter(col("vec_id") < K.toLong * mod)
       .select(col("vec_id").as("cid"), col("se").as("cemb"))
-    val dims = vecs.select(col("vec_id"), posexplode(col("se")).as(Seq("pos", "v")))
+    val dims = train.select(col("vec_id"), posexplode(col("se")).as(Seq("pos", "v")))
     // each round: assign (argmin over current centroids), then update —
     // exact integer sums per (cluster, dim), re-rounded to the grid;
     // empty clusters keep their previous centroid (left join + coalesce)
     (1 until Iters).foldLeft(cent0) { (cent, _) =>
-      val a = assign(vecs, cent).select(col("vec_id"), col("m.cid").as("cluster"))
+      val a = assign(train, cent).select(col("vec_id"), col("m.cid").as("cluster"))
       val cNew = a.join(dims, "vec_id")
         .groupBy(col("cluster"), col("pos"))
         .agg(round(sum(col("v")).cast("double") / count(lit(1))).cast("bigint").as("nv"))
@@ -98,22 +108,41 @@ object Clustering {
     * quantizer.
     */
   private[operators] def kmeansCtesSql: String = {
-    val base =
-      s"""scaled AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS se
-         |  FROM embeddings
-         |), ev AS (
-         |  SELECT vec_id, unnest(se) AS v, unnest(generate_series(1, len(se))) AS pos FROM scaled
-         |), cent0 AS (
-         |  SELECT vec_id AS cid, se AS cemb FROM scaled WHERE vec_id < $K
-         |)""".stripMargin
+    val mod = TrainSampleMod
+    // mod == 1 emits exactly the historical full-corpus text (no no-op
+    // `% 1 = 0` CTEs cluttering the default artifacts); mod > 1 adds a
+    // train-sample CTE that the Lloyd rounds read, while the footer's
+    // full-corpus d2t (assignment) always reads `ev`
+    val (evTrain, base) =
+      if (mod == 1) ("ev",
+        s"""scaled AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS se
+           |  FROM embeddings
+           |), ev AS (
+           |  SELECT vec_id, unnest(se) AS v, unnest(generate_series(1, len(se))) AS pos FROM scaled
+           |), cent0 AS (
+           |  SELECT vec_id AS cid, se AS cemb FROM scaled WHERE vec_id < $K
+           |)""".stripMargin)
+      else ("evt",
+        s"""scaled AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS se
+           |  FROM embeddings
+           |), ev AS (
+           |  SELECT vec_id, unnest(se) AS v, unnest(generate_series(1, len(se))) AS pos FROM scaled
+           |), evt AS (
+           |  SELECT * FROM ev WHERE vec_id % $mod = 0
+           |), cent0 AS (
+           |  SELECT vec_id AS cid, se AS cemb FROM scaled
+           |  WHERE vec_id % $mod = 0 AND vec_id < ${K.toLong * mod}
+           |)""".stripMargin)
     val rounds = (1 until Iters).map { r =>
       s"""cv${r - 1} AS (
          |  SELECT cid, unnest(cemb) AS cv, unnest(generate_series(1, len(cemb))) AS pos FROM cent${r - 1}
          |), dd${r - 1} AS (
          |  SELECT vec_id, cid, CAST(sum((v - cv) * (v - cv)) AS BIGINT) AS d2
-         |  FROM ev JOIN cv${r - 1} USING (pos) GROUP BY vec_id, cid
+         |  FROM $evTrain JOIN cv${r - 1} USING (pos) GROUP BY vec_id, cid
          |), a$r AS (
          |  SELECT vec_id, cid AS cluster FROM (
          |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
@@ -121,7 +150,7 @@ object Clustering {
          |), upd$r AS (
          |  SELECT cluster, pos,
          |    CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS nv
-         |  FROM a$r JOIN ev USING (vec_id) GROUP BY cluster, pos
+         |  FROM a$r JOIN $evTrain USING (vec_id) GROUP BY cluster, pos
          |), cl$r AS (
          |  SELECT cluster AS cid, list(nv ORDER BY pos) AS cemb1 FROM upd$r GROUP BY cluster
          |), cent$r AS (

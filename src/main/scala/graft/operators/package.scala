@@ -69,6 +69,14 @@ package object operators {
     def kmeansK: Int = positive("spark.graft.kmeans.k", "10")
     /** k-means assignment rounds, ≥ 1 (`spark.graft.kmeans.iters`). */
     def kmeansIters: Int = positive("spark.graft.kmeans.iters", "2")
+    /** Quantizer train-sample modulus (`spark.graft.kmeans.trainSampleMod`):
+      * Lloyd rounds train on vec_id % mod == 0 only; assignment still covers
+      * the full corpus. 1 (default) = train on everything. At 100 TB nobody
+      * Lloyd-scans the corpus to fit K centroids — IVF quantizers train on
+      * a sample (FAISS trains on ~max(256·K, 1M) points); this is that
+      * switch, deterministic so the oracle can mirror it.
+      */
+    def kmeansTrainSampleMod: Int = positive("spark.graft.kmeans.trainSampleMod", "1")
 
     // -- dedup knobs: a deployment tunes recall and skew caps per corpus --
     /** Shingle width in words (`spark.graft.dedup.shingleWords`). */

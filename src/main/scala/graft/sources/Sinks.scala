@@ -23,6 +23,18 @@ object Sinks {
     * bucketing metadata lives in the catalog.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int = 32): Unit =
-    df.write.mode("overwrite").bucketBy(buckets, bucketCol).sortBy(bucketCol)
+    writeBucketedBy(df, table, Seq(bucketCol), buckets)
+
+  /** Multi-column bucketed write — e.g. the dedup band index bucketed by
+    * (band_id, band_hash): every per-crawl join against the stored index
+    * hits exactly those keys, so a bucketed index is read pre-partitioned
+    * and the base corpus side of the incremental-dedup joins never
+    * shuffles (spec-asserted by Exchange count).
+    */
+  def writeBucketedBy(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .option("path", s"/tmp/graft_warehouse/$table").saveAsTable(table)
 }

@@ -123,6 +123,24 @@ class GraftConfSpec extends SparkSpec {
     }
   }
 
+  test("trainSampleMod non-default: quantizer trains on the id-grid sample, assignment covers the corpus") {
+    withConf("spark.graft.kmeans.trainSampleMod" -> "4") {
+      assert(Clustering.TrainSampleMod == 4)
+      val sql = Clustering.kmeansTrainSql
+      assert(sql.contains("% 4 = 0") && sql.contains("vec_id < 40"), sql.take(600))
+      val rows = Clustering.kmeansTrain(spark, sf).collect()
+      // every corpus vector is still assigned — sampling touches TRAINING only
+      assert(rows.length == sources.Tables.embeddings(spark, sf).count())
+      // seeds (and hence cluster ids) come from the sampled id grid
+      val clusters = rows.map(_.getAs[Long]("cluster")).distinct
+      assert(clusters.nonEmpty && clusters.forall(_ % 4 == 0))
+      // downstream IVF consumers ride the same sampled quantizer
+      assert(Similarity.annTopKIvf2(spark, sf).collect().nonEmpty)
+    }
+    // default emits the historical full-corpus SQL, no sample CTE
+    assert(!Clustering.kmeansTrainSql.contains("evt"))
+  }
+
   test("quality-filter bounds at non-default values: keep/reasons track the conf") {
     withConf(
       "spark.graft.quality.minWords" -> "10",

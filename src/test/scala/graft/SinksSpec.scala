@@ -40,4 +40,54 @@ class SinksSpec extends SparkSpec {
     assert(pf.contains("status") && pf.contains("unique"), pf)
     assert(oneStatus.count() == kept.filter(col("status") === "unique").count())
   }
+
+  test("bucketed band index: the stored-index side of the delta join needs no Exchange; same pairs") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(col("doc_id") % Dedup.DeltaIdMod =!= 0)
+    val delta = docs.filter(col("doc_id") % Dedup.DeltaIdMod === 0)
+    val baseSets = Dedup.hashedShingleSetsOf(base)
+    // index time: production writes the band index bucketed on exactly the
+    // keys every per-crawl join hits, with bucket count = shuffle
+    // parallelism — a mismatched count makes Spark re-shuffle the OTHER
+    // side to the bucket count, refunding the saving (observed: 8 buckets
+    // vs 4 shuffle partitions costs the delta side one extra Exchange)
+    val nShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Sinks.writeBucketedBy(Dedup.bandTableOf(baseSets), "band_idx_b",
+      Seq("band_id", "band_hash"), buckets = nShuffle)
+    // force the shuffle scenario a 100 TB index lives in (no broadcast)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the touched-bucket intersect is the ONE place the full stored index
+      // is read per crawl; compare the same join with a bucketed vs a
+      // computed base (no persisted intermediates here, so every Exchange
+      // line in the plan string is a real, distinct shuffle)
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.toString
+          .split('\n').count(_.contains("Exchange hashpartitioning"))
+      val touched = Dedup.bandTableOf(Dedup.hashedShingleSetsOf(delta))
+        .select("band_id", "band_hash").distinct()
+      val viaBucketed = spark.table("band_idx_b").join(touched, Seq("band_id", "band_hash"))
+      val viaComputed = Dedup.bandTableOf(baseSets).join(touched, Seq("band_id", "band_hash"))
+      val pB = viaBucketed.queryExecution.executedPlan.toString
+      assert(pB.contains("Bucketed: true"), pB.take(2000))
+      assert(exchanges(viaBucketed) == exchanges(viaComputed) - 1,
+        s"bucketed index should shed exactly the index-side Exchange: " +
+          s"${exchanges(viaBucketed)} vs ${exchanges(viaComputed)}")
+      // end-to-end through the real operator: the banding-conf stamp
+      // survives the catalog round-trip (validateBandingConf runs inside)
+      // and the pairs are identical to the in-memory index
+      val got = Dedup.dedupDeltaFrom(baseSets, spark.table("band_idx_b"), delta)
+        .collect().map(_.toSeq).toSet
+      Dedup.releaseIntermediates(); spark.catalog.clearCache()
+      val inMem = Dedup.dedupDeltaFrom(baseSets, Dedup.bandTableOf(baseSets), delta)
+        .collect().map(_.toSeq).toSet
+      assert(got.nonEmpty && got == inMem)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS band_idx_b")
+    }
+  }
 }
