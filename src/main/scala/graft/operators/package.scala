@@ -104,6 +104,25 @@ package object operators {
       * N nearest trained cells so near-boundary pairs still share a cell.
       */
     def dedupEmbedNProbe: Int = positive("spark.graft.dedup.embedNProbe", "2")
+    /** Signed-random-projection signature width in bits
+      * (`spark.graft.dedup.srpBits`): hyperplane count for the training-free
+      * cosine-LSH embedding blocker. More bits = finer buckets = fewer
+      * candidates but lower recall per band.
+      */
+    def dedupSrpBits: Int = positive("spark.graft.dedup.srpBits", "32")
+    /** Bits per SRP band (`spark.graft.dedup.srpBandBits`); must divide
+      * srpBits. bands = srpBits / srpBandBits, and a pair is a candidate if
+      * ANY band of sign-bits matches exactly.
+      */
+    def dedupSrpBandBits: Int = positive("spark.graft.dedup.srpBandBits", "4")
+    /** SRP hot-bucket cap (`spark.graft.dedup.srpHotBandDocs`) — separate
+      * from the minhash cap because SRP band values live in a 2^srpBandBits
+      * space (dense by construction), not a 60-bit hash space: the same
+      * corpus packs ~2^(60-srpBandBits)× more docs per SRP bucket, so the
+      * sane default is higher and a deployment sizes srpBandBits ≈
+      * log2(corpus / this cap) as the corpus grows.
+      */
+    def dedupSrpHotBandDocs: Int = positive("spark.graft.dedup.srpHotBandDocs", "256")
 
     // -- ANN knobs --
     /** Query-vector count (`spark.graft.ann.queries`). */

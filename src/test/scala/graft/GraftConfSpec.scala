@@ -123,6 +123,24 @@ class GraftConfSpec extends SparkSpec {
     }
   }
 
+  test("srp knobs at non-default values: signature width and banding track the conf") {
+    // wider bands = the larger-corpus setting (value space 2^8 so the
+    // hot-bucket cap doesn't saturate as n grows); NOT fewer-bit bands,
+    // whose tiny value space the cap correctly nukes
+    withConf("spark.graft.dedup.srpBits" -> "16", "spark.graft.dedup.srpBandBits" -> "8") {
+      assert(Dedup.SrpBits == 16 && Dedup.SrpBandBits == 8)
+      val sql = Dedup.dedupEmbeddingSrpSql
+      assert(sql.contains("generate_series(0, 15)") && sql.contains("bit // 8"), sql.take(800))
+      val p = Dedup.dedupEmbeddingSrp(spark, sf).collect()
+      assert(p.nonEmpty)
+      p.foreach(r => assert(r.getAs[Double]("cos") >= Dedup.CosineTau))
+    }
+    // width not divisible by band width fails loudly, not by silent truncation
+    withConf("spark.graft.dedup.srpBits" -> "10", "spark.graft.dedup.srpBandBits" -> "4") {
+      intercept[IllegalArgumentException](Dedup.dedupEmbeddingSrp(spark, sf))
+    }
+  }
+
   test("trainSampleMod non-default: quantizer trains on the id-grid sample, assignment covers the corpus") {
     withConf("spark.graft.kmeans.trainSampleMod" -> "4") {
       assert(Clustering.TrainSampleMod == 4)

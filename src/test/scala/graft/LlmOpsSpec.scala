@@ -167,6 +167,31 @@ class LlmOpsSpec extends SparkSpec {
         s"(ivf-only: ${(ivf -- labeled).size}, label-only: ${(labeled -- ivf).size})")
   }
 
+  test("dedup_embedding_srp: training-free LSH blocking never invents pairs; recall measured") {
+    // ground truth: UNBLOCKED all-pairs cosine scan (fine at spec scale)
+    val e = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val truth = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(expr("graft_dot(a.emb, b.emb)"), 4))
+      .filter(col("cos") >= Dedup.CosineTau)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val srp = Dedup.dedupEmbeddingSrp(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(truth.nonEmpty && srp.nonEmpty)
+    // LSH blocking can MISS boundary pairs but the exact-cosine verify step
+    // means it can never invent one
+    assert((srp -- truth).isEmpty)
+    val recall = (srp & truth).size.toDouble / truth.size
+    // sign-agreement probability is 1 - θ/π per md5 hyperplane; this
+    // corpus's truth pairs sit at cos .35-.5 (p ≈ .62), where 8 multi-probe
+    // 4-bit bands predict ≥ .99 recall — measured 1.00, floor leaves slack
+    // (SURVEY §4 records the curve; planes must be md5, not multiplicative:
+    // affine-correlated planes halve this)
+    assert(recall >= 0.9, s"srp recall $recall vs unblocked truth ${truth.size}")
+    info(s"measured srp recall vs unblocked truth: $recall")
+  }
+
   test("ann_topk: k neighbors per query, ranked by descending cosine") {
     val t = Similarity.annTopK(spark, sf).collect()
     assert(t.length == Similarity.NumQueries * Similarity.TopK)
