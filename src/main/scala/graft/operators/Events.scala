@@ -364,6 +364,54 @@ object Events {
       .contractOrderBy("event_type", "hour_us")
   }
 
+  /** `events_percentiles`: exact per-type latency/value percentiles
+    * (continuous interpolation, the `quantile_cont` definition both engines
+    * share).
+    *
+    * Scale: exact `percentile` materializes each group's values on one
+    * reducer — fine for bounded group counts (here: one group per
+    * event_type), WRONG for high-cardinality groups at 100 TB. The
+    * production twin is [[eventsPercentilesApprox]] (t-digest sketch,
+    * mergeable map-side, bounded memory at any scale); its rank error is
+    * spec-bounded against this exact form so the swap is evidence-backed,
+    * not vibes. Both round to 4 decimals — interpolation is two-double
+    * arithmetic, far inside rounding tolerance.
+    */
+  def eventsPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .contractOrderBy("event_type")
+
+  val eventsPercentilesSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  round(quantile_cont(value, 0.25), 4) AS p25,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.9), 4) AS p90,
+      |  round(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** The 100 TB percentile path: `approx_percentile` (mergeable sketch,
+    * map-side partial aggregation, memory bounded by the accuracy knob
+    * instead of group size). Rank error ≤ 1/accuracy of the group count —
+    * EventsSpec bounds it against [[eventsPercentiles]] empirically.
+    */
+  def eventsPercentilesApprox(spark: SparkSession, dir: String, accuracy: Int = 1000): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr(s"approx_percentile(value, 0.25, $accuracy)").as("p25"),
+        expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(value, 0.9, $accuracy)").as("p90"),
+        expr(s"approx_percentile(value, 0.99, $accuracy)").as("p99"))
+      .contractOrderBy("event_type")
+
   val eventsSpikeSql: String =
     """WITH h AS (
       |  SELECT event_type, epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,

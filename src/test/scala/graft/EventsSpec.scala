@@ -282,6 +282,35 @@ class EventsSpec extends SparkSpec {
     assert(rows.length < hourly / 4)
   }
 
+  test("events_percentiles: monotone quartiles; approx sketch stays inside its rank-error bound") {
+    val exact = Events.eventsPercentiles(spark, sf).collect()
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      val (a, b, c, d) = (r.getAs[Double]("p25"), r.getAs[Double]("p50"),
+        r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+      assert(a <= b && b <= c && c <= d, s"non-monotone percentiles: $r")
+    }
+    // the scale path: for each approx percentile, the TRUE rank of the
+    // returned value must be within 1/accuracy (+slack for interpolation
+    // between discrete ranks) of the requested quantile
+    val accuracy = 1000
+    val approx = Events.eventsPercentilesApprox(spark, sf, accuracy).collect()
+    val values = sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(_.getAs[Double]("value")).sorted).toMap
+    approx.foreach { r =>
+      val vs = values(r.getAs[String]("event_type"))
+      for ((p, colName) <- Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")) {
+        val v = r.getAs[Double](colName)
+        val rank = vs.count(_ <= v).toDouble / vs.length
+        val tol = 1.0 / accuracy + 2.0 / vs.length
+        assert(rank >= p - tol && rank <= p + tol + 1.0 / accuracy,
+          s"${r.getAs[String]("event_type")} $colName: approx $v has rank $rank vs target $p (n=${vs.length})")
+      }
+    }
+  }
+
   test("streaming funnel: state expires on watermark, stages match the strict-order rule") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
