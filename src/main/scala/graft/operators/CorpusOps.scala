@@ -135,6 +135,27 @@ object CorpusOps {
         round(sum(col("n_chars")).cast("double") / count(lit(1)), 2).as("avg_doc_chars"),
         sum(when(col("text").rlike("\\bdup\\b"), 1).otherwise(0)).cast("long").as("n_dup_marked"))
 
+  /** The 100 TB profile path: HyperLogLog++ sketches instead of exact
+    * `countDistinct`. Exact distinct counts shuffle every distinct value to
+    * count it — for token-grain cardinalities that's a vocabulary-sized
+    * shuffle per stat; the HLL sketch is a few KB per partition, merged
+    * map-side, with relative error ~ rsd regardless of cardinality (spec
+    * bounds it empirically against [[corpusStats]]' exact counts at the
+    * token grain, where the error statistics are meaningful).
+    *
+    * Test-only (no oracle row): DuckDB's approx_count_distinct is a
+    * different sketch — cross-engine hash parity is impossible BY DESIGN
+    * for approximate answers; correctness evidence is the error bound.
+    */
+  def corpusStatsApprox(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), explode(split(col("text"), " ")).as("token"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        approx_count_distinct(col("token"), rsd).as("approx_distinct_tokens"),
+        approx_count_distinct(col("lang"), rsd).as("approx_langs"),
+        approx_count_distinct(col("source"), rsd).as("approx_sources"))
+
   /** `vocab_top_tokens`: top-[[VocabK]] token vocabulary with corpus
     * coverage — the first step of any BPE/WordPiece-style tokenizer build.
     *

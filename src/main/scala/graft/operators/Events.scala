@@ -412,6 +412,58 @@ object Events {
         expr(s"approx_percentile(value, 0.99, $accuracy)").as("p99"))
       .contractOrderBy("event_type")
 
+  /** `events_attribution`: last-touch attribution — each purchase is
+    * credited to the SAME user's latest click within the preceding hour
+    * (ties on timestamp broken by click_id, so the answer is deterministic).
+    * The batch twin of streaming `clickPurchaseJoin` (which emits ALL
+    * in-window pairs; attribution picks one).
+    *
+    * Scale: this is NOT a range join — the equi-key (user_id) carries the
+    * shuffle, so both sides co-locate in one SortMergeJoin and the time
+    * window is a cheap post-filter inside each user's (bounded-by-retention)
+    * event set; the last-touch pick is a map-side-combinable max(struct).
+    * A pure time-range join without the user key would be a broadcast
+    * nested loop — the plan to refuse at 100 TB.
+    */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("unix_micros(ts)").as("click_us"),
+        col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts)").as("purchase_us"),
+        col("event_id").as("purchase_id"), col("value"))
+    purchases.join(clicks, "user_id")
+      .filter(col("click_us") <= col("purchase_us") &&
+        col("click_us") >= col("purchase_us") - lit(3600000000L))
+      .groupBy(col("purchase_id"), col("user_id"), col("purchase_us"), col("value"))
+      .agg(max(struct(col("click_us"), col("click_id"))).as("m"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("m.click_us").as("click_us"), col("m.click_id").as("click_id"),
+        round(dec(col("value")).cast("double"), 2).as("value"))
+      .contractOrderBy("purchase_id")
+  }
+
+  val eventsAttributionSql: String =
+    """WITH c AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us, event_id AS click_id
+      |  FROM events WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us,
+      |    event_id AS purchase_id, value
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT purchase_id, user_id, purchase_us, click_us, click_id, value FROM (
+      |  SELECT p.purchase_id, p.user_id, p.purchase_us, c.click_us, c.click_id,
+      |    round(CAST(CAST(p.value AS DECIMAL(12,2)) AS DOUBLE), 2) AS value,
+      |    row_number() OVER (PARTITION BY p.purchase_id
+      |                       ORDER BY c.click_us DESC, c.click_id DESC) AS rn
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |    AND c.click_us <= p.purchase_us
+      |    AND c.click_us >= p.purchase_us - 3600000000
+      |) WHERE rn = 1
+      |ORDER BY purchase_id""".stripMargin
+
   val eventsSpikeSql: String =
     """WITH h AS (
       |  SELECT event_type, epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,

@@ -60,4 +60,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(st.getAs[Long]("n_dup_marked") ==
       docs.filter(col("text").rlike("\\bdup\\b")).count())
   }
+
+  test("corpusStatsApprox: HLL sketch within its rsd bound of the exact distinct counts") {
+    val rsd = 0.02
+    val a = CorpusOps.corpusStatsApprox(spark, sf, rsd).collect()(0)
+    val docs = sources.Tables.documents(spark, sf)
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+    assert(a.getAs[Long]("n_tokens") == toks.count())
+    // token grain is where cardinality is high enough for the error
+    // statistics to mean something; 4·rsd leaves slack over the 1-sigma rsd
+    val exactToks = toks.distinct().count().toDouble
+    val approxToks = a.getAs[Long]("approx_distinct_tokens").toDouble
+    assert(math.abs(approxToks - exactToks) / exactToks <= 4 * rsd,
+      s"approx $approxToks vs exact $exactToks")
+    // tiny cardinalities are exact in HLL's small-range regime
+    assert(a.getAs[Long]("approx_langs") == docs.select("lang").distinct().count())
+    assert(a.getAs[Long]("approx_sources") == docs.select("source").distinct().count())
+  }
 }

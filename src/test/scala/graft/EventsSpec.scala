@@ -311,6 +311,26 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("events_attribution: last-touch pick ≡ all-pairs interval join reduced to its max") {
+    val attr = Events.eventsAttribution(spark, sf).collect()
+    assert(attr.nonEmpty)
+    attr.foreach { r =>
+      val (p, c) = (r.getAs[Long]("purchase_us"), r.getAs[Long]("click_us"))
+      assert(c <= p && c >= p - 3600000000L, s"click outside window: $r")
+    }
+    // the streaming interval join emits ALL in-window pairs; reducing it to
+    // the per-purchase (click_us, click_id) max must equal attribution
+    val allPairs = StreamOps.clickPurchaseJoin(sources.Tables.events(spark, sf))
+      .select(col("purchase_id"), expr("unix_micros(click_ts)").as("click_us"),
+        col("click_id")).collect()
+    val lastTouch = allPairs.groupBy(_.getAs[Long]("purchase_id"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("click_us"), r.getAs[Long]("click_id"))).max)
+      .toMap
+    val got = attr.map(r => r.getAs[Long]("purchase_id") ->
+      (r.getAs[Long]("click_us"), r.getAs[Long]("click_id"))).toMap
+    assert(got == lastTouch)
+  }
+
   test("streaming funnel: state expires on watermark, stages match the strict-order rule") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
