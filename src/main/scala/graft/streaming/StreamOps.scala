@@ -106,6 +106,44 @@ object StreamOps {
         greatest(col("delta_id"), col("base_id")).as("doc_b"), col("jaccard"))
   }
 
+  /** Streaming SRP embedding dedup: a stream of new (vec_id, embedding)
+    * rows near-dup-checked against the STATIC stored SRP band index of the
+    * base corpus — the embedding twin of [[deltaDedupStream]], and the
+    * concrete backing for `dedup_embedding_srp`'s "works where the IVF
+    * quantizer doesn't exist yet" claim: signatures are ONE stateless
+    * per-row expression ([[graft.operators.Dedup.srpBandRows]], no
+    * explode-regroup aggregation, so it's legal in a micro-batch plan),
+    * multi-probe happens on the stream side (a stateless explode), the
+    * band join is stream-static (no join state), and the exact-cosine
+    * verify reads the static base embeddings. Same semantics boundary as
+    * deltaDedupStream: delta×base only, cap from stored-index occupancy.
+    */
+  def srpDedupStream(deltaEmb: DataFrame, baseBands: DataFrame,
+      baseEmb: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val bandBits = Dedup.SrpBandBits
+    val cool = baseBands.groupBy(col("band_id"), col("band_val"))
+      .agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") <= Dedup.SrpHotBandDocs)
+      .select("band_id", "band_val")
+    val d = Dedup.srpBandRows(deltaEmb, keepEmb = true)
+      .withColumnRenamed("vec_id", "delta_id").withColumnRenamed("emb", "ea")
+    val probes = d.select(col("delta_id"), col("ea"), col("band_id"),
+        explode(expr(s"sequence(-1, ${bandBits - 1})")).as("j"), col("band_val"))
+      .select(col("delta_id"), col("ea"), col("band_id"),
+        expr("case when j < 0 then band_val else band_val ^ shiftleft(1L, j) end").as("band_val"))
+    probes
+      .join(baseBands.join(cool, Seq("band_id", "band_val"))
+          .withColumnRenamed("vec_id", "base_id"),
+        Seq("band_id", "band_val"))
+      .join(baseEmb.select(col("vec_id").as("base_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("eb")), "base_id")
+      .withColumn("cos", round(expr("graft_dot(ea, eb)"), 4))
+      .filter(col("cos") >= Dedup.CosineTau)
+      .select(least(col("delta_id"), col("base_id")).as("id_a"),
+        greatest(col("delta_id"), col("base_id")).as("id_b"), col("cos"))
+  }
+
   /** The PRODUCTION streaming incremental-dedup shape: a `foreachBatch`
     * runner that applies the full batch incremental core
     * ([[graft.operators.Dedup.dedupDeltaFrom]] semantics) to every

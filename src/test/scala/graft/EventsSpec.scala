@@ -172,6 +172,43 @@ class EventsSpec extends SparkSpec {
     } finally { q.stop(); baseSets.unpersist(); baseBands.unpersist() }
   }
 
+  test("streaming srpDedupStream: stateless SRP lane ≡ batch operator's delta×base pairs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sq = spark.sqlContext
+    val emb = sources.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val baseBands = Dedup.srpBandRows(base).cache()
+    def toSet(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cos"))).toSet
+    // same code path over a batch frame is the reference result…
+    val expected = toSet(StreamOps.srpDedupStream(delta, baseBands, base).collect())
+    assert(expected.nonEmpty, "planted embedding near-dups must straddle the split")
+    // …and must agree with the batch operator restricted to delta×base
+    // (cap regimes coincide here: nothing is hot at spec scale)
+    val batchCross = toSet(Dedup.dedupEmbeddingSrp(spark, sf).collect())
+      .filter(p => (p._1 % 10 == 0) != (p._2 % 10 == 0))
+    assert(expected == batchCross)
+    // now the same delta vectors arriving as a STREAM in two micro-batches
+    val mem = MemoryStream[(Long, Array[Double])]
+    val q = StreamOps.srpDedupStream(
+        mem.toDF().toDF("vec_id", "embedding"), baseBands, base)
+      .writeStream.format("memory").queryName("srpd").outputMode("append").start()
+    try {
+      val rows = delta.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))")).as[(Long, Array[Double])].collect()
+      val (first, second) = rows.splitAt(rows.length / 2)
+      mem.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      // a pair sharing several cool buckets/probes emits once per hit —
+      // sinks chain dropDuplicates; the spec normalizes to a set
+      assert(toSet(spark.table("srpd").collect()) == expected)
+    } finally { q.stop(); baseBands.unpersist() }
+  }
+
   test("IncrementalDedupIndex: streamed lanes ≡ one-shot batch delta, incl. cross-batch intra-delta pair") {
     import spark.implicits._
     import graft.operators.Dedup
@@ -312,7 +349,12 @@ class EventsSpec extends SparkSpec {
   }
 
   test("events_attribution: last-touch pick ≡ all-pairs interval join reduced to its max") {
-    val attr = Events.eventsAttribution(spark, sf).collect()
+    val df = Events.eventsAttribution(spark, sf)
+    // the user_id equi-key must carry the join — a keyless time-range plan
+    // degenerates to a nested loop, the shape to refuse at 100 TB
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan.take(1500))
+    val attr = df.collect()
     assert(attr.nonEmpty)
     attr.foreach { r =>
       val (p, c) = (r.getAs[Long]("purchase_us"), r.getAs[Long]("click_us"))

@@ -176,7 +176,11 @@ class LlmOpsSpec extends SparkSpec {
       .filter(col("cos") >= Dedup.CosineTau)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b")).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
-    val srp = Dedup.dedupEmbeddingSrp(spark, sf).collect()
+    val srpDf = Dedup.dedupEmbeddingSrp(spark, sf)
+    // candidates must come from the band equi-join — never an n² plan
+    val plan = srpDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan.take(1500))
+    val srp = srpDf.collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(truth.nonEmpty && srp.nonEmpty)
     // LSH blocking can MISS boundary pairs but the exact-cosine verify step
