@@ -115,6 +115,14 @@ package object operators {
       * ANY band of sign-bits matches exactly.
       */
     def dedupSrpBandBits: Int = positive("spark.graft.dedup.srpBandBits", "4")
+    /** Embedding dimensionality the SRP planes are generated for
+      * (`spark.graft.dedup.srpDims`): a property of the embedding model, so
+      * a conf constant — the streaming lane cannot probe it from data (an
+      * action on a streaming frame is illegal) and the plane matrix must be
+      * fixed at plan time. A vector of any other length fails loudly via an
+      * in-expression assert, never by silently mis-signing.
+      */
+    def dedupSrpDims: Int = positive("spark.graft.dedup.srpDims", "64")
     /** SRP hot-bucket cap (`spark.graft.dedup.srpHotBandDocs`) — separate
       * from the minhash cap because SRP band values live in a 2^srpBandBits
       * space (dense by construction), not a 60-bit hash space: the same

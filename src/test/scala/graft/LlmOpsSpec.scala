@@ -167,6 +167,20 @@ class LlmOpsSpec extends SparkSpec {
         s"(ivf-only: ${(ivf -- labeled).size}, label-only: ${(labeled -- ivf).size})")
   }
 
+  test("srpPlanes: driver-side md5 plane matrix ≡ the in-engine md5 formula, every cell") {
+    val (bits, dims) = (Dedup.SrpBits, Dedup.SrpDims)
+    val planes = Dedup.srpPlanes(bits, dims)
+    val engine = spark.range(bits.toLong * dims).selectExpr(
+      s"cast(id div $dims as int) as b", s"cast(id % $dims as int) as p",
+      s"cast(conv(substring(md5(concat('srp|', cast(id div $dims as string), '|', cast(id % $dims as string))), 1, 4), 16, 10) as bigint) - 32768 as h")
+      .collect()
+    assert(engine.length == bits * dims)
+    engine.foreach { r =>
+      assert(planes(r.getAs[Int]("b"))(r.getAs[Int]("p")) == r.getAs[Long]("h").toDouble,
+        s"plane mismatch at (${r.getAs[Int]("b")}, ${r.getAs[Int]("p")})")
+    }
+  }
+
   test("dedup_embedding_srp: training-free LSH blocking never invents pairs; recall measured") {
     // ground truth: UNBLOCKED all-pairs cosine scan (fine at spec scale)
     val e = sources.Tables.embeddings(spark, sf)
