@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.Dedup
+
+/** `dedup_keep_unified` semantics: the union edge set (exact + MinHash +
+  * SRP embedding) feeds ONE connected-components pass and ONE keep-list.
+  * What the per-lane keep-lists get wrong — and this one must get right:
+  *
+  *  1. a doc similar ONLY in embedding space (no shingle overlap) must drop
+  *     here, while the lexical-only keep-list keeps it;
+  *  2. lanes must BRIDGE: lexical a~b plus semantic b~c is one 3-doc
+  *     cluster with one canonical, not two 2-doc clusters keeping two docs;
+  *  3. exact dups too short to shingle (MinHash-invisible) must still drop.
+  */
+class DedupUnifiedSpec extends SparkSpec {
+
+  private def basis(i: Int): Seq[Double] =
+    Seq.tabulate(64)(d => if (d == i) 1.0 else 0.0)
+
+  /** cos(basis(i), near(i, j)) = 0.98 — a planted semantic near-dup. */
+  private def near(i: Int, j: Int): Seq[Double] =
+    Seq.tabulate(64)(d => if (d == i) 0.98 else if (d == j) 0.19899749371 else 0.0)
+
+  private val lex = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+    "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+    "uniform victor whiskey xray yankee zulu one two three four"
+
+  // disjoint vocabulary from `lex` so clusters A and C never touch lexically
+  private val lex2 = "amber birch cedar dogwood elm fir ginkgo hawthorn ironwood " +
+    "juniper katsura larch maple nutmeg oak pine quince rowan spruce teak " +
+    "umbrella vine walnut xylem yew zelkova red green blue gold"
+
+  private def corpus: (DataFrame, DataFrame) = {
+    val docs = Seq(
+      // cluster A: lexical near-dup pair (long shared prefix)
+      (1L, lex + " ending", "en", "web"),
+      (2L, lex + " different", "en", "web"),
+      // cluster B: semantic-ONLY pair — zero shared words
+      (3L, "spark catalyst optimizer rewrites logical plans before physical selection", "en", "web"),
+      (4L, "pasta garlic butter basil dinner recipe cooking notes tonight", "en", "web"),
+      // cluster C: lexical 5~6 bridged to semantic 6~7
+      (5L, lex2 + " bridgehead", "en", "wiki"),
+      (6L, lex2 + " bridgetail", "en", "wiki"),
+      (7L, "entirely fresh vocabulary about mountain weather patterns and snowfall", "en", "wiki"),
+      // unique doc
+      (8L, "solitary document sharing no structure with anything else present here", "en", "web"),
+      // exact dups too short to shingle (2 words < shingleWords=3)
+      (9L, "hello world", "en", "crawl"),
+      (10L, "hello world", "en", "crawl"))
+    val embs = Seq(
+      1L -> basis(0), 2L -> basis(1),
+      3L -> basis(10), 4L -> near(10, 40),   // semantic-only pair
+      5L -> basis(2),
+      6L -> basis(11), 7L -> near(11, 41),   // the semantic bridge
+      8L -> basis(3), 9L -> basis(4), 10L -> basis(5))
+    import spark.implicits._
+    (docs.toDF("doc_id", "text", "lang", "source"),
+      embs.map { case (id, e) => (id, e) }.toDF("vec_id", "embedding"))
+  }
+
+  test("semantic-only dup drops in unified keep but survives the lexical-only keep") {
+    val (docs, embs) = corpus
+    val unified = Dedup.dedupKeepUnifiedFrom(docs, embs).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getLong(4))).toMap
+    // doc 4 is a dup of 3 ONLY in embedding space
+    assert(!unified.contains(4L), s"semantic dup must drop, kept: ${unified.keySet}")
+    assert(unified(3L) == ("canonical", 2L))
+    // the lexical-only keep-list cannot see it
+    val lexicalOnly = Dedup.dedupKeepFrom(docs,
+        Dedup.clustersFromPairs(Dedup.minhashPairsOf(docs).select("doc_a", "doc_b")))
+      .collect().map(_.getLong(0)).toSet
+    assert(lexicalOnly.contains(4L),
+      "planting broken: doc 4 should be lexically invisible")
+    Dedup.releaseIntermediates()
+  }
+
+  test("lanes bridge transitively: lexical 5~6 + semantic 6~7 = one cluster, one canonical") {
+    val (docs, embs) = corpus
+    val rows = Dedup.dedupKeepUnifiedFrom(docs, embs).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getLong(4))).toMap
+    assert(rows(5L) == ("canonical", 3L), s"got ${rows.get(5L)}")
+    assert(!rows.contains(6L) && !rows.contains(7L))
+    Dedup.releaseIntermediates()
+  }
+
+  test("exact dups below shingle width drop via the exact lane; uniques survive") {
+    val (docs, embs) = corpus
+    val rows = Dedup.dedupKeepUnifiedFrom(docs, embs).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getLong(4))).toMap
+    assert(rows(9L) == ("canonical", 2L) && !rows.contains(10L))
+    assert(rows(8L) == ("unique", 1L))
+    // lexical pair (1, 2) still handled exactly as dedup_keep would
+    assert(rows(1L) == ("canonical", 2L) && !rows.contains(2L))
+    Dedup.releaseIntermediates()
+  }
+}
