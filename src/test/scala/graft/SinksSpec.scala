@@ -72,8 +72,11 @@ class SinksSpec extends SparkSpec {
       val viaComputed = Dedup.bandTableOf(baseSets).join(touched, Seq("band_id", "band_hash"))
       val pB = viaBucketed.queryExecution.executedPlan.toString
       assert(pB.contains("Bucketed: true"), pB.take(2000))
-      assert(exchanges(viaBucketed) == exchanges(viaComputed) - 1,
-        s"bucketed index should shed exactly the index-side Exchange: " +
+      // strictly fewer shuffles (the shed one is the index side's);
+      // asserting an exact delta of one is brittle across Spark/AQE
+      // plan-shape changes
+      assert(exchanges(viaBucketed) < exchanges(viaComputed),
+        s"bucketed index should shed the index-side Exchange: " +
           s"${exchanges(viaBucketed)} vs ${exchanges(viaComputed)}")
       // end-to-end through the real operator: the banding-conf stamp
       // survives the catalog round-trip (validateBandingConf runs inside)
