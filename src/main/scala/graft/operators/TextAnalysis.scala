@@ -351,4 +351,113 @@ object TextAnalysis {
        |FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY n_docs DESC, n_occ DESC, g LIMIT $topN""".stripMargin
   }
+
+  /** Occurrence order key: (doc_id, offset) packed into one BIGINT so the
+    * "first occurrence" of a duplicated window is a plain min() aggregate
+    * (map-side combinable) in BOTH engines — no per-gram window sort over
+    * the corpus-scale gram table. 2^20 bounds the word offset (a 10⁶-word
+    * document; docs are KB-scale text) and keeps doc_id ≤ 2^43 overflow-free.
+    */
+  private val OccKey = 1048576L
+
+  /** `dedup_substrings_cut`: the ACT step of exact-substring dedup (Lee et
+    * al. 2022) — [[dupSubstrings]] *reports* cross-document duplicated
+    * K-word windows; this removes them. Deterministic span selection: for
+    * every window duplicated across ≥ 2 docs, the globally first occurrence
+    * (min (doc_id, offset)) keeps its words; every word position covered by
+    * any OTHER occurrence is cut. Output is the cleaned text plus removed
+    * word/char accounting per document.
+    *
+    * Scale shape: one explode to the gram table, one map-side-combined
+    * aggregation per gram (dup detection + first-occurrence min in the same
+    * pass), one key-join back on the gram, a bounded K-row explode per cut
+    * occurrence, and doc-grain aggregations — all key shuffles, never a
+    * per-doc O(L²) expression or a global sort. The cut-position set is
+    * bounded by K × duplicated occurrences, a small fraction of corpus
+    * words on a real crawl.
+    */
+  def dedupSubstringsCut(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstringsCutOf(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — specs plant cross-doc windows and
+    * re-run [[dupSubstringsOf]] over the output to prove zero residue.
+    */
+  def dedupSubstringsCutOf(docs: DataFrame): DataFrame = {
+    val k = GraftConf.dupWindowWords
+    val parts = (1 to k).map(j => s"element_at(ws, i + $j)").mkString(", ")
+    val d = docs.withColumn("ws", split(col("text"), " "))
+    val words = d.select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
+    val grams = d.filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', $parts))"))
+          .as(Seq("i", "g")))
+    // dup windows and their first occurrence in ONE aggregation over the
+    // gram table; only duplicated grams survive to the join back
+    val dup = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(col("doc_id") * OccKey + col("i")).as("first_key"))
+      .filter(col("nd") >= 2)
+      .select("g", "first_key")
+    val cuts = grams.join(dup, "g")
+      .filter(col("doc_id") * OccKey + col("i") =!= col("first_key"))
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${k - 1})")).as("pos"))
+      .distinct()
+    val kept = words.join(cuts, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(pos, word))), x -> x.word), ' ')")
+          .as("clean_text"),
+        count(lit(1)).as("n_words_kept"))
+    val cutStats = cuts.join(words, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words_cut"),
+        sum(length(col("word")).cast("long")).as("n_chars_cut"))
+    docs.select("doc_id")
+      .join(kept, Seq("doc_id"), "left_outer")
+      .join(cutStats, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_words_kept"), lit(0L)).as("n_words_kept"),
+        coalesce(col("n_words_cut"), lit(0L)).as("n_words_cut"),
+        coalesce(col("n_chars_cut"), lit(0L)).as("n_chars_cut"))
+      .contractOrderBy("doc_id")
+  }
+
+  def dedupSubstringsCutSql: String = {
+    val k = GraftConf.dupWindowWords
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |w AS (
+       |  SELECT doc_id, unnest(ws) AS word, unnest(generate_series(1, len(ws))) AS pos FROM d
+       |), g AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(ws) - ${k - 1})) AS i,
+       |    unnest(list_transform(generate_series(1, len(ws) - ${k - 1}), i -> array_to_string(ws[i:i+${k - 1}], ' '))) AS g
+       |  FROM d WHERE len(ws) >= $k
+       |), dup AS (
+       |  SELECT g, min(doc_id * $OccKey + i) AS first_key
+       |  FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+       |), cutocc AS (
+       |  SELECT doc_id, i FROM g JOIN dup USING (g)
+       |  WHERE doc_id * $OccKey + i <> first_key
+       |), cuts AS (
+       |  SELECT DISTINCT doc_id, pos FROM (
+       |    SELECT doc_id, unnest(generate_series(i, i + ${k - 1})) AS pos FROM cutocc)
+       |), kept AS (
+       |  SELECT w.doc_id, string_agg(word, ' ' ORDER BY w.pos) AS clean_text,
+       |    count(*) AS n_words_kept
+       |  FROM w LEFT JOIN cuts ON w.doc_id = cuts.doc_id AND w.pos = cuts.pos
+       |  WHERE cuts.doc_id IS NULL GROUP BY w.doc_id
+       |), cs AS (
+       |  SELECT c.doc_id, count(*) AS n_words_cut,
+       |    CAST(sum(length(word)) AS BIGINT) AS n_chars_cut
+       |  FROM cuts c JOIN w ON c.doc_id = w.doc_id AND c.pos = w.pos
+       |  GROUP BY c.doc_id
+       |)
+       |SELECT d.doc_id, coalesce(kept.clean_text, '') AS clean_text,
+       |  coalesce(kept.n_words_kept, 0) AS n_words_kept,
+       |  coalesce(cs.n_words_cut, 0) AS n_words_cut,
+       |  coalesce(cs.n_chars_cut, 0) AS n_chars_cut
+       |FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
+       |LEFT JOIN cs ON d.doc_id = cs.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

@@ -97,6 +97,37 @@ class TextCurationSpec extends SparkSpec {
     corpus.foreach(r => assert(r.getAs[Long]("n_docs") >= 2L))
   }
 
+  test("dedup_substrings_cut: first occurrence survives, later occurrences cut, accounting exact") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 words
+    val docs = Seq(
+      (1L, s"one two $shared tail1"),
+      (2L, s"$shared other words here"),
+      (3L, "untouched text with completely fresh vocabulary nothing shared"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.dedupSubstringsCutOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1 holds the globally first occurrence (min (doc_id, offset)) — intact
+    assert(out(1L).getAs[String]("clean_text") == s"one two $shared tail1")
+    assert(out(1L).getAs[Long]("n_words_cut") == 0L)
+    // doc 2's occurrence is cut: exactly the 8 covered words removed
+    assert(out(2L).getAs[String]("clean_text") == "other words here")
+    assert(out(2L).getAs[Long]("n_words_cut") == 8L)
+    assert(out(2L).getAs[Long]("n_chars_cut") == shared.split(" ").map(_.length).sum.toLong)
+    // untouched doc passes through whole
+    assert(out(3L).getAs[Long]("n_words_cut") == 0L &&
+      out(3L).getAs[String]("clean_text").startsWith("untouched"))
+  }
+
+  test("dedup_substrings_cut: re-running dup_substrings on the output finds zero duplicated windows") {
+    val cleaned = TextAnalysis.dedupSubstringsCut(spark, sf)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    // the reporter's threshold (cross-doc n_docs >= 2) must find NOTHING in
+    // the cleaned corpus: every originally-duplicated window survives in at
+    // most one document, and cuts did not manufacture new cross-doc windows
+    val residue = graft.operators.TextAnalysis.dupSubstringsOf(cleaned).collect()
+    assert(residue.isEmpty, s"residual duplicated windows: ${residue.take(3).mkString("; ")}")
+  }
+
   test("text knobs at non-default values: plan and oracle SQL track the conf") {
     try {
       spark.conf.set("spark.graft.text.dupWindowWords", "6")
