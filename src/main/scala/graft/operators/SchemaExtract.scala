@@ -211,18 +211,22 @@ object SchemaExtract {
     "recipient means Acme Corp, ",                       // receiving_party
     "for a period of 5 years ")                          // confidentiality_period
 
-  /** `extract_fields_nda`: the reference's DEFAULT_NDA_SCHEMA
-    * (schema/schema.py:67), loaded from its bundled JSON through
-    * [[Schemas.manager]], populated over the corpus. Emits the six
-    * extracted fields plus `n_found` (how many rungs captured).
+  /** Planted-clause extraction shared by `extract_fields_nda` and
+    * `extract_fields_employment`: one deterministic clause per
+    * `doc_id % (clauses+1)` case prefixes the document (the last case is
+    * the miss path — no clause), then the schema's whole ladder populates
+    * in one codegen'd projection. The SAME construction runs in the DuckDB
+    * oracle, so what's under test is the schema-JSON-driven regex ladder
+    * itself, field by field.
     */
-  def extractFieldsNda(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Schemas.nda
-    val clause = NdaClauses.zipWithIndex.foldRight(lit(""): Column) {
-      case ((txt, i), els) => when(col("doc_id") % 7 === i, txt).otherwise(els)
+  private def plantedExtract(spark: SparkSession, dir: String,
+      schema: FormSchema, clauses: Seq[String]): DataFrame = {
+    val mod = clauses.length + 1
+    val clause = clauses.zipWithIndex.foldRight(lit(""): Column) {
+      case ((txt, i), els) => when(col("doc_id") % mod === i, txt).otherwise(els)
     }
     val extracted = Tables.documents(spark, dir)
-      .withColumn("clause_case", (col("doc_id") % 7).cast("long"))
+      .withColumn("clause_case", (col("doc_id") % mod).cast("long"))
       .withColumn("text", concat(clause, col("text")))
       .select(col("doc_id") +: col("clause_case") +: schema.fields.map(f => fieldCol(f)): _*)
     val nFound = schema.fields
@@ -233,15 +237,15 @@ object SchemaExtract {
       .contractOrderBy("doc_id")
   }
 
-  def extractFieldsNdaSql: String = {
-    val schema = Schemas.nda
-    val cases = NdaClauses.zipWithIndex
+  private def plantedExtractSql(schema: FormSchema, clauses: Seq[String]): String = {
+    val mod = clauses.length + 1
+    val cases = clauses.zipWithIndex
       .map { case (txt, i) => s"WHEN $i THEN '$txt'" }.mkString(" ")
     val nFound = schema.fields
       .map(f => s"CASE WHEN ${f.name} IS NOT NULL THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH d AS (
-       |  SELECT doc_id, CAST(doc_id % 7 AS BIGINT) AS clause_case,
-       |    (CASE doc_id % 7 $cases ELSE '' END) || text AS text
+       |  SELECT doc_id, CAST(doc_id % $mod AS BIGINT) AS clause_case,
+       |    (CASE doc_id % $mod $cases ELSE '' END) || text AS text
        |  FROM documents
        |), e AS (
        |  SELECT doc_id, clause_case, ${schema.fields.map(fieldSql).mkString(",\n  ")}
@@ -251,6 +255,72 @@ object SchemaExtract {
        |FROM e
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** `extract_fields_nda`: the reference's DEFAULT_NDA_SCHEMA
+    * (schema/schema.py:67), loaded from its bundled JSON through
+    * [[Schemas.manager]], populated over the corpus. Emits the six
+    * extracted fields plus `n_found` (how many rungs captured).
+    */
+  def extractFieldsNda(spark: SparkSession, dir: String): DataFrame =
+    plantedExtract(spark, dir, Schemas.nda, NdaClauses)
+
+  def extractFieldsNdaSql: String = plantedExtractSql(Schemas.nda, NdaClauses)
+
+  /** The reference-supported user workflow that makes the Employment
+    * schema deterministically extractable: DEFAULT_EMPLOYMENT_SCHEMA's
+    * fields carry NO patterns/keywords (schema/schema.py:141 — the
+    * reference fills them via the out-of-scope LLM rung), so a user adds
+    * keyword/pattern rungs and registers the schema through the
+    * SchemaManager catalog (schema.py:49 add_schema — exactly how custom
+    * schemas enter the reference). The augmented copy round-trips through
+    * [[SchemaManager.addSchema]]/`getSchema`, so the reference wire format
+    * carries the rungs end-to-end and the extraction below runs off the
+    * catalog-loaded JSON, never off hardcoded Scala.
+    */
+  private[graft] val EmploymentAugments: Map[String, (Seq[String], Seq[String])] = Map(
+    "employee_name" -> ((Nil, Seq("employee"))),
+    "employer_name" -> ((Nil, Seq("employer"))),
+    "start_date"    -> ((Seq("start date (\\d{4}-\\d{1,2}-\\d{1,2})"), Nil)),
+    "position"      -> ((Nil, Seq("position"))),
+    "salary"        -> ((Seq("salary ([A-Z]{3} [0-9]+)"), Nil)),
+    "vacation_days" -> ((Seq("vacation days ([0-9]+)"), Nil)))
+
+  private[graft] lazy val employmentKeyworded: FormSchema = {
+    val base = Schemas.employment
+    val aug = base.copy(
+      formName = "Employment_Agreement_Extractable",
+      fields = base.fields.map { f =>
+        val (ps, ks) = EmploymentAugments(f.name)
+        f.copy(patterns = f.patterns ++ ps, keywords = f.keywords ++ ks)
+      })
+    require(Schemas.manager.addSchema(aug), "employment schema registration failed")
+    Schemas.manager.getSchema(aug.formName)
+      .getOrElse(sys.error("augmented employment schema failed to load back"))
+  }
+
+  /** Planted employment clauses, one per `doc_id % 7` case (case 6 = miss).
+    * Each clause feeds exactly one field's rung: keyword capture for the
+    * string fields (form_filler.py:117 `_extract_by_keyword`), a pattern
+    * for the date/currency/number fields (form_filler.py:70).
+    */
+  private[graft] val EmploymentClauses = Seq(
+    "employee Margaret ",        // employee_name (keyword rung)
+    "employer WidgetWorks ",     // employer_name (keyword rung)
+    "start date 2024-06-01 ",    // start_date (pattern rung)
+    "position engineer ",        // position (keyword rung)
+    "salary USD 75000 ",         // salary (pattern rung)
+    "vacation days 15 ")         // vacation_days (pattern rung)
+
+  /** `extract_fields_employment`: the second reference schema through the
+    * SAME parameterized ladder + catalog path as `extract_fields_nda` —
+    * schema-parameterization proven end-to-end on a second real schema, not
+    * just in SchemaParamSpec.
+    */
+  def extractFieldsEmployment(spark: SparkSession, dir: String): DataFrame =
+    plantedExtract(spark, dir, employmentKeyworded, EmploymentClauses)
+
+  def extractFieldsEmploymentSql: String =
+    plantedExtractSql(employmentKeyworded, EmploymentClauses)
 
   /** `extract_json_fields`: typed JSON field pull from event props
     * (schema-guided extraction over a semi-structured column), aggregated

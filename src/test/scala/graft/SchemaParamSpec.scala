@@ -95,6 +95,33 @@ class SchemaParamSpec extends SparkSpec {
     assert(got.exists(_._2.exists(_ != null)))
   }
 
+  test("extract_fields_employment: each planted clause feeds exactly its field; miss case all-NULL") {
+    val fields = SchemaExtract.employmentKeyworded.fields.map(_.name)
+    // the augmented schema came back from the catalog, keywords intact
+    assert(Schemas.manager.listSchemas.contains("Employment_Agreement_Extractable"))
+    assert(SchemaExtract.employmentKeyworded.fields
+      .forall(f => f.patterns.nonEmpty || f.keywords.nonEmpty))
+    val expectByCase = Map(
+      0 -> ("employee_name" -> "Margaret"),
+      1 -> ("employer_name" -> "WidgetWorks"),
+      2 -> ("start_date" -> "2024-06-01"),
+      3 -> ("position" -> "engineer"),
+      4 -> ("salary" -> "USD 75000"),
+      5 -> ("vacation_days" -> "15"))
+    SchemaExtract.extractFieldsEmployment(spark, sf).collect().foreach { r =>
+      val c = r.getAs[Long]("clause_case").toInt
+      val found = fields.map(f => f -> (if (r.isNullAt(r.fieldIndex(f))) null
+        else r.getAs[String](f))).filter(_._2 != null)
+      if (c == 6) {
+        assert(found.isEmpty && r.getAs[Long]("n_found") == 0L, s"case 6: $found")
+      } else {
+        assert(found == Seq(expectByCase(c)._1 -> expectByCase(c)._2),
+          s"case $c: $found")
+        assert(r.getAs[Long]("n_found") == 1L)
+      }
+    }
+  }
+
   test("a user schema round-trips through a SchemaManager directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft-user-schemas")
     val m1 = new SchemaManager(dir.toString)
