@@ -8,10 +8,15 @@ import org.apache.spark.sql.functions._
   * side is too large to broadcast.
   *
   * AQE's skew-join split handles sort-merge skew at runtime; salting is the
-  * explicit pre-partitioning form — the left (skewed) side gets a random
-  * salt in [0, salts), the right side is replicated `salts` times, and the
-  * join key becomes (key, salt). Reducer fan-out for a hot key goes from 1
-  * to `salts`.
+  * explicit pre-partitioning form — the left (skewed) side gets a
+  * deterministic salt in [0, salts), the right side is replicated `salts`
+  * times, and the join key becomes (key, salt). Reducer fan-out for a hot
+  * key goes from 1 to `salts`.
+  *
+  * Wired consumer: the dedup verify re-joins
+  * ([[Dedup]]'s `verifySideJoin`, conf `spark.graft.dedup.verifySalts`) —
+  * a boilerplate template near-duplicated 10⁴× lands in ~10⁴ candidate
+  * pairs whose doc_id key would otherwise hash to one reducer.
   */
 object Skew {
 

@@ -14,4 +14,28 @@ class SkewSpec extends SparkSpec {
     val salted = Skew.saltedJoin(l, o, "l_orderkey", saltBy = "l_partkey").count()
     assert(plain == salted)
   }
+
+  test("verifySalts > 1 salts the dedup verify re-join: identical pairs, salted plan") {
+    import graft.operators.Dedup
+    def pairs() = Dedup.dedupMinhashLsh(spark, sf).collect().map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
+    val plain = pairs()
+    Dedup.releaseIntermediates(); spark.catalog.clearCache()
+    spark.conf.set("spark.graft.dedup.verifySalts", "4")
+    try {
+      val df = Dedup.dedupMinhashLsh(spark, sf)
+      // the salt must actually be IN the plan (join keys carry __salt) —
+      // not just a row-parity coincidence with the plain path
+      assert(df.queryExecution.optimizedPlan.toString.contains("__salt"))
+      val salted = df.collect().map(r =>
+        (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
+      assert(plain.nonEmpty && salted == plain)
+      // the embedding verify salts identically
+      val emb = Dedup.dedupEmbeddingSrp(spark, sf)
+      assert(emb.queryExecution.optimizedPlan.toString.contains("__salt"))
+    } finally {
+      spark.conf.unset("spark.graft.dedup.verifySalts")
+      Dedup.releaseIntermediates()
+    }
+  }
 }
