@@ -21,6 +21,12 @@ import org.apache.spark.sql.SparkSession
   *     exceeding PROBE_BOUND (default 2.0 s, ~2x calibrated idle) flags the
   *     run `"contended": true` — the consumer should distrust medians and
   *     prefer `min`, or rerun.
+  *   - in-JVM churn auto-adjudication: a query whose sweep median exceeds
+  *     2x its sweep min (by > 0.5 s) is re-timed in ISOLATION after the
+  *     sweep and the artifact carries both readings
+  *     (`adjudicated_min`/`adjudicated_median`) — the isolated min is the
+  *     steady-state number, so no outlier needs a manual
+  *     SPARK_GRAFT_BENCH_ONLY rerun.
   */
 object Bench {
 
@@ -64,15 +70,23 @@ object Bench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // comma-separated query-name filter for single-query adjudication runs;
-    // unset (the driver's mode) = every registered query
+    // unset (the driver's mode) = every registered query. Unknown names fail
+    // loudly — a typo would otherwise produce an empty benchmark that reads
+    // as a 0-second run.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names match no registered query: ${unknown.mkString(", ")}")
+    }
+
+    def timeQuery(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        warm: Boolean): (Double, Double) = {
       // warm run first: plan + Janino codegen compilation is a fixed per-
       // query JVM cost (measured: up to ~7 s vs ~0.9 s execution) that
       // amortizes to zero at real scale — report steady-state throughput.
-      try run(fn) catch { case _: Throwable => () }
+      if (warm) { try run(fn) catch { case _: Throwable => () } }
       val times = (1 to reps).map { _ =>
         // isolate runs: drop caches the previous run materialized so cached
         // inputs don't flatter the timed run
@@ -87,14 +101,34 @@ object Bench {
       val failed = times.contains(-1.0)
       val min = if (failed) -1.0 else times.min
       val median = if (failed) -1.0 else times.sorted.apply(times.length / 2)
-      name -> (min, median)
+      (min, median)
+    }
+
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) => name -> timeQuery(name, fn, warm = true) }
+
+    // auto-adjudication (SURVEY §8's recipe, built in): a full sweep runs
+    // ~100 Spark jobs back-to-back in one JVM, and GC/codegen-cache churn
+    // from neighbors occasionally inflates one query's median even on a
+    // quiet machine. Any query whose median exceeds 2x its min (and the gap
+    // is big enough to matter) gets an automatic isolated re-run at the
+    // end; the artifact carries BOTH readings so no outlier needs manual
+    // adjudication. Headline `value`/`queries` stay the sweep MINs.
+    val adjudicated = results.collect {
+      case (name, (min, median))
+          if min > 0 && median > 2 * min && median - min > 0.5 =>
+        name -> timeQuery(name, SparkEntry.queries(name), warm = true)
+    }
+    adjudicated.foreach { case (name, (m, d)) =>
+      System.err.println(f"[bench] adjudicated $name: isolated min=$m%.3f median=$d%.3f")
     }
 
     val probeAfter = probeSeconds(cpus.toInt)
     val contended = probeBefore > probeBound || probeAfter > probeBound
 
-    def qJson(pick: ((Double, Double)) => Double): String =
-      results.map { case (k, v) => "\"" + k + "\":" + pick(v) }.mkString("{", ",", "}")
+    def qJson(rs: Iterable[(String, (Double, Double))], pick: ((Double, Double)) => Double): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + pick(v) }.mkString("{", ",", "}")
     val totalMin = results.values.map(_._1).sum
     val totalMedian = results.values.map(_._2).sum
     // `value`/`queries` carry the per-query MIN — the steady-state number a
@@ -103,7 +137,9 @@ object Bench {
       s"""{"metric":"total","value":$totalMin,"unit":"sec","stat":"min","schema_version":2,""" +
       s""""min":$totalMin,"median":$totalMedian,""" +
       s""""contended":$contended,"probe_sec":[$probeBefore,$probeAfter],"probe_bound":$probeBound,""" +
-      s""""queries":${qJson(_._1)},"queries_median":${qJson(_._2)},"sf":"$sfDir"}"""
+      s""""queries":${qJson(results, _._1)},"queries_median":${qJson(results, _._2)},""" +
+      s""""adjudicated_min":${qJson(adjudicated, _._1)},"adjudicated_median":${qJson(adjudicated, _._2)},""" +
+      s""""sf":"$sfDir"}"""
     println(json)
     // stdout tail-capture can truncate the (long) JSON line — persist the
     // artifact too so it survives log truncation
