@@ -270,15 +270,18 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(sum(col("cnt") * length(col("g")).cast("long")).as("dup3_chars"))
 
+    // greatest(n_chars, 1): a zero-length document must yield DEFINED zero
+    // fractions in both engines, not a silent null/NaN division
+    val denom = greatest(col("n_chars"), lit(1L))
     base.join(topBi, Seq("doc_id"), "left")
       .join(triDup, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("top_bigram"), lit("")).as("top_bigram"),
         coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
         round((coalesce(col("top_bigram_n"), lit(0L)) *
-          length(coalesce(col("top_bigram"), lit(""))).cast("long")).cast("double") / col("n_chars"), 4)
+          length(coalesce(col("top_bigram"), lit(""))).cast("long")).cast("double") / denom, 4)
           .as("top2_char_frac"),
-        round(coalesce(col("dup3_chars"), lit(0L)).cast("double") / col("n_chars"), 4)
+        round(coalesce(col("dup3_chars"), lit(0L)).cast("double") / denom, 4)
           .as("dup3_char_frac"))
       .contractOrderBy("doc_id")
   }
@@ -304,8 +307,8 @@ object TextAnalysis {
       |)
       |SELECT d.doc_id, coalesce(top_bigram, '') AS top_bigram,
       |  coalesce(top_bigram_n, 0) AS top_bigram_n,
-      |  round(CAST(coalesce(top_bigram_n, 0) * CAST(length(coalesce(top_bigram, '')) AS BIGINT) AS DOUBLE) / n_chars, 4) AS top2_char_frac,
-      |  round(CAST(coalesce(dup3_chars, 0) AS DOUBLE) / n_chars, 4) AS dup3_char_frac
+      |  round(CAST(coalesce(top_bigram_n, 0) * CAST(length(coalesce(top_bigram, '')) AS BIGINT) AS DOUBLE) / greatest(n_chars, 1), 4) AS top2_char_frac,
+      |  round(CAST(coalesce(dup3_chars, 0) AS DOUBLE) / greatest(n_chars, 1), 4) AS dup3_char_frac
       |FROM d LEFT JOIN topbi ON d.doc_id = topbi.doc_id LEFT JOIN tric ON d.doc_id = tric.doc_id
       |ORDER BY d.doc_id""".stripMargin
 

@@ -193,7 +193,7 @@ package object operators {
     * 100 TB deployments set DISK_ONLY so wide intermediates never compete
     * with shuffle memory).
     */
-  private[operators] object Intermediates {
+  private[graft] object Intermediates {
     private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
     def persist(df: DataFrame): DataFrame = {

@@ -30,9 +30,14 @@ object RawSources {
     * computes the corrupt column during parsing — filtering on it alone
     * over a re-scan is explicitly unsupported (the parser may prune the
     * very columns that prove the row bad); one persist, two consumers.
+    *
+    * The persist registers with the session-lifetime intermediates registry,
+    * so `Dedup.releaseIntermediates()` (which Verify/Bench already call
+    * after each terminal action) releases it — repeated ingestion calls in a
+    * long-lived session no longer accumulate cached blocks forever.
     */
   private def split(raw: DataFrame): (DataFrame, DataFrame) = {
-    val r = raw.persist()
+    val r = graft.operators.Intermediates.persist(raw)
     (r.filter(col(CorruptCol).isNull).drop(CorruptCol),
       r.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw_line")))
   }

@@ -77,6 +77,14 @@ class TextCurationSpec extends SparkSpec {
     assert(r(0).getAs[Double]("top2_char_frac") == 0.0 && r(0).getAs[Double]("dup3_char_frac") == 0.0)
   }
 
+  test("doc_repetition: a zero-length doc yields defined zero fractions, never null/NaN") {
+    val docs = Seq((8L, "", 0L)).toDF("doc_id", "text", "n_chars")
+    val r = graft.operators.TextAnalysis.docRepetitionOf(docs).collect()
+    assert(r.length == 1)
+    val (f1, f2) = (r(0).getAs[Double]("top2_char_frac"), r(0).getAs[Double]("dup3_char_frac"))
+    assert(!r(0).isNullAt(r(0).fieldIndex("top2_char_frac")) && f1 == 0.0 && f2 == 0.0)
+  }
+
   test("dup_substrings: planted cross-doc window found; within-doc repeats alone excluded") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 words
     val docs = Seq(
