@@ -75,6 +75,78 @@ object ScaleProbe {
     val (bigSets, bigBands) = buildIndex(replicate(docs.filter(!isDelta), 16))
     val times = (1 to 3).map(_ => timeCrawl(spark, bigSets, bigBands, delta1))
     println(s"""{"probe":"base_x16_delta_x1","base_docs":${bigSets.count()},"sec_min":${times.min},"runs":[${times.mkString(",")}]}""")
+
+    embeddingProbes(spark)
     spark.stop()
+  }
+
+  /** Deterministic synthetic embedding corpus: n pseudo-random unit vectors
+    * (hash-seeded, 64-dim) with a FIXED planted-pair density — every
+    * vec_id ≡ 1 (mod 25) is a perturbed copy of its predecessor
+    * (cos ≈ 0.88–0.97). Generated in-engine so the probe scales the corpus
+    * without synthesizing files; the probe raises cosineTau to 0.7 so the
+    * random-background pair rate (cos ~ N(0, 1/64)) is ~10⁻⁸ per pair and
+    * the quadratic background never pollutes the planted-density axis.
+    */
+  def syntheticEmb(spark: SparkSession, n: Int): DataFrame = {
+    val dims = 64
+    def raw(src: String, salt: String) =
+      s"transform(sequence(0, ${dims - 1}), d -> cast(pmod(hash(concat('$salt', cast($src as string), '|', cast(d as string))), 2001) - 1000 as double) / 1000.0d)"
+    def unit(v: String) =
+      s"transform($v, x -> x / sqrt(aggregate($v, 0.0d, (a, x) -> a + x * x)))"
+    spark.range(n).select(col("id").as("vec_id"),
+      expr(s"""case when id % 25 = 1 and id > 0 then
+        ${unit(s"zip_with(${raw("id - 1", "e|")}, ${raw("id", "z|")}, (x, y) -> x + 0.35d * y)")}
+        else ${unit(raw("id", "e|"))} end""").as("embedding"))
+  }
+
+  /** Embedding-lane probes (round 7): corpus ×1/×4/×16 at fixed planted
+    * density. SRP applies the deployment banding rule
+    * `bandBits ≈ log2(corpus / cap)` per scale (4/6/8 bits at constant 4
+    * bands), so per-bucket occupancy — and with it candidate volume PER
+    * DOCUMENT — stays flat as the corpus grows; IVF applies the k ≈ √n
+    * rule. Quantizer training is part of the timed IVF run (unlike the
+    * stored MinHash index, the trained quantizer is rebuilt per corpus
+    * epoch); SRP needs no training at all — that contrast is the point of
+    * shipping both.
+    */
+  private def embeddingProbes(spark: SparkSession): Unit = {
+    import graft.operators.Dedup
+    def timed(df: () => DataFrame): Double = {
+      Dedup.releaseIntermediates()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      df().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    spark.conf.set("spark.graft.dedup.cosineTau", "0.7")
+    try {
+      for ((k, bandBits) <- Seq((1, 4), (4, 6), (16, 8))) {
+        val n = 500 * k
+        val embs = syntheticEmb(spark, n).localCheckpoint(true)
+        // SRP: constant 4 bands; bandBits per the occupancy rule
+        spark.conf.set("spark.graft.dedup.srpBandBits", bandBits.toString)
+        spark.conf.set("spark.graft.dedup.srpBits", (4 * bandBits).toString)
+        timed(() => Dedup.srpPairsOf(embs)) // warm-up, not billed
+        val srpTimes = (1 to 3).map(_ => timed(() => Dedup.srpPairsOf(embs)))
+        Dedup.releaseIntermediates(); spark.catalog.clearCache()
+        val cands = Dedup.srpCandidates(embs).count()
+        Dedup.releaseIntermediates(); spark.catalog.clearCache()
+        val pairs = Dedup.srpPairsOf(embs).count()
+        println(s"""{"probe":"srp_x$k","docs":$n,"band_bits":$bandBits,"candidates":$cands,"pairs":$pairs,"sec_min":${srpTimes.min},"runs":[${srpTimes.mkString(",")}]}""")
+        // IVF: k ~ sqrt(n); quantizer trained inside the timed run
+        spark.conf.set("spark.graft.kmeans.k", math.ceil(math.sqrt(n)).toInt.toString)
+        timed(() => Dedup.dedupEmbeddingIvfOf(embs)) // warm-up
+        val ivfTimes = (1 to 3).map(_ => timed(() => Dedup.dedupEmbeddingIvfOf(embs)))
+        Dedup.releaseIntermediates(); spark.catalog.clearCache()
+        val ivfPairs = Dedup.dedupEmbeddingIvfOf(embs).count()
+        println(s"""{"probe":"ivf_x$k","docs":$n,"kmeans_k":${math.ceil(math.sqrt(n)).toInt},"pairs":$ivfPairs,"sec_min":${ivfTimes.min},"runs":[${ivfTimes.mkString(",")}]}""")
+      }
+    } finally {
+      Seq("spark.graft.dedup.cosineTau", "spark.graft.dedup.srpBandBits",
+        "spark.graft.dedup.srpBits", "spark.graft.kmeans.k")
+        .foreach(spark.conf.unset)
+      Dedup.releaseIntermediates()
+    }
   }
 }

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-dedup throughput micro-bench (SURVEY §4): measures rows/s
+  * through the two incremental streaming lanes over N MemoryStream
+  * micro-batches, so the "runs forever at crawl rates" claim
+  * ([[graft.streaming.StreamOps.deltaDedupStream]] doc) carries a measured
+  * point instead of an assertion.
+  *
+  *  - `delta_dedup_stream`: the stateless single-query lane (stream-static
+  *    band join against the stored MinHash index).
+  *  - `incremental_index`: the production `foreachBatch` runner
+  *    ([[graft.streaming.StreamOps.IncrementalDedupIndex]]) — full batch
+  *    incremental core per micro-batch, index appended after each.
+  *  - `srp_dedup_stream`: the embedding twin (stateless SRP banding against
+  *    the stored SRP index).
+  *
+  * Index builds are untimed (index time ≠ crawl time); a warm-up batch runs
+  * first so JVM/codegen startup is not billed — same policy as Bench.
+  * `runMain graft.StreamBench [sfDir]`; SPARK_GRAFT_STREAM_BATCHES sets the
+  * micro-batch count (default 10), SPARK_GRAFT_STREAM_X the delta
+  * replication factor (default 1; 16 ≈ 8k docs/run at sf0.1).
+  */
+object StreamBench {
+  import graft.streaming.StreamOps
+
+  private def report(lane: String, rows: Long, batches: Int, sec: Double): Unit =
+    println(f"""{"stream":"$lane","rows":$rows,"batches":$batches,"sec":$sec%.3f,"rows_per_sec":${rows / sec}%.1f}""")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
+    val xfactor = sys.env.getOrElse("SPARK_GRAFT_STREAM_X", "1").toInt
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = sources.Tables.documents(spark, dir).select("doc_id", "text")
+    val isDelta = col("doc_id") % operators.Dedup.DeltaIdMod === 0
+    // index time, untimed — production reads a persisted index per crawl
+    val baseSets = operators.Dedup.hashedShingleSetsOf(docs.filter(!isDelta))
+      .localCheckpoint(true)
+    val baseBands = operators.Dedup.bandTableOf(baseSets).localCheckpoint(true)
+    val deltaRows = ScaleProbe.replicate(docs.filter(isDelta), xfactor)
+      .as[(Long, String)].collect()
+    val chunks = deltaRows.grouped(math.max(1, deltaRows.length / batches)).toSeq
+
+    // ---- lane 1: stateless single-query stream (delta × stored index) ----
+    locally {
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamOps.deltaDedupStream(mem.toDF().toDF("doc_id", "text"),
+          baseBands, baseSets)
+        .writeStream.format("noop").outputMode("append").start()
+      try {
+        mem.addData(chunks.head.toIndexedSeq); q.processAllAvailable() // warm-up, not billed
+        val t0 = System.nanoTime()
+        chunks.tail.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+        val sec = (System.nanoTime() - t0) / 1e9
+        report("delta_dedup_stream", deltaRows.length - chunks.head.length,
+          chunks.length - 1, sec)
+      } finally q.stop()
+    }
+
+    // ---- lane 2: production foreachBatch incremental-index runner ----
+    locally {
+      val idx = new StreamOps.IncrementalDedupIndex(baseSets, baseBands)
+      val mem = MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          idx.processBatch(batch).write.format("noop").mode("overwrite").save()
+        }
+        .start()
+      try {
+        mem.addData(chunks.head.toIndexedSeq); q.processAllAvailable() // warm-up
+        val t0 = System.nanoTime()
+        chunks.tail.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+        val sec = (System.nanoTime() - t0) / 1e9
+        report("incremental_index", deltaRows.length - chunks.head.length,
+          chunks.length - 1, sec)
+      } finally q.stop()
+    }
+
+    // ---- lane 3: embedding twin (SRP bands against the stored SRP index) ----
+    locally {
+      val emb = sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      val isDeltaV = col("vec_id") % operators.Dedup.DeltaIdMod === 0
+      val baseEmb = emb.filter(!isDeltaV).localCheckpoint(true)
+      val srpBands = operators.Dedup.srpBandRows(baseEmb).localCheckpoint(true)
+      val deltaEmb = emb.filter(isDeltaV)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))"))
+        .as[(Long, Array[Double])].collect()
+      val echunks = deltaEmb.grouped(math.max(1, deltaEmb.length / batches)).toSeq
+      val mem = MemoryStream[(Long, Array[Double])]
+      val q = StreamOps.srpDedupStream(mem.toDF().toDF("vec_id", "embedding"),
+          srpBands, baseEmb)
+        .writeStream.format("noop").outputMode("append").start()
+      try {
+        mem.addData(echunks.head.toIndexedSeq); q.processAllAvailable() // warm-up
+        val t0 = System.nanoTime()
+        echunks.tail.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+        val sec = (System.nanoTime() - t0) / 1e9
+        report("srp_dedup_stream", deltaEmb.length - echunks.head.length,
+          echunks.length - 1, sec)
+      } finally q.stop()
+    }
+
+    spark.stop()
+  }
+}

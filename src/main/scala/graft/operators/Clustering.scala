@@ -40,7 +40,10 @@ object Clustering {
 
   /** (vec_id, se: array<bigint>) — embeddings quantized to the exact grid. */
   private[operators] def scaledEmb(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).select(
+    scaledEmbOf(Tables.embeddings(spark, dir))
+
+  private[operators] def scaledEmbOf(embs: DataFrame): DataFrame =
+    embs.select(
       col("vec_id"),
       expr(s"transform(embedding, x -> cast(round(cast(x as double) * $Scale) as bigint))")
         .as("se"))
@@ -65,13 +68,18 @@ object Clustering {
     * ([[Similarity.trainedIvfTopK]]) probes. K rows — at 100 TB a caller
     * persists this tiny table once and broadcasts it everywhere.
     */
-  def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
+  def trainedCentroids(spark: SparkSession, dir: String): DataFrame =
+    trainedCentroidsOf(scaledEmb(spark, dir))
+
+  /** [[trainedCentroids]] over any already-scaled (vec_id, se) relation —
+    * the seam the scale probe trains per-scale quantizers through.
+    */
+  private[graft] def trainedCentroidsOf(vecs: DataFrame): DataFrame = {
     val mod = TrainSampleMod
     // Lloyd rounds see the deterministic vec_id-modulus sample only; the
     // K seeds are the sample's K lowest ids (vec_id < K·mod on the id
     // grid — the same pushdown-able shape as the full-corpus vec_id < K).
     // Assignment consumers (kmeansTrain, IVF cells) still cover everything.
-    val vecs = scaledEmb(spark, dir)
     val train = if (mod == 1) vecs else vecs.filter(col("vec_id") % mod === 0)
     val cent0 = train.filter(col("vec_id") < K.toLong * mod)
       .select(col("vec_id").as("cid"), col("se").as("cemb"))
