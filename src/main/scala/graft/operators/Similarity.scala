@@ -196,7 +196,7 @@ object Similarity {
 
   def annTopKIvf2Sql: String =
     s"""WITH ${Clustering.kmeansCtesSql},
-       |a2 AS (
+       |assign_final AS (
        |  SELECT vec_id, cid AS cluster FROM (
        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
        |    FROM d2t) WHERE rn = 1
@@ -212,8 +212,8 @@ object Similarity {
        |    round(list_inner_product(q.qemb, CAST(e.embedding AS DOUBLE[])), 4) AS cos
        |  FROM probe p
        |  JOIN qv q ON p.query_id = q.qid
-       |  JOIN a2 ON a2.cluster = p.pcell
-       |  JOIN embeddings e ON e.vec_id = a2.vec_id AND e.vec_id <> p.query_id
+       |  JOIN assign_final ON assign_final.cluster = p.pcell
+       |  JOIN embeddings e ON e.vec_id = assign_final.vec_id AND e.vec_id <> p.query_id
        |), ranked AS (
        |  SELECT query_id, neighbor_id, cos,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
