@@ -101,6 +101,44 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** (doc_id, qint) — `quality_score`'s composite BEFORE its one division:
+    * an exact integer in both engines, so argmax comparisons (e.g.
+    * [[Dedup.dedupKeepBest]]'s canonical pick) can never float-flip.
+    * `qint / 100000.0` IS `quality_score.score`.
+    */
+  private[graft] def qualityIntScoreOf(docs: DataFrame): DataFrame = {
+    val stopList = EnStopwords.map("'" + _ + "'").mkString(",")
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .select(col("doc_id"),
+        (expr("(10000 * cast(size(array_distinct(ws)) as bigint)) div n_words") * 3
+          + (lit(10000L) - expr(s"(10000 * cast(size(filter(ws, w -> w IN ($stopList))) as bigint)) div n_words")) * 3
+          + least(col("n_words") * 100, lit(10000L)) * 4).as("qint"))
+  }
+
+  /** CTE body `..., qscore(doc_id, qint)` mirroring [[qualityIntScoreOf]];
+    * appended to other oracles' WITH chains (names prefixed `q` to avoid
+    * collisions).
+    */
+  private[graft] def qualityIntCtesSql: String = {
+    val stopList = EnStopwords.map("'" + _ + "'").mkString(",")
+    s"""qd AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), qf AS (
+       |  SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(ws, w -> w IN ($stopList))) AS BIGINT) AS n_stop
+       |  FROM qd
+       |), qscore AS (
+       |  SELECT doc_id, ((10000 * n_distinct) // n_words) * 3
+       |    + (10000 - ((10000 * n_stop) // n_words)) * 3
+       |    + least(n_words * 100, 10000) * 4 AS qint
+       |  FROM qf
+       |)""".stripMargin
+  }
+
   /** `token_count`: whitespace tokens + BPE-ish regex tokens (alpha runs /
     * digit runs / other non-space) per doc.
     */

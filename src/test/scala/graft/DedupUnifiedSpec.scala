@@ -84,6 +84,32 @@ class DedupUnifiedSpec extends SparkSpec {
     Dedup.releaseIntermediates()
   }
 
+  test("dedup_keep_best keeps the highest-quality member, not the min id") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // three lexical near-dups sharing a long base; doc 12 gets extra
+    // DISTINCT vocabulary → strictly higher type-token/length composite
+    val base = lex // 30 words, all distinct
+    val docs = Seq(
+      (10L, base + " t t t t t t t t", "en", "web"),     // repeated filler: low ttr
+      (11L, base + " u u u u u u u u", "en", "web"),
+      (12L, base + " quartz ember drift loom vale crane moss pike", "en", "web"),
+      (13L, "standalone text unrelated to the cluster in every word choice", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val scores = TextAnalysis.qualityIntScoreOf(docs)
+    val clusters = Dedup.clustersFromPairs(
+      Dedup.minhashPairsOf(docs).select("doc_a", "doc_b"))
+    val best = Dedup.dedupKeepBestFrom(docs, clusters, scores).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getLong(4))).toMap
+    // sanity: the three formed one cluster, and the planted best is doc 12
+    assert(best.keySet == Set(12L, 13L), s"kept: ${best.keySet}")
+    assert(best(12L) == ("best", 3L) && best(13L) == ("unique", 1L))
+    // min-id keep would have chosen doc 10 — the two policies must disagree
+    val minId = Dedup.dedupKeepFrom(docs, clusters).collect().map(_.getLong(0)).toSet
+    assert(minId.contains(10L) && !minId.contains(12L))
+    Dedup.releaseIntermediates()
+  }
+
   test("exact dups below shingle width drop via the exact lane; uniques survive") {
     val (docs, embs) = corpus
     val rows = Dedup.dedupKeepUnifiedFrom(docs, embs).collect()
