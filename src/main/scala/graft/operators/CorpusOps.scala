@@ -44,6 +44,63 @@ object CorpusOps {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** `corpus_diff`: snapshot diff — the primitive a crawl pipeline runs
+    * between corpus versions before deciding what to reprocess: every
+    * doc_id classified `added` / `removed` / `changed` / `unchanged` by
+    * content hash. ONE key-shuffle full-outer join of two hashed corpus
+    * scans (md5 computed map-side); at 100 TB both sides stream through
+    * the join with no other state — this is exactly the shape a
+    * snapshot-diff stays cheap in.
+    *
+    * The two snapshots are carved deterministically from the corpus (no
+    * second snapshot file exists in the test data): snapshot A drops
+    * doc_id ≡ 0 (mod 11) — those become `added` in B; snapshot B drops
+    * doc_id ≡ 0 (mod 13) — `removed`; B revises the text of doc_id ≡ 0
+    * (mod 7) — `changed`. The SAME carving runs in the oracle, so what is
+    * under test is the diff classification itself.
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val snapA = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val snapB = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    corpusDiffOf(snapA, snapB)
+  }
+
+  /** The diff core over two explicit (doc_id, text) snapshots. */
+  def corpusDiffOf(snapA: DataFrame, snapB: DataFrame): DataFrame = {
+    val a = snapA.select(col("doc_id"), md5(col("text")).as("hash_a"))
+    val b = snapB.select(col("doc_id"), md5(col("text")).as("hash_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("hash_a").isNull, "added")
+          .when(col("hash_b").isNull, "removed")
+          .when(col("hash_a") =!= col("hash_b"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("hash_a"), col("hash_b"))
+      .contractOrderBy("doc_id")
+  }
+
+  val corpusDiffSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, md5(text) AS hash_a FROM documents WHERE doc_id % 11 <> 0
+      |), b AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS hash_b
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |)
+      |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |  CASE WHEN a.doc_id IS NULL THEN 'added'
+      |       WHEN b.doc_id IS NULL THEN 'removed'
+      |       WHEN hash_a <> hash_b THEN 'changed'
+      |       ELSE 'unchanged' END AS status,
+      |  hash_a, hash_b
+      |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** `stratified_sample`: hash-deterministic 20% sample per language
     * stratum (uniform within stratum, stable across runs).
     */

@@ -77,4 +77,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a.getAs[Long]("approx_langs") == docs.select("lang").distinct().count())
     assert(a.getAs[Long]("approx_sources") == docs.select("source").distinct().count())
   }
+
+  test("corpus_diff: planted snapshots classify added/removed/changed/unchanged exactly") {
+    import spark.implicits._
+    val a = Seq((1L, "same text"), (2L, "old version"), (3L, "to be removed"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "same text"), (2L, "new version"), (4L, "brand new doc"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.corpusDiffOf(a, b).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // corpus-level query covers all four statuses with the carved snapshots
+    val statuses = CorpusOps.corpusDiff(spark, sf)
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses == Set("added", "removed", "changed", "unchanged"))
+  }
 }
