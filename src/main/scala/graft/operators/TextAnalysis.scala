@@ -164,6 +164,61 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** `doc_perplexity`: unigram language-model scoring — the CCNet-style
+    * quality signal (Wenzek et al. 2020): documents whose tokens are
+    * improbable under the corpus unigram distribution (high mean negative
+    * log-likelihood ≈ high perplexity) are gibberish/rare-junk candidates;
+    * CCNet buckets a crawl into head/middle/tail exactly this way (with a
+    * 5-gram KenLM — the unigram MLE is the deterministic, in-engine
+    * rung of that ladder).
+    *
+    * Determinism (SURVEY §5 discipline, bm25 precedent): each token's
+    * log-probability leaves `ln` rounded to 6 places, is carried as
+    * DECIMAL(18,6), and per-doc summation is therefore EXACT and
+    * order-independent — never a parallel float sum; one double division
+    * at the end. Scale shape: one token explode, one vocabulary-grain
+    * count (map-side combined), one corpus⋈vocabulary key join (AQE
+    * broadcasts the vocabulary side when it fits), one doc-grain
+    * aggregation — all linear.
+    */
+  def docPerplexity(spark: SparkSession, dir: String): DataFrame =
+    docPerplexityOf(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — specs plant rare-token docs. */
+  def docPerplexityOf(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val cnt = tok.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    // corpus token total as a 1-row broadcast (q11-style scalar aggregate)
+    val total = cnt.agg(sum(col("c")).as("total"))
+    val logp = cnt.crossJoin(broadcast(total))
+      .select(col("word"),
+        round(log(col("c").cast("double") / col("total").cast("double")), 6)
+          .cast("decimal(18,6)").as("logp"))
+    tok.join(logp, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (-sum(col("logp"))).as("nll_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("nll_sum").cast("double") / col("n_tokens"), 4).as("nll"))
+      .contractOrderBy("doc_id")
+  }
+
+  val docPerplexitySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      |), cnt AS (
+      |  SELECT word, count(*) AS c FROM tok GROUP BY word
+      |), logp AS (
+      |  SELECT word,
+      |    CAST(round(ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM cnt)), 6) AS DECIMAL(18,6)) AS logp
+      |  FROM cnt
+      |)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  round(CAST(-sum(logp) AS DOUBLE) / count(*), 4) AS nll
+      |FROM tok JOIN logp USING (word)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** `doc_fingerprint`: whole-content md5 + winnowing-style min-shingle
     * fingerprint (min md5 over 5-gram shingles — the rolling-hash
     * fingerprint family).

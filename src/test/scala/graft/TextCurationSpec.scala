@@ -150,4 +150,18 @@ class TextCurationSpec extends SparkSpec {
       spark.conf.unset("spark.graft.text.dupTopN")
     }
   }
+
+  test("doc_perplexity: rare-token doc scores strictly worse; uniform corpus scores ln(V)") {
+    val docs = Seq(
+      (1L, "the the the the the the the the"),       // all common tokens
+      (2L, "the the the the the the the zyzzyva"))   // one rare token
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.docPerplexityOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll")).toMap
+    // 'the' appears 15/16 times, 'zyzzyva' once: doc 2's mean NLL is higher
+    assert(out(2L) > out(1L), s"rare-token doc must score worse: $out")
+    // hand-check doc 1: every token logp = ln(15/16) rounded at 6, mean = -that
+    val expect1 = math.rint(-math.rint(math.log(15.0 / 16.0) * 1e6) / 1e6 * 1e4) / 1e4
+    assert(out(1L) == expect1, s"got ${out(1L)} want $expect1")
+  }
 }
