@@ -110,6 +110,26 @@ class DedupUnifiedSpec extends SparkSpec {
     Dedup.releaseIntermediates()
   }
 
+  test("dedup_lanes_report: combination counts sum to the distinct union pair count") {
+    val report = Dedup.dedupLanesReport(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Dedup.releaseIntermediates()
+    val valid = Set("exact", "minhash", "srp",
+      "exact+minhash", "exact+srp", "minhash+srp", "exact+minhash+srp")
+    assert(report.keySet.subsetOf(valid), s"unexpected combos: ${report.keySet -- valid}")
+    // the corpus plants both lexical and embedding near-dups, so both
+    // families must appear, and totals must tile the union exactly
+    assert(report.keys.exists(_.contains("minhash")) && report.keys.exists(_.contains("srp")))
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val union = Dedup.exactEdgesOf(docs).select("doc_a", "doc_b")
+      .unionByName(Dedup.minhashPairsOf(docs).select("doc_a", "doc_b"))
+      .unionByName(Dedup.srpPairsOf(graft.sources.Tables.embeddings(spark, sf))
+        .selectExpr("id_a as doc_a", "id_b as doc_b"))
+      .distinct().count()
+    assert(report.values.sum == union)
+    Dedup.releaseIntermediates()
+  }
+
   test("exact dups below shingle width drop via the exact lane; uniques survive") {
     val (docs, embs) = corpus
     val rows = Dedup.dedupKeepUnifiedFrom(docs, embs).collect()
