@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -202,6 +202,123 @@ object Curation {
        |FROM g LEFT JOIN agg a ON g.doc_id = a.doc_id
        |WHERE NOT g.is_eval
        |ORDER BY g.doc_id""".stripMargin
+
+  // ---- decontaminate_fuzzy ------------------------------------------------
+
+  /** Fuzzy-decontamination Jaccard threshold
+    * (`spark.graft.decontam.fuzzyTau`).
+    */
+  def FuzzyTau: Double = GraftConf.decontamFuzzyTau
+
+  /** Eval-membership modulus for the fuzzy sweep's oracle-facing default
+    * (`spark.graft.decontam.fuzzyEvalMod`) — see the conf Scaladoc for why
+    * it differs from [[EvalIdMod]].
+    */
+  def FuzzyEvalMod: Int = GraftConf.decontamFuzzyEvalMod
+
+  /** `decontaminate_fuzzy`: MinHash-LSH CROSS-SET decontamination — train
+    * documents that are near-duplicates of an eval document, not merely
+    * sharing one n-gram with the eval set (the [[decontaminate]] sweep).
+    * This is the fuzzy half of production decontamination (GPT-3 appx C /
+    * Llama style): an eval answer paraphrased or truncated into a train doc
+    * clears the exact n-gram bar yet still leaks the benchmark; Jaccard
+    * against the eval doc catches it. Per train doc: how many eval docs it
+    * collides with above [[FuzzyTau]], the worst offender (highest Jaccard,
+    * ties to the lower eval id) and its similarity.
+    *
+    * Scale shape (the reason this is NOT `dedup_minhash_lsh` filtered to
+    * cross pairs): the eval side is benchmark-sized, so its band table and
+    * shingle sets BROADCAST — the 100 TB train side is banded map-side and
+    * streams through two broadcast hash joins (band match, then Jaccard
+    * verify); the corpus never shuffles and no train-train candidate is
+    * ever generated or verified. Candidate fan-out per train row is bounded
+    * by eval-bucket occupancy (≤ eval set size), so no hot-bucket cap is
+    * needed on this lane. Banding reuses [[Dedup.bandTableOf]] verbatim —
+    * same signature family, same conf fingerprint.
+    */
+  def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame =
+    decontaminateFuzzyFrom(Tables.documents(spark, dir),
+      col("doc_id") % FuzzyEvalMod === 0)
+
+  /** [[decontaminateFuzzy]] over any (doc_id, text) relation with an
+    * arbitrary eval-membership predicate over `doc_id` — the seam a real
+    * deployment calls with its actual benchmark corpus.
+    */
+  def decontaminateFuzzyFrom(docs: DataFrame, isEval: Column): DataFrame = {
+    val sets = Intermediates.persist(Dedup.hashedShingleSetsOf(docs))
+    val banded = Intermediates.persist(Dedup.bandTableOf(sets))
+    val evalBands = banded.filter(isEval)
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("eval_id"))
+    val cands = banded.filter(!isEval)
+      .join(broadcast(evalBands), Seq("band_id", "band_hash"))
+      .select(col("doc_id"), col("eval_id"))
+      .distinct()
+    val evalSets = sets.filter(isEval)
+      .select(col("doc_id").as("eval_id"), col("hs").as("ehs"))
+    // cands is collision-sized (docs sharing a band with the benchmark),
+    // orders smaller than the corpus — AQE broadcasts it into the sets
+    // join, so even the verify re-join shuffles nothing corpus-grain
+    val verified = cands
+      .join(sets.select(col("doc_id"), col("hs")), "doc_id")
+      .join(broadcast(evalSets), "eval_id")
+      .withColumn("inter", size(array_intersect(col("hs"), col("ehs"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("hs")) + size(col("ehs")) - col("inter")), 4))
+      .filter(col("jaccard") >= FuzzyTau)
+    // per-doc rollup: hit count + worst offender. Window partitions carry
+    // one train doc's hits each (bounded by the eval set), never the corpus
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val top = verified
+      .withColumn("n_eval_hits", count(lit(1)).over(byDoc))
+      .withColumn("rn", row_number().over(
+        byDoc.orderBy(col("jaccard").desc, col("eval_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_eval_hits"),
+        col("eval_id").as("top_eval_id"), col("jaccard").as("top_jaccard"))
+    docs.filter(!isEval).select("doc_id")
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        col("top_eval_id"),
+        coalesce(col("top_jaccard"), lit(0.0)).as("top_jaccard"),
+        col("top_eval_id").isNotNull.as("contaminated"))
+      .contractOrderBy("doc_id")
+  }
+
+  def decontaminateFuzzySql: String =
+    s"""${Dedup.minhashBandedCtes},
+       |evb AS (
+       |  SELECT band_id, band_hash, doc_id AS eval_id FROM banded_all
+       |  WHERE doc_id % $FuzzyEvalMod = 0
+       |),
+       |cand AS (
+       |  SELECT DISTINCT t.doc_id, e.eval_id
+       |  FROM banded_all t JOIN evb e USING (band_id, band_hash)
+       |  WHERE t.doc_id % $FuzzyEvalMod <> 0
+       |),
+       |verified AS (
+       |  SELECT c.doc_id, c.eval_id,
+       |    round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+       |          (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))), 4) AS jaccard
+       |  FROM cand c JOIN hsets sa ON c.doc_id = sa.doc_id
+       |               JOIN hsets sb ON c.eval_id = sb.doc_id
+       |),
+       |flagged AS (
+       |  SELECT doc_id, eval_id, jaccard,
+       |    count(*) OVER (PARTITION BY doc_id) AS n_eval_hits,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, eval_id) AS rn
+       |  FROM verified WHERE jaccard >= $FuzzyTau
+       |)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(f.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+       |  f.eval_id AS top_eval_id,
+       |  coalesce(f.jaccard, 0.0) AS top_jaccard,
+       |  f.doc_id IS NOT NULL AS contaminated
+       |FROM documents d
+       |LEFT JOIN flagged f ON d.doc_id = f.doc_id AND f.rn = 1
+       |WHERE d.doc_id % $FuzzyEvalMod <> 0
+       |ORDER BY d.doc_id""".stripMargin
 
   // ---- pack_sequences -----------------------------------------------------
 

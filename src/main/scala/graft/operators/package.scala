@@ -142,6 +142,24 @@ package object operators {
       * log2(corpus / this cap) as the corpus grows.
       */
     def dedupSrpHotBandDocs: Int = positive("spark.graft.dedup.srpHotBandDocs", "256")
+    /** Fuzzy-decontamination Jaccard threshold
+      * (`spark.graft.decontam.fuzzyTau`): a train doc is flagged when its
+      * shingle-set Jaccard against any eval doc reaches this. Tuned apart
+      * from the dedup taus — contamination matters below near-dup level.
+      */
+    def decontamFuzzyTau: Double = fraction("spark.graft.decontam.fuzzyTau", "0.5")
+    /** Eval-set id modulus for the FUZZY sweep
+      * (`spark.graft.decontam.fuzzyEvalMod`). Deliberately different from
+      * the exact sweep's 97: the synthetic corpus's planted near-dup pairs
+      * never straddle the %97 boundary at the shipped scale factors, so a
+      * %97 fuzzy sweep would be vacuously green — %29 puts real
+      * above-tau cross-set pairs in scope at sf0.001/0.01/0.1 (3/5/20
+      * pairs respectively, measured in SURVEY §6). Production callers use
+      * [[graft.operators.Curation.decontaminateFuzzyFrom]] with their real
+      * benchmark membership predicate; the mod only parameterizes the
+      * oracle-facing default.
+      */
+    def decontamFuzzyEvalMod: Int = positive("spark.graft.decontam.fuzzyEvalMod", "29")
 
     // -- ANN knobs --
     /** Query-vector count (`spark.graft.ann.queries`). */

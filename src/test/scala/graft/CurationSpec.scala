@@ -44,6 +44,33 @@ class CurationSpec extends SparkSpec {
       out(3L).getAs[Double]("overlap_frac") == 0.0, "short doc must survive with 0 ngrams")
   }
 
+  test("decontaminate_fuzzy: near-dup of an eval doc is flagged; one-ngram overlap is not") {
+    import spark.implicits._
+    val w = (0 until 30).map(i => s"w$i")
+    val evalText  = w.mkString(" ")                         // eval doc
+    val nearDup   = (w.dropRight(1) :+ "changed").mkString(" ") // ~0.9 jaccard vs eval
+    // shares exactly the trigram "w10 w11 w12" with the eval doc, nothing else:
+    // exact n-gram decontamination flags this; the fuzzy sweep must NOT
+    val oneGram   = "a b c w10 w11 w12 d e f g h i j k l m n o p q r s t u v"
+    val clean     = (0 until 30).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (0L, evalText), (1L, (0 until 30).map(i => s"e$i").mkString(" ")), // eval set
+      (10L, nearDup), (11L, oneGram), (12L, clean))         // train set
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminateFuzzyFrom(docs, col("doc_id") < 10L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(10L, 11L, 12L), "output must be exactly the train docs")
+    val hit = out(10L)
+    assert(hit.getAs[Boolean]("contaminated"))
+    assert(hit.getAs[Long]("top_eval_id") == 0L)
+    assert(hit.getAs[Double]("top_jaccard") >= Curation.FuzzyTau)
+    assert(hit.getAs[Long]("n_eval_hits") >= 1L)
+    assert(!out(11L).getAs[Boolean]("contaminated"),
+      "single shared n-gram below tau must NOT be flagged by the fuzzy sweep")
+    assert(out(11L).getAs[Double]("top_jaccard") == 0.0)
+    assert(!out(12L).getAs[Boolean]("contaminated"))
+  }
+
   test("pack_sequences matches an in-memory concat-and-chop reference") {
     val rows = Curation.packSequences(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, docs) =>
