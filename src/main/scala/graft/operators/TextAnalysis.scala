@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Text-analysis operators for training-data curation (SURVEY §2C):
@@ -185,7 +186,14 @@ object TextAnalysis {
     docPerplexityOf(Tables.documents(spark, dir))
 
   /** Core over any (doc_id, text) frame — specs plant rare-token docs. */
-  def docPerplexityOf(docs: DataFrame): DataFrame = {
+  def docPerplexityOf(docs: DataFrame): DataFrame =
+    perplexityCoreOf(docs).contractOrderBy("doc_id")
+
+  /** The unordered (doc_id, n_tokens, nll) core — shared by
+    * [[docPerplexityOf]] and [[perplexityBuckets]] so the bucket cut and
+    * the per-doc score can never drift on tokenization or rounding.
+    */
+  private[graft] def perplexityCoreOf(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val cnt = tok.groupBy(col("word")).agg(count(lit(1)).as("c"))
     // corpus token total as a 1-row broadcast (q11-style scalar aggregate)
@@ -200,10 +208,13 @@ object TextAnalysis {
         (-sum(col("logp"))).as("nll_sum"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("nll_sum").cast("double") / col("n_tokens"), 4).as("nll"))
-      .contractOrderBy("doc_id")
   }
 
-  val docPerplexitySql: String =
+  /** The tok/cnt/logp/ppl CTE chain shared by [[docPerplexitySql]] and
+    * [[perplexityBucketsSql]] — one string, same no-drift treatment as
+    * Dedup.minhashBandedCtes.
+    */
+  private[graft] val perplexityCtes: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
       |), cnt AS (
@@ -212,12 +223,78 @@ object TextAnalysis {
       |  SELECT word,
       |    CAST(round(ln(CAST(c AS DOUBLE) / (SELECT CAST(sum(c) AS DOUBLE) FROM cnt)), 6) AS DECIMAL(18,6)) AS logp
       |  FROM cnt
-      |)
-      |SELECT doc_id, count(*) AS n_tokens,
-      |  round(CAST(-sum(logp) AS DOUBLE) / count(*), 4) AS nll
-      |FROM tok JOIN logp USING (word)
-      |GROUP BY doc_id
+      |), ppl AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |    round(CAST(-sum(logp) AS DOUBLE) / count(*), 4) AS nll
+      |  FROM tok JOIN logp USING (word)
+      |  GROUP BY doc_id
+      |)""".stripMargin
+
+  val docPerplexitySql: String =
+    s"""$perplexityCtes
+      |SELECT doc_id, n_tokens, nll FROM ppl
       |ORDER BY doc_id""".stripMargin
+
+  /** Threshold-sample modulus (`spark.graft.ppl.sampleMod`). */
+  def PplSampleMod: Int = GraftConf.pplSampleMod
+
+  /** `perplexity_buckets`: CCNet's head/middle/tail corpus cut (Wenzek et
+    * al. 2020 §4.3 — the step after scoring: bucket the crawl into thirds
+    * by LM perplexity, then train on head/middle and drop or downweight
+    * tail). Each doc gets its [[docPerplexity]] nll plus the bucket label.
+    *
+    * Determinism: the two cut points are ORDER STATISTICS — the nll at
+    * rank ceil(n/3) and ceil(2n/3) (ties broken by doc_id, ceil as the
+    * integer form `(n+k-1) div k`, never float interpolation, so the two
+    * engines can't disagree on a percentile convention) — of the sample
+    * `doc_id % sampleMod == 0`. Bucket compare is `nll <= t` on the
+    * already-rounded 4-dp doubles both engines agree on hash-exactly.
+    *
+    * Scale shape: thresholds come from the mod-sized SAMPLE, exactly as
+    * CCNet computes them from a held-out slice — the only ordered pass is
+    * a row_number over that sample (single reducer, sized by the mod, the
+    * documented knob), emitted as ONE broadcast row; the corpus itself is
+    * scored in one linear pass and bucket-labeled map-side. Never a global
+    * sort or percentile over the full corpus.
+    */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    perplexityBucketsOf(Tables.documents(spark, dir))
+
+  def perplexityBucketsOf(docs: DataFrame): DataFrame = {
+    val ppl = Intermediates.persist(perplexityCoreOf(docs))
+    val smp = ppl.filter(col("doc_id") % PplSampleMod === 0)
+      .select(col("nll"), col("doc_id"))
+    val ordered = smp.withColumn("rn",
+      row_number().over(Window.orderBy(col("nll"), col("doc_id"))))
+    val n = smp.agg(count(lit(1)).as("n"))
+    val th = ordered.crossJoin(broadcast(n))
+      .agg(max(when(col("rn") === expr("(n + 2) div 3"), col("nll"))).as("t_head"),
+           max(when(col("rn") === expr("(2 * n + 2) div 3"), col("nll"))).as("t_mid"))
+    ppl.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_tokens"), col("nll"),
+        when(col("nll") <= col("t_head"), lit("head"))
+          .when(col("nll") <= col("t_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .contractOrderBy("doc_id")
+  }
+
+  def perplexityBucketsSql: String =
+    s"""$perplexityCtes,
+      |smp AS (
+      |  SELECT nll, doc_id, row_number() OVER (ORDER BY nll, doc_id) AS rn
+      |  FROM ppl WHERE doc_id % $PplSampleMod = 0
+      |), th AS (
+      |  SELECT
+      |    max(CASE WHEN rn = ((SELECT count(*) FROM smp) + 2) // 3 THEN nll END) AS t_head,
+      |    max(CASE WHEN rn = (2 * (SELECT count(*) FROM smp) + 2) // 3 THEN nll END) AS t_mid
+      |  FROM smp
+      |)
+      |SELECT p.doc_id, p.n_tokens, p.nll,
+      |  CASE WHEN p.nll <= t.t_head THEN 'head'
+      |       WHEN p.nll <= t.t_mid THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM ppl p, th t
+      |ORDER BY p.doc_id""".stripMargin
 
   /** `doc_fingerprint`: whole-content md5 + winnowing-style min-shingle
     * fingerprint (min md5 over 5-gram shingles — the rolling-hash

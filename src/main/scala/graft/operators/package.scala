@@ -187,6 +187,16 @@ package object operators {
     def dupWindowWords: Int = positive("spark.graft.text.dupWindowWords", "8")
     /** Top-N repeated windows reported (`spark.graft.text.dupTopN`). */
     def dupTopN: Int = positive("spark.graft.text.dupTopN", "20")
+    /** Perplexity-bucket threshold-sample modulus
+      * (`spark.graft.ppl.sampleMod`): the head/middle/tail cuts are order
+      * statistics of the nll distribution over docs with
+      * `doc_id % mod == 0`. CCNet computes its bucket thresholds from a
+      * held-out sample, not the full crawl — the mod sizes that sample so
+      * its single-reducer rank pass stays trivial at any corpus size
+      * (raise it as the corpus grows; 3 keeps the sample meaningful at the
+      * shipped test scale factors).
+      */
+    def pplSampleMod: Int = positive("spark.graft.ppl.sampleMod", "3")
 
     // -- quality-filter bounds (integer percents: thresholds compare as
     //    exact integer cross-multiplies in both engines, never a float) --

@@ -193,4 +193,20 @@ class GraftConfSpec extends SparkSpec {
       assert(Similarity.annTopKIvf2Sql.contains("FROM cent2"))
     }
   }
+
+  test("fuzzy-decontam and perplexity-bucket knobs flow into results and oracle SQL") {
+    withConf("spark.graft.decontam.fuzzyTau" -> "0.25",
+             "spark.graft.decontam.fuzzyEvalMod" -> "7",
+             "spark.graft.ppl.sampleMod" -> "5") {
+      assert(Curation.FuzzyTau == 0.25 && Curation.FuzzyEvalMod == 7)
+      val fsql = Curation.decontaminateFuzzySql
+      assert(fsql.contains("jaccard >= 0.25") && fsql.contains("% 7"))
+      // non-default mod changes the train/eval split size on the real corpus
+      val n = Curation.decontaminateFuzzy(spark, sf).count()
+      graft.operators.Dedup.releaseIntermediates()
+      assert(n == 500 - 500 / 7 - 1) // ids 0..499: 72 eval (0,7,...,497)
+      assert(graft.operators.TextAnalysis.PplSampleMod == 5)
+      assert(graft.operators.TextAnalysis.perplexityBucketsSql.contains("doc_id % 5 = 0"))
+    }
+  }
 }

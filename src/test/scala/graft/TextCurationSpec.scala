@@ -164,4 +164,27 @@ class TextCurationSpec extends SparkSpec {
     val expect1 = math.rint(-math.rint(math.log(15.0 / 16.0) * 1e6) / 1e6 * 1e4) / 1e4
     assert(out(1L) == expect1, s"got ${out(1L)} want $expect1")
   }
+
+  test("perplexity_buckets: labels are monotone in nll and cuts are sample order statistics") {
+    // 9 docs with strictly increasing rarity (doc k repeats a common token
+    // 8 times then carries k distinct rare tokens), all in the sample
+    // (sampleMod divides every id via id = 3k)
+    val docs = (1 to 9).map { k =>
+      val rare = (1 to k).map(j => s"rare_${k}_$j").mkString(" ")
+      (3L * k, s"c c c c c c c c $rare")
+    }.toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis.perplexityBucketsOf(docs).collect()
+    graft.operators.Dedup.releaseIntermediates()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Double]("nll"), r.getAs[String]("bucket"))).toMap
+    assert(byId.size == 9)
+    // monotone: every head nll <= every middle nll <= every tail nll
+    def nlls(b: String) = byId.values.filter(_._2 == b).map(_._1)
+    assert(nlls("head").nonEmpty && nlls("middle").nonEmpty && nlls("tail").nonEmpty)
+    assert(nlls("head").max <= nlls("middle").min)
+    assert(nlls("middle").max <= nlls("tail").min)
+    // with n=9 distinct nll values the cuts are ranks 3 and 6 (ceil thirds):
+    // exactly 3 docs per bucket
+    assert(Seq("head", "middle", "tail").map(b => nlls(b).size) == Seq(3, 3, 3))
+  }
 }
