@@ -44,9 +44,15 @@ object Curation {
     * expression, which would blow up on long documents at scale), joined
     * back on doc_id.
     */
-  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualityFilterOf(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) relation — the seam [[corpusCurate]]
+    * composes; rules are per-doc so any corpus slice scores identically.
+    */
+  def qualityFilterOf(docs: DataFrame): DataFrame = {
     val stopList = TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(",")
-    val base = Tables.documents(spark, dir)
+    val base = docs
       .withColumn("ws", split(col("text"), " "))
       .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("n_stop",
@@ -113,10 +119,11 @@ object Curation {
 
   // ---- decontaminate ------------------------------------------------------
 
-  /** Benchmark-decontamination n-gram width (the 13-gram of the GPT-3/PaLM
-    * decontamination recipe, scaled to the short synthetic docs).
+  /** Benchmark-decontamination n-gram width
+    * (`spark.graft.decontam.ngram`): the production recipe is 13 (GPT-3
+    * appx C / PaLM); the default scales it to the short synthetic docs.
     */
-  val ContamNgram = 5
+  def ContamNgram: Int = GraftConf.decontamNgram
   /** Deterministic pseudo-benchmark: docs whose id ≡ 0 (mod 97) play the
     * held-out eval set.
     */
@@ -146,11 +153,19 @@ object Curation {
     * train side streams through a broadcast hash join — no shuffle of the
     * corpus. N-grams travel as 16-hex md5 prefixes, not raw strings.
     */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateFrom(Tables.documents(spark, dir),
+      col("doc_id") % EvalIdMod === 0)
+
+  /** [[decontaminate]] over any (doc_id, text) relation with an arbitrary
+    * eval-membership predicate — the seam [[corpusCurate]] composes so both
+    * sweeps run against ONE benchmark set.
+    */
+  def decontaminateFrom(rawDocs: DataFrame, isEval: Column): DataFrame = {
+    val docs = rawDocs
       .withColumn("ws", split(col("text"), " "))
       .withColumn("ngs", expr(ngramExpr(ContamNgram)))
-      .withColumn("is_eval", col("doc_id") % EvalIdMod === 0)
+      .withColumn("is_eval", isEval)
     // explode_outer, not explode: plain explode pushes a `size(ngs) > 0 AND
     // isnotnull(ngs)` filter below the Generate, and because higher-order
     // functions are interpreted (not codegen'd) that re-evaluates the whole
@@ -178,9 +193,15 @@ object Curation {
       .contractOrderBy("doc_id")
   }
 
-  val decontaminateSql: String =
+  def decontaminateSql: String = decontaminateSqlAt(EvalIdMod)
+
+  /** [[decontaminateSql]] parameterized on the eval modulus — the corpus-
+    * curation oracle runs it at the fuzzy sweep's mod so both sweeps share
+    * one benchmark set.
+    */
+  private[graft] def decontaminateSqlAt(mod: Int): String =
     s"""WITH d AS (
-       |  SELECT doc_id, string_split(text, ' ') AS ws, doc_id % $EvalIdMod = 0 AS is_eval
+       |  SELECT doc_id, string_split(text, ' ') AS ws, doc_id % $mod = 0 AS is_eval
        |  FROM documents
        |), g AS (
        |  SELECT doc_id, is_eval, ${ngramSqlExpr(ContamNgram)} AS ngs FROM d
@@ -319,6 +340,97 @@ object Curation {
        |LEFT JOIN flagged f ON d.doc_id = f.doc_id AND f.rn = 1
        |WHERE d.doc_id % $FuzzyEvalMod <> 0
        |ORDER BY d.doc_id""".stripMargin
+
+  // ---- corpus_curate ------------------------------------------------------
+
+  /** `corpus_curate`: the full curation FUNNEL a pretraining corpus runs —
+    * quality filter → benchmark decontamination (exact n-gram AND fuzzy
+    * near-dup, both against ONE benchmark set) → unified-dedup keep — as
+    * one per-doc verdict: every stage's flag, the final `kept`, and
+    * `stage` = the first stage that drops the doc (the FineWeb-style
+    * funnel accounting a pipeline owner reads to see where the corpus
+    * went). Composes the shipped operator cores ([[qualityFilterOf]],
+    * [[decontaminateFrom]], [[decontaminateFuzzyFrom]],
+    * [[graft.operators.Dedup.unifiedPairsOf]] → clusters → keep flag);
+    * nothing is re-derived.
+    *
+    * Dedup clusters are computed over the FULL corpus including benchmark
+    * docs, then the verdict restricted to train docs: a train doc that
+    * near-duplicates a benchmark doc must NOT survive as its cluster's
+    * canonical (it is dropped by the dedup stage — and typically flagged
+    * by the fuzzy sweep as well). Stage flags are evaluated independently
+    * (a quality-dropped doc still participates in clustering), so the
+    * canonical choice is stable however the stages are reordered.
+    *
+    * Scale shape = the union of its parts, all individually plan-audited:
+    * quality is one scan, both decontamination sweeps broadcast the
+    * benchmark side, the dedup lanes are the capped band joins, CC runs
+    * over the edge set only, and the final assembly is key joins on
+    * doc_id — corpus-grain rows never shuffle on anything else.
+    */
+  def corpusCurate(spark: SparkSession, dir: String): DataFrame =
+    corpusCurateFrom(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir), col("doc_id") % FuzzyEvalMod === 0)
+
+  def corpusCurateFrom(docs: DataFrame, embs: DataFrame,
+      isEval: Column): DataFrame = {
+    val q = qualityFilterOf(docs).select(col("doc_id"), col("keep").as("q_keep"))
+    val ce = decontaminateFrom(docs, isEval)
+      .select(col("doc_id"), col("contaminated").as("contam_exact"))
+    val cf = decontaminateFuzzyFrom(docs, isEval)
+      .select(col("doc_id"), col("contaminated").as("contam_fuzzy"))
+    val clusters = Dedup.clustersFromPairs(Dedup.unifiedPairsOf(docs, embs))
+      .select(col("doc_id"), col("is_canonical"))
+    docs.filter(!isEval).select("doc_id")
+      .join(q, "doc_id")
+      .join(ce, "doc_id")
+      .join(cf, "doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("dedup_keep",
+        col("is_canonical").isNull || col("is_canonical"))
+      .withColumn("kept",
+        col("q_keep") && !col("contam_exact") && !col("contam_fuzzy") &&
+          col("dedup_keep"))
+      .withColumn("stage",
+        when(!col("q_keep"), "quality")
+          .when(col("contam_exact"), "contam_exact")
+          .when(col("contam_fuzzy"), "contam_fuzzy")
+          .when(!col("dedup_keep"), "duplicate")
+          .otherwise("kept"))
+      .select("doc_id", "q_keep", "contam_exact", "contam_fuzzy",
+        "dedup_keep", "kept", "stage")
+      .contractOrderBy("doc_id")
+  }
+
+  def corpusCurateSql: String = {
+    // embedded sub-queries are spliced in AFTER stripMargin: qualityFilterSql
+    // contains `||` list-concat lines that an outer stripMargin would
+    // truncate at their first pipe
+    val tail =
+      s"""
+         |SELECT d.doc_id, q.keep AS q_keep,
+         |  ce.contaminated AS contam_exact,
+         |  cf.contaminated AS contam_fuzzy,
+         |  (c.id IS NULL OR c.id = c.cluster_id) AS dedup_keep,
+         |  (q.keep AND NOT ce.contaminated AND NOT cf.contaminated
+         |    AND (c.id IS NULL OR c.id = c.cluster_id)) AS kept,
+         |  CASE WHEN NOT q.keep THEN 'quality'
+         |       WHEN ce.contaminated THEN 'contam_exact'
+         |       WHEN cf.contaminated THEN 'contam_fuzzy'
+         |       WHEN NOT (c.id IS NULL OR c.id = c.cluster_id) THEN 'duplicate'
+         |       ELSE 'kept' END AS stage
+         |FROM documents d
+         |JOIN (%QF%) q ON d.doc_id = q.doc_id
+         |JOIN (%CE%) ce ON d.doc_id = ce.doc_id
+         |JOIN (%CF%) cf ON d.doc_id = cf.doc_id
+         |LEFT JOIN cc c ON d.doc_id = c.id
+         |WHERE d.doc_id % $FuzzyEvalMod <> 0
+         |ORDER BY d.doc_id""".stripMargin
+        .replace("%QF%", qualityFilterSql)
+        .replace("%CE%", decontaminateSqlAt(FuzzyEvalMod))
+        .replace("%CF%", decontaminateFuzzySql)
+    Dedup.unifiedClosureCtes + tail
+  }
 
   // ---- pack_sequences -----------------------------------------------------
 

@@ -148,6 +148,10 @@ package object operators {
       * from the dedup taus — contamination matters below near-dup level.
       */
     def decontamFuzzyTau: Double = fraction("spark.graft.decontam.fuzzyTau", "0.5")
+    /** Exact-sweep n-gram width (`spark.graft.decontam.ngram`): 13 in the
+      * GPT-3/PaLM recipe; default 5 scales to the short synthetic docs.
+      */
+    def decontamNgram: Int = positive("spark.graft.decontam.ngram", "5")
     /** Eval-set id modulus for the FUZZY sweep
       * (`spark.graft.decontam.fuzzyEvalMod`). Deliberately different from
       * the exact sweep's 97: the synthetic corpus's planted near-dup pairs

@@ -71,6 +71,73 @@ class CurationSpec extends SparkSpec {
     assert(!out(12L).getAs[Boolean]("contaminated"))
   }
 
+  test("corpus_curate: funnel stage attribution, every lane feeding it, full-corpus clustering") {
+    import spark.implicits._
+    // realistic exact-sweep width so a paraphrase can clear it (GPT-3's 13)
+    spark.conf.set("spark.graft.decontam.ngram", "13")
+    try {
+      // 60 mostly-distinct words; e1 = "the" keeps quality's stopword rule
+      // happy on every derived doc
+      val ew = (0 until 60).map(i => if (i == 1) "the" else s"e$i")
+      val evalText = ew.mkString(" ")
+      // changed words at 12/25/38/51: longest shared run is 12 < 13 (exact
+      // sweep misses) but shingle-3 jaccard stays ≈ 0.66 ≥ tau 0.5 — the
+      // paraphrased-benchmark leak only the fuzzy sweep catches
+      val paraphrase = ew.zipWithIndex.map { case (w, i) =>
+        if (Set(12, 25, 38, 51)(i)) s"chg$i" else w
+      }.mkString(" ")
+      // verbatim 13-gram lift from the eval doc + own tail: exact catch,
+      // but jaccard vs the 60-word eval doc is far below tau
+      val lift = (ew.take(13) ++ (0 until 10).map(i => s"own$i")).mkString(" ")
+      val dupText = ((0 until 24).map(i => s"d$i") :+ "the").mkString(" ")
+      val semA = ((0 until 24).map(i => s"sa$i") :+ "the").mkString(" ")
+      val semB = ((0 until 24).map(i => s"sb$i") :+ "the").mkString(" ")
+      val clean = ((0 until 24).map(i => s"c$i") :+ "the").mkString(" ")
+      val docs = Seq(
+        0L -> evalText,   // eval (excluded from output; clusters with 18)
+        10L -> paraphrase, // fuzzy-only catch
+        11L -> lift,       // exact catch
+        12L -> dupText, 13L -> dupText, // exact dup pair: 13 drops
+        14L -> semA, 15L -> semB,       // semantic pair via embeddings
+        16L -> "tiny doc",              // quality fail
+        17L -> clean,                   // survives everything
+        18L -> evalText                 // exact copy of the EVAL doc
+      ).toDF("doc_id", "text")
+      val v = Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
+      val embs = Seq((14L, v), (15L, v)).toDF("vec_id", "embedding")
+      val out = Curation.corpusCurateFrom(docs, embs, col("doc_id") === 0L)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      graft.operators.Dedup.releaseIntermediates()
+      assert(out.keySet == Set(10L, 11L, 12L, 13L, 14L, 15L, 16L, 17L, 18L))
+      def stage(id: Long) = out(id).getAs[String]("stage")
+      assert(stage(10L) == "contam_fuzzy",
+        s"paraphrase must clear the 13-gram sweep and hit the fuzzy one: ${out(10L)}")
+      assert(!out(10L).getAs[Boolean]("contam_exact"))
+      assert(stage(11L) == "contam_exact")
+      assert(!out(11L).getAs[Boolean]("contam_fuzzy"),
+        "13-word lift in a 23-word doc is far below fuzzy tau vs the 60-word eval doc")
+      assert(stage(12L) == "kept" && stage(13L) == "duplicate")
+      assert(stage(14L) == "kept" && stage(15L) == "duplicate",
+        "semantic-only dup must drop through the embedding lane")
+      assert(stage(16L) == "quality")
+      assert(stage(17L) == "kept" && out(17L).getAs[Boolean]("kept"))
+      // 18 exactly duplicates the eval doc: clustering runs over the FULL
+      // corpus, so the eval doc 0 is the canonical and 18 is not dedup-kept
+      // (stage reads contam_exact first — the flags, not the label, pin it)
+      assert(!out(18L).getAs[Boolean]("dedup_keep") &&
+        out(18L).getAs[Boolean]("contam_exact") && stage(18L) == "contam_exact")
+      // kept ⇔ conjunction of the stage flags, on every row
+      out.values.foreach { r =>
+        assert(r.getAs[Boolean]("kept") ==
+          (r.getAs[Boolean]("q_keep") && !r.getAs[Boolean]("contam_exact") &&
+            !r.getAs[Boolean]("contam_fuzzy") && r.getAs[Boolean]("dedup_keep")))
+      }
+    } finally {
+      spark.conf.unset("spark.graft.decontam.ngram")
+      graft.operators.Dedup.releaseIntermediates()
+    }
+  }
+
   test("pack_sequences matches an in-memory concat-and-chop reference") {
     val rows = Curation.packSequences(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, docs) =>

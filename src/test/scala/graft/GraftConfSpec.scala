@@ -197,10 +197,14 @@ class GraftConfSpec extends SparkSpec {
   test("fuzzy-decontam and perplexity-bucket knobs flow into results and oracle SQL") {
     withConf("spark.graft.decontam.fuzzyTau" -> "0.25",
              "spark.graft.decontam.fuzzyEvalMod" -> "7",
+             "spark.graft.decontam.ngram" -> "13",
              "spark.graft.ppl.sampleMod" -> "5") {
       assert(Curation.FuzzyTau == 0.25 && Curation.FuzzyEvalMod == 7)
       val fsql = Curation.decontaminateFuzzySql
       assert(fsql.contains("jaccard >= 0.25") && fsql.contains("% 7"))
+      assert(Curation.ContamNgram == 13 &&
+        Curation.decontaminateSql.contains("ws[i + 12]")) // 13-gram reaches the oracle
+      assert(Curation.corpusCurateSql.contains("% 7"))    // curate tracks the fuzzy mod
       // non-default mod changes the train/eval split size on the real corpus
       val n = Curation.decontaminateFuzzy(spark, sf).count()
       graft.operators.Dedup.releaseIntermediates()
