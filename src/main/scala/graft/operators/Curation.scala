@@ -50,6 +50,15 @@ object Curation {
   /** Core over any (doc_id, text) relation — the seam [[corpusCurate]]
     * composes; rules are per-doc so any corpus slice scores identically.
     */
+  /** Per-doc bigram array over `ws` — shared by the batch quality filter's
+    * explode and the streaming lane's in-array run-length form.
+    */
+  private[graft] val bigramsExpr: String =
+    """CASE WHEN size(ws) >= 2
+      | THEN transform(sequence(0, size(ws) - 2),
+      |                i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))
+      | ELSE array() END""".stripMargin.replace("\n", "")
+
   def qualityFilterOf(docs: DataFrame): DataFrame = {
     val stopList = TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(",")
     val base = docs
@@ -58,11 +67,7 @@ object Curation {
       .withColumn("n_stop",
         expr(s"size(filter(ws, w -> w IN ($stopList)))").cast("long"))
     val bigrams = base.select(col("doc_id"),
-        explode(expr(
-          """CASE WHEN size(ws) >= 2
-            | THEN transform(sequence(0, size(ws) - 2),
-            |                i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))
-            | ELSE array() END""".stripMargin.replace("\n", ""))).as("bg"))
+        explode(expr(bigramsExpr)).as("bg"))
     val topBg = bigrams.groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
@@ -129,7 +134,19 @@ object Curation {
     */
   val EvalIdMod = 97
 
-  private def ngramExpr(k: Int): String = {
+  /** The eval set's distinct [[ContamNgram]]-gram hash table — the static
+    * side a crawl-time quarantine
+    * ([[graft.streaming.StreamOps.curateStream]]) joins arriving docs
+    * against; [[decontaminateFrom]] builds the identical hashes inline.
+    */
+  def evalNgramHashesOf(docs: DataFrame, isEval: Column): DataFrame =
+    docs.filter(isEval)
+      .withColumn("ws", split(col("text"), " "))
+      .select(explode(expr(ngramExpr(ContamNgram))).as("ng"))
+      .select(expr("substr(md5(ng), 1, 16)").as("h"))
+      .distinct()
+
+  private[graft] def ngramExpr(k: Int): String = {
     val parts = (1 to k).map(j => s"element_at(ws, i + $j)").mkString(", ")
     s"""CASE WHEN size(ws) >= $k
        | THEN array_distinct(transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', $parts)))

@@ -342,4 +342,102 @@ object StreamOps {
       out.iterator
     }
   }
+
+  /** Crawl-time curation quarantine: the STATELESS per-doc verdict a
+    * production crawler computes on every arriving document before it
+    * enters the corpus — quality rules + exact n-gram benchmark
+    * contamination, the streaming twin of
+    * [[graft.operators.Curation.qualityFilterOf]] +
+    * [[graft.operators.Curation.decontaminateFrom]] with identical values.
+    *
+    * Why it's legal in a micro-batch plan with NO state: the batch quality
+    * filter derives `top_bg` by explode → two aggregations (stateful on a
+    * stream); here the same max-identical-bigram count comes from sorting
+    * the doc's OWN bigram array and taking the longest equal run —
+    * O(L log L) per document, same value by construction. The eval n-gram
+    * hash set rides as ONE static row (benchmark-sized — the same "eval
+    * side broadcasts" bet the batch sweep makes), equi-joined on a
+    * constant key so every micro-batch broadcast-joins it; membership is
+    * one `array_intersect` per doc. No aggregation, no watermark, no
+    * join state: runs forever at crawl rates.
+    *
+    * `evalNgramHashes` = [[graft.operators.Curation.evalNgramHashesOf]]
+    * of the benchmark corpus (static side, built once).
+    */
+  def curateStream(docsStream: DataFrame,
+      evalNgramHashes: DataFrame): DataFrame = {
+    import graft.operators.{Curation, TextAnalysis}
+    val stopList = TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(",")
+    val evalRow = evalNgramHashes
+      .agg(sort_array(collect_set(col("h"))).as("eval_hs"))
+      .withColumn("jk", lit(1))
+    val rShort = col("n_words") < Curation.MinWords
+    val rLong = col("n_words") > Curation.MaxWords
+    val rStop = col("n_stop") * 100 < col("n_words") * Curation.MinStopPct
+    val rRep = col("top_bg") * 100 > col("n_words") * Curation.MaxTopBigramPct
+    docsStream
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(ws, w -> w IN ($stopList)))").cast("long"))
+      .withColumn("bgs", expr(Curation.bigramsExpr))
+      .withColumn("top_bg", expr(
+        """aggregate(array_sort(bgs),
+          | named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+          | (a, x) -> named_struct(
+          |   'prev', x,
+          |   'run', CASE WHEN a.prev <=> x THEN a.run + 1 ELSE 1L END,
+          |   'best', greatest(a.best,
+          |           CASE WHEN a.prev <=> x THEN a.run + 1 ELSE 1L END)),
+          | a -> a.best)""".stripMargin.replace("\n", "")))
+      .withColumn("ng_hs", expr(
+        s"transform(${Curation.ngramExpr(Curation.ContamNgram)}, g -> substr(md5(g), 1, 16))"))
+      .withColumn("jk", lit(1))
+      .join(broadcast(evalRow), "jk")
+      .withColumn("n_ngrams", size(col("ng_hs")).cast("long"))
+      .withColumn("n_matched",
+        size(array_intersect(col("ng_hs"), col("eval_hs"))).cast("long"))
+      .select(col("doc_id"), col("n_words"), col("n_stop"), col("top_bg"),
+        (!rShort && !rLong && !rStop && !rRep).as("q_keep"),
+        array_join(concat(
+          when(rShort, array(lit("too_short"))).otherwise(array()),
+          when(rLong, array(lit("too_long"))).otherwise(array()),
+          when(rStop, array(lit("low_stopword"))).otherwise(array()),
+          when(rRep, array(lit("repetitive"))).otherwise(array())), ",").as("reasons"),
+        col("n_ngrams"), col("n_matched"),
+        (col("n_matched") > 0).as("contam_exact"))
+  }
+
+  /** Crawl-time FUZZY contamination tap: arriving docs MinHash-banded
+    * (stateless projections, as [[deltaDedupStream]]) and bucket-joined
+    * against the STATIC band table of the benchmark corpus, then
+    * exact-Jaccard-verified against the static eval shingle sets — the
+    * streaming twin of
+    * [[graft.operators.Curation.decontaminateFuzzyFrom]]'s hit set. Emits
+    * one row per (doc, eval doc) collision at Jaccard ≥ FuzzyTau; a pair
+    * sharing several bands emits once per band (chain `dropDuplicates` at
+    * the sink, same contract as the dedup stream lanes). The per-doc
+    * rollup (hit count, worst offender) is one sink-side aggregation; the
+    * spec proves the rolled-up stream equals the batch operator's rows.
+    * No hot-band cap: fan-out per arriving doc is bounded by the eval set.
+    */
+  def fuzzyContamStream(docsStream: DataFrame, evalBands: DataFrame,
+      evalSets: DataFrame): DataFrame = {
+    import graft.operators.{Curation, Dedup}
+    val d = Dedup.bandTableOf(Dedup.hashedShingleSetsOf(docsStream),
+        keepSets = true)
+      .withColumnRenamed("hs", "sha")
+    d.join(evalBands.select(col("band_id"), col("band_hash"),
+          col("doc_id").as("eval_id")),
+        Seq("band_id", "band_hash"))
+      .join(evalSets.select(col("doc_id").as("eval_id"), col("hs").as("ehs")),
+        "eval_id")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("ehs"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sha")) + size(col("ehs")) - col("inter")), 4))
+      .filter(col("jaccard") >= Curation.FuzzyTau)
+      .select(col("doc_id"), col("eval_id"), col("jaccard"))
+  }
 }

@@ -457,4 +457,86 @@ class EventsSpec extends SparkSpec {
       assert(rows.forall(_.getAs[Long]("purchase_id") == 4L))
     } finally q.stop()
   }
+
+  test("streaming curateStream ≡ batch quality + exact-contam verdicts, incl. via MemoryStream") {
+    import spark.implicits._
+    import graft.operators.Curation
+    implicit val sq = spark.sqlContext
+    val docs = sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val isEval = col("doc_id") % Curation.FuzzyEvalMod === 0
+    val train = docs.filter(!isEval).cache()
+    val evalHashes = Curation.evalNgramHashesOf(docs, isEval).cache()
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_words"), r.getAs[Long]("n_stop"),
+        r.getAs[Long]("top_bg"), r.getAs[Boolean]("q_keep"), r.getAs[String]("reasons"),
+        r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_matched"),
+        r.getAs[Boolean]("contam_exact"))).toMap
+    // batch reference: quality columns from the explode→groupBy path,
+    // contamination from the broadcast-join sweep
+    val q = Curation.qualityFilterOf(train).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val c = Curation.decontaminateFrom(docs, isEval).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // same code path over a batch frame first (fast, exact compare)…
+    val got = toMap(StreamOps.curateStream(train, evalHashes).collect())
+    assert(got.keySet == q.keySet && got.keySet == c.keySet)
+    got.foreach { case (id, (nw, ns, tb, keep, reasons, ng, nm, cx)) =>
+      assert((nw, ns, tb, keep, reasons) == (q(id).getAs[Long]("n_words"),
+        q(id).getAs[Long]("n_stop"), q(id).getAs[Long]("top_bg"),
+        q(id).getAs[Boolean]("keep"), q(id).getAs[String]("reasons")),
+        s"quality mismatch at doc $id")
+      assert((ng, nm, cx) == (c(id).getAs[Long]("n_ngrams"),
+        c(id).getAs[Long]("n_matched"), c(id).getAs[Boolean]("contaminated")),
+        s"contam mismatch at doc $id")
+    }
+    // …then the same docs arriving as a stream in two micro-batches
+    val mem = MemoryStream[(Long, String)]
+    val sq2 = StreamOps.curateStream(mem.toDF().toDF("doc_id", "text"), evalHashes)
+      .writeStream.format("memory").queryName("curate").outputMode("append").start()
+    try {
+      val rows = train.as[(Long, String)].collect()
+      val (a, b) = rows.splitAt(rows.length / 2)
+      mem.addData(a.toIndexedSeq); sq2.processAllAvailable()
+      mem.addData(b.toIndexedSeq); sq2.processAllAvailable()
+      assert(toMap(spark.table("curate").collect()) == got)
+    } finally { sq2.stop(); train.unpersist(); evalHashes.unpersist() }
+  }
+
+  test("streaming fuzzyContamStream rolls up to the batch fuzzy-decontamination rows") {
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup}
+    implicit val sq = spark.sqlContext
+    val docs = sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val isEval = col("doc_id") % Curation.FuzzyEvalMod === 0
+    val evalSets = Dedup.hashedShingleSetsOf(docs.filter(isEval)).cache()
+    val evalBands = Dedup.bandTableOf(evalSets).cache()
+    val batch = Curation.decontaminateFuzzyFrom(docs, isEval).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_eval_hits"), r.getAs[Long]("top_eval_id"),
+          r.getAs[Double]("top_jaccard"))).toMap
+    Dedup.releaseIntermediates()
+    assert(batch.values.exists(_._1 > 0), "planted cross-set pairs must exist at this sf")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.fuzzyContamStream(
+        mem.toDF().toDF("doc_id", "text"), evalBands, evalSets)
+      .writeStream.format("memory").queryName("fuzzyq").outputMode("append").start()
+    try {
+      val rows = docs.filter(!isEval).as[(Long, String)].collect()
+      val (a, b) = rows.splitAt(rows.length / 2)
+      mem.addData(a.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      // sink-side rollup of the hit stream (distinct first: a pair emits
+      // once per shared band) must equal the batch operator's flagged rows
+      val hits = spark.table("fuzzyq").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_id"),
+          r.getAs[Double]("jaccard"))).distinct
+      val rolled = hits.groupBy(_._1).map { case (id, hs) =>
+        val top = hs.minBy(h => (-h._3, h._2))
+        id -> (hs.length.toLong, top._2, top._3)
+      }
+      rolled.foreach { case (id, r) => assert(batch(id) == r, s"doc $id: $r vs ${batch(id)}") }
+      assert(batch.filter(_._2._1 > 0).keySet == rolled.keySet,
+        "every batch-flagged doc must surface in the stream")
+    } finally { q.stop(); evalSets.unpersist(); evalBands.unpersist() }
+  }
 }
