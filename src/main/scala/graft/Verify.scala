@@ -10,6 +10,16 @@ object Verify {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // optional semicolon-separated conf overrides (the scale-knob sweep
+    // harness: `SPARK_GRAFT_CONF="spark.graft.x=1;spark.graft.y=2"`);
+    // applied before any query or oracle SQL is built, so a non-default
+    // knob flows into BOTH engines and the dump stays parity-comparable
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').map(_.trim)
+      .filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        require(k.startsWith("spark."), s"SPARK_GRAFT_CONF key must be a spark conf: $k")
+        spark.conf.set(k, v)
+      })
     // optional comma-separated name filter for fast local iteration; like
     // Bench's BENCH_ONLY, unknown names fail loudly instead of silently
     // producing an empty (vacuously green) run

@@ -42,7 +42,7 @@ object Clustering {
   private[operators] def scaledEmb(spark: SparkSession, dir: String): DataFrame =
     scaledEmbOf(Tables.embeddings(spark, dir))
 
-  private[operators] def scaledEmbOf(embs: DataFrame): DataFrame =
+  private[graft] def scaledEmbOf(embs: DataFrame): DataFrame =
     embs.select(
       col("vec_id"),
       expr(s"transform(embedding, x -> cast(round(cast(x as double) * $Scale) as bigint))")
@@ -182,4 +182,126 @@ object Clustering {
        |  SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
        |  FROM d2t) WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
+
+  // ---- product-quantization codebooks (subspace Lloyd) ---------------------
+
+  /** PQ geometry/training knobs (`spark.graft.ann.pq*`). */
+  def PqSubs: Int = GraftConf.annPqSubs
+  def PqK: Int = GraftConf.annPqK
+  def PqIters: Int = GraftConf.annPqIters
+
+  /** (vec_id, sub, spos, v) rows: the scaled embedding cut into [[PqSubs]]
+    * contiguous subspaces. `sub = min(M−1, pos0 div subdim)` with
+    * `subdim = dims div M` — any remainder dims ride the last subspace, so
+    * the cut is total for every dims/M combination.
+    */
+  private[operators] def pqSubRowsOf(vecs: DataFrame): DataFrame = {
+    val m = PqSubs
+    vecs.withColumn("subdim", expr(s"greatest(size(se) div $m, 1)"))
+      .select(col("vec_id"), col("subdim"),
+        posexplode(col("se")).as(Seq("pos0", "v")))
+      .withColumn("sub", least(lit(m - 1), expr("pos0 div subdim")))
+      .withColumn("spos", col("pos0") - col("sub") * col("subdim"))
+      .select("vec_id", "sub", "spos", "v")
+  }
+
+  /** Per-subspace codebooks after the [[PqIters]] Lloyd rounds:
+    * (sub, cid, spos, cv) rows on the exact integer grid — the same
+    * determinism contract as [[trainedCentroidsOf]] (integer distances,
+    * argmin ties to lower cid, round-half-up integer centroid updates,
+    * empty clusters keep their previous centroid), run once per subspace
+    * in ONE relational chain keyed by `sub`. Trains on the
+    * [[TrainSampleMod]] id-grid sample; seeds are each subspace's slice of
+    * the sample's [[PqK]] lowest vec_ids. M·K·subdim rows total — tiny,
+    * always broadcast.
+    */
+  private[graft] def pqCodebooksOf(vecs: DataFrame): DataFrame = {
+    val mod = TrainSampleMod
+    val train = if (mod == 1) vecs else vecs.filter(col("vec_id") % mod === 0)
+    val sv = Intermediates.persist(pqSubRowsOf(train))
+    val cent0 = sv.filter(col("vec_id") < PqK.toLong * mod)
+      .select(col("sub"), col("vec_id").as("cid"), col("spos"), col("v").as("cv"))
+    (1 until PqIters).foldLeft(cent0) { (cent, _) =>
+      val d2 = sv.join(cent, Seq("sub", "spos"))
+        .groupBy(col("vec_id"), col("sub"), col("cid"))
+        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("d2"))
+      val a = d2.groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.cid").as("cluster"))
+      val upd = a.join(sv, Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("cluster"), col("spos"))
+        .agg(round(sum(col("v")).cast("double") / count(lit(1)))
+          .cast("bigint").as("nv"))
+        .select(col("sub").as("usub"), col("cluster").as("ucid"),
+          col("spos").as("uspos"), col("nv"))
+      cent.join(upd, col("sub") === col("usub") && col("cid") === col("ucid") &&
+          col("spos") === col("uspos"), "left_outer")
+        .select(col("sub"), col("cid"), col("spos"),
+          coalesce(col("nv"), col("cv")).as("cv"))
+    }
+  }
+
+  /** Codebook rows assembled to (sub, cid, cidx, cemb): the sub-vector
+    * array per centroid plus a DENSE per-subspace index (`cidx` =
+    * rank of cid within its subspace) so ADC distance tables can be flat
+    * arrays instead of cid-keyed maps.
+    */
+  private[graft] def pqCodebookArrays(cbRows: DataFrame): DataFrame =
+    cbRows.groupBy(col("sub"), col("cid"))
+      .agg(expr("transform(sort_array(collect_list(struct(spos, cv))), x -> x.cv)")
+        .as("cemb"))
+      .withColumn("cidx", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sub"))
+          .orderBy(col("cid"))).cast("long") - 1L)
+
+  /** The pq-prefixed oracle CTE chain: scaled embeddings → subspace rows →
+    * [[PqIters]]−1 per-subspace Lloyd rounds → final codebooks (`pqcb`) —
+    * the PQ analog of [[kmeansCtesSql]], reused by `ann_topk_pq`'s oracle.
+    */
+  private[operators] def pqCtesSql: String = {
+    val m = PqSubs
+    val mod = TrainSampleMod
+    val trainPred = if (mod == 1) "TRUE" else s"vec_id % $mod = 0"
+    val base =
+      s"""pqscaled AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS se
+         |  FROM embeddings
+         |), pqsv AS (
+         |  SELECT vec_id,
+         |    least($m - 1, (pos - 1) // subdim) AS sub,
+         |    (pos - 1) - least($m - 1, (pos - 1) // subdim) * subdim AS spos,
+         |    v
+         |  FROM (
+         |    SELECT vec_id, greatest(len(se) // $m, 1) AS subdim,
+         |      unnest(se) AS v, unnest(generate_series(1, len(se))) AS pos
+         |    FROM pqscaled)
+         |), pqsvt AS (
+         |  SELECT * FROM pqsv WHERE $trainPred
+         |), pqc0 AS (
+         |  SELECT sub, vec_id AS cid, spos, v AS cv FROM pqsvt
+         |  WHERE vec_id < ${PqK.toLong * mod}
+         |)""".stripMargin
+    val rounds = (1 until PqIters).map { r =>
+      s"""pqdd${r - 1} AS (
+         |  SELECT vec_id, sub, cid, CAST(sum((v - cv) * (v - cv)) AS BIGINT) AS d2
+         |  FROM pqsvt JOIN pqc${r - 1} USING (sub, spos) GROUP BY vec_id, sub, cid
+         |), pqa$r AS (
+         |  SELECT vec_id, sub, cid AS cluster FROM (
+         |    SELECT vec_id, sub, cid,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+         |    FROM pqdd${r - 1}) WHERE rn = 1
+         |), pqu$r AS (
+         |  SELECT sub, cluster, spos,
+         |    CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS nv
+         |  FROM pqa$r JOIN pqsvt USING (vec_id, sub) GROUP BY sub, cluster, spos
+         |), pqc$r AS (
+         |  SELECT c.sub, c.cid, c.spos, coalesce(u.nv, c.cv) AS cv
+         |  FROM pqc${r - 1} c LEFT JOIN pqu$r u
+         |    ON c.sub = u.sub AND c.cid = u.cluster AND c.spos = u.spos
+         |)""".stripMargin
+    }
+    val footer = s"""pqcb AS (SELECT sub, cid, spos, cv FROM pqc${PqIters - 1})"""
+    (base +: rounds :+ footer).mkString(",\n")
+  }
 }

@@ -294,6 +294,144 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- ann_topk_pq --------------------------------------------------------
+
+  /** ADC candidate pool size (`spark.graft.ann.pqRerank`). */
+  def PqRerank: Int = GraftConf.annPqRerank
+
+  /** `ann_topk_pq`: product quantization with asymmetric distance
+    * computation + exact re-rank — the canonical 100 TB ANN index
+    * (IVFADC, Jégou et al. 2011). Each vector's index entry is
+    * [[Clustering.PqSubs]] small codes (8 bytes at defaults vs 256 bytes
+    * of raw float — a ~32× index-IO cut, the step past `ann_topk_q8`'s
+    * 8×); scoring never touches raw vectors until the final re-rank of
+    * [[PqRerank]] candidates per query.
+    *
+    * Determinism: codebooks train on the exact integer grid
+    * ([[Clustering.pqCodebooksOf]] — same Lloyd discipline as
+    * `kmeans_train`); PQ codes are integer-distance argmins (ties to
+    * lower cid); ADC tables and scores are EXACT BIGINTs (products ≤
+    * (1e6)²·dims < 2⁵³, so even the double-valued dot is exact);
+    * candidate and final ranks order by (exact integer score, vec_id).
+    * The one display float, `cos_pq = round(dot / Scale², 4)`, is a
+    * single identical IEEE division+round in both engines.
+    *
+    * Scale shape: codebooks and per-query distance tables are tiny
+    * broadcasts; code assignment is one corpus scan (map-side
+    * slice + codegen'd `graft_l2sq` argmin, partial-agg collapsed to
+    * corpus×M rows before its one index-build shuffle); ADC is a
+    * map-side array-lookup sum over the CODES table only (corpus×queries
+    * rows, no shuffle before the per-query top-R window); the exact
+    * re-rank touches queries×[[PqRerank]] raw vectors.
+    */
+  def annTopKPq(spark: SparkSession, dir: String): DataFrame =
+    annTopKPqOf(Clustering.scaledEmbOf(Tables.embeddings(spark, dir)))
+
+  private[graft] def annTopKPqOf(scaled: DataFrame): DataFrame = {
+    val m = Clustering.PqSubs
+    val cb = Intermediates.persist(
+      Clustering.pqCodebookArrays(Clustering.pqCodebooksOf(scaled)))
+    // corpus cut into subvector arrays map-side: slice, no explode-regroup
+    val subdimE = s"greatest(size(se) div $m, 1)"
+    val sarr = scaled.select(col("vec_id"), col("se"), posexplode(expr(
+        s"""transform(sequence(0, ${m - 1}), mm ->
+           | CASE WHEN mm = ${m - 1}
+           |   THEN slice(se, mm * $subdimE + 1, size(se) - mm * $subdimE)
+           |   ELSE slice(se, mm * $subdimE + 1, $subdimE) END)"""
+          .stripMargin.replace("\n", "")))
+        .as(Seq("sub", "sarr")))
+      .select(col("vec_id"), col("sub"), col("sarr"))
+    // PQ codes: integer-L2 argmin per (vector, subspace); dense cidx rides
+    // the argmin struct (cid↔cidx are monotone per sub, ties unchanged)
+    val codes = sarr.join(broadcast(cb), "sub")
+      .withColumn("d2", expr("graft_l2sq(sarr, cemb)"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"), col("cidx"))).as("mn"))
+      .select(col("vec_id"), col("sub"), col("mn.cidx").as("code"))
+    val codesArr = codes.groupBy(col("vec_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(sub, code))), x -> x.code)")
+        .as("codes"))
+    // per-query ADC tables: exact integer dot of each query subvector with
+    // each centroid, flattened to ONE array ordered by (sub, cidx)
+    val dq = sarr.filter(col("vec_id") < NumQueries)
+      .join(broadcast(cb), "sub")
+      .withColumn("dot", expr(
+        """cast(graft_dot(transform(sarr, x -> cast(x as double)),
+          | transform(cemb, x -> cast(x as double))) as bigint)"""
+          .stripMargin.replace("\n", "")))
+      .groupBy(col("vec_id").as("query_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(sub, cidx, dot))), x -> x.dot)")
+        .as("dt"))
+    // ADC score: per-row array-lookup sum — dt[sub * K + code]; K recovered
+    // as size(dt)/M so a sample smaller than pqK still indexes correctly
+    val scored = codesArr.crossJoin(broadcast(dq))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", expr(
+        s"""aggregate(sequence(0, $m - 1), 0L, (acc, mm) ->
+           | acc + element_at(dt, cast(mm * (size(dt) div $m) + element_at(codes, mm + 1) + 1 as int)))"""
+          .stripMargin.replace("\n", "")))
+    val wc = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
+    val cand = scored.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= PqRerank)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank of the ADC pool: integer dot on the scaled grid
+    val qfull = scaled.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("se").as("qse"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("vec_id"))
+    cand.join(scaled, "vec_id")
+      .join(broadcast(qfull), "query_id")
+      .withColumn("dot", expr(
+        """cast(graft_dot(transform(qse, x -> cast(x as double)),
+          | transform(se, x -> cast(x as double))) as bigint)"""
+          .stripMargin.replace("\n", "")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("dot").cast("double") /
+          lit(Clustering.Scale.toDouble * Clustering.Scale), 4).as("cos_pq"))
+      .contractOrderBy("query_id", "rank")
+  }
+
+  def annTopKPqSql: String =
+    s"""WITH ${Clustering.pqCtesSql},
+       |pqcodes AS (
+       |  SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+       |    FROM (
+       |      SELECT vec_id, sub, cid, CAST(sum((v - cv) * (v - cv)) AS BIGINT) AS d2
+       |      FROM pqsv JOIN pqcb USING (sub, spos) GROUP BY vec_id, sub, cid))
+       |  WHERE rn = 1
+       |), pqdt AS (
+       |  SELECT q.vec_id AS query_id, c.sub, c.cid, CAST(sum(q.v * c.cv) AS BIGINT) AS dot
+       |  FROM pqsv q JOIN pqcb c USING (sub, spos)
+       |  WHERE q.vec_id < $NumQueries
+       |  GROUP BY q.vec_id, c.sub, c.cid
+       |), pqadc AS (
+       |  SELECT t.query_id, k.vec_id, CAST(sum(t.dot) AS BIGINT) AS adc
+       |  FROM pqcodes k JOIN pqdt t ON k.sub = t.sub AND k.code = t.cid
+       |  WHERE k.vec_id <> t.query_id
+       |  GROUP BY t.query_id, k.vec_id
+       |), pqcand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS crn
+       |    FROM pqadc) WHERE crn <= $PqRerank
+       |), pqrr AS (
+       |  SELECT c.query_id, c.vec_id, CAST(sum(qv.v * e.v) AS BIGINT) AS dot
+       |  FROM pqcand c
+       |  JOIN pqsv e ON c.vec_id = e.vec_id
+       |  JOIN pqsv qv ON qv.vec_id = c.query_id AND qv.sub = e.sub AND qv.spos = e.spos
+       |  GROUP BY c.query_id, c.vec_id
+       |)
+       |SELECT query_id, rank, neighbor_id, cos_pq FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS BIGINT) AS rank,
+       |    round(CAST(dot AS DOUBLE) / ${Clustering.Scale.toDouble * Clustering.Scale}, 4) AS cos_pq
+       |  FROM pqrr)
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   // ---- bm25_search --------------------------------------------------------
 
   /** Keyword retrieval query terms — `spark.graft.bm25.terms`

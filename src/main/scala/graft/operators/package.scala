@@ -181,6 +181,23 @@ package object operators {
       require(v <= 127, s"spark.graft.ann.quantLevels must be <= 127, got $v")
       v
     }
+    /** PQ subspace count (`spark.graft.ann.pqSubs`): the embedding is cut
+      * into this many contiguous sub-vectors, each with its own trained
+      * codebook; a vector's index entry is pqSubs small codes (8 bytes at
+      * the defaults vs 256 bytes of raw float — the ~32× index-IO cut
+      * that makes PQ the 100 TB ANN lever).
+      */
+    def annPqSubs: Int = positive("spark.graft.ann.pqSubs", "8")
+    /** Centroids per PQ subspace codebook (`spark.graft.ann.pqK`). */
+    def annPqK: Int = positive("spark.graft.ann.pqK", "32")
+    /** Lloyd rounds per subspace codebook (`spark.graft.ann.pqIters`) —
+      * same convention as `spark.graft.kmeans.iters`.
+      */
+    def annPqIters: Int = positive("spark.graft.ann.pqIters", "2")
+    /** ADC candidate pool re-ranked exactly per query
+      * (`spark.graft.ann.pqRerank`); must be ≥ topK.
+      */
+    def annPqRerank: Int = positive("spark.graft.ann.pqRerank", "64")
 
     // -- text-analysis knobs --
     /** Repeated-substring window width in words

@@ -123,6 +123,19 @@ class GraftConfSpec extends SparkSpec {
     }
   }
 
+  test("pq knobs at non-default values: geometry, iterations and SQL track the conf") {
+    withConf("spark.graft.ann.pqSubs" -> "4", "spark.graft.ann.pqK" -> "8",
+             "spark.graft.ann.pqIters" -> "3", "spark.graft.ann.pqRerank" -> "10") {
+      val sql = Similarity.annTopKPqSql
+      assert(sql.contains("pqc2") && !sql.contains("pqc3"), "iters=3 → last round is pqc2")
+      assert(sql.contains("crn <= 10") && sql.contains("len(se) // 4"))
+      val rows = Similarity.annTopKPq(spark, sf).collect()
+      graft.operators.Dedup.releaseIntermediates()
+      assert(rows.length == Similarity.NumQueries * Similarity.TopK)
+      assert(rows.forall(_.getAs[Double]("cos_pq") <= 1.0001))
+    }
+  }
+
   test("srp knobs at non-default values: signature width and banding track the conf") {
     // wider bands = the larger-corpus setting (value space 2^8 so the
     // hot-bucket cap doesn't saturate as n grows); NOT fewer-bit bands,

@@ -241,6 +241,54 @@ class LlmOpsSpec extends SparkSpec {
     info(s"measured mean recall@${Similarity.TopK}: $mean")
   }
 
+  test("ann_topk_pq: trained codebooks, valid codes, ≥ 0.7 recall@k vs the float path") {
+    import org.apache.spark.sql.functions._
+    val scaled = graft.operators.Clustering.scaledEmbOf(
+      graft.sources.Tables.embeddings(spark, sf))
+    // codebook geometry: PqSubs × (≤ PqK) centroids, each subdim-long
+    val cb = graft.operators.Clustering.pqCodebookArrays(
+      graft.operators.Clustering.pqCodebooksOf(scaled)).collect()
+    graft.operators.Dedup.releaseIntermediates()
+    val bySub = cb.groupBy(_.getAs[Number]("sub").longValue)
+    assert(bySub.keySet == (0L until graft.operators.Clustering.PqSubs.toLong).toSet)
+    val perSub = bySub.view.mapValues(_.length).values.toSet
+    assert(perSub.size == 1, s"every subspace must have the same centroid count: $perSub")
+    assert(perSub.head <= graft.operators.Clustering.PqK)
+    cb.foreach { r =>
+      val cidx = r.getAs[Long]("cidx")
+      assert(cidx >= 0 && cidx < perSub.head, "cidx must be dense per subspace")
+    }
+    // recall vs the exact float path: ADC ranks a pool, exact dot re-ranks —
+    // measured mean recall recorded in SURVEY §4
+    val float = Similarity.annTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val pq = Similarity.annTopKPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    graft.operators.Dedup.releaseIntermediates()
+    assert(float.nonEmpty && pq.length == float.length)
+    val byQ = float.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val pqByQ = pq.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = byQ.map { case (q, truth) =>
+      (pqByQ.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean recall@k $mean, per-query $recalls")
+    info(s"measured mean PQ recall@${Similarity.TopK}: $mean")
+    // re-ranked scores are EXACT cosines: every returned (q, n) score must
+    // equal the float path's score for that pair when both return it
+    val floatScores = Similarity.annTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cos")).toMap
+    val pqScores = Similarity.annTopKPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cos_pq")).toMap
+    graft.operators.Dedup.releaseIntermediates()
+    pqScores.foreach { case (k, v) =>
+      floatScores.get(k).foreach(f => assert(math.abs(f - v) <= 0.0001,
+        s"re-ranked score must be the exact cosine at $k: $v vs $f"))
+    }
+  }
+
   test("blockedTopK: neighbors restricted to the query's cluster") {
     val labels = sources.Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()
