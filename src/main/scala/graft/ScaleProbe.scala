@@ -77,7 +77,46 @@ object ScaleProbe {
     println(s"""{"probe":"base_x16_delta_x1","base_docs":${bigSets.count()},"sec_min":${times.min},"runs":[${times.mkString(",")}]}""")
 
     embeddingProbes(spark)
+    fuzzyDecontamProbe(spark, docs)
     spark.stop()
+  }
+
+  /** Fuzzy-decontamination probe: benchmark FIXED, train side ×1/×4/×16
+    * (salted replicas — copy 0 keeps the original texts, so the flagged
+    * count must stay exactly constant while volume grows). Per-sweep wall
+    * time must track TRAIN volume linearly: the eval side broadcasts, the
+    * train side streams through two broadcast joins, and per-train-doc
+    * candidate fan-out is bounded by the benchmark — there is nothing
+    * super-linear to excite.
+    */
+  private def fuzzyDecontamProbe(spark: SparkSession, docs: DataFrame): Unit = {
+    import graft.operators.{Curation, Dedup}
+    val isEvalOrig = col("doc_id") % Curation.FuzzyEvalMod === 0
+    val evalDocs = docs.filter(isEvalOrig).localCheckpoint(true)
+    val train1 = docs.filter(!isEvalOrig)
+    // replicas live in the >= 1e6 id range: eval membership = original
+    // benchmark ids only, at every scale
+    val isEval = col("doc_id") % Curation.FuzzyEvalMod === 0 &&
+      col("doc_id") < 1000000L
+    def timed(all: DataFrame): Double = {
+      Dedup.releaseIntermediates()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      Curation.decontaminateFuzzyFrom(all, isEval)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val all = evalDocs.unionByName(replicate(train1, k)).localCheckpoint(true)
+      timed(all) // warm-up
+      val times = (1 to 3).map(_ => timed(all))
+      Dedup.releaseIntermediates(); spark.catalog.clearCache()
+      val out = Curation.decontaminateFuzzyFrom(all, isEval)
+      val flagged = out.filter(col("contaminated")).count()
+      val trainDocs = out.count()
+      Dedup.releaseIntermediates()
+      println(s"""{"probe":"fuzzy_x$k","train_docs":$trainDocs,"flagged":$flagged,"sec_min":${times.min},"runs":[${times.mkString(",")}]}""")
+    }
   }
 
   /** Deterministic synthetic embedding corpus: n pseudo-random unit vectors

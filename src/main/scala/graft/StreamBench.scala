@@ -109,6 +109,27 @@ object StreamBench {
       } finally q.stop()
     }
 
+    // ---- lane 4: crawl-time curation quarantine (quality + exact contam) ----
+    locally {
+      val isEval = col("doc_id") % operators.Curation.FuzzyEvalMod === 0
+      val evalHashes = operators.Curation.evalNgramHashesOf(docs, isEval)
+        .localCheckpoint(true)
+      val trainRows = ScaleProbe.replicate(docs.filter(!isEval), xfactor)
+        .as[(Long, String)].collect()
+      val cchunks = trainRows.grouped(math.max(1, trainRows.length / batches)).toSeq
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamOps.curateStream(mem.toDF().toDF("doc_id", "text"), evalHashes)
+        .writeStream.format("noop").outputMode("append").start()
+      try {
+        mem.addData(cchunks.head.toIndexedSeq); q.processAllAvailable() // warm-up
+        val t0 = System.nanoTime()
+        cchunks.tail.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+        val sec = (System.nanoTime() - t0) / 1e9
+        report("curate_stream", trainRows.length - cchunks.head.length,
+          cchunks.length - 1, sec)
+      } finally q.stop()
+    }
+
     spark.stop()
   }
 }
