@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** In-engine-trained document classification (SURVEY §2C).
+  *
+  * The model-based rung of the corpus-labeling ladder: production
+  * pipelines (FineWeb-Edu's quality classifier, DCLM's fastText filter,
+  * CCNet's LID) label every crawled document with a cheap linear model
+  * trained on a labeled slice. The deterministic, oracle-checkable member
+  * of that family is multinomial Naive Bayes with Laplace smoothing —
+  * training IS two counting aggregations, so the whole train+apply cycle
+  * runs inside the engine with no external model artifact, and the same
+  * exact-decimal log-prob discipline as `doc_perplexity` (one `ln`
+  * rounded to 6 dp, then only exact DECIMAL adds) makes both engines
+  * agree on every argmax bit-for-bit.
+  *
+  * Reference anchor: the reference's classification steps are LLM calls
+  * (extraction/extraction.py:13 ladder); this is the deterministic
+  * corpus-scale rung below them, exactly as keyword capture is for
+  * field extraction.
+  */
+object Classify {
+
+  /** Held-out modulus (`spark.graft.nb.evalMod`): docs with
+    * `doc_id % evalMod == 0` are scored, the rest train the model.
+    */
+  def NbEvalMod: Int = GraftConf.nbEvalMod
+
+  /** `nb_classify`: train multinomial NB on the `doc_id % m != 0` slice
+    * (class = `lang`), classify the held-out `doc_id % m == 0` docs, and
+    * report each prediction against the gold label.
+    *
+    * Scale shape — the SPARSE scoring identity. The textbook dense
+    * formulation scores `score(d,c) = prior(c) + Σ_tokens logp(w|c)` via a
+    * vocab×classes table (at 100 TB: ~1e8 vocab × dozens of classes =
+    * billions of rows materialized and joined per token). Instead, with
+    * `dflt(c) = ln(1/(T_c+V))` the smoothed log-prob of a class-unseen
+    * word, the identical score is
+    *
+    *   prior(c) + n_iv·dflt(c) + Σ_{tokens seen in c} (logp(w|c) − dflt(c))
+    *
+    * where n_iv counts the doc's in-vocab tokens. Only the OBSERVED
+    * (class, word) pairs — the training co-occurrences that exist anyway —
+    * are materialized; the correction term (`bonus`) is a difference of
+    * two already-rounded decimals, so the sparse and dense scores are
+    * equal EXACTLY, not approximately. Cost: one token-grain equi-join
+    * against the sparse table + one C-row broadcast, never vocab×C.
+    *
+    * Determinism: every `ln` is rounded once to 6 dp and cast to
+    * DECIMAL(18,6) (the §5 discipline); scores then compose through exact
+    * decimal +/−/×(bigint) only, so cross-engine argmax can't float-flip.
+    * Ties (exact equal scores) break to the lexicographically first class.
+    * Out-of-vocab eval tokens are dropped (standard NB convention; the
+    * vocab membership join makes it explicit); an eval doc with NO
+    * in-vocab token gets `pred_lang = ''`.
+    */
+  def nbClassify(spark: SparkSession, dir: String): DataFrame =
+    nbClassifyOf(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text, lang) frame — specs plant a
+    * class-correlated corpus and assert the model actually learns.
+    */
+  def nbClassifyOf(docs: DataFrame): DataFrame = {
+    val m = NbEvalMod
+    val train = docs.filter(col("doc_id") % m =!= 0)
+    val evalDocs = docs.filter(col("doc_id") % m === 0)
+
+    val tokT = train.select(col("lang"), explode(split(col("text"), " ")).as("word"))
+    // observed (class, word) counts — the sparse table; map-side combined
+    val cw = tokT.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+    // per-class token totals from the sparse table (C rows)
+    val ctot = cw.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    // vocab size + train doc total: 1-row broadcast scalars
+    val scalars = tokT.agg(countDistinct(col("word")).as("v"))
+      .crossJoin(train.agg(count(lit(1)).as("d_total")))
+    // C-row class table: doc-count prior and the class-unseen default
+    // log-prob, each ln rounded ONCE then frozen as DECIMAL(18,6)
+    val classes = train.groupBy(col("lang")).agg(count(lit(1)).as("dc"))
+      .join(ctot, "lang")
+      .crossJoin(broadcast(scalars))
+      .select(col("lang"),
+        round(log(col("dc").cast("double") / col("d_total").cast("double")), 6)
+          .cast("decimal(18,6)").as("prior"),
+        round(log(lit(1.0) / (col("t") + col("v")).cast("double")), 6)
+          .cast("decimal(18,6)").as("dflt"),
+        col("t"), col("v"))
+    // sparse bonus: logp(w|c) − dflt(c), a difference of two rounded
+    // decimals — exact, so sparse scoring ≡ dense scoring
+    val sparse = cw.join(classes.select("lang", "dflt", "t", "v"), "lang")
+      .select(col("lang"), col("word"),
+        (round(log((col("c") + lit(1)).cast("double") / (col("t") + col("v")).cast("double")), 6)
+          .cast("decimal(18,6)") - col("dflt")).as("bonus"))
+
+    val tokE = evalDocs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val vocab = tokT.select(col("word")).distinct()
+    val tokIv = tokE.join(vocab, Seq("word"))
+    val nIv = tokIv.groupBy(col("doc_id")).agg(count(lit(1)).as("n_iv"))
+    // per-(doc, class) bonus sums exist only where the doc shares a word
+    // with the class — the sparse join; decimal sum is exact
+    val hits = tokIv.join(sparse, Seq("word"))
+      .groupBy(col("doc_id"), col("lang")).agg(sum(col("bonus")).as("bonus"))
+    val scored = nIv
+      .crossJoin(broadcast(classes.select("lang", "prior", "dflt")))
+      .join(hits, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        (col("prior") + col("n_iv") * col("dflt") +
+          coalesce(col("bonus"), lit(0).cast("decimal(19,6)"))).as("score"))
+    // argmax per doc: score desc, class asc on ties — exact decimals, so
+    // both engines pick the same row; the window partitions on doc_id
+    // (key-parallel, never a global sort)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang").asc)
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("doc_id"), col("lang").as("pred_lang"))
+
+    evalDocs.select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("pred_lang"), lit("")).as("pred_lang"),
+        when(col("lang") === coalesce(col("pred_lang"), lit("")), 1)
+          .otherwise(0).as("correct"))
+      .contractOrderBy("doc_id")
+  }
+
+  /** Oracle: the same sparse identity, CTE for CTE. */
+  def nbClassifySql: String = {
+    val m = NbEvalMod
+    s"""WITH train AS (
+       |  SELECT * FROM documents WHERE doc_id % $m != 0
+       |), ev AS (
+       |  SELECT * FROM documents WHERE doc_id % $m = 0
+       |), tok_t AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM train
+       |), cw AS (
+       |  SELECT lang, word, count(*) AS c FROM tok_t GROUP BY lang, word
+       |), ctot AS (
+       |  SELECT lang, sum(c) AS t FROM cw GROUP BY lang
+       |), scalars AS (
+       |  SELECT (SELECT count(DISTINCT word) FROM tok_t) AS v,
+       |         (SELECT count(*) FROM train) AS d_total
+       |), classes AS (
+       |  SELECT p.lang,
+       |    CAST(round(ln(CAST(p.dc AS DOUBLE) / CAST(s.d_total AS DOUBLE)), 6) AS DECIMAL(18,6)) AS prior,
+       |    CAST(round(ln(1.0 / CAST(ct.t + s.v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS dflt,
+       |    ct.t, s.v
+       |  FROM (SELECT lang, count(*) AS dc FROM train GROUP BY lang) p
+       |  JOIN ctot ct USING (lang) CROSS JOIN scalars s
+       |), sparse AS (
+       |  SELECT cw.lang, cw.word,
+       |    CAST(round(ln(CAST(cw.c + 1 AS DOUBLE) / CAST(cl.t + cl.v AS DOUBLE)), 6) AS DECIMAL(18,6))
+       |      - cl.dflt AS bonus
+       |  FROM cw JOIN classes cl USING (lang)
+       |), tok_e AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM ev
+       |), tok_iv AS (
+       |  SELECT doc_id, word FROM tok_e
+       |  WHERE word IN (SELECT DISTINCT word FROM tok_t)
+       |), n_iv AS (
+       |  SELECT doc_id, count(*) AS n_iv FROM tok_iv GROUP BY doc_id
+       |), hits AS (
+       |  SELECT doc_id, s.lang, sum(s.bonus) AS bonus
+       |  FROM tok_iv t JOIN sparse s USING (word)
+       |  GROUP BY doc_id, s.lang
+       |), scored AS (
+       |  SELECT n.doc_id, c.lang,
+       |    c.prior + n.n_iv * c.dflt + COALESCE(h.bonus, CAST(0 AS DECIMAL(19,6))) AS score
+       |  FROM n_iv n CROSS JOIN classes c
+       |  LEFT JOIN hits h ON h.doc_id = n.doc_id AND h.lang = c.lang
+       |), best AS (
+       |  SELECT doc_id, lang AS pred_lang,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+       |  FROM scored
+       |)
+       |SELECT e.doc_id, e.lang,
+       |  COALESCE(b.pred_lang, '') AS pred_lang,
+       |  CASE WHEN e.lang = COALESCE(b.pred_lang, '') THEN 1 ELSE 0 END AS correct
+       |FROM ev e LEFT JOIN (SELECT doc_id, pred_lang FROM best WHERE rn = 1) b USING (doc_id)
+       |ORDER BY e.doc_id""".stripMargin
+  }
+}

@@ -646,4 +646,99 @@ object Curation {
        |FROM d
        |WHERE u40 < keep_thresh
        |ORDER BY doc_id""".stripMargin
+
+  // ---- token_budget_sample ------------------------------------------------
+
+  /** Total token budget (`spark.graft.budget.tokens`). */
+  def TokenBudget: Long = GraftConf.budgetTokens
+
+  /** Per-source token budget: `budget·weight div total_weight` — the same
+    * integer weight scheme as `domain_mix_sample`, so the two sampling
+    * modes answer the same mixture spec.
+    */
+  def tokenBudgetFor(source: String): Long = {
+    val w = source match {
+      case "src0" => MixWeightSrc0
+      case "src1" => MixWeightSrc1
+      case _      => MixWeightOther
+    }
+    TokenBudget * w / MixWeightTotal
+  }
+
+  /** `token_budget_sample`: fill a fixed TRAINING-TOKEN budget per source —
+    * how a trainer actually consumes a mixture spec ("1T tokens, 40% web,
+    * 30% code, …"), vs `domain_mix_sample`'s per-DOC rate. Docs are taken
+    * in hash-priority order (u40 of doc_id, ties to doc_id — stable across
+    * reruns and crawls) until the source's token budget is spent: a doc is
+    * kept iff the tokens BEFORE it in priority order total < budget, so
+    * the cut doc (at most one per source) may overshoot — the budget is a
+    * floor on where the line lands, never a mid-doc split.
+    *
+    * Scale shape — the sequential pass is bounded by the BUDGET, not the
+    * corpus. A per-source ordered cumsum is inherently sequential, and at
+    * 100 TB a window over a whole source is a single-reducer corpus scan.
+    * Instead: bucket u40 into 1024 coarse ranges, aggregate per-bucket
+    * token sums (map-side combined, 1024·sources rows), and find the last
+    * bucket whose PRECEDING cumulative tokens < budget. Every kept doc
+    * provably lies at or before that bucket (a doc in a later bucket has
+    * cum_before ≥ that bucket's pre-cum ≥ budget), so the exact cumsum
+    * window runs only over the ≈budget-sized surviving slice. The oracle
+    * is the unfiltered full-window formulation — two independent
+    * formulations agreeing, `events_session_window` style.
+    */
+  def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetSampleOf(Tables.documents(spark, dir))
+
+  def tokenBudgetSampleOf(docs: DataFrame): DataFrame = {
+    val budget = when(col("source") === "src0", tokenBudgetFor("src0"))
+      .when(col("source") === "src1", tokenBudgetFor("src1"))
+      .otherwise(tokenBudgetFor("other"))
+    val toks = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("u40",
+        expr("cast(conv(substr(md5(concat(cast(doc_id as string), '|budget')), 1, 10), 16, 10) as bigint)"))
+      .withColumn("bkt", expr("u40 div 1073741824")) // 2^30: 1024 coarse ranges
+      .withColumn("budget", budget)
+    // per-(source, bucket) token histogram; the cut = last bucket whose
+    // PRE-cumulative tokens < budget (window over ≤1024 rows per source)
+    val hist = toks.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("n_tok")).as("btok"), max(col("budget")).as("budget"))
+    val wB = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cut = hist
+      .withColumn("pre", coalesce(sum(col("btok")).over(wB), lit(0L)))
+      .filter(col("pre") < col("budget"))
+      .groupBy(col("source")).agg(max(col("bkt")).as("cut_bkt"))
+    // exact prefix cumsum over the bounded slice only
+    val wD = Window.partitionBy(col("source"))
+      .orderBy(col("u40").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(cut), "source")
+      .filter(col("bkt") <= col("cut_bkt"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(wD), lit(0L)))
+      .filter(col("cum_before") < col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (col("cum_before") + col("n_tok")).as("cum_tokens"))
+      .contractOrderBy("doc_id")
+  }
+
+  /** Oracle: the naive full-window prefix rule (no pre-filter). */
+  def tokenBudgetSampleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|budget'), 1, 10)) AS BIGINT) AS u40,
+       |    CASE source WHEN 'src0' THEN ${tokenBudgetFor("src0")}
+       |                WHEN 'src1' THEN ${tokenBudgetFor("src1")}
+       |                ELSE ${tokenBudgetFor("other")} END AS budget
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, source, n_tok, budget,
+       |    COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY u40, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t
+       |)
+       |SELECT doc_id, source, n_tok, cum_before + n_tok AS cum_tokens
+       |FROM c WHERE cum_before < budget
+       |ORDER BY doc_id""".stripMargin
 }

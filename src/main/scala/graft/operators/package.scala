@@ -219,6 +219,17 @@ package object operators {
       */
     def pplSampleMod: Int = positive("spark.graft.ppl.sampleMod", "3")
 
+    /** NB classifier held-out modulus (`spark.graft.nb.evalMod`): docs
+      * with `doc_id % evalMod == 0` are scored, the rest train.
+      */
+    def nbEvalMod: Int = positive("spark.graft.nb.evalMod", "4")
+
+    /** Total training-token budget for `token_budget_sample`
+      * (`spark.graft.budget.tokens`), split across sources by the
+      * domain-mix weights.
+      */
+    def budgetTokens: Long = positive("spark.graft.budget.tokens", "4200").toLong
+
     // -- quality-filter bounds (integer percents: thresholds compare as
     //    exact integer cross-multiplies in both engines, never a float) --
     /** Minimum words per document (`spark.graft.quality.minWords`). */

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Classify
+
+/** nb_classify: the in-engine-trained Naive Bayes classifier actually
+  * LEARNS — on a corpus whose vocabulary correlates with the label, the
+  * held-out docs classify correctly; plus structural invariants on the
+  * real corpus (totality, determinism, tie direction).
+  */
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Planted corpus: two "languages" with disjoint-ish vocabularies plus
+    * shared filler words. 40 docs; the %4 held-out slice must classify
+    * perfectly because class-specific words dominate every doc.
+    */
+  private def planted = {
+    val mk = (id: Long, lang: String, core: String) =>
+      (id, s"$core $core filler common shared $core", lang)
+    val rows = (0L until 40L).map { i =>
+      if (i % 3 == 0) mk(i, "aa", "alpha apple anchor")
+      else mk(i, "bb", "bravo berry basket")
+    }
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  test("learns a class-correlated vocabulary: held-out accuracy = 100%") {
+    val out = Classify.nbClassifyOf(planted).collect()
+    assert(out.length == 10) // 40 docs, %4 == 0 held out
+    assert(out.forall(r => r.getAs[Int]("correct") == 1),
+      s"misclassified: ${out.filter(_.getAs[Int]("correct") == 0).mkString(", ")}")
+  }
+
+  test("total over the held-out slice and deterministic across runs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val m = Classify.NbEvalMod
+    val expected = docs.filter(col("doc_id") % m === 0).count()
+    val a = Classify.nbClassify(spark, sf).collect()
+    val b = Classify.nbClassify(spark, sf).collect()
+    assert(a.length == expected, "every held-out doc gets a verdict row")
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // every prediction is a real training-set class (never '' here: the
+    // shared synthetic vocabulary means no doc is fully out-of-vocab)
+    val classes = docs.filter(col("doc_id") % m =!= 0)
+      .select("lang").distinct().as[String].collect().toSet
+    assert(a.forall(r => classes(r.getAs[String]("pred_lang"))))
+  }
+
+  test("doc with only out-of-vocab tokens gets pred_lang = ''") {
+    val rows = (1L to 9L).map(i => (i, "alpha apple anchor", "aa")) :+
+      ((12L, "zz yy xx", "aa")) // 12 % 4 == 0: held out, fully OOV
+    val out = Classify.nbClassifyOf(rows.toDF("doc_id", "text", "lang"))
+      .filter(col("doc_id") === 12L).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("pred_lang") == "")
+    assert(out.head.getAs[Int]("correct") == 0)
+  }
+
+  test("exact score tie breaks to the lexicographically first class") {
+    // Two classes with MIRRORED statistics: same doc counts, same token
+    // counts, and an eval doc whose words are equally (un)known to both —
+    // scores are exactly equal decimals, so the argmax must pick 'aa'.
+    val rows = Seq(
+      (1L, "alpha alpha", "aa"), (2L, "alpha alpha", "aa"),
+      (3L, "bravo bravo", "bb"), (5L, "bravo bravo", "bb"),
+      (4L, "alpha bravo", "aa") // held out (4 % 4 == 0); symmetric evidence
+    )
+    val out = Classify.nbClassifyOf(rows.toDF("doc_id", "text", "lang"))
+      .filter(col("doc_id") === 4L).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("pred_lang") == "aa")
+  }
+}
