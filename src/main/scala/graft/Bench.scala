@@ -108,16 +108,44 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) => name -> timeQuery(name, fn, warm = true) }
 
+    // previous round's per-query mins (BENCH_PREV.json, committed at end of
+    // round as a copy of target/bench.json) power the cross-round
+    // adjudication trigger below. Absent/corrupt file = no trigger, not a
+    // crash: the first round has no history.
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH", "BENCH_PREV.json")
+    val prevMins: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(prevPath)), "UTF-8")
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(txt) \ "queries" match {
+          case JObject(fields) => fields.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+            case (k, JLong(v)) => k -> v.toDouble
+            case (k, JDecimal(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty
+        }
+      } catch { case _: Exception => Map.empty[String, Double] }
+
     // auto-adjudication (SURVEY §8's recipe, built in): a full sweep runs
     // ~100 Spark jobs back-to-back in one JVM, and GC/codegen-cache churn
     // from neighbors occasionally inflates one query's median even on a
-    // quiet machine. Any query whose median exceeds 2x its min (and the gap
-    // is big enough to matter) gets an automatic isolated re-run at the
-    // end; the artifact carries BOTH readings so no outlier needs manual
-    // adjudication. Headline `value`/`queries` stay the sweep MINs.
+    // quiet machine. Two independent triggers select queries for an
+    // automatic isolated re-run after the sweep:
+    //   (a) in-sweep variance: median > 2x min (gap > 0.5 s) — catches a
+    //       single slow rep;
+    //   (b) cross-round drift: sweep min > 2x last round's artifact min
+    //       (gap > 0.5 s) — catches UNIFORM inflation, where all reps are
+    //       slow so min ~ median and (a) is blind (round 7: ann_topk_ivf2
+    //       swept 5.18 min / 5.73 median vs 1.28 s isolated).
+    // The artifact carries BOTH readings; headline `value`/`queries` stay
+    // the sweep MINs.
     val adjudicated = results.collect {
       case (name, (min, median))
-          if min > 0 && median > 2 * min && median - min > 0.5 =>
+          if min > 0 && ((median > 2 * min && median - min > 0.5) ||
+            prevMins.get(name).exists(p => p > 0 && min > 2 * p && min - p > 0.5)) =>
         name -> timeQuery(name, SparkEntry.queries(name), warm = true)
     }
     adjudicated.foreach { case (name, (m, d)) =>
@@ -140,11 +168,37 @@ object Bench {
       s""""queries":${qJson(results, _._1)},"queries_median":${qJson(results, _._2)},""" +
       s""""adjudicated_min":${qJson(adjudicated, _._1)},"adjudicated_median":${qJson(adjudicated, _._2)},""" +
       s""""sf":"$sfDir"}"""
-    println(json)
-    // stdout tail-capture can truncate the (long) JSON line — persist the
-    // artifact too so it survives log truncation
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json + "\n")
-    catch { case e: Exception => System.err.println(s"[bench] bench.json write failed: $e") }
+
+    // The driver captures only the LAST ~2000 chars of stdout, so a full
+    // 110-query map on stdout truncates and BENCH_rNN records parsed:null
+    // (every round so far). Stdout therefore gets a COMPACT line: summary
+    // stats + the slowest queries that fit the capture window; the complete
+    // per-query/median/adjudication maps live in the target/bench.json
+    // artifact (authoritative, and what the judge reads).
+    def round3(v: Double): Double = math.rint(v * 1000) / 1000
+    val bySlowest = results.toSeq.sortBy { case (_, (min, _)) => -min }
+    val budgetChars = 1800
+    def compactLine(top: Seq[(String, (Double, Double))]): String =
+      s"""{"metric":"total","value":${round3(totalMin)},"unit":"sec","stat":"min","schema_version":2,""" +
+      s""""min":${round3(totalMin)},"median":${round3(totalMedian)},"n_queries":${results.size},""" +
+      s""""contended":$contended,"probe_sec":[${round3(probeBefore)},${round3(probeAfter)}],""" +
+      s""""adjudicated":${adjudicated.map(kv => "\"" + kv._1 + "\":" + round3(kv._2._1)).mkString("{", ",", "}")},""" +
+      s""""queries_omitted":${results.size - top.size},"full_artifact":"target/bench.json",""" +
+      s""""queries":${top.map { case (k, v) => "\"" + k + "\":" + round3(v._1) }.mkString("{", ",", "}")},""" +
+      s""""sf":"$sfDir"}"""
+    // keep the slowest queries; drop from the fast tail until the line fits
+    val keep = Iterator.iterate(bySlowest)(_.dropRight(1))
+      .find(t => t.isEmpty || compactLine(t).length <= budgetChars)
+      .getOrElse(Seq.empty)
+    println(compactLine(keep))
+
+    // full artifact: only a FULL sweep may write target/bench.json — a
+    // SPARK_GRAFT_BENCH_ONLY adjudication run would otherwise clobber the
+    // round artifact with a 1-query map (this bit round 7: target/bench.json
+    // held 3 queries after a post-sweep adjudication)
+    val artifact = if (only.isEmpty) "target/bench.json" else "target/bench_only.json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), json + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] $artifact write failed: $e") }
     spark.stop()
   }
 }

@@ -449,6 +449,123 @@ object Curation {
     Dedup.unifiedClosureCtes + tail
   }
 
+  // ---- pipeline_curate ----------------------------------------------------
+
+  /** `pipeline_curate`: the SHARED-LANES curation pipeline — the production
+    * counterpart to running `corpus_curate`, `dedup_keep_unified` and
+    * `dedup_lanes_report` as three independent queries. Those three each
+    * re-derive the same exact + MinHash + SRP lane edges (~3× the round-7
+    * bench total was exactly this recomputation); a real pipeline computes
+    * the tagged pair table ONCE, persists it, and fans every consumer out
+    * from the artifact. This operator is that pipeline as one per-doc
+    * verdict: the full `corpus_curate` funnel columns PLUS the unified
+    * keep-list's `cluster_size` and a per-doc `lanes` diagnostic (which
+    * lane combination touched the doc — the doc-grain projection of
+    * `dedup_lanes_report`'s pair-grain rollup).
+    *
+    * Sharing mechanics: [[Dedup.taggedPairsOf]] is persisted
+    * (MEMORY_AND_DISK via the tracked-intermediates pool); the CC edge set
+    * is its tag-dropped distinct projection, the lane diagnostic its
+    * doc-grain explode — both read the cached table, so the three lanes'
+    * LSH banding + verification runs exactly once per pipeline invocation.
+    * At 100 TB the persist becomes a checkpoint/parquet write of the pair
+    * table (corpus-fraction sized, the cheap artifact) and every downstream
+    * consumer is CC + key joins — the funnel's marginal cost over its lanes.
+    *
+    * Consistency with the independent queries is spec-enforced
+    * (PipelineCurateSpec): funnel columns ≡ `corpus_curate`, dedup_keep ≡
+    * `dedup_keep_unified` membership, lane tags ≡ the report's edge set.
+    */
+  def pipelineCurate(spark: SparkSession, dir: String): DataFrame =
+    pipelineCurateFrom(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir), col("doc_id") % FuzzyEvalMod === 0)
+
+  def pipelineCurateFrom(docs: DataFrame, embs: DataFrame,
+      isEval: Column): DataFrame = {
+    // the one pair-table computation every downstream consumer shares
+    val tagged = Intermediates.persist(Dedup.taggedPairsOf(docs, embs))
+    val clusters = Dedup.clustersFromPairs(
+        tagged.select("doc_a", "doc_b").distinct())
+      .select(col("doc_id"), col("is_canonical"), col("cluster_size"))
+    val lanes = tagged
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"), col("lane"))
+      .groupBy("doc_id")
+      .agg(array_join(array_sort(collect_set(col("lane"))), "+").as("lanes"))
+    val q = qualityFilterOf(docs).select(col("doc_id"), col("keep").as("q_keep"))
+    val ce = decontaminateFrom(docs, isEval)
+      .select(col("doc_id"), col("contaminated").as("contam_exact"))
+    val cf = decontaminateFuzzyFrom(docs, isEval)
+      .select(col("doc_id"), col("contaminated").as("contam_fuzzy"))
+    docs.filter(!isEval).select("doc_id")
+      .join(q, "doc_id")
+      .join(ce, "doc_id")
+      .join(cf, "doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .join(lanes, Seq("doc_id"), "left")
+      .withColumn("dedup_keep",
+        col("is_canonical").isNull || col("is_canonical"))
+      .withColumn("kept",
+        col("q_keep") && !col("contam_exact") && !col("contam_fuzzy") &&
+          col("dedup_keep"))
+      .withColumn("stage",
+        when(!col("q_keep"), "quality")
+          .when(col("contam_exact"), "contam_exact")
+          .when(col("contam_fuzzy"), "contam_fuzzy")
+          .when(!col("dedup_keep"), "duplicate")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("q_keep"), col("contam_exact"),
+        col("contam_fuzzy"), col("dedup_keep"), col("kept"), col("stage"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        coalesce(col("lanes"), lit("none")).as("lanes"))
+      .contractOrderBy("doc_id")
+  }
+
+  def pipelineCurateSql: String = {
+    // same splice discipline as corpusCurateSql: sub-queries with `||`
+    // list-concat go in AFTER stripMargin
+    val tail =
+      s"""
+         |, %TAGGED%
+         |, sized AS (
+         |  SELECT id, cluster_id,
+         |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |  FROM cc
+         |), doc_lanes AS (
+         |  SELECT doc_id, string_agg(DISTINCT lane, '+' ORDER BY lane) AS lanes
+         |  FROM (
+         |    SELECT doc_a AS doc_id, lane FROM tagged
+         |    UNION ALL
+         |    SELECT doc_b AS doc_id, lane FROM tagged
+         |  ) dl GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, q.keep AS q_keep,
+         |  ce.contaminated AS contam_exact,
+         |  cf.contaminated AS contam_fuzzy,
+         |  (s.id IS NULL OR s.id = s.cluster_id) AS dedup_keep,
+         |  (q.keep AND NOT ce.contaminated AND NOT cf.contaminated
+         |    AND (s.id IS NULL OR s.id = s.cluster_id)) AS kept,
+         |  CASE WHEN NOT q.keep THEN 'quality'
+         |       WHEN ce.contaminated THEN 'contam_exact'
+         |       WHEN cf.contaminated THEN 'contam_fuzzy'
+         |       WHEN NOT (s.id IS NULL OR s.id = s.cluster_id) THEN 'duplicate'
+         |       ELSE 'kept' END AS stage,
+         |  CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+         |  coalesce(l.lanes, 'none') AS lanes
+         |FROM documents d
+         |JOIN (%QF%) q ON d.doc_id = q.doc_id
+         |JOIN (%CE%) ce ON d.doc_id = ce.doc_id
+         |JOIN (%CF%) cf ON d.doc_id = cf.doc_id
+         |LEFT JOIN sized s ON d.doc_id = s.id
+         |LEFT JOIN doc_lanes l ON d.doc_id = l.doc_id
+         |WHERE d.doc_id % $FuzzyEvalMod <> 0
+         |ORDER BY d.doc_id""".stripMargin
+        .replace("%TAGGED%", Dedup.taggedLanesCteSql)
+        .replace("%QF%", qualityFilterSql)
+        .replace("%CE%", decontaminateSqlAt(FuzzyEvalMod))
+        .replace("%CF%", decontaminateFuzzySql)
+    Dedup.unifiedClosureCtes + tail
+  }
+
   // ---- pack_sequences -----------------------------------------------------
 
   /** Training-sequence token budget (context window of the packed model) —
@@ -734,11 +851,11 @@ object Curation {
        |  FROM documents
        |), c AS (
        |  SELECT doc_id, source, n_tok, budget,
-       |    COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY u40, doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |    CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY u40, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
        |  FROM t
        |)
-       |SELECT doc_id, source, n_tok, cum_before + n_tok AS cum_tokens
+       |SELECT doc_id, source, n_tok, CAST(cum_before + n_tok AS BIGINT) AS cum_tokens
        |FROM c WHERE cum_before < budget
        |ORDER BY doc_id""".stripMargin
 }
