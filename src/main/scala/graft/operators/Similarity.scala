@@ -328,6 +328,22 @@ object Similarity {
     annTopKPqOf(Clustering.scaledEmbOf(Tables.embeddings(spark, dir)))
 
   private[graft] def annTopKPqOf(scaled: DataFrame): DataFrame = {
+    val idx = pqIndexOf(scaled)
+    // full-corpus ADC: every (query, code-row) pair is scored — the
+    // baseline the IVF-restricted variant's recall is judged against
+    val pairs = idx.codesArr.crossJoin(broadcast(idx.dq))
+      .filter(col("vec_id") =!= col("query_id"))
+    pqAdcRerank(pairs, scaled, "cos_pq")
+  }
+
+  /** The PQ index pair: per-vector code arrays + per-query flat ADC
+    * distance tables — the plumbing [[annTopKPqOf]] (full-corpus ADC) and
+    * [[annTopKIvfPqOf]] (cell-restricted ADC) share, so the two variants
+    * can never drift on codes or tables.
+    */
+  private final case class PqIndex(codesArr: DataFrame, dq: DataFrame)
+
+  private def pqIndexOf(scaled: DataFrame): PqIndex = {
     val m = Clustering.PqSubs
     val cb = Intermediates.persist(
       Clustering.pqCodebookArrays(Clustering.pqCodebooksOf(scaled)))
@@ -362,11 +378,21 @@ object Similarity {
       .groupBy(col("vec_id").as("query_id"))
       .agg(expr("transform(sort_array(collect_list(struct(sub, cidx, dot))), x -> x.dot)")
         .as("dt"))
+    PqIndex(codesArr, dq)
+  }
+
+  /** ADC scoring + candidate cut + exact re-rank over any
+    * (query_id, vec_id, codes, dt) pair set: array-lookup ADC sum, top
+    * [[PqRerank]] per query by (adc, vec_id), exact integer-dot re-rank of
+    * the survivors. The tail is shared so the full-corpus and
+    * IVF-restricted variants differ ONLY in which pairs reach ADC.
+    */
+  private def pqAdcRerank(pairs: DataFrame, scaled: DataFrame,
+      scoreName: String): DataFrame = {
+    val m = Clustering.PqSubs
     // ADC score: per-row array-lookup sum — dt[sub * K + code]; K recovered
     // as size(dt)/M so a sample smaller than pqK still indexes correctly
-    val scored = codesArr.crossJoin(broadcast(dq))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc", expr(
+    val scored = pairs.withColumn("adc", expr(
         s"""aggregate(sequence(0, $m - 1), 0L, (acc, mm) ->
            | acc + element_at(dt, cast(mm * (size(dt) div $m) + element_at(codes, mm + 1) + 1 as int)))"""
           .stripMargin.replace("\n", "")))
@@ -388,9 +414,117 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("dot").cast("double") /
-          lit(Clustering.Scale.toDouble * Clustering.Scale), 4).as("cos_pq"))
+          lit(Clustering.Scale.toDouble * Clustering.Scale), 4).as(scoreName))
       .contractOrderBy("query_id", "rank")
   }
+
+  /** `ann_topk_ivfpq`: the full IVFADC composition (Jégou et al. 2011,
+    * §IV) — the coarse IVF quantizer restricts which code rows reach ADC
+    * at all, completing the ladder past `ann_topk_pq` (which ADC-scans
+    * EVERY code row per query). A query's candidates are the members of
+    * its [[NProbe]] nearest trained cells, so ADC row count is
+    * ≈ queries × corpus × nprobe / K instead of queries × corpus — the
+    * index-probe cost cut that makes PQ viable at 100 TB (the ~32×
+    * smaller code entries AND a ~K/nprobe smaller probe set multiply).
+    *
+    * Variant note: codes encode the RAW vector, not the cell residual
+    * (faiss `IndexIVFPQ(by_residual=false)`) — raw-vector codes keep the
+    * code table cell-independent (one codebook set, reusable by the
+    * no-IVF `ann_topk_pq` twin and rebuildable without re-assigning
+    * cells) at a small recall cost the spec measures against the
+    * full-scan PQ baseline.
+    *
+    * Determinism: same exact-integer contracts as both parents — cell
+    * argmin/probe ties to lower cid over BIGINT distances, ADC sums exact
+    * BIGINTs, both rank windows tie on vec_id.
+    *
+    * Scale shape: the cell equi-join (`pcell = cell`) runs BEFORE any ADC
+    * work — IvfPqSpec pins the candidate count to the probed-cell sizes
+    * and the plan to a broadcast equi-join (never a corpus×queries
+    * cross). Quantizer + codebooks are tiny broadcast tables; assignment
+    * is one corpus scan; ADC is a map-side lookup-sum over the candidate
+    * rows; the exact re-rank touches queries × [[PqRerank]] raw vectors.
+    */
+  def annTopKIvfPq(spark: SparkSession, dir: String): DataFrame =
+    annTopKIvfPqOf(Clustering.scaledEmb(spark, dir))
+
+  private[graft] def annTopKIvfPqOf(scaled: DataFrame): DataFrame = {
+    // coarse quantizer + cell assignment + query probes — the same
+    // trained-IVF discipline as ann_topk_ivf2
+    val cents = Intermediates.persist(Clustering.trainedCentroidsOf(scaled))
+    val dAll = scaled.crossJoin(broadcast(cents))
+      .withColumn("d2", expr("graft_l2sq(se, cemb)"))
+    val assigned = dAll.groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val probe = dAll.filter(col("vec_id") < NumQueries)
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("cid").as("pcell"))
+    val idx = pqIndexOf(scaled)
+    // the cell equi-join comes FIRST: only probed-cell members reach ADC
+    val cand = broadcast(probe).join(assigned, col("pcell") === col("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    pqAdcRerank(
+      cand.join(idx.codesArr, "vec_id").join(broadcast(idx.dq), "query_id"),
+      scaled, "cos_ivfpq")
+  }
+
+  def annTopKIvfPqSql: String =
+    s"""WITH ${Clustering.kmeansCtesSql},
+       |${Clustering.pqCtesSql},
+       |ivfassign AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM d2t) WHERE rn = 1
+       |), ivfprobe AS (
+       |  SELECT vec_id AS query_id, cid AS pcell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM d2t WHERE vec_id < $NumQueries) WHERE rn <= $NProbe
+       |), pqcodes AS (
+       |  SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+       |    FROM (
+       |      SELECT vec_id, sub, cid, CAST(sum((v - cv) * (v - cv)) AS BIGINT) AS d2
+       |      FROM pqsv JOIN pqcb USING (sub, spos) GROUP BY vec_id, sub, cid))
+       |  WHERE rn = 1
+       |), pqdt AS (
+       |  SELECT q.vec_id AS query_id, c.sub, c.cid, CAST(sum(q.v * c.cv) AS BIGINT) AS dot
+       |  FROM pqsv q JOIN pqcb c USING (sub, spos)
+       |  WHERE q.vec_id < $NumQueries
+       |  GROUP BY q.vec_id, c.sub, c.cid
+       |), ivfcand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM ivfprobe p JOIN ivfassign a ON a.cluster = p.pcell
+       |  WHERE a.vec_id <> p.query_id
+       |), pqadc AS (
+       |  SELECT c.query_id, c.vec_id, CAST(sum(t.dot) AS BIGINT) AS adc
+       |  FROM ivfcand c
+       |  JOIN pqcodes k ON k.vec_id = c.vec_id
+       |  JOIN pqdt t ON t.query_id = c.query_id AND t.sub = k.sub AND t.cid = k.code
+       |  GROUP BY c.query_id, c.vec_id
+       |), pqcand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS crn
+       |    FROM pqadc) WHERE crn <= $PqRerank
+       |), pqrr AS (
+       |  SELECT c.query_id, c.vec_id, CAST(sum(qv.v * e.v) AS BIGINT) AS dot
+       |  FROM pqcand c
+       |  JOIN pqsv e ON c.vec_id = e.vec_id
+       |  JOIN pqsv qv ON qv.vec_id = c.query_id AND qv.sub = e.sub AND qv.spos = e.spos
+       |  GROUP BY c.query_id, c.vec_id
+       |)
+       |SELECT query_id, rank, neighbor_id, cos_ivfpq FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS BIGINT) AS rank,
+       |    round(CAST(dot AS DOUBLE) / ${Clustering.Scale.toDouble * Clustering.Scale}, 4) AS cos_ivfpq
+       |  FROM pqrr)
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
 
   def annTopKPqSql: String =
     s"""WITH ${Clustering.pqCtesSql},
