@@ -31,8 +31,15 @@ object Ingestion {
     * n_words, n_chars, source, confidence).
     * Shared base for layout/clause-graph operators.
     */
-  def blocks(spark: SparkSession, dir: String): DataFrame = {
-    Tables.documents(spark, dir)
+  def blocks(spark: SparkSession, dir: String): DataFrame =
+    blocksOf(Tables.documents(spark, dir))
+
+  /** [[blocks]] over any (doc_id, text, source) relation — the seam
+    * schema-scoped extraction runs planted-clause document variants
+    * through.
+    */
+  private[operators] def blocksOf(docs: DataFrame): DataFrame = {
+    docs
       .withColumn("ws", split(col("text"), " "))
       .withColumn("block_id",
         explode(expr(s"sequence(0, cast(ceil(size(ws) / $BlockWords.0) as int) - 1)")))

@@ -30,8 +30,10 @@ object Layout {
   val CaptionMaxWords = 4
 
   /** Per-block structural label. */
-  def classify(spark: SparkSession, dir: String): DataFrame = {
-    val b = Ingestion.blocks(spark, dir)
+  def classify(spark: SparkSession, dir: String): DataFrame =
+    classifyOf(Ingestion.blocks(spark, dir))
+
+  private[operators] def classifyOf(b: DataFrame): DataFrame = {
     b.withColumn("first_word", element_at(split(col("block_text"), " "), 1))
       .withColumn("label",
         when(col("first_word").isin(HeadingWords: _*), "heading")
@@ -50,11 +52,17 @@ object Layout {
     * derives from the block/label model — word lists interpolated from the
     * SAME constants the Spark side uses, so they cannot drift.
     */
-  private[operators] def blocksCte: String = {
+  private[operators] def blocksCte: String = "WITH " + blocksCteBody("documents")
+
+  /** [[blocksCte]] without the `WITH` and reading from any relation —
+    * callers that prepend their own CTEs (planted-clause doc variants)
+    * splice this after them.
+    */
+  private[operators] def blocksCteBody(rel: String): String = {
     import Ingestion._
     val headings = HeadingWords.map("'" + _ + "'").mkString(",")
     val lists = ListWords.map("'" + _ + "'").mkString(",")
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $rel),
        |b AS (
        |  SELECT doc_id, ws, unnest(generate_series(1, CAST(ceil(len(ws) / $BlockWords.0) AS INT))) AS i FROM d
        |), blk AS (
@@ -89,8 +97,13 @@ object Layout {
   /** The clause graph without the contract ordering — downstream operators
     * (schema-scoped extraction) consume this directly.
     */
-  private[operators] def clauseGraphRaw(spark: SparkSession, dir: String): DataFrame = {
-    val labeled = classify(spark, dir)
+  private[operators] def clauseGraphRaw(spark: SparkSession, dir: String): DataFrame =
+    clauseGraphRawOf(classify(spark, dir))
+
+  /** [[clauseGraphRaw]] over any labeled block relation — the seam
+    * schema-scoped extraction feeds planted-clause doc variants through.
+    */
+  private[operators] def clauseGraphRawOf(labeled: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("block_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     labeled

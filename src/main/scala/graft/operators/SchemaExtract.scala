@@ -131,9 +131,20 @@ object SchemaExtract {
     * pass over clause rows) → left join back to documents so clause-less
     * docs keep their all-NULL row → one codegen'd projection of ladders.
     */
-  def extractFieldsScoped(spark: SparkSession, dir: String): DataFrame = {
-    val schema = QueryLogForm
-    val cg = Layout.clauseGraphRaw(spark, dir)
+  def extractFieldsScoped(spark: SparkSession, dir: String): DataFrame =
+    scopedExtract(Tables.documents(spark, dir), QueryLogForm)
+
+  /** The scoped ladder over ANY (doc_id, text, source) relation and ANY
+    * catalog schema whose fields carry section hints — the reference's
+    * `_find_context` is schema-generic (form_filler.py:102 takes the
+    * field's section), so the Spark side is too. `extract_fields_scoped`
+    * is this at (documents, QueryLogForm);
+    * `extract_fields_scoped_employment` feeds a planted-clause doc
+    * variant + the catalog-loaded employment schema through the same
+    * path.
+    */
+  private[graft] def scopedExtract(docs: DataFrame, schema: FormSchema): DataFrame = {
+    val cg = Layout.clauseGraphRawOf(Layout.classifyOf(Ingestion.blocksOf(docs)))
       .withColumn("hb", element_at(split(col("section"), "_"), 2).cast("long"))
     val ctxAggs = schema.fields.zipWithIndex.map { case (f, i) =>
       val hint = f.section.get.toLowerCase
@@ -149,7 +160,7 @@ object SchemaExtract {
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
       fieldColFrom(f, nullif(col(s"ctx_$i"), lit(""))) // empty context ≡ none
     }
-    val extracted = Tables.documents(spark, dir).select(col("doc_id"))
+    val extracted = docs.select(col("doc_id"))
       .join(ctx, Seq("doc_id"), "left_outer")
       .select(col("doc_id") +: fields: _*)
     val nFound = schema.fields
@@ -158,8 +169,15 @@ object SchemaExtract {
       .contractOrderBy("doc_id")
   }
 
-  def extractFieldsScopedSql: String = {
-    val schema = QueryLogForm
+  def extractFieldsScopedSql: String =
+    scopedSqlFor(QueryLogForm, Layout.blocksCte, "documents")
+
+  /** The scoped-extraction oracle for any schema: `withClause` supplies the
+    * block CTEs (possibly reading a planted-clause doc variant), `docsRel`
+    * the relation the doc-grain left join anchors on.
+    */
+  private def scopedSqlFor(schema: FormSchema, withClause: String,
+      docsRel: String): String = {
     val ctxCols = schema.fields.zipWithIndex.map { case (f, i) =>
       val hint = f.section.get.toLowerCase
       s"""string_agg(clause_text, ' ' ORDER BY hb) FILTER (
@@ -170,7 +188,7 @@ object SchemaExtract {
       .map { case (f, i) => fieldSqlFrom(f, s"nullif(ctx_$i, '')") }.mkString(",\n  ")
     val nFound = schema.fields
       .map(f => s"CASE WHEN ${f.name} IS NOT NULL THEN 1 ELSE 0 END").mkString(" + ")
-    s"""${Layout.blocksCte}, sec AS (
+    s"""$withClause, sec AS (
        |  SELECT doc_id, block_id, block_text, label,
        |    last_value(CASE WHEN label = 'heading' THEN first_word || '_' || CAST(block_id AS VARCHAR) END IGNORE NULLS)
        |      OVER (PARTITION BY doc_id ORDER BY block_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS section
@@ -189,7 +207,7 @@ object SchemaExtract {
        |), e AS (
        |  SELECT d.doc_id,
        |  $fieldCols
-       |  FROM documents d LEFT JOIN ctx ON d.doc_id = ctx.doc_id
+       |  FROM $docsRel d LEFT JOIN ctx ON d.doc_id = ctx.doc_id
        |)
        |SELECT e.*, CAST($nFound AS BIGINT) AS n_found
        |FROM e
@@ -321,6 +339,59 @@ object SchemaExtract {
 
   def extractFieldsEmploymentSql: String =
     plantedExtractSql(employmentKeyworded, EmploymentClauses)
+
+  /** Section hints for the scoped employment variant — each hint matches
+    * its field's planted clause text (the `_find_context` contains-check
+    * runs against section key OR clause text, form_filler.py:108).
+    * Registered through the catalog like [[employmentKeyworded]] so the
+    * wire format carries sections end-to-end (SchemaIO writes/reads the
+    * `section` attribute).
+    */
+  private[graft] lazy val employmentScoped: FormSchema = {
+    val sections = Map(
+      "employee_name" -> "employee",      "employer_name" -> "employer",
+      "start_date"    -> "start date",    "position"      -> "position",
+      "salary"        -> "salary",        "vacation_days" -> "vacation days")
+    val aug = employmentKeyworded.copy(
+      formName = "Employment_Agreement_Scoped",
+      fields = employmentKeyworded.fields.map(f =>
+        f.copy(section = Some(sections(f.name)))))
+    require(Schemas.manager.addSchema(aug), "scoped employment schema registration failed")
+    Schemas.manager.getSchema(aug.formName)
+      .getOrElse(sys.error("scoped employment schema failed to load back"))
+  }
+
+  /** `extract_fields_scoped_employment`: section-hint context building on
+    * the SECOND schema — [[scopedExtract]] parameterized by the
+    * catalog-loaded scoped employment schema, over documents whose planted
+    * clause is APPENDED (not prefixed: the clause graph drops content
+    * before the first heading, so an appended clause rides the document's
+    * LAST section and is findable by the contains-check; headingless
+    * documents drop it, exercising the no-context miss path). Same
+    * construction in the DuckDB oracle.
+    */
+  def extractFieldsScopedEmployment(spark: SparkSession, dir: String): DataFrame = {
+    val mod = EmploymentClauses.length + 1
+    val clause = EmploymentClauses.zipWithIndex.foldRight(lit(""): Column) {
+      case ((txt, i), els) =>
+        when(col("doc_id") % mod === i, lit(" " + txt.trim)).otherwise(els)
+    }
+    val docs = Tables.documents(spark, dir)
+      .withColumn("text", concat(col("text"), clause))
+    scopedExtract(docs, employmentScoped)
+  }
+
+  def extractFieldsScopedEmploymentSql: String = {
+    val mod = EmploymentClauses.length + 1
+    val cases = EmploymentClauses.zipWithIndex
+      .map { case (txt, i) => s"WHEN $i THEN ' ${txt.trim}'" }.mkString(" ")
+    val withClause =
+      "WITH empdoc AS (\n" +
+        s"  SELECT doc_id, text || (CASE doc_id % $mod $cases ELSE '' END) AS text\n" +
+        "  FROM documents\n" +
+        "), " + Layout.blocksCteBody("empdoc")
+    scopedSqlFor(employmentScoped, withClause, "empdoc")
+  }
 
   /** `extract_json_fields`: typed JSON field pull from event props
     * (schema-guided extraction over a semi-structured column), aggregated

@@ -122,6 +122,39 @@ class SchemaParamSpec extends SparkSpec {
     }
   }
 
+  test("extract_fields_scoped_employment: section-hint contexts work on the second schema") {
+    // the scoped schema round-tripped the catalog with its sections intact
+    // (forcing the lazy val registers it)
+    assert(SchemaExtract.employmentScoped.fields.forall(_.section.nonEmpty))
+    assert(Schemas.manager.listSchemas.contains("Employment_Agreement_Scoped"))
+    val expectByCase = Map(
+      0 -> ("employee_name" -> "Margaret"),
+      1 -> ("employer_name" -> "WidgetWorks"),
+      2 -> ("start_date" -> "2024-06-01"),
+      3 -> ("position" -> "engineer"),
+      4 -> ("salary" -> "USD 75000"),
+      5 -> ("vacation_days" -> "15"))
+    val fields = SchemaExtract.employmentScoped.fields.map(_.name)
+    val rows = SchemaExtract.extractFieldsScopedEmployment(spark, sf).collect()
+    val hits = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    rows.foreach { r =>
+      val c = (r.getAs[Long]("doc_id") % 7).toInt
+      val found = fields.map(f => f -> (if (r.isNullAt(r.fieldIndex(f))) null
+        else r.getAs[String](f))).filter(_._2 != null)
+      if (c == 6) assert(found.isEmpty, s"miss case found: $found")
+      else {
+        // a doc finds its OWN planted field or nothing (headingless docs
+        // drop the appended clause — the no-context path), never another's
+        val (ef, ev) = expectByCase(c)
+        assert(found.isEmpty || found == Seq(ef -> ev), s"case $c: $found")
+        if (found.nonEmpty) hits(ef) += 1
+      }
+    }
+    // every field's section-hint context fired on some document — the
+    // scoped path is exercised per-field, not vacuously green
+    fields.foreach(f => assert(hits(f) > 0, s"field $f never found; hits=$hits"))
+  }
+
   test("a user schema round-trips through a SchemaManager directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft-user-schemas")
     val m1 = new SchemaManager(dir.toString)
