@@ -144,6 +144,45 @@ object Multimodal {
     */
   val ResizeFit = 256L
 
+  /** `dedup_media`: media deduplication by CANONICAL content hash — the
+    * Gopher-style image-dedup analog at cluster grain. Raw payload bytes
+    * differ across crawls of the same asset (transport wrappers, EXIF
+    * junk, re-encodes), so the dedup key is the canonical content: decode
+    * the payload, strip the metadata junk, hash. On the synthetic corpus
+    * the payload IS the doc text and the injected `dup` marker plays the
+    * junk role, so canonicalization is [[Dedup.normText]] over the decoded
+    * payload — while RAW payload md5 (`multimodal_features.content_md5`)
+    * never collides here, proving the canonical step is what finds the
+    * dups. Keyed per (modality, canonical hash): byte-identical payloads
+    * of different media types never pair. Same-payload edges also feed the
+    * unified dedup edge set as its `media` lane
+    * ([[Dedup.mediaEdgesOf]] → [[Dedup.taggedPairsOf]]).
+    *
+    * Scale shape: one corpus scan → one map-side-combined aggregation on
+    * the (modality, hash) key; members list is bounded by the group (the
+    * act-step consumers join the star edges, never this debug list).
+    */
+  def dedupMedia(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .withColumn("content_key", md5(Dedup.normText(col("payload").cast("string"))))
+      .groupBy(col("modality"), col("content_key"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc"),
+        expr("array_join(transform(array_sort(collect_list(doc_id)), x -> cast(x as string)), ',')")
+          .as("members"))
+      .filter(col("n_docs") > 1)
+      .contractOrderBy("modality", "content_key")
+
+  val dedupMediaSql: String =
+    s"""SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+       |  md5(${Dedup.normTextSql}) AS content_key,
+       |  count(*) AS n_docs, min(doc_id) AS canonical_doc,
+       |  string_agg(doc_id, ',' ORDER BY doc_id) AS members
+       |FROM documents
+       |GROUP BY 1, 2 HAVING count(*) > 1
+       |ORDER BY modality, content_key""".stripMargin
+
   /** `multimodal_resize`: the resize rung of the image ladder — compute the
     * aspect-preserving target geometry (fit longest side to [[ResizeFit]],
     * never upscale) for every image payload, all in exact integer math

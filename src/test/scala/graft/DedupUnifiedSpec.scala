@@ -110,18 +110,60 @@ class DedupUnifiedSpec extends SparkSpec {
     Dedup.releaseIntermediates()
   }
 
+  test("media lane: same-payload same-modality docs pair; modality partitions byte-twins") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docs = Seq(
+      (9L, "hello world", "en", "crawl"),  // modality 0
+      (10L, "hello world", "en", "crawl"), // modality 1 — same bytes, other media type
+      (12L, "same clip bytes here", "en", "crawl"), // modality 0
+      (15L, "same clip bytes here", "en", "crawl"), // modality 0 — the planted media pair
+      (14L, "unrelated payload content entirely", "en", "crawl"))
+      .toDF("doc_id", "text", "lang", "source")
+    val edges = Dedup.mediaEdgesOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 12~15 pair; 9~10 must NOT (different modality despite identical bytes)
+    assert(edges == Set((12L, 15L)), s"got $edges")
+    // and the lane is wired into the unified tagged edge set
+    val embs = Seq(9L, 10L, 12L, 14L, 15L)
+      .map(i => (i, Seq.tabulate(64)(d => if (d == i.toInt % 64) 1.0 else 0.0)))
+      .toDF("vec_id", "embedding")
+    val tagged = Dedup.taggedPairsOf(docs, embs)
+      .filter(org.apache.spark.sql.functions.col("lane") === "media").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseIntermediates()
+    assert(tagged == Set((12L, 15L)))
+  }
+
+  test("dedup_media: canonical-hash groups on the corpus — canonical is min id, modality-pure") {
+    import graft.operators.Multimodal
+    val groups = Multimodal.dedupMedia(spark, sf).collect()
+    assert(groups.nonEmpty, "media dedup vacuous at this sf — payload canonicalization broken")
+    groups.foreach { g =>
+      val members = g.getAs[String]("members").split(",").map(_.toLong)
+      assert(members.length == g.getAs[Long]("n_docs") && members.length > 1)
+      assert(members.min == g.getAs[Long]("canonical_doc"))
+      // modality purity: every member derives the group's modality
+      val mods = members.map(_ % 3).toSet
+      assert(mods.size == 1, s"mixed-modality media group: $g")
+    }
+  }
+
   test("dedup_lanes_report: combination counts sum to the distinct union pair count") {
     val report = Dedup.dedupLanesReport(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     Dedup.releaseIntermediates()
-    val valid = Set("exact", "minhash", "srp",
-      "exact+minhash", "exact+srp", "minhash+srp", "exact+minhash+srp")
+    // valid = every non-empty sorted combination of the four lanes
+    val lanes = Seq("exact", "media", "minhash", "srp")
+    val valid = (1 to lanes.size).flatMap(lanes.combinations)
+      .map(_.mkString("+")).toSet
     assert(report.keySet.subsetOf(valid), s"unexpected combos: ${report.keySet -- valid}")
     // the corpus plants both lexical and embedding near-dups, so both
     // families must appear, and totals must tile the union exactly
     assert(report.keys.exists(_.contains("minhash")) && report.keys.exists(_.contains("srp")))
     val docs = graft.sources.Tables.documents(spark, sf)
     val union = Dedup.exactEdgesOf(docs).select("doc_a", "doc_b")
+      .unionByName(Dedup.mediaEdgesOf(docs))
       .unionByName(Dedup.minhashPairsOf(docs).select("doc_a", "doc_b"))
       .unionByName(Dedup.srpPairsOf(graft.sources.Tables.embeddings(spark, sf))
         .selectExpr("id_a as doc_a", "id_b as doc_b"))
