@@ -224,6 +224,25 @@ package object operators {
       */
     def nbEvalMod: Int = positive("spark.graft.nb.evalMod", "4")
 
+    // -- DSIR data-selection knobs --
+    /** Hashed-bigram feature buckets (`spark.graft.dsir.buckets`) — the
+      * paper's hashed n-gram dimensionality; the bucket table is at most
+      * this many rows, always broadcastable.
+      */
+    def dsirBuckets: Int = positive("spark.graft.dsir.buckets", "4096")
+    /** Documents selected from the pool (`spark.graft.dsir.budget`). */
+    def dsirBudget: Int = positive("spark.graft.dsir.budget", "50")
+    /** Target-distribution slice: docs with this `lang` value
+      * (`spark.graft.dsir.targetLang`). Interpolated into generated SQL,
+      * so word characters only.
+      */
+    def dsirTargetLang: String = {
+      val v = get("spark.graft.dsir.targetLang", "de")
+      require(v.matches("[A-Za-z0-9_]+"),
+        s"spark.graft.dsir.targetLang must be word characters, got: $v")
+      v
+    }
+
     /** Total training-token budget for `token_budget_sample`
       * (`spark.graft.budget.tokens`), split across sources by the
       * domain-mix weights.
