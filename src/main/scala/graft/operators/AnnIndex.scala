@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.MetadataBuilder
+import graft.sources.Tables
+
+/** Persisted IVF-PQ index artifacts — the "index once, query many"
+  * production seam for the ANN stack, the ANN twin of the dedup band-index
+  * catalog path (`dedupDeltaFrom` over a stored band table).
+  *
+  * `ann_topk_ivfpq` recomputes its quantizer + codebooks + codes every
+  * invocation (correct for the oracle, wasteful in production: at 100 TB
+  * the code table is the expensive artifact and queries arrive forever).
+  * [[writeIvfPq]] persists the three tables — centroids (K rows),
+  * codebooks (M·K rows), codes (corpus rows, PARTITIONED BY CELL so a
+  * probe reads only its cells' directories) — and [[ivfPqTopKFrom]]
+  * answers queries from the store, touching raw vectors only in the exact
+  * re-rank.
+  *
+  * Same safety contract as the stored dedup indexes: every artifact is
+  * stamped with the [[ivfPqFingerprint]] conf fingerprint (survives the
+  * parquet round-trip in column metadata), and the query path fails FAST
+  * on drift instead of silently mis-decoding codes built under different
+  * PQ geometry.
+  */
+object AnnIndex {
+
+  /** Every knob that changes the stored bytes: coarse-quantizer training
+    * (k, iters, sample mod), PQ geometry/training (subs, k, iters), and
+    * the fixed-point grid. Query-time knobs (nprobe, rerank, topK) are
+    * deliberately excluded — the same index serves any of them.
+    */
+  def ivfPqFingerprint: String =
+    s"kmeansK=${Clustering.K};kmeansIters=${Clustering.Iters};" +
+      s"trainMod=${Clustering.TrainSampleMod};pqSubs=${Clustering.PqSubs};" +
+      s"pqK=${Clustering.PqK};pqIters=${Clustering.PqIters};scale=${Clustering.Scale}"
+
+  private val MetaKey = "graft.ann.ivfpq"
+
+  private def stamp(df: DataFrame, colName: String): DataFrame = {
+    val m = new MetadataBuilder().putString(MetaKey, ivfPqFingerprint).build()
+    df.withColumn(colName, col(colName).as(colName, m))
+  }
+
+  private[graft] def validateConf(df: DataFrame, colName: String, what: String): Unit =
+    df.schema.fields.find(_.name == colName)
+      .filter(_.metadata.contains(MetaKey))
+      .map(_.metadata.getString(MetaKey))
+      .foreach { stored =>
+        if (stored != ivfPqFingerprint) throw new IllegalStateException(
+          s"$what was built with ANN conf [$stored] but the live spark.graft.* conf is " +
+            s"[$ivfPqFingerprint]; stored codes would silently mis-decode — " +
+            "rebuild the index or align the conf")
+      }
+
+  /** Train + persist the IVF-PQ index under `path`: `centroids/`,
+    * `codebooks/`, and `codes/` partitioned by coarse cell (probe-time
+    * directory pruning — a query's IO is its probed cells only).
+    */
+  def writeIvfPq(spark: SparkSession, dir: String, path: String): Unit = {
+    val scaled = Clustering.scaledEmb(spark, dir)
+    val cents = Intermediates.persist(Clustering.trainedCentroidsOf(scaled))
+    val assigned = scaled.crossJoin(broadcast(cents))
+      .withColumn("d2", expr("graft_l2sq(se, cemb)"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+    val cb = Intermediates.persist(
+      Clustering.pqCodebookArrays(Clustering.pqCodebooksOf(scaled)))
+    val codes = Similarity.pqCodesArr(Similarity.pqSubArrays(scaled), cb)
+      .join(assigned, "vec_id")
+    stamp(codes, "codes").write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/codes")
+    stamp(cb, "cemb").write.mode("overwrite").parquet(s"$path/codebooks")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    Dedup.releaseIntermediates()
+  }
+
+  /** Answer top-k from the stored index. Identical results to
+    * `ann_topk_ivfpq` (AnnIndexSpec asserts bit-for-bit): probes rank
+    * against the stored centroids, ADC runs over the stored codes of the
+    * probed cells only (the probed cell ids — queries × nprobe values,
+    * driver-bounded by construction — are pushed as a LITERAL partition
+    * filter, so the scan prunes directories, not rows), and the exact
+    * re-rank reads raw vectors from the live embeddings relation.
+    */
+  def ivfPqTopKFrom(spark: SparkSession, indexPath: String, embs: DataFrame): DataFrame = {
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    validateConf(codes, "codes", "stored IVF-PQ code table")
+    val cb = spark.read.parquet(s"$indexPath/codebooks")
+    validateConf(cb, "cemb", "stored IVF-PQ codebooks")
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val scaled = Clustering.scaledEmbOf(embs)
+    val qscaled = scaled.filter(col("vec_id") < Similarity.NumQueries)
+    val dq = Similarity.pqQueryDt(Similarity.pqSubArrays(qscaled), cb)
+    val dAllQ = qscaled.crossJoin(broadcast(cents))
+      .withColumn("d2", expr("graft_l2sq(se, cemb)"))
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val probe = dAllQ.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= Similarity.NProbe)
+      .select(col("vec_id").as("query_id"), col("cid").as("pcell"))
+    // queries × nprobe cell ids — a bounded driver-side collect that buys
+    // STATIC partition pruning on the stored code table
+    val cells = probe.select("pcell").distinct().collect().map(_.getLong(0))
+    val pruned = codes.filter(col("cell").isin(cells: _*))
+    val pairs = broadcast(probe).join(pruned, col("pcell") === col("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(dq), "query_id")
+    Similarity.pqAdcRerank(pairs, scaled, "cos_ivfpq")
+  }
+
+  /** Convenience: query the stored index against the corpus at `dir`. */
+  def ivfPqTopK(spark: SparkSession, indexPath: String, dir: String): DataFrame =
+    ivfPqTopKFrom(spark, indexPath, Tables.embeddings(spark, dir))
+}

@@ -344,12 +344,19 @@ object Similarity {
   private final case class PqIndex(codesArr: DataFrame, dq: DataFrame)
 
   private def pqIndexOf(scaled: DataFrame): PqIndex = {
-    val m = Clustering.PqSubs
     val cb = Intermediates.persist(
       Clustering.pqCodebookArrays(Clustering.pqCodebooksOf(scaled)))
-    // corpus cut into subvector arrays map-side: slice, no explode-regroup
+    val sarr = pqSubArrays(scaled)
+    PqIndex(pqCodesArr(sarr, cb), pqQueryDt(sarr, cb))
+  }
+
+  /** Corpus cut into per-subspace subvector arrays map-side: slice, no
+    * explode-regroup. (vec_id, sub, sarr).
+    */
+  private[operators] def pqSubArrays(scaled: DataFrame): DataFrame = {
+    val m = Clustering.PqSubs
     val subdimE = s"greatest(size(se) div $m, 1)"
-    val sarr = scaled.select(col("vec_id"), col("se"), posexplode(expr(
+    scaled.select(col("vec_id"), col("se"), posexplode(expr(
         s"""transform(sequence(0, ${m - 1}), mm ->
            | CASE WHEN mm = ${m - 1}
            |   THEN slice(se, mm * $subdimE + 1, size(se) - mm * $subdimE)
@@ -357,19 +364,28 @@ object Similarity {
           .stripMargin.replace("\n", "")))
         .as(Seq("sub", "sarr")))
       .select(col("vec_id"), col("sub"), col("sarr"))
-    // PQ codes: integer-L2 argmin per (vector, subspace); dense cidx rides
-    // the argmin struct (cid↔cidx are monotone per sub, ties unchanged)
-    val codes = sarr.join(broadcast(cb), "sub")
+  }
+
+  /** PQ codes: integer-L2 argmin per (vector, subspace), regrouped to one
+    * sub-ordered code array per vector; dense cidx rides the argmin struct
+    * (cid↔cidx are monotone per sub, ties unchanged). (vec_id, codes).
+    */
+  private[operators] def pqCodesArr(sarr: DataFrame, cb: DataFrame): DataFrame =
+    sarr.join(broadcast(cb), "sub")
       .withColumn("d2", expr("graft_l2sq(sarr, cemb)"))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("d2"), col("cid"), col("cidx"))).as("mn"))
       .select(col("vec_id"), col("sub"), col("mn.cidx").as("code"))
-    val codesArr = codes.groupBy(col("vec_id"))
+      .groupBy(col("vec_id"))
       .agg(expr("transform(sort_array(collect_list(struct(sub, code))), x -> x.code)")
         .as("codes"))
-    // per-query ADC tables: exact integer dot of each query subvector with
-    // each centroid, flattened to ONE array ordered by (sub, cidx)
-    val dq = sarr.filter(col("vec_id") < NumQueries)
+
+  /** Per-query ADC tables: exact integer dot of each query subvector with
+    * each centroid, flattened to ONE array ordered by (sub, cidx).
+    * (query_id, dt).
+    */
+  private[operators] def pqQueryDt(sarr: DataFrame, cb: DataFrame): DataFrame =
+    sarr.filter(col("vec_id") < NumQueries)
       .join(broadcast(cb), "sub")
       .withColumn("dot", expr(
         """cast(graft_dot(transform(sarr, x -> cast(x as double)),
@@ -378,8 +394,6 @@ object Similarity {
       .groupBy(col("vec_id").as("query_id"))
       .agg(expr("transform(sort_array(collect_list(struct(sub, cidx, dot))), x -> x.dot)")
         .as("dt"))
-    PqIndex(codesArr, dq)
-  }
 
   /** ADC scoring + candidate cut + exact re-rank over any
     * (query_id, vec_id, codes, dt) pair set: array-lookup ADC sum, top
@@ -387,7 +401,7 @@ object Similarity {
     * the survivors. The tail is shared so the full-corpus and
     * IVF-restricted variants differ ONLY in which pairs reach ADC.
     */
-  private def pqAdcRerank(pairs: DataFrame, scaled: DataFrame,
+  private[operators] def pqAdcRerank(pairs: DataFrame, scaled: DataFrame,
       scoreName: String): DataFrame = {
     val m = Clustering.PqSubs
     // ADC score: per-row array-lookup sum — dt[sub * K + code]; K recovered
