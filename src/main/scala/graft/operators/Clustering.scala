@@ -258,16 +258,24 @@ object Clustering {
     * [[PqIters]]−1 per-subspace Lloyd rounds → final codebooks (`pqcb`) —
     * the PQ analog of [[kmeansCtesSql]], reused by `ann_topk_pq`'s oracle.
     */
-  private[operators] def pqCtesSql: String = {
-    val m = PqSubs
-    val mod = TrainSampleMod
-    val trainPred = if (mod == 1) "TRUE" else s"vec_id % $mod = 0"
-    val base =
+  private[operators] def pqCtesSql: String =
+    pqTrainCtesFrom(
       s"""pqscaled AS (
          |  SELECT vec_id,
          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS se
          |  FROM embeddings
-         |), pqsv AS (
+         |)""".stripMargin, "pqscaled")
+
+  /** [[pqCtesSql]] with the training source abstracted: `prelude` defines
+    * any CTE exposing (vec_id, se) as `rel` — the residual IVFADC oracle
+    * feeds per-vector cell residuals through the identical Lloyd chain.
+    */
+  private[operators] def pqTrainCtesFrom(prelude: String, rel: String): String = {
+    val m = PqSubs
+    val mod = TrainSampleMod
+    val trainPred = if (mod == 1) "TRUE" else s"vec_id % $mod = 0"
+    val base =
+      s"""$prelude, pqsv AS (
          |  SELECT vec_id,
          |    least($m - 1, (pos - 1) // subdim) AS sub,
          |    (pos - 1) - least($m - 1, (pos - 1) // subdim) * subdim AS spos,
@@ -275,7 +283,7 @@ object Clustering {
          |  FROM (
          |    SELECT vec_id, greatest(len(se) // $m, 1) AS subdim,
          |      unnest(se) AS v, unnest(generate_series(1, len(se))) AS pos
-         |    FROM pqscaled)
+         |    FROM $rel)
          |), pqsvt AS (
          |  SELECT * FROM pqsv WHERE $trainPred
          |), pqc0 AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -402,11 +402,13 @@ object Similarity {
     * IVF-restricted variants differ ONLY in which pairs reach ADC.
     */
   private[operators] def pqAdcRerank(pairs: DataFrame, scaled: DataFrame,
-      scoreName: String): DataFrame = {
+      scoreName: String, adcOffset: Column = lit(0L)): DataFrame = {
     val m = Clustering.PqSubs
     // ADC score: per-row array-lookup sum — dt[sub * K + code]; K recovered
-    // as size(dt)/M so a sample smaller than pqK still indexes correctly
-    val scored = pairs.withColumn("adc", expr(
+    // as size(dt)/M so a sample smaller than pqK still indexes correctly.
+    // adcOffset: the residual variant adds the per-(query, cell) exact
+    // centroid dot (q·x ≈ q·c_cell + q·decoded-residual).
+    val scored = pairs.withColumn("adc", adcOffset + expr(
         s"""aggregate(sequence(0, $m - 1), 0L, (acc, mm) ->
            | acc + element_at(dt, cast(mm * (size(dt) div $m) + element_at(codes, mm + 1) + 1 as int)))"""
           .stripMargin.replace("\n", "")))
@@ -579,6 +581,149 @@ object Similarity {
        |  FROM pqrr)
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
+
+  // ---- ann_topk_ivfpq_r (residual encoding) -------------------------------
+
+  /** `ann_topk_ivfpq_r`: IVFADC with RESIDUAL encoding — faiss
+    * `IndexIVFPQ`'s default (`by_residual=true`) and Jégou et al. §IV's
+    * canonical form. PQ codebooks train on `x − c_cell(x)` (each vector's
+    * offset from its coarse centroid) instead of raw vectors: residuals
+    * concentrate near the origin so the same codebook budget quantizes
+    * them with less error — the recall-per-byte step past
+    * `ann_topk_ivfpq`'s cell-independent codes.
+    *
+    * Dot-product ADC with residuals decomposes exactly:
+    * `q·x = q·c_cell + q·r_x ≈ q·c_cell + Σ_sub dt[code]` where the
+    * distance tables hold the FULL query subvectors dotted with the
+    * residual codebook entries and the per-(query, probed-cell) constant
+    * `q·c` joins in as the ADC offset. Everything stays on the exact
+    * integer grid (residuals are differences of grid points; products
+    * < 2⁵³), so candidate selection can't float-flip; the exact re-rank
+    * on raw vectors is unchanged.
+    *
+    * Scale shape: identical to `ann_topk_ivfpq` (cell equi-join before
+    * ADC, tiny broadcast tables) plus one broadcast K-row join for the
+    * residual computation and a queries×nprobe offset table.
+    */
+  def annTopKIvfPqR(spark: SparkSession, dir: String): DataFrame =
+    annTopKIvfPqROf(Clustering.scaledEmb(spark, dir))
+
+  private[graft] def annTopKIvfPqROf(scaled: DataFrame): DataFrame = {
+    val cents = Intermediates.persist(Clustering.trainedCentroidsOf(scaled))
+    val dAll = scaled.crossJoin(broadcast(cents))
+      .withColumn("d2", expr("graft_l2sq(se, cemb)"))
+    val assigned = dAll.groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val probe = dAll.filter(col("vec_id") < NumQueries)
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("cid").as("pcell"))
+    // residuals vs each vector's OWN cell centroid — exact grid differences
+    val resid = scaled.join(assigned, "vec_id")
+      .join(broadcast(cents.select(col("cid").as("cell"), col("cemb").as("ccemb"))), "cell")
+      .select(col("vec_id"), expr("zip_with(se, ccemb, (a, b) -> a - b)").as("se"))
+    val cb = Intermediates.persist(
+      Clustering.pqCodebookArrays(Clustering.pqCodebooksOf(resid)))
+    val codesArr = pqCodesArr(pqSubArrays(resid), cb)
+    // dt: FULL query subvectors vs residual codebooks (q·r̂ decomposition)
+    val dq = pqQueryDt(pqSubArrays(scaled.filter(col("vec_id") < NumQueries)), cb)
+    // per-(query, probed cell) exact centroid dot — the ADC offset
+    val qcell = probe
+      .join(scaled.select(col("vec_id").as("query_id"), col("se").as("qse")), "query_id")
+      .join(broadcast(cents.select(col("cid").as("pcell"), col("cemb").as("pcemb"))), "pcell")
+      .select(col("query_id"), col("pcell"), expr(
+        """cast(graft_dot(transform(qse, x -> cast(x as double)),
+          | transform(pcemb, x -> cast(x as double))) as bigint)"""
+          .stripMargin.replace("\n", "")).as("qc"))
+    val cand = broadcast(probe).join(assigned, col("pcell") === col("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "pcell", "vec_id")
+    val pairs = cand.join(codesArr, "vec_id")
+      .join(broadcast(dq), "query_id")
+      .join(broadcast(qcell), Seq("query_id", "pcell"))
+    pqAdcRerank(pairs, scaled, "cos_ivfpqr", adcOffset = col("qc"))
+  }
+
+  def annTopKIvfPqRSql: String = {
+    val residPrelude =
+      s"""rassign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM d2t) WHERE rn = 1
+         |), rscaled AS (
+         |  SELECT s.vec_id,
+         |    list_transform(generate_series(1, len(s.se)), i -> s.se[i] - c.cemb[i]) AS se
+         |  FROM scaled s
+         |  JOIN rassign a ON s.vec_id = a.vec_id
+         |  JOIN cent${Clustering.Iters - 1} c ON c.cid = a.cid
+         |)""".stripMargin
+    s"""WITH ${Clustering.kmeansCtesSql},
+       |${Clustering.pqTrainCtesFrom(residPrelude, "rscaled")},
+       |ivfprobe AS (
+       |  SELECT vec_id AS query_id, cid AS pcell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM d2t WHERE vec_id < $NumQueries) WHERE rn <= $NProbe
+       |), pqcodes AS (
+       |  SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+       |    FROM (
+       |      SELECT vec_id, sub, cid, CAST(sum((v - cv) * (v - cv)) AS BIGINT) AS d2
+       |      FROM pqsv JOIN pqcb USING (sub, spos) GROUP BY vec_id, sub, cid))
+       |  WHERE rn = 1
+       |), fsv AS (
+       |  SELECT vec_id,
+       |    least(${Clustering.PqSubs} - 1, (pos - 1) // subdim) AS sub,
+       |    (pos - 1) - least(${Clustering.PqSubs} - 1, (pos - 1) // subdim) * subdim AS spos,
+       |    v
+       |  FROM (
+       |    SELECT vec_id, greatest(len(se) // ${Clustering.PqSubs}, 1) AS subdim,
+       |      unnest(se) AS v, unnest(generate_series(1, len(se))) AS pos
+       |    FROM scaled)
+       |), pqdt AS (
+       |  SELECT q.vec_id AS query_id, c.sub, c.cid, CAST(sum(q.v * c.cv) AS BIGINT) AS dot
+       |  FROM fsv q JOIN pqcb c USING (sub, spos)
+       |  WHERE q.vec_id < $NumQueries
+       |  GROUP BY q.vec_id, c.sub, c.cid
+       |), qc AS (
+       |  SELECT p.query_id, p.pcell, CAST(sum(e.v * c.cv) AS BIGINT) AS qc
+       |  FROM ivfprobe p
+       |  JOIN ev e ON e.vec_id = p.query_id
+       |  JOIN cvf c ON c.cid = p.pcell AND c.pos = e.pos
+       |  GROUP BY p.query_id, p.pcell
+       |), ivfcand AS (
+       |  SELECT p.query_id, p.pcell, a.vec_id
+       |  FROM ivfprobe p JOIN rassign a ON a.cid = p.pcell
+       |  WHERE a.vec_id <> p.query_id
+       |), pqadc AS (
+       |  SELECT c.query_id, c.vec_id, CAST(q.qc + sum(t.dot) AS BIGINT) AS adc
+       |  FROM ivfcand c
+       |  JOIN qc q ON q.query_id = c.query_id AND q.pcell = c.pcell
+       |  JOIN pqcodes k ON k.vec_id = c.vec_id
+       |  JOIN pqdt t ON t.query_id = c.query_id AND t.sub = k.sub AND t.cid = k.code
+       |  GROUP BY c.query_id, c.vec_id, q.qc
+       |), pqcand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS crn
+       |    FROM pqadc) WHERE crn <= $PqRerank
+       |), pqrr AS (
+       |  SELECT c.query_id, c.vec_id, CAST(sum(qv.v * e.v) AS BIGINT) AS dot
+       |  FROM pqcand c
+       |  JOIN fsv e ON c.vec_id = e.vec_id
+       |  JOIN fsv qv ON qv.vec_id = c.query_id AND qv.sub = e.sub AND qv.spos = e.spos
+       |  GROUP BY c.query_id, c.vec_id
+       |)
+       |SELECT query_id, rank, neighbor_id, cos_ivfpqr FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS BIGINT) AS rank,
+       |    round(CAST(dot AS DOUBLE) / ${Clustering.Scale.toDouble * Clustering.Scale}, 4) AS cos_ivfpqr
+       |  FROM pqrr)
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   // ---- bm25_search --------------------------------------------------------
 

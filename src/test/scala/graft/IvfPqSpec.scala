@@ -34,6 +34,21 @@ class IvfPqSpec extends SparkSpec {
     assert(rIvfPq >= rPq - 0.35, s"ivfpq $rIvfPq collapsed vs pq $rPq")
   }
 
+  test("residual variant: recall vs exact in the same regime as cell-independent codes") {
+    val exact = exactNeighbors
+    val ivfpq = Similarity.annTopKIvfPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpqR = Similarity.annTopKIvfPqR(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    Dedup.releaseIntermediates()
+    val r0 = exact.intersect(ivfpq).size.toDouble / exact.size
+    val rR = exact.intersect(ivfpqR).size.toDouble / exact.size
+    info(f"recall@k vs exact: ivfpq=$r0%.3f ivfpq_r=$rR%.3f")
+    assert(rR > 0.5, s"residual ivfpq recall $rR")
+    // residual codes must not collapse vs the cell-independent baseline
+    assert(rR >= r0 - 0.2, s"residual $rR collapsed vs non-residual $r0")
+  }
+
   test("neighbors come only from the query's probed cells (the IVF restriction is real)") {
     val scaled = Clustering.scaledEmbOf(Tables.embeddings(spark, sf))
     val cents = Clustering.trainedCentroidsOf(scaled)
