@@ -42,22 +42,26 @@ object Selection {
   def dsirSelect(spark: SparkSession, dir: String): DataFrame =
     dsirSelectOf(Tables.documents(spark, dir))
 
-  /** Core over any (doc_id, text, lang, source) frame — specs plant a
-    * pool with target-vocabulary overlap and assert the overlap ranks
-    * first.
+  /** Hashed-bigram instances of a corpus: (doc_id, is_target, bkt) —
+    * [[Curation.bigramsExpr]], the quality filter's parity-proven bigram
+    * construction, hashed into [[DsirBuckets]].
     */
-  def dsirSelectOf(docs: DataFrame): DataFrame = {
-    val b = DsirBuckets
-    val k = DsirBudget
-    val isTarget = col("lang") === DsirTargetLang
-    // hashed-bigram instances (Curation.bigramsExpr — the quality filter's
-    // parity-proven bigram construction)
-    val inst = docs
+  private def instancesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), isTarget.as("is_target"),
+      .select(col("doc_id"), (col("lang") === DsirTargetLang).as("is_target"),
         explode(expr(Curation.bigramsExpr)).as("bg"))
       .withColumn("bkt",
-        expr(s"cast(conv(substr(md5(bg), 1, 8), 16, 10) as bigint) % $b"))
+        expr(s"cast(conv(substr(md5(bg), 1, 8), 16, 10) as bigint) % $DsirBuckets"))
+
+  /** The per-bucket log-ratio table (bkt, lr) — DSIR's fixed-size sketch
+    * of the target distribution. ≤ [[DsirBuckets]] rows; a deployment
+    * builds this ONCE from the static corpus and broadcasts it everywhere
+    * (the crawl-time scoring stream joins exactly this table).
+    */
+  def dsirRatiosOf(docs: DataFrame): DataFrame = {
+    val b = DsirBuckets
+    val inst = instancesOf(docs)
     // bucket counts for both LMs; only pool-observed buckets matter (every
     // bigram of every pool doc is pool-observed by construction)
     val counts = inst.groupBy(col("bkt")).agg(
@@ -68,24 +72,40 @@ object Selection {
       sum(when(col("is_target"), 1L).otherwise(0L)).as("tt"),
       sum(when(!col("is_target"), 1L).otherwise(0L)).as("tr"))
     // per-bucket log-ratio: each ln rounded ONCE then frozen as decimal
-    val ratios = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .select(col("bkt"),
         (round(log((col("ct") + 1).cast("double") / (col("tt") + b).cast("double")), 6)
             .cast("decimal(18,6)") -
           round(log((col("cr") + 1).cast("double") / (col("tr") + b).cast("double")), 6)
             .cast("decimal(18,6)")).as("lr"))
-    val scored = inst.filter(!col("is_target"))
+  }
+
+  /** Every pool doc with its importance score, pre-cut:
+    * (doc_id, lang, source, n_feats, score).
+    */
+  private[graft] def dsirPoolScoresOf(docs: DataFrame): DataFrame = {
+    val ratios = dsirRatiosOf(docs)
+    val scored = instancesOf(docs).filter(!col("is_target"))
       .join(broadcast(ratios), "bkt")
       .groupBy(col("doc_id"))
       .agg(sum(col("lr")).as("score"), count(lit(1)).as("n_feats"))
-    val pool = docs.filter(!isTarget)
+    docs.filter(col("lang") =!= DsirTargetLang)
       .select(col("doc_id"), col("lang"), col("source"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("source"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("score"), lit(0).cast("decimal(29,6)")).as("score"))
+  }
+
+  /** Core over any (doc_id, text, lang, source) frame — specs plant a
+    * pool with target-vocabulary overlap and assert the overlap ranks
+    * first.
+    */
+  def dsirSelectOf(docs: DataFrame): DataFrame = {
+    val k = DsirBudget
     // TakeOrdered cut, then rank the (tiny) selected set
-    val top = pool.orderBy(col("score").desc, col("doc_id")).limit(k)
+    val top = dsirPoolScoresOf(docs)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id"))
     top.withColumn("rank", row_number().over(w).cast("long"))

@@ -408,6 +408,39 @@ object StreamOps {
         (col("n_matched") > 0).as("contam_exact"))
   }
 
+  /** Crawl-time DSIR tap: every arriving doc scored for target-likeness
+    * against the STATIC bucket log-ratio table
+    * ([[graft.operators.Selection.dsirRatiosOf]] of the static corpus,
+    * built once — DSIR's fixed-size sketch of the target distribution).
+    * The table collapses to ONE broadcast row carrying a bucket→ratio
+    * map; scoring is a per-doc in-array aggregate over the doc's hashed
+    * bigram buckets — stateless (no aggregation state, no watermark), so
+    * the lane runs forever at crawl rates and its scores are
+    * spec-identical to the batch operator's. A deployment sinks the
+    * (doc_id, score) stream and applies its budget cut downstream
+    * (the cut is inherently a batch decision: top-k over a finite pool).
+    */
+  def dsirScoreStream(docsStream: DataFrame, ratios: DataFrame): DataFrame = {
+    import graft.operators.{Curation, Selection}
+    val ratioRow = ratios
+      .agg(map_from_arrays(collect_list(col("bkt")), collect_list(col("lr"))).as("rm"))
+      .withColumn("jk", lit(1))
+    docsStream
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("bgs", expr(Curation.bigramsExpr))
+      .withColumn("bkts", expr(
+        s"transform(bgs, g -> cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint) % ${Selection.DsirBuckets})"))
+      .withColumn("jk", lit(1))
+      .join(broadcast(ratioRow), "jk")
+      .withColumn("score", expr(
+        """aggregate(bkts, cast(0 as decimal(38,6)),
+          | (acc, b) -> acc + coalesce(element_at(rm, b), cast(0 as decimal(38,6))))"""
+          .stripMargin.replace("\n", "")))
+      .withColumn("n_feats",
+        expr("size(filter(bkts, b -> element_at(rm, b) IS NOT NULL))").cast("long"))
+      .select(col("doc_id"), col("n_feats"), col("score"))
+  }
+
   /** Crawl-time FUZZY contamination tap: arriving docs MinHash-banded
     * (stateless projections, as [[deltaDedupStream]]) and bucket-joined
     * against the STATIC band table of the benchmark corpus, then

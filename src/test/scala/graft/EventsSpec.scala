@@ -502,6 +502,38 @@ class EventsSpec extends SparkSpec {
     } finally { sq2.stop(); train.unpersist(); evalHashes.unpersist() }
   }
 
+  test("streaming dsirScoreStream ≡ batch DSIR pool scores") {
+    import spark.implicits._
+    import graft.operators.Selection
+    implicit val sq = spark.sqlContext
+    val docs = sources.Tables.documents(spark, sf)
+    val ratios = Selection.dsirRatiosOf(docs).cache()
+    val batch = Selection.dsirPoolScoresOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[java.math.BigDecimal]("score"))).toMap
+    assert(batch.values.exists(_._2.signum != 0), "all-zero scores: vacuous corpus")
+    // pool docs arriving as a stream in two micro-batches score identically
+    val pool = docs.filter(col("lang") =!= Selection.DsirTargetLang)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.dsirScoreStream(mem.toDF().toDF("doc_id", "text"), ratios)
+      .writeStream.format("memory").queryName("dsirscores").outputMode("append").start()
+    try {
+      val (a, b) = pool.splitAt(pool.length / 2)
+      mem.addData(a.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("dsirscores").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_feats"), r.getAs[java.math.BigDecimal]("score"))).toMap
+      assert(got.keySet == batch.keySet)
+      got.foreach { case (id, (nf, s)) =>
+        val (bnf, bs) = batch(id)
+        assert(nf == bnf && s.compareTo(bs) == 0,
+          s"doc $id: stream ($nf, $s) vs batch ($bnf, $bs)")
+      }
+    } finally { q.stop(); ratios.unpersist() }
+  }
+
   test("streaming fuzzyContamStream rolls up to the batch fuzzy-decontamination rows") {
     import spark.implicits._
     import graft.operators.{Curation, Dedup}
