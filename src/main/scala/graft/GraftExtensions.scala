@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import graft.functions.{BottomK, DotProduct, L2Squared, SimhashAgg}
 
 /** Session extensions: registers graft's native expressions so they're
@@ -54,6 +55,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "paramType" -> "\"INT\""))
         val k = exprs(1).eval().asInstanceOf[Number].intValue()
         BottomK(exprs.head, k).toAggregateExpression()
+      }))
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // runtime row-level filters but leaves them out of the public registry;
+    // these expose the same map-side-combinable sketch + codegen'd probe to
+    // the decontamination scale seam without reimplementing either.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => {
+        requireArity("graft_bloom_agg", 3, exprs)
+        new BloomFilterAggregate(exprs.head, exprs(1), exprs(2)).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (exprs: Seq[Expression]) => {
+        requireArity("graft_might_contain", 2, exprs)
+        BloomFilterMightContain(exprs.head, exprs(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),

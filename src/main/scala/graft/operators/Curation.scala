@@ -449,6 +449,53 @@ object Curation {
     Dedup.unifiedClosureCtes + tail
   }
 
+  // ---- decontaminate_bloom (scale variant, test-only) ---------------------
+
+  /** The exact sweep's 100 TB-benchmark-suite variant: eval n-gram
+    * membership as a BLOOM FILTER sketch instead of the exact distinct-hash
+    * broadcast table. The exact table is right for oracle parity and for
+    * benchmark suites (tens of MB); a full held-out-set registry at corpus
+    * scale can be billions of n-grams, where the sketch's fixed
+    * `numBits/8` bytes (vs 16 bytes per distinct n-gram) is the difference
+    * between a broadcast and a shuffle join.
+    *
+    * Semantics: might_contain has NO false negatives, so
+    * `contaminated_maybe ⊇ contaminated` exactly (every exact-flagged doc
+    * is bloom-flagged — the spec pins this), and false positives only
+    * QUARANTINE extra docs (safe direction for decontamination; measured
+    * FPR is spec-bounded). Probabilistic ⇒ no DuckDB twin ⇒ test-only,
+    * like the other scale seams.
+    *
+    * Mechanics: the sketch aggregates once (`graft_bloom_agg` — Spark's own
+    * map-side-combinable BloomFilterAggregate, surfaced through
+    * [[graft.GraftExtensions]] since Spark keeps it off the public
+    * registry) and is collected to the driver — the sketch IS the index
+    * artifact, the bounded collect is the build step — then rides the scan
+    * as a LITERAL, so the membership test
+    * (`graft_might_contain(lit, xxhash64(ng))`) stays whole-stage
+    * codegen'd with zero join.
+    */
+  def decontaminateBloomFrom(rawDocs: DataFrame, isEval: Column,
+      expectedItems: Long = 1000000L, numBits: Long = 1L << 23): DataFrame = {
+    val docs = rawDocs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("ngs", expr(ngramExpr(ContamNgram)))
+      .withColumn("is_eval", isEval)
+    val bf = docs.filter(col("is_eval"))
+      .select(explode(col("ngs")).as("ng"))
+      .agg(call_function("graft_bloom_agg", xxhash64(col("ng")),
+        lit(expectedItems), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    docs.filter(!col("is_eval"))
+      .select(col("doc_id"), explode_outer(col("ngs")).as("ng"))
+      .groupBy(col("doc_id"))
+      .agg(count(col("ng")).as("n_ngrams"),
+        sum(when(call_function("graft_might_contain", lit(bf), xxhash64(col("ng"))), 1)
+          .otherwise(0)).cast("long").as("n_maybe"))
+      .withColumn("contaminated_maybe", col("n_maybe") > 0)
+      .select("doc_id", "n_ngrams", "n_maybe", "contaminated_maybe")
+  }
+
   // ---- pipeline_curate ----------------------------------------------------
 
   /** `pipeline_curate`: the SHARED-LANES curation pipeline — the production

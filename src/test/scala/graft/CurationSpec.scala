@@ -71,6 +71,31 @@ class CurationSpec extends SparkSpec {
     assert(!out(12L).getAs[Boolean]("contaminated"))
   }
 
+  test("decontaminate_bloom: superset of exact flags, zero false negatives, bounded FPR") {
+    val isEval = col("doc_id") % Curation.EvalIdMod === 0
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val exact = Curation.decontaminateFrom(docs, isEval).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val bloom = Curation.decontaminateBloomFrom(docs, isEval).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(bloom.keySet == exact.keySet, "bloom sweep must cover the same train docs")
+    for ((id, e) <- exact) {
+      val b = bloom(id)
+      assert(b.getAs[Long]("n_ngrams") == e.getAs[Long]("n_ngrams"),
+        s"doc $id: n-gram universe must not depend on the membership structure")
+      // no false negatives: every exact hit is a maybe-hit
+      assert(b.getAs[Long]("n_maybe") >= e.getAs[Long]("n_matched"), s"false negative at doc $id")
+      if (e.getAs[Boolean]("contaminated"))
+        assert(b.getAs[Boolean]("contaminated_maybe"), s"exact-flagged doc $id escaped the sketch")
+    }
+    val cleanExact = exact.values.filter(!_.getAs[Boolean]("contaminated")).map(_.getAs[Long]("doc_id"))
+    val falsePos = cleanExact.count(id => bloom(id).getAs[Boolean]("contaminated_maybe"))
+    // 2^23 bits vs thousands of eval n-grams: doc-level FPR must be tiny
+    assert(falsePos <= math.max(1, cleanExact.size / 100),
+      s"$falsePos/${cleanExact.size} clean docs bloom-flagged — sketch too lossy at default sizing")
+    assert(exact.values.exists(_.getAs[Boolean]("contaminated")), "corpus must exercise the hit path")
+  }
+
   test("corpus_curate: funnel stage attribution, every lane feeding it, full-corpus clustering") {
     import spark.implicits._
     // realistic exact-sweep width so a paraphrase can clear it (GPT-3's 13)
