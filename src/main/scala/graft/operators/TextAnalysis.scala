@@ -296,6 +296,111 @@ object TextAnalysis {
       |FROM ppl p, th t
       |ORDER BY p.doc_id""".stripMargin
 
+  /** `doc_perplexity_bigram`: Jelinek-Mercer interpolated bigram LM score
+    * — the rung above [[docPerplexity]]'s unigram scorer on the CCNet
+    * ladder (Wenzek et al. 2020 train a 5-gram KenLM; interpolation per
+    * Chen & Goodman 1999 §2). Per token after the first,
+    * `p(w2|w1) = λ·c(w1,w2)/c(w1) + (1-λ)·c(w2)/T`; the first token is
+    * scored by its unigram probability. A doc whose word PAIRS are
+    * corpus-typical now scores better than a bag-of-frequent-words doc —
+    * the signal the unigram model is blind to.
+    *
+    * Determinism: each distinct bigram's interpolated log-prob is frozen
+    * ONCE as `round(ln(p), 6)` DECIMAL(18,6) (§5 discipline — λ and 1-λ
+    * are printed into the oracle from the same Scala doubles, so both
+    * engines evaluate the identical IEEE expression), then per-doc scoring
+    * is exact-decimal summation and one final 4-dp rounding.
+    *
+    * Scale shape: one bigram explode, one bigram-vocabulary-grain count
+    * (map-side combined — the bigram vocab is the Heaps-law fringe, still
+    * orders below the corpus), two vocab-grain key joins to attach c(w1)
+    * and c(w2), one doc-grain aggregation. All linear, no windows, no
+    * driver state beyond the 1-row total.
+    */
+  def docPerplexityBigram(spark: SparkSession, dir: String): DataFrame =
+    docPerplexityBigramOf(Tables.documents(spark, dir))
+
+  def docPerplexityBigramOf(docs: DataFrame): DataFrame = {
+    val lam = GraftConf.pplLambda
+    val oml = 1.0 - lam
+    val d = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val tok = d.select(col("doc_id"), explode(col("ws")).as("word"))
+    val c1 = tok.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val total = c1.agg(sum(col("c")).cast("double").as("t"))
+    // guard BEFORE sequence: sequence(1, 0) steps DOWN in Spark
+    val bg = d.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> named_struct('w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))"""
+          .stripMargin.replace("\n", ""))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val lp1 = c1.crossJoin(broadcast(total))
+      .select(col("word"),
+        round(log(col("c").cast("double") / col("t")), 6)
+          .cast("decimal(18,6)").as("logp"))
+    val lp2 = c2
+      .join(c1.select(col("word").as("w1"), col("c").as("ca")), Seq("w1"))
+      .join(c1.select(col("word").as("w2"), col("c").as("cb")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"),
+        round(log(lit(lam) * (col("c2").cast("double") / col("ca").cast("double"))
+          + lit(oml) * (col("cb").cast("double") / col("t"))), 6)
+          .cast("decimal(18,6)").as("logp"))
+    val first = d.select(col("doc_id"), element_at(col("ws"), 1).as("w1"),
+      size(col("ws")).cast("long").as("n_tokens"))
+      .join(lp1.select(col("word").as("w1"), col("logp").as("l1")), Seq("w1"))
+    val bsum = bg.join(lp2, Seq("w1", "w2"))
+      .groupBy(col("doc_id")).agg(sum(col("logp")).as("l2"))
+    first.join(bsum, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round((-(col("l1") + coalesce(col("l2"), lit(0)))).cast("double")
+          / col("n_tokens"), 4).as("nll"))
+      .contractOrderBy("doc_id")
+  }
+
+  def docPerplexityBigramSql: String = {
+    val lam = GraftConf.pplLambda
+    val oml = 1.0 - lam
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), tok AS (
+      |  SELECT doc_id, unnest(ws) AS word FROM d
+      |), c1 AS (
+      |  SELECT word, count(*) AS c FROM tok GROUP BY word
+      |), tot AS (
+      |  SELECT CAST(sum(c) AS DOUBLE) AS t FROM c1
+      |), bg0 AS (
+      |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |  FROM d WHERE len(ws) >= 2
+      |), bg AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM bg0
+      |), c2 AS (
+      |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+      |), lp1 AS (
+      |  SELECT word,
+      |    CAST(round(ln(CAST(c AS DOUBLE) / (SELECT t FROM tot)), 6) AS DECIMAL(18,6)) AS logp
+      |  FROM c1
+      |), lp2 AS (
+      |  SELECT c2.w1, c2.w2,
+      |    CAST(round(ln($lam * (CAST(c2.c2 AS DOUBLE) / CAST(a.c AS DOUBLE))
+      |      + $oml * (CAST(b.c AS DOUBLE) / (SELECT t FROM tot))), 6) AS DECIMAL(18,6)) AS logp
+      |  FROM c2 JOIN c1 a ON c2.w1 = a.word JOIN c1 b ON c2.w2 = b.word
+      |), first AS (
+      |  SELECT d.doc_id, ws[1] AS w1, CAST(len(ws) AS BIGINT) AS n_tokens FROM d
+      |), bsum AS (
+      |  SELECT bg.doc_id, sum(lp2.logp) AS l2
+      |  FROM bg JOIN lp2 ON bg.w1 = lp2.w1 AND bg.w2 = lp2.w2
+      |  GROUP BY bg.doc_id
+      |)
+      |SELECT f.doc_id, f.n_tokens,
+      |  round(CAST(-(lp1.logp + coalesce(b.l2, 0)) AS DOUBLE) / f.n_tokens, 4) AS nll
+      |FROM first f
+      |JOIN lp1 ON f.w1 = lp1.word
+      |LEFT JOIN bsum b ON f.doc_id = b.doc_id
+      |ORDER BY f.doc_id""".stripMargin
+  }
+
   /** `doc_fingerprint`: whole-content md5 + winnowing-style min-shingle
     * fingerprint (min md5 over 5-gram shingles — the rolling-hash
     * fingerprint family).

@@ -218,6 +218,11 @@ package object operators {
       * shipped test scale factors).
       */
     def pplSampleMod: Int = positive("spark.graft.ppl.sampleMod", "3")
+    /** Jelinek-Mercer bigram interpolation weight
+      * (`spark.graft.ppl.lambda`): share of the bigram MLE in the
+      * interpolated probability; the unigram floor gets `1 - lambda`.
+      */
+    def pplLambda: Double = fraction("spark.graft.ppl.lambda", "0.9")
 
     /** NB classifier held-out modulus (`spark.graft.nb.evalMod`): docs
       * with `doc_id % evalMod == 0` are scored, the rest train.

@@ -165,6 +165,29 @@ class TextCurationSpec extends SparkSpec {
     assert(out(1L) == expect1, s"got ${out(1L)} want $expect1")
   }
 
+  test("doc_perplexity_bigram: pair structure separates docs the unigram model ties") {
+    // corpus of repeated "a b" bigrams plus two probe docs with IDENTICAL
+    // unigram multisets: doc 20 keeps the corpus-typical a-b alternation,
+    // doc 21 scrambles it into a-a / b-b runs the corpus never produces
+    val background = (1L to 10L).map(i => (i, "a b a b a b a b"))
+    val docs = (background ++ Seq(
+      (20L, "a b a b a b a b"),
+      (21L, "a a a a b b b b"))).toDF("doc_id", "text")
+    val uni = graft.operators.TextAnalysis.docPerplexityOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll")).toMap
+    val bi = graft.operators.TextAnalysis.docPerplexityBigramOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tokens"), r.getAs[Double]("nll"))).toMap
+    assert(uni(20L) == uni(21L), "unigram scorer must tie the probe docs (same multiset)")
+    assert(bi(20L)._2 < bi(21L)._2,
+      s"corpus-typical bigram order must score strictly better: $bi")
+    assert(bi.values.forall(_._1 == 8L))
+    // single-token doc: unigram term only, no bigram rows, still scored
+    val solo = Seq((1L, "only"), (2L, "only two")).toDF("doc_id", "text")
+    val s = graft.operators.TextAnalysis.docPerplexityBigramOf(solo).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(s == Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("perplexity_buckets: labels are monotone in nll and cuts are sample order statistics") {
     // 9 docs with strictly increasing rarity (doc k repeats a common token
     // 8 times then carries k distinct rare tokens), all in the sample
