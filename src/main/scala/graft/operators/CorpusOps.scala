@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -248,6 +249,70 @@ object CorpusOps {
        |FROM c CROSS JOIN tot
        |ORDER BY n DESC, token
        |LIMIT $VocabK""".stripMargin
+
+  /** `tfidf_topk`: each document's [[GraftConf.tfidfTopK]] most
+    * characteristic terms by tf-idf — the classic keyword-extraction /
+    * topic-tagging pass a curation pipeline runs for corpus exploration
+    * and domain labeling (Salton & Buckley 1988 term weighting).
+    *
+    * Determinism: idf freezes once per word as `round(ln(N/df), 6)`
+    * DECIMAL(18,6); the ranking compares the EXACT decimal product
+    * `tf · idf` (never the rounded double output), ties broken by word, so
+    * neither engine can float-flip a rank. df is derived from the tf table
+    * (count of rows per word — already doc-distinct by its grain), not a
+    * second countDistinct pass over tokens.
+    *
+    * Scale shape: one token explode, one (doc,word)-grain map-side count,
+    * one word-grain rollup of that table, one vocab-grain key join (AQE
+    * broadcasts the idf side when it fits), and a per-doc top-k window
+    * PARTITIONED BY doc_id — shuffle grain doc_id, never a global sort.
+    */
+  def tfidfTopk(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopkOf(Tables.documents(spark, dir))
+
+  def tfidfTopkOf(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val idf = dfr.crossJoin(broadcast(n))
+      .select(col("word"),
+        round(log(col("n").cast("double") / col("df").cast("double")), 6)
+          .cast("decimal(18,6)").as("idf"))
+    tf.join(idf, Seq("word"))
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("word"))).cast("long"))
+      .filter(col("rank") <= GraftConf.tfidfTopK)
+      .select(col("doc_id"), col("rank"), col("word"), col("tf"),
+        round(col("score").cast("double"), 4).as("score"))
+      .contractOrderBy("doc_id", "rank")
+  }
+
+  def tfidfTopkSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+       |), tf AS (
+       |  SELECT doc_id, word, count(*) AS tf FROM tok WHERE word <> '' GROUP BY doc_id, word
+       |), df AS (
+       |  SELECT word, count(*) AS df FROM tf GROUP BY word
+       |), n AS (
+       |  SELECT count(*) AS n FROM documents
+       |), idf AS (
+       |  SELECT word,
+       |    CAST(round(ln(CAST((SELECT n FROM n) AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS DECIMAL(18,6)) AS idf
+       |  FROM df
+       |), ranked AS (
+       |  SELECT tf.doc_id, tf.word, tf.tf, tf.tf * idf.idf AS score,
+       |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf * idf.idf DESC, tf.word) AS rank
+       |  FROM tf JOIN idf ON tf.word = idf.word
+       |)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, word, CAST(tf AS BIGINT) AS tf,
+       |  round(CAST(score AS DOUBLE), 4) AS score
+       |FROM ranked WHERE rank <= ${GraftConf.tfidfTopK}
+       |ORDER BY doc_id, rank""".stripMargin
 
   val corpusStatsSql: String =
     """SELECT count(*) AS n_docs,

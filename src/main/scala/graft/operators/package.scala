@@ -223,6 +223,8 @@ package object operators {
       * interpolated probability; the unigram floor gets `1 - lambda`.
       */
     def pplLambda: Double = fraction("spark.graft.ppl.lambda", "0.9")
+    /** Per-doc tf-idf terms kept (`spark.graft.tfidf.topK`). */
+    def tfidfTopK: Int = positive("spark.graft.tfidf.topK", "3")
 
     /** NB classifier held-out modulus (`spark.graft.nb.evalMod`): docs
       * with `doc_id % evalMod == 0` are scored, the rest train.

@@ -51,6 +51,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(top.getAs[Long]("n") == direct)
   }
 
+  test("tfidf_topk: planted characteristic term ranks first; ubiquitous terms score zero") {
+    import spark.implicits._
+    // "common" appears in every doc (idf = ln(1) = 0); each doc also
+    // carries its own marker term repeated twice plus a once-shared term
+    val docs = Seq(
+      (1L, "common quark quark boson common"),
+      (2L, "common boson gluon gluon common"),
+      (3L, "common lepton lepton quark common"))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.tfidfTopkOf(docs).collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    // rank 1 must be the doc-unique doubled marker, not the everywhere-term
+    val top = byDoc.map { case (id, rows) =>
+      id -> rows.find(_.getAs[Long]("rank") == 1L).get.getAs[String]("word") }
+    assert(top == Map(1L -> "quark", 2L -> "gluon", 3L -> "lepton"), s"got $top")
+    out.foreach { r =>
+      if (r.getAs[String]("word") == "common")
+        assert(r.getAs[Double]("score") == 0.0, "df=N term must carry zero tf-idf")
+    }
+    // ranks are 1..k dense per doc and scores non-increasing within a doc
+    byDoc.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getAs[Double]("score")).toSeq
+      assert(scores == scores.sortBy(-(_: Double)), s"scores not monotone: $scores")
+    }
+    // real corpus: every doc emits at most k rows, exactly k when vocab allows
+    val k = graft.operators.GraftConf.tfidfTopK
+    val corpus = CorpusOps.tfidfTopk(spark, sf).collect()
+    val perDoc = corpus.groupBy(_.getAs[Long]("doc_id")).values.map(_.length)
+    assert(perDoc.forall(_ <= k) && perDoc.exists(_ == k))
+  }
+
   test("corpus_stats: totals agree with direct aggregation") {
     val st = CorpusOps.corpusStats(spark, sf).collect()(0)
     val docs = sources.Tables.documents(spark, sf)
