@@ -4,7 +4,7 @@ import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{BottomK, DotProduct, L2Squared, SimhashAgg}
+import graft.functions.{BottomK, DotProduct, L2Squared, MisraGries, SimhashAgg}
 
 /** Session extensions: registers graft's native expressions so they're
   * callable from SQL / `expr(...)` in any session built with
@@ -55,6 +55,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "paramType" -> "\"INT\""))
         val k = exprs(1).eval().asInstanceOf[Number].intValue()
         BottomK(exprs.head, k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_mgtopk"),
+      new ExpressionInfo(classOf[MisraGries].getName, "graft_mgtopk"),
+      (exprs: Seq[Expression]) => {
+        requireArity("graft_mgtopk", 2, exprs)
+        if (!exprs(1).foldable)
+          throw new AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map(
+              "funcName" -> "`graft_mgtopk`",
+              "paramName" -> "`k`",
+              "paramType" -> "\"INT\""))
+        val k = exprs(1).eval().asInstanceOf[Number].intValue()
+        MisraGries(exprs.head, k).toAggregateExpression()
       }))
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
     // runtime row-level filters but leaves them out of the public registry;

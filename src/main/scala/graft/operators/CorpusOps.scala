@@ -250,6 +250,27 @@ object CorpusOps {
        |ORDER BY n DESC, token
        |LIMIT $VocabK""".stripMargin
 
+  /** [[vocabTopTokens]]' bounded-memory scale twin: corpus heavy hitters
+    * via the [[graft.functions.MisraGries]] sketch. The exact pass's
+    * word-grain state is Heaps-law bounded on natural text but
+    * quasi-unbounded on crawl token universes (URLs, identifiers,
+    * hashes); MG holds at most k counters per partition AND per merged
+    * buffer, so the whole corpus reduces to ONE k-entry summary with the
+    * mergeable-summaries guarantee — every token with true frequency
+    * > N/(k+1) present, estimates within N/(k+1) below truth.
+    *
+    * Test-only (no oracle row): the surviving low-frequency stragglers
+    * depend on merge order — inherent to MG; the spec asserts the BOUNDS,
+    * which hold for every merge order, against the exact counts.
+    */
+  def vocabTopTokensApprox(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .agg(call_function("graft_mgtopk", col("token"), lit(k)).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token").as("token"), col("e.est").as("est"))
+
   /** `tfidf_topk`: each document's [[GraftConf.tfidfTopK]] most
     * characteristic terms by tf-idf — the classic keyword-extraction /
     * topic-tagging pass a curation pipeline runs for corpus exploration

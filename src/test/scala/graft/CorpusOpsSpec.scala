@@ -84,6 +84,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(perDoc.forall(_ <= k) && perDoc.exists(_ == k))
   }
 
+  test("vocab_top_tokens_approx: Misra-Gries bounds hold against exact counts") {
+    import spark.implicits._
+    val k = 64
+    val docs = sources.Tables.documents(spark, sf)
+    // exact counts from the same tokenization the sketch sees
+    val exact = docs.select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("c")).toMap
+    val n = exact.values.sum
+    val err = n / (k + 1)
+    val sketch = CorpusOps.vocabTopTokensApprox(spark, sf, k).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("est")).toMap
+    assert(sketch.size <= k, s"summary exceeded k: ${sketch.size}")
+    // guarantee 1: every true heavy hitter survives
+    for ((t, c) <- exact if c > err)
+      assert(sketch.contains(t), s"heavy hitter '$t' (count $c > $err) missing")
+    // guarantee 2: estimates never exceed truth and undercount by <= N/(k+1)
+    for ((t, est) <- sketch) {
+      val truth = exact.getOrElse(t, 0L)
+      assert(est <= truth, s"'$t' overestimated: $est > $truth")
+      assert(truth - est <= err, s"'$t' undercounted beyond bound: $truth - $est > $err")
+    }
+    // adversarial skew: one token at ~2/3 frequency survives even k=2
+    val skewed = (1L to 300L).map(i => (i, if (i % 3 != 0L) "hot" else s"cold_$i"))
+      .toDF("doc_id", "text")
+    val tiny = skewed.select(explode(split(col("text"), " ")).as("token"))
+      .agg(call_function("graft_mgtopk", col("token"), lit(2)).as("hh"))
+      .select(explode(col("hh")).as("e")).select(col("e.token"), col("e.est"))
+      .collect().map(_.getAs[String]("token"))
+    assert(tiny.contains("hot"), s"majority token lost at k=2: ${tiny.toSeq}")
+  }
+
   test("corpus_stats: totals agree with direct aggregation") {
     val st = CorpusOps.corpusStats(spark, sf).collect()(0)
     val docs = sources.Tables.documents(spark, sf)
