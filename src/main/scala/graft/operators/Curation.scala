@@ -788,6 +788,94 @@ object Curation {
       .contractOrderBy("doc_id")
   }
 
+  /** `domain_temperature_mix`: temperature-scaled source mixing — the
+    * multilingual/multi-domain pretraining recipe (XLM-R / mT5 style):
+    * source s with natural share p_s is sampled toward target share
+    * q_s ∝ p_s^α, flattening the mixture so long-tail sources punch above
+    * their natural weight. α = 2^-[[GraftConf.mixTempSqrts]] — the
+    * exponent family computable by nested `sqrt`, the one power primitive
+    * IEEE guarantees correctly rounded in both engines; an arbitrary
+    * `pow()` can differ in the final ulp across libm implementations and
+    * flip a keep decision (§5).
+    *
+    * Determinism: p_s^α is frozen per source as a 6-dp DECIMAL, the
+    * normalizer is the EXACT decimal sum of those (a float sum over the
+    * source table would be partition-order dependent), and every
+    * subsequent scalar (q, target, rate, the 2^40-scaled integer keep
+    * threshold) is a fixed-order IEEE expression identical in both
+    * engines. Keep test compares the doc's 40-bit hash against the
+    * integer threshold — no float ever decides membership directly.
+    *
+    * Scale shape: identical to [[domainMixSample]] — one source-grain
+    * map-side-combined count (20 rows), the temperature math on that tiny
+    * frame, broadcast back over one corpus scan; no corpus shuffle.
+    */
+  def domainTemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    domainTemperatureMixOf(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, source) relation — specs plant skewed source
+    * histograms the uniform synthetic corpus can't exercise.
+    */
+  def domainTemperatureMixOf(docs: DataFrame): DataFrame = {
+    val s = GraftConf.mixTempSqrts
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("src_count"))
+    val total = counts.agg(sum(col("src_count")).cast("double").as("n"))
+    val pw = counts.crossJoin(broadcast(total))
+      .withColumn("pw", round(
+        (1 to s).foldLeft(col("src_count").cast("double") / col("n"))((c, _) => sqrt(c)), 6)
+        .cast("decimal(18,6)"))
+    val denom = pw.agg(sum(col("pw")).as("denom"))
+    val rates = pw.crossJoin(broadcast(denom))
+      .withColumn("q", col("pw").cast("double") / col("denom").cast("double"))
+      .withColumn("rate",
+        least(lit(1.0), lit(MixBudget.toDouble) * col("q") / col("src_count").cast("double")))
+      .withColumn("keep_thresh",
+        floor(col("rate") * lit(1099511627776.0)).cast("long")) // 2^40
+      .select(col("source"), col("src_count"), col("q"), col("rate"), col("keep_thresh"))
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("u40",
+        expr("cast(conv(substr(md5(concat(cast(doc_id as string), '|tmix')), 1, 10), 16, 10) as bigint)"))
+      .filter(col("u40") < col("keep_thresh"))
+      .select(col("doc_id"), col("source"), col("src_count"),
+        round(col("q"), 6).as("q"), round(col("rate"), 6).as("rate"))
+      .contractOrderBy("doc_id")
+  }
+
+  def domainTemperatureMixSql: String = {
+    val s = GraftConf.mixTempSqrts
+    val nested = (1 to s).foldLeft("CAST(src_count AS DOUBLE) / n")((e, _) => s"sqrt($e)")
+    s"""WITH counts AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS src_count FROM documents GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(sum(src_count) AS DOUBLE) AS n FROM counts
+       |), pw AS (
+       |  SELECT source, src_count,
+       |    CAST(round($nested, 6) AS DECIMAL(18,6)) AS pw
+       |  FROM counts CROSS JOIN tot
+       |), dn AS (
+       |  SELECT sum(pw) AS denom FROM pw
+       |), rates AS (
+       |  SELECT source, src_count,
+       |    CAST(pw AS DOUBLE) / CAST(denom AS DOUBLE) AS q,
+       |    least(CAST(1.0 AS DOUBLE),
+       |      CAST($MixBudget AS DOUBLE) * (CAST(pw AS DOUBLE) / CAST(denom AS DOUBLE))
+       |        / CAST(src_count AS DOUBLE)) AS rate
+       |  FROM pw CROSS JOIN dn
+       |), th AS (
+       |  SELECT source, src_count, q, rate,
+       |    CAST(floor(rate * 1099511627776.0) AS BIGINT) AS keep_thresh
+       |  FROM rates
+       |), d AS (
+       |  SELECT doc_id, d.source, src_count, q, rate, keep_thresh,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|tmix'), 1, 10)) AS BIGINT) AS u40
+       |  FROM documents d JOIN th USING (source)
+       |)
+       |SELECT doc_id, source, src_count, round(q, 6) AS q, round(rate, 6) AS rate
+       |FROM d
+       |WHERE u40 < keep_thresh
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val domainMixSampleSql: String =
     s"""WITH counts AS (
        |  SELECT source, CAST(count(*) AS BIGINT) AS src_count,

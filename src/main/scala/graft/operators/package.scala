@@ -225,6 +225,14 @@ package object operators {
     def pplLambda: Double = fraction("spark.graft.ppl.lambda", "0.9")
     /** Per-doc tf-idf terms kept (`spark.graft.tfidf.topK`). */
     def tfidfTopK: Int = positive("spark.graft.tfidf.topK", "3")
+    /** Temperature-mix exponent as sqrt applications
+      * (`spark.graft.mix.tempSqrts`): alpha = 2^-s, i.e. 1 → sqrt (0.5),
+      * 2 → fourth root (0.25). Restricted to this family because sqrt is
+      * the one power primitive IEEE guarantees correctly rounded — an
+      * arbitrary pow() can differ in the last ulp across libm
+      * implementations and flip a sampling decision (§5).
+      */
+    def mixTempSqrts: Int = positive("spark.graft.mix.tempSqrts", "1")
 
     /** NB classifier held-out modulus (`spark.graft.nb.evalMod`): docs
       * with `doc_id % evalMod == 0` are scored, the rest train.

@@ -228,6 +228,49 @@ class CurationSpec extends SparkSpec {
       .sameElements(Curation.domainMixSample(spark, sf).collect().map(_.toString).sorted))
   }
 
+  test("domain_temperature_mix: temperature flattens the mixture toward the tail") {
+    import spark.implicits._
+    // planted skew: src_big 800 docs, src_mid 150, src_tail 50
+    val planted = ((1L to 800L).map(i => (i, "t", "src_big")) ++
+      (1001L to 1150L).map(i => (i, "t", "src_mid")) ++
+      (2001L to 2050L).map(i => (i, "t", "src_tail")))
+      .toDF("doc_id", "text", "source")
+    val counts = Map("src_big" -> 800L, "src_mid" -> 150L, "src_tail" -> 50L)
+    val n = counts.values.sum.toDouble
+    val out = Curation.domainTemperatureMixOf(planted).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source")).map { case (s, rows) => s -> rows.head }
+    assert(bySrc.keySet == counts.keySet, "every source must survive sampling")
+    val qs = bySrc.map { case (s, r) => s -> r.getAs[Double]("q") }
+    assert(math.abs(qs.values.sum - 1.0) < 1e-3, s"q sums to ${qs.values.sum}")
+    // alpha = 0.5 flattening: tail boosted above natural share, head shrunk
+    assert(qs("src_tail") > counts("src_tail") / n, s"tail not boosted: $qs")
+    assert(qs("src_mid") > counts("src_mid") / n, s"mid not boosted: $qs")
+    assert(qs("src_big") < counts("src_big") / n, s"head not flattened: $qs")
+    // but flattening preserves ORDER: bigger source keeps bigger share
+    assert(qs("src_big") > qs("src_mid") && qs("src_mid") > qs("src_tail"))
+    // rates monotone non-increasing in source size (alpha < 1)
+    val rates = counts.keys.toSeq.sortBy(counts).map(s => bySrc(s).getAs[Double]("rate"))
+    assert(rates == rates.sorted.reverse, s"rates not monotone in size: $rates")
+    // sampled kept-counts track budget*q: each source within 3x of target
+    counts.keys.foreach { s =>
+      val kept = out.count(_.getAs[String]("source") == s)
+      val target = Curation.MixBudget * qs(s)
+      assert(kept <= counts(s) && kept > 0, s"$s kept $kept")
+      assert(kept < 3 * target + 5, s"$s kept $kept vs target $target")
+    }
+    // deeper temperature (alpha 0.25) flattens harder
+    spark.conf.set("spark.graft.mix.tempSqrts", "2")
+    try {
+      val flat = Curation.domainTemperatureMixOf(planted).collect()
+        .filter(_.getAs[String]("source") == "src_big")
+      assert(flat.nonEmpty && flat.head.getAs[Double]("q") < qs("src_big"),
+        "alpha 0.25 must shrink the head share below alpha 0.5's")
+    } finally spark.conf.unset("spark.graft.mix.tempSqrts")
+    // real corpus: deterministic rerun
+    val real = Curation.domainTemperatureMix(spark, sf).collect().map(_.toString).sorted
+    assert(real.sameElements(Curation.domainTemperatureMix(spark, sf).collect().map(_.toString).sorted))
+  }
+
   test("dedup_clusters: components are consistent with the minhash pair graph") {
     val pairs = Dedup.dedupMinhashLsh(spark, sf)
       .select("doc_a", "doc_b").collect()
