@@ -89,6 +89,97 @@ object Curation {
       .contractOrderBy("doc_id")
   }
 
+  /** `gopher_quality`: the word-level Gopher quality rule set (Rae et al.
+    * 2021 appendix A1.1) as a second, independent filter next to
+    * [[qualityFilter]]'s C4-style rules — word-count bounds, mean word
+    * length in [3, 10], symbol-to-word ratio (# or …) ≤ 10%, ≥ 80% of
+    * words containing an alphabetic character, and ≥ 2 distinct stopwords
+    * from [[GraftConf.gopherStops]] (production = Gopher's 8 function
+    * words; default scaled to the synthetic vocabulary). The line-grain
+    * rules — bullet starts, ellipsis ends — need newline structure the
+    * synthetic corpus doesn't carry; they'd be vacuously green and are
+    * deliberately out.
+    *
+    * Every rule compares in INTEGER math (`chars < words·3`,
+    * `sym·100 > words·10`, …) — the quality_filter discipline: no float
+    * ratio ever decides a keep, so engines can't disagree on a boundary.
+    * The distinct-stopword count is one explicit membership test per list
+    * word, not array_intersect, whose dedup semantics differ across
+    * engines.
+    *
+    * Scale shape: one stateless projection — no explode, no join, no
+    * aggregation; the whole filter is map-side and codegen-friendly
+    * except the two interpreted higher-order lambdas (aggregate/filter
+    * over the word array), the same trade [[qualityFilter]] documents.
+    */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame =
+    gopherQualityOf(Tables.documents(spark, dir))
+
+  def gopherQualityOf(docs: DataFrame): DataFrame = {
+    val minW = GraftConf.gopherMinWords
+    val maxW = GraftConf.gopherMaxWords
+    val nStop = GraftConf.gopherStops.map(w => when(array_contains(col("ws"), w), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    val base = docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("tot_chars", expr("aggregate(ws, 0L, (a, x) -> a + length(x))"))
+      .withColumn("n_sym", regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long"))
+      .withColumn("n_alpha", expr("size(filter(ws, w -> w rlike '[a-zA-Z]'))").cast("long"))
+      .withColumn("n_gstop", nStop)
+    val rShort = col("n_words") < minW
+    val rLong = col("n_words") > maxW
+    val rMeanS = col("tot_chars") < col("n_words") * 3
+    val rMeanL = col("tot_chars") > col("n_words") * 10
+    val rSym = col("n_sym") * 100 > col("n_words") * 10
+    val rAlpha = col("n_alpha") * 100 < col("n_words") * 80
+    val rStop = col("n_gstop") < 2
+    base
+      .withColumn("keep", !rShort && !rLong && !rMeanS && !rMeanL && !rSym && !rAlpha && !rStop)
+      .withColumn("reasons", array_join(concat(
+        when(rShort, array(lit("too_short"))).otherwise(array()),
+        when(rLong, array(lit("too_long"))).otherwise(array()),
+        when(rMeanS, array(lit("short_words"))).otherwise(array()),
+        when(rMeanL, array(lit("long_words"))).otherwise(array()),
+        when(rSym, array(lit("symbol_heavy"))).otherwise(array()),
+        when(rAlpha, array(lit("low_alpha"))).otherwise(array()),
+        when(rStop, array(lit("few_stopwords"))).otherwise(array())), ","))
+      .select("doc_id", "n_words", "tot_chars", "n_sym", "n_alpha", "n_gstop", "keep", "reasons")
+      .contractOrderBy("doc_id")
+  }
+
+  def gopherQualitySql: String = {
+    val minW = GraftConf.gopherMinWords
+    val maxW = GraftConf.gopherMaxWords
+    val stopSum = GraftConf.gopherStops
+      .map(w => s"(CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+       |), base AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS tot_chars,
+       |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_sym,
+       |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+       |    CAST($stopSum AS BIGINT) AS n_gstop
+       |  FROM d
+       |)
+       |SELECT doc_id, n_words, tot_chars, n_sym, n_alpha, n_gstop,
+       |  NOT (n_words < $minW OR n_words > $maxW
+       |       OR tot_chars < n_words * 3 OR tot_chars > n_words * 10
+       |       OR n_sym * 100 > n_words * 10 OR n_alpha * 100 < n_words * 80
+       |       OR n_gstop < 2) AS keep,
+       |  coalesce(array_to_string(
+       |    (CASE WHEN n_words < $minW THEN ['too_short'] ELSE [] END)
+       |    || (CASE WHEN n_words > $maxW THEN ['too_long'] ELSE [] END)
+       |    || (CASE WHEN tot_chars < n_words * 3 THEN ['short_words'] ELSE [] END)
+       |    || (CASE WHEN tot_chars > n_words * 10 THEN ['long_words'] ELSE [] END)
+       |    || (CASE WHEN n_sym * 100 > n_words * 10 THEN ['symbol_heavy'] ELSE [] END)
+       |    || (CASE WHEN n_alpha * 100 < n_words * 80 THEN ['low_alpha'] ELSE [] END)
+       |    || (CASE WHEN n_gstop < 2 THEN ['few_stopwords'] ELSE [] END), ','), '') AS reasons
+       |FROM base
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def qualityFilterSql: String = {
     val stopList = TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(",")
     s"""WITH d AS (

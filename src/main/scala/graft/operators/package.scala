@@ -233,6 +233,27 @@ package object operators {
       * implementations and flip a sampling decision (§5).
       */
     def mixTempSqrts: Int = positive("spark.graft.mix.tempSqrts", "1")
+    /** Gopher word-count floor (`spark.graft.gopher.minWords`) — production
+      * recipe 50 (Rae et al. 2021 A1.1), default scaled to the short
+      * synthetic docs.
+      */
+    def gopherMinWords: Int = positive("spark.graft.gopher.minWords", "10")
+    /** Gopher word-count ceiling (`spark.graft.gopher.maxWords`) —
+      * production recipe 100,000.
+      */
+    def gopherMaxWords: Int = positive("spark.graft.gopher.maxWords", "1000")
+    /** Gopher "must contain ≥ 2 of" stop list
+      * (`spark.graft.gopher.stops`): the production recipe is Gopher's 8
+      * function words (the,be,to,of,and,that,have,with — Rae et al. 2021
+      * A1.1); the default scales to the synthetic corpus's vocabulary,
+      * which carries only `the`/`a` as function words.
+      */
+    def gopherStops: Seq[String] = {
+      val stops = get("spark.graft.gopher.stops", "the,a").split(",").toSeq
+      require(stops.nonEmpty && stops.forall(_.matches("[A-Za-z]+")),
+        s"spark.graft.gopher.stops must be comma-separated alphabetic words, got: ${stops.mkString(",")}")
+      stops
+    }
 
     /** NB classifier held-out modulus (`spark.graft.nb.evalMod`): docs
       * with `doc_id % evalMod == 0` are scored, the rest train.

@@ -228,6 +228,38 @@ class CurationSpec extends SparkSpec {
       .sameElements(Curation.domainMixSample(spark, sf).collect().map(_.toString).sorted))
   }
 
+  test("gopher_quality: each rule fires on its planted violator and only that rule") {
+    import spark.implicits._
+    val good = "the quick brown fox jumped over a lazy dog with energy and that should have been plenty good"
+    val docs = Seq(
+      (1L, good),                                          // passes everything
+      (2L, "the quick a brown"),                           // too_short (4 < 10)
+      (3L, ("the a " + Seq.fill(20)("ab cd e").mkString(" "))), // short_words (mean < 3)
+      (4L, "the a " + Seq.fill(12)("extraordinarily").mkString(" ")), // long_words
+      (5L, "the a " + Seq.fill(12)("x# y# #z# ##w#").mkString(" ")), // symbol_heavy
+      (6L, "the a " + Seq.fill(15)("123 456 789").mkString(" ")), // low_alpha
+      (7L, Seq.fill(15)("alpha beta gamma").mkString(" ")))  // few_stopwords
+      .toDF("doc_id", "text")
+    val out = Curation.gopherQualityOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"), s"good doc rejected: ${out(1L)}")
+    assert(out(1L).getAs[String]("reasons").isEmpty)
+    def reasons(id: Long) = out(id).getAs[String]("reasons").split(",").toSet
+    assert(reasons(2L) == Set("too_short"))
+    assert(reasons(3L).contains("short_words"))
+    assert(reasons(4L).contains("long_words"))
+    assert(reasons(5L).contains("symbol_heavy"))
+    assert(reasons(6L).contains("low_alpha"))
+    assert(reasons(7L) == Set("few_stopwords"))
+    out.values.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == r.getAs[String]("reasons").isEmpty)
+      assert(r.getAs[Long]("n_gstop") <= graft.operators.GraftConf.gopherStops.length)
+    }
+    // real corpus: filter is neither vacuous nor total
+    val real = Curation.gopherQuality(spark, sf).collect()
+    assert(real.exists(_.getAs[Boolean]("keep")) && real.exists(!_.getAs[Boolean]("keep")))
+  }
+
   test("domain_temperature_mix: temperature flattens the mixture toward the tail") {
     import spark.implicits._
     // planted skew: src_big 800 docs, src_mid 150, src_tail 50
