@@ -701,6 +701,127 @@ object TextAnalysis {
       .contractOrderBy("doc_id")
   }
 
+  // ---- winnowing ----------------------------------------------------------
+
+  /** Per-doc winnowing fingerprint selection (Schleimer et al. 2003, the
+    * MOSS algorithm): hash every [[GraftConf.winnowK]]-word gram, slide a
+    * [[GraftConf.winnowW]]-gram window, keep each window's MINIMUM hash —
+    * the distinct kept hashes are the doc's fingerprints. Guarantees:
+    * any exact match of ≥ w+k-1 words between two docs shares at least
+    * one fingerprint (detection), no match shorter than k words is ever
+    * seen (noise), and the expected kept fraction is 2/(w+1) of grams —
+    * the index is a ~w/2× cheaper SAMPLE of [[dupSubstrings]]' full gram
+    * table with a detection guarantee MinHash doesn't give (MinHash bounds
+    * whole-doc Jaccard; winnowing bounds the matched SPAN).
+    *
+    * Gram hashes are the repo's standard 40-bit md5 prefix (`u40`
+    * discipline) so both engines agree bit-for-bit; window argmin is the
+    * plain hash min (hash ties collapse to the same fingerprint VALUE, so
+    * the selected set is tiebreak-free by construction).
+    */
+  private def winnowFpsExpr(k: Int, w: Int): String = {
+    val parts = (1 to k).map(j => s"element_at(ws, i + $j)").mkString(", ")
+    val grams = s"transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', $parts))"
+    val hs = s"transform($grams, g -> cast(conv(substr(md5(g), 1, 10), 16, 10) as bigint))"
+    s"""CASE WHEN size(ws) < $k THEN array()
+       | WHEN size(ws) - ${k - 1} < $w THEN array(array_min($hs))
+       | ELSE array_distinct(transform(sequence(1, size(ws) - ${k - 1} - ${w - 1}),
+       |   j -> array_min(slice($hs, j, $w)))) END""".stripMargin.replace("\n", "")
+  }
+
+  /** `doc_winnow`: per-doc fingerprint accounting — gram count, selected
+    * fingerprint count, density (expected ≈ 2/(w+1), spec-banded).
+    * One stateless projection; the fingerprint array never leaves the doc
+    * row here.
+    */
+  def docWinnow(spark: SparkSession, dir: String): DataFrame =
+    docWinnowOf(Tables.documents(spark, dir))
+
+  def docWinnowOf(docs: DataFrame): DataFrame = {
+    val k = GraftConf.winnowK
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("fps", expr(winnowFpsExpr(k, GraftConf.winnowW)))
+      .withColumn("n_grams", greatest(size(col("ws")) - (k - 1), lit(0)).cast("long"))
+      .withColumn("n_fps", size(col("fps")).cast("long"))
+      .select(col("doc_id"), col("n_grams"), col("n_fps"),
+        round(coalesce(col("n_fps").cast("double") / nullif(col("n_grams"), lit(0L)), lit(0.0)), 4)
+          .as("density"))
+      .contractOrderBy("doc_id")
+  }
+
+  /** `winnow_matches`: cross-doc fingerprint collisions — pairs of docs
+    * sharing ≥ 1 selected fingerprint, with the shared count. The
+    * MOSS-style provenance/plagiarism report, and the scale path for
+    * exact-substring dup detection: the join runs over the ~2/(w+1)
+    * fingerprint sample instead of the full gram table, with the
+    * band-join hot-bucket cap ([[GraftConf.winnowFpCap]]) bounding
+    * boilerplate fingerprints' pair fan-out.
+    */
+  def winnowMatches(spark: SparkSession, dir: String): DataFrame =
+    winnowMatchesOf(Tables.documents(spark, dir))
+
+  def winnowMatchesOf(docs: DataFrame): DataFrame = {
+    val cap = GraftConf.winnowFpCap
+    val fpd = docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(winnowFpsExpr(GraftConf.winnowK, GraftConf.winnowW))).as("fp"))
+      .distinct()
+    val occ = fpd.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2 && col("n_docs") <= cap)
+    val eligible = fpd.join(occ.select("fp"), Seq("fp"))
+    eligible.as("a").join(eligible.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .contractOrderBy("doc_a", "doc_b")
+  }
+
+  /** Shared d/f CTE chain for both winnowing oracles — one string, the
+    * no-drift discipline.
+    */
+  private def winnowCtesSql(k: Int, w: Int): String = {
+    val grams = s"list_transform(generate_series(1, len(ws) - ${k - 1}), i -> array_to_string(ws[i:i+${k - 1}], ' '))"
+    val hs = s"list_transform($grams, g -> CAST(('0x' || substr(md5(g), 1, 10)) AS BIGINT))"
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), f AS (
+       |  SELECT doc_id, len(ws) AS nw,
+       |    CASE WHEN len(ws) < $k THEN CAST([] AS BIGINT[])
+       |         WHEN len(ws) - ${k - 1} < $w THEN [list_min($hs)]
+       |         ELSE list_distinct(list_transform(generate_series(1, len(ws) - ${k - 1} - ${w - 1}),
+       |           j -> list_min(list_slice($hs, j, j + ${w - 1}))))
+       |    END AS fps
+       |  FROM d
+       |)""".stripMargin
+  }
+
+  def docWinnowSql: String = {
+    val k = GraftConf.winnowK
+    s"""${winnowCtesSql(k, GraftConf.winnowW)}
+       |SELECT doc_id, CAST(greatest(nw - ${k - 1}, 0) AS BIGINT) AS n_grams,
+       |  CAST(len(fps) AS BIGINT) AS n_fps,
+       |  round(coalesce(CAST(len(fps) AS DOUBLE) / nullif(greatest(nw - ${k - 1}, 0), 0), 0.0), 4) AS density
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def winnowMatchesSql: String = {
+    val cap = GraftConf.winnowFpCap
+    s"""${winnowCtesSql(GraftConf.winnowK, GraftConf.winnowW)},
+       |fpd AS (
+       |  SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, unnest(fps) AS fp FROM f)
+       |), occ AS (
+       |  SELECT fp FROM fpd GROUP BY fp HAVING count(*) >= 2 AND count(*) <= $cap
+       |), e AS (
+       |  SELECT doc_id, fp FROM fpd JOIN occ USING (fp)
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def dedupSubstringsCutSql: String = {
     val k = GraftConf.dupWindowWords
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

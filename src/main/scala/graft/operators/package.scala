@@ -233,6 +233,19 @@ package object operators {
       * implementations and flip a sampling decision (§5).
       */
     def mixTempSqrts: Int = positive("spark.graft.mix.tempSqrts", "1")
+    /** Winnowing gram width in words (`spark.graft.winnow.k`): noise
+      * threshold — matches shorter than k words are never seen.
+      */
+    def winnowK: Int = positive("spark.graft.winnow.k", "4")
+    /** Winnowing window in grams (`spark.graft.winnow.w`): guarantee
+      * threshold — any exact match of ≥ w+k-1 words shares a fingerprint.
+      */
+    def winnowW: Int = positive("spark.graft.winnow.w", "5")
+    /** Hot-fingerprint cap (`spark.graft.winnow.fpCap`): fingerprints
+      * shared by more docs than this (boilerplate phrases) are dropped
+      * from pair generation — the band-join cap discipline.
+      */
+    def winnowFpCap: Int = positive("spark.graft.winnow.fpCap", "16")
     /** Gopher word-count floor (`spark.graft.gopher.minWords`) — production
       * recipe 50 (Rae et al. 2021 A1.1), default scaled to the short
       * synthetic docs.

@@ -188,6 +188,46 @@ class TextCurationSpec extends SparkSpec {
     assert(s == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("winnowing: detection guarantee, noise threshold, density band") {
+    import graft.operators.{GraftConf, TextAnalysis}
+    val k = GraftConf.winnowK
+    val w = GraftConf.winnowW
+    // doc 1 and 2 share an exact (w+k-1)-word run — the guarantee length;
+    // doc 3 shares only a (k-1)-word fragment — below the noise threshold
+    val run = (1 to w + k - 1).map(i => s"shared$i").mkString(" ")
+    val frag = (1 until k).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, run + " " + (1 to 10).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"b$i").mkString(" ") + " " + run),
+      (3L, frag + " " + (1 to 15).map(i => s"c$i").mkString(" ")),
+      (4L, (1 to 15).map(i => s"d$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowMatchesOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Long]("n_shared")).toMap
+    assert(pairs.contains((1L, 2L)), s"guaranteed match missed: $pairs")
+    assert(pairs.keySet == Set((1L, 2L)),
+      s"sub-threshold or disjoint docs must not pair: $pairs")
+    // fingerprints are a subset of the doc's own gram hashes (selection,
+    // not invention): every selected fp collides only on true shared grams
+    val fps = TextAnalysis.docWinnowOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(fps(4L).getAs[Long]("n_fps") >= 1)
+    fps.values.foreach { r =>
+      assert(r.getAs[Long]("n_fps") <= r.getAs[Long]("n_grams"))
+    }
+    // real corpus: density tracks the published 2/(w+1) expectation
+    val real = TextAnalysis.docWinnow(spark, sf).collect()
+    val dens = real.filter(_.getAs[Long]("n_grams") >= 3L * w)
+      .map(_.getAs[Double]("density"))
+    assert(dens.nonEmpty)
+    val mean = dens.sum / dens.length
+    val expect = 2.0 / (w + 1)
+    assert(mean > expect * 0.6 && mean < expect * 1.8,
+      s"mean density $mean far from 2/(w+1) = $expect")
+    // matches exist on the real corpus (it plants duplicated phrases)
+    assert(TextAnalysis.winnowMatches(spark, sf).count() > 0)
+  }
+
   test("perplexity_buckets: labels are monotone in nll and cuts are sample order statistics") {
     // 9 docs with strictly increasing rarity (doc k repeats a common token
     // 8 times then carries k distinct rare tokens), all in the sample
