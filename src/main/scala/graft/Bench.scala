@@ -87,6 +87,11 @@ object Bench {
       // query JVM cost (measured: up to ~7 s vs ~0.9 s execution) that
       // amortizes to zero at real scale — report steady-state throughput.
       if (warm) { try run(fn) catch { case _: Throwable => () } }
+      // settle the heap before timing: a ~100-query sweep accumulates
+      // enough garbage that collections from the PREVIOUS query otherwise
+      // land inside this one's timed reps (r8: sweep medians ran 1.5x
+      // isolated mins)
+      System.gc()
       val times = (1 to reps).map { _ =>
         // isolate runs: drop caches the previous run materialized so cached
         // inputs don't flatter the timed run
@@ -169,28 +174,26 @@ object Bench {
       s""""adjudicated_min":${qJson(adjudicated, _._1)},"adjudicated_median":${qJson(adjudicated, _._2)},""" +
       s""""sf":"$sfDir"}"""
 
-    // The driver captures only the LAST ~2000 chars of stdout, so a full
-    // 110-query map on stdout truncates and BENCH_rNN records parsed:null
-    // (every round so far). Stdout therefore gets a COMPACT line: summary
-    // stats + the slowest queries that fit the capture window; the complete
-    // per-query/median/adjudication maps live in the target/bench.json
-    // artifact (authoritative, and what the judge reads).
+    // The driver captures only the LAST ~2000 chars of COMBINED output, so
+    // anything beyond summary stats risks truncating the JSON line and
+    // recording parsed:null (r8: summary + adjudication log + a top-slowest
+    // map overflowed the window). Stdout therefore gets ONLY summary stats
+    // + the adjudicated map; the complete per-query/median maps live in the
+    // target/bench.json artifact (authoritative, and what the judge reads).
     def round3(v: Double): Double = math.rint(v * 1000) / 1000
-    val bySlowest = results.toSeq.sortBy { case (_, (min, _)) => -min }
-    val budgetChars = 1800
-    def compactLine(top: Seq[(String, (Double, Double))]): String =
+    // the `queries` key stays (driver contract) but is capped to the 8
+    // slowest — enough signal to read at a glance, small enough that the
+    // line plus the adjudication log always fits the capture window
+    val topSlow = results.toSeq.sortBy { case (_, (min, _)) => -min }.take(8)
+    val compactLine: String =
       s"""{"metric":"total","value":${round3(totalMin)},"unit":"sec","stat":"min","schema_version":2,""" +
       s""""min":${round3(totalMin)},"median":${round3(totalMedian)},"n_queries":${results.size},""" +
       s""""contended":$contended,"probe_sec":[${round3(probeBefore)},${round3(probeAfter)}],""" +
       s""""adjudicated":${adjudicated.map(kv => "\"" + kv._1 + "\":" + round3(kv._2._1)).mkString("{", ",", "}")},""" +
-      s""""queries_omitted":${results.size - top.size},"full_artifact":"target/bench.json",""" +
-      s""""queries":${top.map { case (k, v) => "\"" + k + "\":" + round3(v._1) }.mkString("{", ",", "}")},""" +
+      s""""queries_omitted":${results.size - topSlow.size},"full_artifact":"target/bench.json",""" +
+      s""""queries":${topSlow.map { case (k, v) => "\"" + k + "\":" + round3(v._1) }.mkString("{", ",", "}")},""" +
       s""""sf":"$sfDir"}"""
-    // keep the slowest queries; drop from the fast tail until the line fits
-    val keep = Iterator.iterate(bySlowest)(_.dropRight(1))
-      .find(t => t.isEmpty || compactLine(t).length <= budgetChars)
-      .getOrElse(Seq.empty)
-    println(compactLine(keep))
+    println(compactLine)
 
     // full artifact: only a FULL sweep may write target/bench.json — a
     // SPARK_GRAFT_BENCH_ONLY adjudication run would otherwise clobber the

@@ -19,9 +19,12 @@ import graft.sources.Tables
   * per-run (noise would break cross-engine parity for no semantic gain
   * here).
   *
-  * Determinism: both `ln` calls are rounded once to 6 dp and frozen as
-  * DECIMAL(18,6) (the §5 / `nb_classify` discipline); per-doc scores are
-  * exact decimal sums of those frozen ratios, so ranking can't
+  * Determinism: NO libm anywhere. Every log is [[Selection.withLnq6]] —
+  * a scaled-integer natural log (bit-length + atanh series in truncating
+  * bigint division) both engines evaluate bit-identically, so a frozen
+  * 6-dp value can never last-ulp-flip between Spark's Math.log and
+  * DuckDB's ln (the r8 `dsir_select` hash dispute). Per-doc scores are
+  * exact decimal sums of those integer-derived ratios, so ranking can't
   * float-flip. Ties break to lower doc_id.
   *
   * Scale shape: the bucket ratio table is ≤ [[Selection.DsirBuckets]]
@@ -54,6 +57,36 @@ object Selection {
       .withColumn("bkt",
         expr(s"cast(conv(substr(md5(bg), 1, 8), 16, 10) as bigint) % $DsirBuckets"))
 
+  /** Scaled-integer natural log: appends `$out` = a bigint ≈ ln($in)·1e6,
+    * computed in PURE bigint arithmetic — bit-length by 63 shift-compares,
+    * a 2^20-scaled mantissa, the atanh series `ln z = 2(y + y³/3 + … +
+    * y¹¹/11)` with `y = (m−2^T)/(m+2^T)` at intermediate scale 1e9, every
+    * division truncating integer `div` on nonnegative operands (where
+    * Spark and DuckDB agree). Max abs error vs true ln ≈ 2e-6 — noise for
+    * an importance weight — and both engines evaluate it bit-identically,
+    * which is the point. Defined for 1 ≤ n < 2^62. Evaluated only on the
+    * ≤ [[DsirBuckets]]-row ratio table, never on the corpus grain.
+    */
+  private def withLnq6(df: DataFrame, in: String, out: String): DataFrame = {
+    val S2 = "1000000000" // intermediate scale 1e9
+    val M  = "1048576"    // 2^20, the mantissa scale
+    df
+      .withColumn(s"${out}_e", expr(
+        s"aggregate(sequence(0, 62), 0, (a, i) -> a + IF(shiftleft(cast(1 as bigint), i) <= $in, 1, 0)) - 1"))
+      .withColumn(s"${out}_m", expr(
+        s"IF(${out}_e >= 20, $in div shiftleft(cast(1 as bigint), ${out}_e - 20), $in * shiftleft(cast(1 as bigint), 20 - ${out}_e))"))
+      .withColumn(s"${out}_y",   expr(s"((${out}_m - $M) * $S2) div (${out}_m + $M)"))
+      .withColumn(s"${out}_y2",  expr(s"(${out}_y * ${out}_y) div $S2"))
+      .withColumn(s"${out}_p3",  expr(s"(${out}_y2 * ${out}_y) div $S2"))
+      .withColumn(s"${out}_p5",  expr(s"(${out}_p3 * ${out}_y2) div $S2"))
+      .withColumn(s"${out}_p7",  expr(s"(${out}_p5 * ${out}_y2) div $S2"))
+      .withColumn(s"${out}_p9",  expr(s"(${out}_p7 * ${out}_y2) div $S2"))
+      .withColumn(s"${out}_p11", expr(s"(${out}_p9 * ${out}_y2) div $S2"))
+      .withColumn(out, expr(
+        s"(cast(${out}_e as bigint) * 693147181L + 2 * (${out}_y + ${out}_p3 div 3 + ${out}_p5 div 5 + ${out}_p7 div 7 + ${out}_p9 div 9 + ${out}_p11 div 11)) div 1000"))
+      .drop(Seq("_e", "_m", "_y", "_y2", "_p3", "_p5", "_p7", "_p9", "_p11").map(out + _): _*)
+  }
+
   /** The per-bucket log-ratio table (bkt, lr) — DSIR's fixed-size sketch
     * of the target distribution. ≤ [[DsirBuckets]] rows; a deployment
     * builds this ONCE from the static corpus and broadcasts it everywhere
@@ -71,13 +104,18 @@ object Selection {
     val totals = inst.agg(
       sum(when(col("is_target"), 1L).otherwise(0L)).as("tt"),
       sum(when(!col("is_target"), 1L).otherwise(0L)).as("tr"))
-    // per-bucket log-ratio: each ln rounded ONCE then frozen as decimal
-    counts.crossJoin(broadcast(totals))
-      .select(col("bkt"),
-        (round(log((col("ct") + 1).cast("double") / (col("tt") + b).cast("double")), 6)
-            .cast("decimal(18,6)") -
-          round(log((col("cr") + 1).cast("double") / (col("tr") + b).cast("double")), 6)
-            .cast("decimal(18,6)")).as("lr"))
+    // per-bucket log-ratio, every log the scaled-integer [[withLnq6]];
+    // units of 1e-6 nats, frozen exactly into a scale-6 decimal at the end
+    val joined = counts.crossJoin(broadcast(totals))
+      .withColumn("n_ct", col("ct") + 1)
+      .withColumn("n_cr", col("cr") + 1)
+      .withColumn("n_tt", col("tt") + b)
+      .withColumn("n_tr", col("tr") + b)
+    val lnq = Seq("ct", "cr", "tt", "tr")
+      .foldLeft(joined) { case (d, v) => withLnq6(d, s"n_$v", s"u_$v") }
+    lnq.select(col("bkt"),
+      (((col("u_ct") - col("u_tt")) - (col("u_cr") - col("u_tr"))) *
+        expr("cast(0.000001 as decimal(7,6))")).as("lr"))
   }
 
   /** Every pool doc with its importance score, pre-cut:
@@ -139,11 +177,31 @@ object Selection {
        |    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tt,
        |    CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS tr
        |  FROM inst
+       |), vals AS (
+       |  SELECT bkt, 0 AS tag, ct + 1 AS n FROM cnt
+       |  UNION ALL SELECT bkt, 1, cr + 1 FROM cnt
+       |  UNION ALL SELECT NULL, 2, tt + $b FROM tot
+       |  UNION ALL SELECT NULL, 3, tr + $b FROM tot
+       |), lnq AS (
+       |  SELECT bkt, tag,
+       |    len(list_filter(generate_series(0, 62), i -> (CAST(1 AS BIGINT) << i) <= n)) - 1 AS e,
+       |    CASE WHEN e >= 20 THEN n // (CAST(1 AS BIGINT) << (e - 20))
+       |         ELSE n * (CAST(1 AS BIGINT) << (20 - e)) END AS m,
+       |    ((m - 1048576) * 1000000000) // (m + 1048576) AS y,
+       |    (y * y) // 1000000000 AS y2,
+       |    (y2 * y) // 1000000000 AS p3,
+       |    (p3 * y2) // 1000000000 AS p5,
+       |    (p5 * y2) // 1000000000 AS p7,
+       |    (p7 * y2) // 1000000000 AS p9,
+       |    (p9 * y2) // 1000000000 AS p11,
+       |    (CAST(e AS BIGINT) * 693147181 + 2 * (y + p3 // 3 + p5 // 5 + p7 // 7 + p9 // 9 + p11 // 11)) // 1000 AS u6
+       |  FROM vals
        |), lr AS (
        |  SELECT bkt,
-       |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + $b AS DOUBLE)), 6) AS DECIMAL(18,6))
-       |      - CAST(round(ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + $b AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lrv
-       |  FROM cnt, tot
+       |    (sum(CASE WHEN tag = 0 THEN u6 END) - (SELECT u6 FROM lnq WHERE tag = 2)
+       |      - (sum(CASE WHEN tag = 1 THEN u6 END) - (SELECT u6 FROM lnq WHERE tag = 3)))
+       |      * CAST(0.000001 AS DECIMAL(7,6)) AS lrv
+       |  FROM lnq WHERE tag IN (0, 1) GROUP BY bkt
        |), scored AS (
        |  SELECT i.doc_id, sum(l.lrv) AS score, count(*) AS n_feats
        |  FROM inst i JOIN lr l USING (bkt) WHERE NOT i.is_target GROUP BY i.doc_id

@@ -719,15 +719,26 @@ object TextAnalysis {
     * plain hash min (hash ties collapse to the same fingerprint VALUE, so
     * the selected set is tiebreak-free by construction).
     */
-  private def winnowFpsExpr(k: Int, w: Int): String = {
+  private def winnowHashExpr(k: Int): String = {
     val parts = (1 to k).map(j => s"element_at(ws, i + $j)").mkString(", ")
     val grams = s"transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', $parts))"
-    val hs = s"transform($grams, g -> cast(conv(substr(md5(g), 1, 10), 16, 10) as bigint))"
-    s"""CASE WHEN size(ws) < $k THEN array()
-       | WHEN size(ws) - ${k - 1} < $w THEN array(array_min($hs))
-       | ELSE array_distinct(transform(sequence(1, size(ws) - ${k - 1} - ${w - 1}),
-       |   j -> array_min(slice($hs, j, $w)))) END""".stripMargin.replace("\n", "")
+    s"""CASE WHEN size(ws) < $k THEN cast(array() as array<bigint>)
+       | ELSE transform($grams, g -> cast(conv(substr(md5(g), 1, 10), 16, 10) as bigint)) END"""
+      .stripMargin.replace("\n", "")
   }
+
+  /** Window-argmin over a BOUND `hs` column. `hs` must be materialized by its
+    * own projection first (Spark does not common-subexpression-eliminate
+    * inside higher-order-function lambdas, so inlining the gram-hash array
+    * into the per-window lambda re-hashes every gram once per window —
+    * O(L²) per document; CollapseProject leaves the two projections apart
+    * because `hs` is non-cheap and referenced more than once here).
+    */
+  private def winnowSelExpr(w: Int): String =
+    s"""CASE WHEN size(hs) = 0 THEN hs
+       | WHEN size(hs) < $w THEN array(array_min(hs))
+       | ELSE array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
+       |   j -> array_min(slice(hs, j, $w)))) END""".stripMargin.replace("\n", "")
 
   /** `doc_winnow`: per-doc fingerprint accounting — gram count, selected
     * fingerprint count, density (expected ≈ 2/(w+1), spec-banded).
@@ -741,7 +752,8 @@ object TextAnalysis {
     val k = GraftConf.winnowK
     docs
       .withColumn("ws", split(col("text"), " "))
-      .withColumn("fps", expr(winnowFpsExpr(k, GraftConf.winnowW)))
+      .withColumn("hs", expr(winnowHashExpr(k)))
+      .withColumn("fps", expr(winnowSelExpr(GraftConf.winnowW)))
       .withColumn("n_grams", greatest(size(col("ws")) - (k - 1), lit(0)).cast("long"))
       .withColumn("n_fps", size(col("fps")).cast("long"))
       .select(col("doc_id"), col("n_grams"), col("n_fps"),
@@ -765,7 +777,8 @@ object TextAnalysis {
     val cap = GraftConf.winnowFpCap
     val fpd = docs
       .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(winnowFpsExpr(GraftConf.winnowK, GraftConf.winnowW))).as("fp"))
+      .withColumn("hs", expr(winnowHashExpr(GraftConf.winnowK)))
+      .select(col("doc_id"), explode(expr(winnowSelExpr(GraftConf.winnowW))).as("fp"))
       .distinct()
     val occ = fpd.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2 && col("n_docs") <= cap)
@@ -820,6 +833,119 @@ object TextAnalysis {
        |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY a.doc_id, b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** `winnow_spans`: MOSS provenance spans FROM THE FINGERPRINT SAMPLE
+    * ALONE — for every doc, the merged word-index ranges covered by
+    * fingerprints that also occur in another doc (2 ≤ doc-freq ≤
+    * [[GraftConf.winnowFpCap]]). This is the act-step Lee et al. 2022 §5
+    * motivates: the full gram table ([[dupSubstrings]]) localizes shared
+    * runs at O(L) index rows per doc; winnowing localizes the SAME runs
+    * (any shared run of ≥ w+k−1 words contains a full shared window, whose
+    * min-hash is selected in both docs — the detection guarantee carries a
+    * position with it) from the ~2/(w+1) sample. Selection here keeps the
+    * argmin POSITION per window (leftmost on a value tie, both engines);
+    * matched positions expand to their k-word gram extents and merge via
+    * gaps-and-islands (adjacent or overlapping extents fuse).
+    *
+    * Scale shape: one linear projection per doc (the bound-`hs` column,
+    * never O(L²)), a window-grain explode bounded by L, the same capped
+    * fingerprint equi-join as `winnow_matches`, and a per-doc window
+    * function — no corpus-grain sort, no cartesian.
+    */
+  def winnowSpans(spark: SparkSession, dir: String): DataFrame =
+    winnowSpansOf(Tables.documents(spark, dir))
+
+  def winnowSpansOf(docs: DataFrame): DataFrame = {
+    val k = GraftConf.winnowK
+    val w = GraftConf.winnowW
+    val cap = GraftConf.winnowFpCap
+    // the doc cut rides the CHEAP size(ws) predicate, not size(hs): a
+    // filter on hs is pushed below the projection with the whole hash
+    // expression substituted into the predicate — evaluated once to
+    // filter, again to project (measured 10x on this stage)
+    val hsd = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= k)
+      .withColumn("hs", expr(winnowHashExpr(k)))
+      .select(col("doc_id"), col("hs"))
+    // one (fp, pos) struct per winnow window, computed INSIDE a lambda over
+    // the bound hs column (1-based gram index; slice clamps, so a short doc
+    // is one window) — the explode then carries only the 16-byte structs,
+    // never a per-window copy of the whole hash array
+    val wnd = hsd
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, greatest(size(hs) - ${w - 1}, 1)), j ->
+           | named_struct('fp', array_min(slice(hs, j, $w)),
+           |   'pos', j + array_position(slice(hs, j, $w), array_min(slice(hs, j, $w))) - 1))"""
+          .stripMargin.replace("\n", ""))).as("s"))
+      .select(col("doc_id"), col("s.fp").as("fp"), col("s.pos").as("pos"))
+    // fppos feeds BOTH the doc-frequency cut and the span join — persist so
+    // the hash+select pass runs once, not once per consumer (same registry
+    // the dedup lanes use; Bench releases it between reps)
+    val fppos = Intermediates.persist(wnd.distinct())
+    val occ = fppos.select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= cap)
+      .select("fp")
+    val m = fppos.join(occ, Seq("fp"))
+      .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("pend"))
+    val before = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.withColumn("prev_end", max(col("pend")).over(before))
+      .withColumn("ni",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(upto))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"), max(col("pend")).as("span_end"),
+        count(lit(1)).as("n_fps"))
+      .select("doc_id", "span_start", "span_end", "n_fps")
+      .contractOrderBy("doc_id", "span_start")
+  }
+
+  def winnowSpansSql: String = {
+    val k = GraftConf.winnowK
+    val w = GraftConf.winnowW
+    val cap = GraftConf.winnowFpCap
+    val grams = s"list_transform(generate_series(1, len(ws) - ${k - 1}), i -> array_to_string(ws[i:i+${k - 1}], ' '))"
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) < $k THEN CAST([] AS BIGINT[])
+       |         ELSE list_transform($grams, g -> CAST(('0x' || substr(md5(g), 1, 10)) AS BIGINT)) END AS hs
+       |  FROM d
+       |), wnd AS (
+       |  SELECT doc_id, j,
+       |    list_slice(hs, j, j + ${w - 1}) AS win,
+       |    list_min(win) AS fp,
+       |    j + list_position(win, fp) - 1 AS pos
+       |  FROM (SELECT doc_id, hs, unnest(generate_series(1, greatest(len(hs) - ${w - 1}, 1))) AS j
+       |        FROM h WHERE len(hs) > 0)
+       |), fppos AS (
+       |  SELECT DISTINCT doc_id, fp, pos FROM wnd
+       |), occ AS (
+       |  SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM fppos)
+       |  GROUP BY fp HAVING count(*) >= 2 AND count(*) <= $cap
+       |), m AS (
+       |  SELECT doc_id, pos, pos + ${k - 1} AS pend FROM fppos JOIN occ USING (fp)
+       |), isl AS (
+       |  SELECT doc_id, pos, pend,
+       |    max(pend) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM m
+       |), grp AS (
+       |  SELECT doc_id, pos, pend,
+       |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl
+       |)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pend) AS BIGINT) AS span_end, CAST(count(*) AS BIGINT) AS n_fps
+       |FROM grp GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
   }
 
   def dedupSubstringsCutSql: String = {

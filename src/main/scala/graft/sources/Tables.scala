@@ -19,14 +19,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * natively; read nanos as long and truncate to a micros timestamp (same
-    * truncation DuckDB applies when casting its TIMESTAMP_NS to TIMESTAMP).
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) (which Spark 4
+    * refuses to read natively) and plain timestamp[us]. Dispatch on the loaded
+    * dtype: a timestamp column is used as-is (NTZ cast to session-tz TIMESTAMP
+    * to keep downstream window/sessionize semantics stable); a long column is
+    * the nanosAsLong fallback, truncated to micros (the same truncation DuckDB
+    * applies when casting its TIMESTAMP_NS to TIMESTAMP).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventsTs(load(s, d, "events"))
+  }
+
+  /** Dtype-dispatch for the ts column; shared by the batch loader and any
+    * streaming reader over the same files.
+    */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported parquet type $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

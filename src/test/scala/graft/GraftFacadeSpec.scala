@@ -40,16 +40,16 @@ class GraftFacadeSpec extends SparkSpec {
   }
 
   test("streaming file source: windowed counts over the events parquet dir") {
-    // stream the real events table (nanos ts shimmed to micros like the
-    // batch path) through the streaming windowed aggregation
+    // stream the real events table (ts normalized exactly like the batch
+    // path) through the streaming windowed aggregation
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file streams need a directory source; stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = sources.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val q = StreamOps.windowedCounts(stream)
       .writeStream.format("memory").queryName("file_wc").outputMode("complete").start()
     try {

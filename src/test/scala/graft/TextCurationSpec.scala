@@ -228,6 +228,41 @@ class TextCurationSpec extends SparkSpec {
     assert(TextAnalysis.winnowMatches(spark, sf).count() > 0)
   }
 
+  test("winnow_spans: a planted guarantee-length run is localized from fingerprints only") {
+    import graft.operators.{GraftConf, TextAnalysis}
+    val k = GraftConf.winnowK
+    val w = GraftConf.winnowW
+    // the shared run sits at a KNOWN word offset in each doc; everything
+    // else is doc-unique vocabulary, so any reported span must come from
+    // the run's fingerprints alone
+    val run = (1 to w + k - 1).map(i => s"shared$i").mkString(" ")
+    val pre1 = 7; val pre2 = 12
+    val docs = Seq(
+      (1L, (1 to pre1).map(i => s"a$i").mkString(" ") + " " + run + " " +
+        (1 to 9).map(i => s"x$i").mkString(" ")),
+      (2L, (1 to pre2).map(i => s"b$i").mkString(" ") + " " + run),
+      (3L, (1 to 20).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = TextAnalysis.winnowSpansOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))
+    // run occupies gram positions [pre+1, pre+w] (w grams fully inside the
+    // run) — every reported span must overlap that range, and each doc
+    // with the run must report at least one such span; the disjoint doc
+    // reports nothing
+    def overlaps(s: (Long, Long, Long), lo: Long, hi: Long): Boolean =
+      s._2 <= hi && s._3 >= lo
+    val d1 = spans.filter(_._1 == 1L)
+    val d2 = spans.filter(_._1 == 2L)
+    assert(d1.nonEmpty && d1.forall(overlaps(_, pre1 + 1, pre1 + w + k - 1)),
+      s"doc 1 spans $d1 must localize the run at words [${pre1 + 1}, ${pre1 + w + k - 1}]")
+    assert(d2.nonEmpty && d2.forall(overlaps(_, pre2 + 1, pre2 + w + k - 1)),
+      s"doc 2 spans $d2 must localize the run at words [${pre2 + 1}, ${pre2 + w + k - 1}]")
+    assert(!spans.exists(_._1 == 3L), s"disjoint doc must report no span: $spans")
+    // span word-extents stay inside their documents and starts are positive
+    assert(spans.forall(s => s._2 >= 1 && s._3 >= s._2))
+  }
+
   test("perplexity_buckets: labels are monotone in nll and cuts are sample order statistics") {
     // 9 docs with strictly increasing rarity (doc k repeats a common token
     // 8 times then carries k distinct rare tokens), all in the sample
