@@ -28,30 +28,37 @@ import graft.sources.Tables
 object AnnIndex {
 
   /** Every knob that changes the stored bytes: coarse-quantizer training
-    * (k, iters, sample mod), PQ geometry/training (subs, k, iters), and
-    * the fixed-point grid. Query-time knobs (nprobe, rerank, topK) are
-    * deliberately excluded — the same index serves any of them.
+    * (k, iters, sample mod), PQ geometry/training (subs, k, iters), the
+    * fixed-point grid, and whether codes encode residuals (a residual
+    * store decoded as raw codes — or vice versa — is silent garbage, so
+    * the encoding IS part of the fingerprint). Query-time knobs (nprobe,
+    * rerank, topK) are deliberately excluded — the same index serves any
+    * of them.
     */
-  def ivfPqFingerprint: String =
+  def ivfPqFingerprint: String = fingerprint(residual = false)
+
+  private def fingerprint(residual: Boolean): String =
     s"kmeansK=${Clustering.K};kmeansIters=${Clustering.Iters};" +
       s"trainMod=${Clustering.TrainSampleMod};pqSubs=${Clustering.PqSubs};" +
-      s"pqK=${Clustering.PqK};pqIters=${Clustering.PqIters};scale=${Clustering.Scale}"
+      s"pqK=${Clustering.PqK};pqIters=${Clustering.PqIters};scale=${Clustering.Scale};" +
+      s"residual=$residual"
 
   private val MetaKey = "graft.ann.ivfpq"
 
-  private def stamp(df: DataFrame, colName: String): DataFrame = {
-    val m = new MetadataBuilder().putString(MetaKey, ivfPqFingerprint).build()
+  private def stamp(df: DataFrame, colName: String, residual: Boolean): DataFrame = {
+    val m = new MetadataBuilder().putString(MetaKey, fingerprint(residual)).build()
     df.withColumn(colName, col(colName).as(colName, m))
   }
 
-  private[graft] def validateConf(df: DataFrame, colName: String, what: String): Unit =
+  private[graft] def validateConf(df: DataFrame, colName: String, what: String,
+      residual: Boolean = false): Unit =
     df.schema.fields.find(_.name == colName)
       .filter(_.metadata.contains(MetaKey))
       .map(_.metadata.getString(MetaKey))
       .foreach { stored =>
-        if (stored != ivfPqFingerprint) throw new IllegalStateException(
+        if (stored != fingerprint(residual)) throw new IllegalStateException(
           s"$what was built with ANN conf [$stored] but the live spark.graft.* conf is " +
-            s"[$ivfPqFingerprint]; stored codes would silently mis-decode — " +
+            s"[${fingerprint(residual)}]; stored codes would silently mis-decode — " +
             "rebuild the index or align the conf")
       }
 
@@ -71,9 +78,38 @@ object AnnIndex {
       Clustering.pqCodebookArrays(Clustering.pqCodebooksOf(scaled)))
     val codes = Similarity.pqCodesArr(Similarity.pqSubArrays(scaled), cb)
       .join(assigned, "vec_id")
-    stamp(codes, "codes").write.mode("overwrite")
+    stamp(codes, "codes", residual = false).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$path/codes")
-    stamp(cb, "cemb").write.mode("overwrite").parquet(s"$path/codebooks")
+    stamp(cb, "cemb", residual = false).write.mode("overwrite").parquet(s"$path/codebooks")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    Dedup.releaseIntermediates()
+  }
+
+  /** Train + persist the RESIDUAL IVF-PQ index (faiss `by_residual=true`,
+    * the `ann_topk_ivfpq_r` encoding): codebooks train on each vector's
+    * offset from its coarse centroid and codes encode those residuals —
+    * same layout as [[writeIvfPq]] (`centroids/`, `codebooks/`, `codes/`
+    * partitioned by cell), stamped `residual=true` so the two stores can
+    * never be mistaken for each other.
+    */
+  def writeIvfPqR(spark: SparkSession, dir: String, path: String): Unit = {
+    val scaled = Clustering.scaledEmb(spark, dir)
+    val cents = Intermediates.persist(Clustering.trainedCentroidsOf(scaled))
+    val assigned = scaled.crossJoin(broadcast(cents))
+      .withColumn("d2", expr("graft_l2sq(se, cemb)"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+    val resid = scaled.join(assigned, "vec_id")
+      .join(broadcast(cents.select(col("cid").as("cell"), col("cemb").as("ccemb"))), "cell")
+      .select(col("vec_id"), expr("zip_with(se, ccemb, (a, b) -> a - b)").as("se"))
+    val cb = Intermediates.persist(
+      Clustering.pqCodebookArrays(Clustering.pqCodebooksOf(resid)))
+    val codes = Similarity.pqCodesArr(Similarity.pqSubArrays(resid), cb)
+      .join(assigned, "vec_id")
+    stamp(codes, "codes", residual = true).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/codes")
+    stamp(cb, "cemb", residual = true).write.mode("overwrite").parquet(s"$path/codebooks")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     Dedup.releaseIntermediates()
   }
@@ -111,7 +147,49 @@ object AnnIndex {
     Similarity.pqAdcRerank(pairs, scaled, "cos_ivfpq")
   }
 
+  /** Answer top-k from the stored RESIDUAL index — identical results to
+    * `ann_topk_ivfpq_r` (AnnIndexSpec asserts bit-for-bit). Same probe +
+    * partition-pruned code scan as [[ivfPqTopKFrom]], plus the
+    * per-(query, probed-cell) exact centroid dot joining in as the ADC
+    * offset (`q·x = q·c_cell + q·r̂`, the integer-grid decomposition).
+    */
+  def ivfPqRTopKFrom(spark: SparkSession, indexPath: String, embs: DataFrame): DataFrame = {
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    validateConf(codes, "codes", "stored residual IVF-PQ code table", residual = true)
+    val cb = spark.read.parquet(s"$indexPath/codebooks")
+    validateConf(cb, "cemb", "stored residual IVF-PQ codebooks", residual = true)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val scaled = Clustering.scaledEmbOf(embs)
+    val qscaled = scaled.filter(col("vec_id") < Similarity.NumQueries)
+    // dt: FULL query subvectors vs the residual codebooks
+    val dq = Similarity.pqQueryDt(Similarity.pqSubArrays(qscaled), cb)
+    val dAllQ = qscaled.crossJoin(broadcast(cents))
+      .withColumn("d2", expr("graft_l2sq(se, cemb)"))
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val probe = dAllQ.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= Similarity.NProbe)
+      .select(col("vec_id").as("query_id"), col("cid").as("pcell"))
+    val qcell = probe
+      .join(qscaled.select(col("vec_id").as("query_id"), col("se").as("qse")), "query_id")
+      .join(broadcast(cents.select(col("cid").as("pcell"), col("cemb").as("pcemb"))), "pcell")
+      .select(col("query_id"), col("pcell"), expr(
+        """cast(graft_dot(transform(qse, x -> cast(x as double)),
+          | transform(pcemb, x -> cast(x as double))) as bigint)"""
+          .stripMargin.replace("\n", "")).as("qc"))
+    val cells = probe.select("pcell").distinct().collect().map(_.getLong(0))
+    val pruned = codes.filter(col("cell").isin(cells: _*))
+    val pairs = broadcast(probe).join(pruned, col("pcell") === col("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(dq), "query_id")
+      .join(broadcast(qcell), Seq("query_id", "pcell"))
+    Similarity.pqAdcRerank(pairs, scaled, "cos_ivfpqr", adcOffset = col("qc"))
+  }
+
   /** Convenience: query the stored index against the corpus at `dir`. */
   def ivfPqTopK(spark: SparkSession, indexPath: String, dir: String): DataFrame =
     ivfPqTopKFrom(spark, indexPath, Tables.embeddings(spark, dir))
+
+  /** Convenience: query the stored residual index at `dir`. */
+  def ivfPqRTopK(spark: SparkSession, indexPath: String, dir: String): DataFrame =
+    ivfPqRTopKFrom(spark, indexPath, Tables.embeddings(spark, dir))
 }

@@ -25,6 +25,31 @@ class AnnIndexSpec extends SparkSpec {
       s"stored ${stored.take(3)}... vs mem ${mem.take(3)}...")
   }
 
+  test("stored residual-index query ≡ in-memory ann_topk_ivfpq_r, bit for bit") {
+    val path = java.nio.file.Files.createTempDirectory("graft-annindex-r").toString
+    AnnIndex.writeIvfPqR(spark, sf, path)
+    val stored = AnnIndex.ivfPqRTopK(spark, path, sf).collect().map(_.toSeq).toSeq
+    val mem = Similarity.annTopKIvfPqR(spark, sf).collect().map(_.toSeq).toSeq
+    Dedup.releaseIntermediates()
+    assert(stored.nonEmpty && stored == mem,
+      s"stored ${stored.take(3)}... vs mem ${mem.take(3)}...")
+  }
+
+  test("a residual store can never be read by the plain query path (or vice versa)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-annindex-x").toString
+    AnnIndex.writeIvfPqR(spark, sf, path)
+    val e = intercept[IllegalStateException] {
+      AnnIndex.ivfPqTopK(spark, path, sf).collect()
+    }
+    assert(e.getMessage.contains("residual=true") && e.getMessage.contains("residual=false"))
+    val plain = freshIndex()
+    val e2 = intercept[IllegalStateException] {
+      AnnIndex.ivfPqRTopK(spark, plain, sf).collect()
+    }
+    assert(e2.getMessage.contains("residual=false") && e2.getMessage.contains("residual=true"))
+    Dedup.releaseIntermediates()
+  }
+
   test("conf drift between index build and query fails fast") {
     val path = freshIndex()
     spark.conf.set("spark.graft.ann.pqK", "16")
