@@ -856,23 +856,28 @@ object TextAnalysis {
   def winnowSpans(spark: SparkSession, dir: String): DataFrame =
     winnowSpansOf(Tables.documents(spark, dir))
 
-  def winnowSpansOf(docs: DataFrame): DataFrame = {
+  /** Shared fingerprint-position core: (doc_id, fp, pos) per selected
+    * winnow fingerprint occurrence, 1-based gram index, persisted (it
+    * feeds ≥ 2 consumers in every caller; Bench releases the registry
+    * between reps).
+    *
+    * The doc cut rides the CHEAP size(ws) predicate, not size(hs): a
+    * filter on hs is pushed below the projection with the whole hash
+    * expression substituted into the predicate — evaluated once to
+    * filter, again to project (measured 10x on this stage). The (fp, pos)
+    * struct per window is computed INSIDE a lambda over the bound hs
+    * column (slice clamps, so a short doc is one window) — the explode
+    * carries only the 16-byte structs, never a per-window copy of the
+    * whole hash array.
+    */
+  private def winnowFpPosOf(docs: DataFrame): DataFrame = {
     val k = GraftConf.winnowK
     val w = GraftConf.winnowW
-    val cap = GraftConf.winnowFpCap
-    // the doc cut rides the CHEAP size(ws) predicate, not size(hs): a
-    // filter on hs is pushed below the projection with the whole hash
-    // expression substituted into the predicate — evaluated once to
-    // filter, again to project (measured 10x on this stage)
     val hsd = docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= k)
       .withColumn("hs", expr(winnowHashExpr(k)))
       .select(col("doc_id"), col("hs"))
-    // one (fp, pos) struct per winnow window, computed INSIDE a lambda over
-    // the bound hs column (1-based gram index; slice clamps, so a short doc
-    // is one window) — the explode then carries only the 16-byte structs,
-    // never a per-window copy of the whole hash array
     val wnd = hsd
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, greatest(size(hs) - ${w - 1}, 1)), j ->
@@ -880,15 +885,20 @@ object TextAnalysis {
            |   'pos', j + array_position(slice(hs, j, $w), array_min(slice(hs, j, $w))) - 1))"""
           .stripMargin.replace("\n", ""))).as("s"))
       .select(col("doc_id"), col("s.fp").as("fp"), col("s.pos").as("pos"))
-    // fppos feeds BOTH the doc-frequency cut and the span join — persist so
-    // the hash+select pass runs once, not once per consumer (same registry
-    // the dedup lanes use; Bench releases it between reps)
-    val fppos = Intermediates.persist(wnd.distinct())
-    val occ = fppos.select(col("doc_id"), col("fp")).distinct()
+    Intermediates.persist(wnd.distinct())
+  }
+
+  /** Fingerprints eligible for matching: shared by 2..cap distinct docs. */
+  private def winnowOccOf(fppos: DataFrame): DataFrame =
+    fppos.select(col("doc_id"), col("fp")).distinct()
       .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2 && col("nd") <= cap)
+      .filter(col("nd") >= 2 && col("nd") <= GraftConf.winnowFpCap)
       .select("fp")
-    val m = fppos.join(occ, Seq("fp"))
+
+  def winnowSpansOf(docs: DataFrame): DataFrame = {
+    val k = GraftConf.winnowK
+    val fppos = winnowFpPosOf(docs)
+    val m = fppos.join(winnowOccOf(fppos), Seq("fp"))
       .select(col("doc_id"), col("pos"), (col("pos") + (k - 1)).as("pend"))
     val before = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -905,10 +915,11 @@ object TextAnalysis {
       .contractOrderBy("doc_id", "span_start")
   }
 
-  def winnowSpansSql: String = {
-    val k = GraftConf.winnowK
-    val w = GraftConf.winnowW
-    val cap = GraftConf.winnowFpCap
+  /** Shared d/h/wnd/fppos/occ CTE prefix for the span and cut oracles —
+    * the SQL twin of [[winnowFpPosOf]]/[[winnowOccOf]], one string so the
+    * two surfaces can't drift.
+    */
+  private def winnowPosCtesSql(k: Int, w: Int, cap: Int): String = {
     val grams = s"list_transform(generate_series(1, len(ws) - ${k - 1}), i -> array_to_string(ws[i:i+${k - 1}], ' '))"
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |h AS (
@@ -928,7 +939,13 @@ object TextAnalysis {
        |), occ AS (
        |  SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM fppos)
        |  GROUP BY fp HAVING count(*) >= 2 AND count(*) <= $cap
-       |), m AS (
+       |)""".stripMargin
+  }
+
+  def winnowSpansSql: String = {
+    val k = GraftConf.winnowK
+    s"""${winnowPosCtesSql(k, GraftConf.winnowW, GraftConf.winnowFpCap)},
+       |m AS (
        |  SELECT doc_id, pos, pos + ${k - 1} AS pend FROM fppos JOIN occ USING (fp)
        |), isl AS (
        |  SELECT doc_id, pos, pend,
@@ -946,6 +963,93 @@ object TextAnalysis {
        |  CAST(max(pend) AS BIGINT) AS span_end, CAST(count(*) AS BIGINT) AS n_fps
        |FROM grp GROUP BY doc_id, island
        |ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  /** `winnow_cut`: the ACT step over the fingerprint sample — every
+    * matched fingerprint occurrence that is NOT the globally first
+    * (min packed (doc_id, pos), the [[dedupSubstringsCut]] keep-first
+    * convention) cuts its k-word gram extent; emits cleaned text + removed
+    * word/char accounting per doc, same contract as `dedup_substrings_cut`.
+    *
+    * The sampled trade-off, stated: `dedup_substrings_cut` removes EVERY
+    * duplicated window at full gram-table cost; `winnow_cut` removes the
+    * ~2/(w+1)-sampled fingerprinted extents — any shared run of
+    * ≥ w+k-1 words loses at least one k-word bite in every non-first doc
+    * (the detection guarantee localizes it), while sub-guarantee residue
+    * may survive. That is the MOSS bargain: act on provenance-grade
+    * evidence at index-sample cost.
+    */
+  def winnowCut(spark: SparkSession, dir: String): DataFrame =
+    winnowCutOf(Tables.documents(spark, dir))
+
+  def winnowCutOf(docs: DataFrame): DataFrame = {
+    val k = GraftConf.winnowK
+    val fppos = winnowFpPosOf(docs)
+    val matched = fppos.join(winnowOccOf(fppos), Seq("fp"))
+    // globally first occurrence per fingerprint keeps its words
+    val firstKeys = matched.groupBy(col("fp"))
+      .agg(min(col("doc_id") * OccKey + col("pos")).as("first_key"))
+    val cuts = matched.join(firstKeys, Seq("fp"))
+      .filter(col("doc_id") * OccKey + col("pos") =!= col("first_key"))
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("p"))
+      .distinct()
+    val words = docs.withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos0", "word")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("p"), col("word"))
+    val kept = words.join(cuts, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(p, word))), x -> x.word), ' ')")
+          .as("clean_text"),
+        count(lit(1)).as("n_words_kept"))
+    val cutStats = cuts.join(words, Seq("doc_id", "p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words_cut"),
+        sum(length(col("word")).cast("long")).as("n_chars_cut"))
+    docs.select("doc_id")
+      .join(kept, Seq("doc_id"), "left_outer")
+      .join(cutStats, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_words_kept"), lit(0L)).as("n_words_kept"),
+        coalesce(col("n_words_cut"), lit(0L)).as("n_words_cut"),
+        coalesce(col("n_chars_cut"), lit(0L)).as("n_chars_cut"))
+      .contractOrderBy("doc_id")
+  }
+
+  def winnowCutSql: String = {
+    val k = GraftConf.winnowK
+    s"""${winnowPosCtesSql(k, GraftConf.winnowW, GraftConf.winnowFpCap)},
+       |matched AS (
+       |  SELECT doc_id, fp, pos FROM fppos JOIN occ USING (fp)
+       |), fk AS (
+       |  SELECT fp, min(doc_id * $OccKey + pos) AS first_key FROM matched GROUP BY fp
+       |), cutocc AS (
+       |  SELECT doc_id, pos FROM matched JOIN fk USING (fp)
+       |  WHERE doc_id * $OccKey + pos <> first_key
+       |), cuts AS (
+       |  SELECT DISTINCT doc_id, p FROM (
+       |    SELECT doc_id, unnest(generate_series(pos, pos + ${k - 1})) AS p FROM cutocc)
+       |), w AS (
+       |  SELECT doc_id, unnest(ws) AS word, unnest(generate_series(1, len(ws))) AS p FROM d
+       |), kept AS (
+       |  SELECT w.doc_id, string_agg(word, ' ' ORDER BY w.p) AS clean_text,
+       |    count(*) AS n_words_kept
+       |  FROM w LEFT JOIN cuts ON w.doc_id = cuts.doc_id AND w.p = cuts.p
+       |  WHERE cuts.doc_id IS NULL GROUP BY w.doc_id
+       |), cs AS (
+       |  SELECT c.doc_id, count(*) AS n_words_cut,
+       |    CAST(sum(length(word)) AS BIGINT) AS n_chars_cut
+       |  FROM cuts c JOIN w ON c.doc_id = w.doc_id AND c.p = w.p
+       |  GROUP BY c.doc_id
+       |)
+       |SELECT d.doc_id, coalesce(kept.clean_text, '') AS clean_text,
+       |  CAST(coalesce(kept.n_words_kept, 0) AS BIGINT) AS n_words_kept,
+       |  CAST(coalesce(cs.n_words_cut, 0) AS BIGINT) AS n_words_cut,
+       |  CAST(coalesce(cs.n_chars_cut, 0) AS BIGINT) AS n_chars_cut
+       |FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
+       |LEFT JOIN cs ON d.doc_id = cs.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   def dedupSubstringsCutSql: String = {

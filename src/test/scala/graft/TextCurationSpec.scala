@@ -263,6 +263,33 @@ class TextCurationSpec extends SparkSpec {
     assert(spans.forall(s => s._2 >= 1 && s._3 >= s._2))
   }
 
+  test("winnow_cut: non-first doc loses a bite of the planted run, first doc and bystanders intact") {
+    import graft.operators.{GraftConf, TextAnalysis}
+    val k = GraftConf.winnowK
+    val w = GraftConf.winnowW
+    val run = (1 to w + k - 1).map(i => s"shared$i").mkString(" ")
+    val t1 = run + " " + (1 to 9).map(i => s"a$i").mkString(" ")
+    val t3 = (1 to 20).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, t1),
+      (2L, (1 to 11).map(i => s"b$i").mkString(" ") + " " + run),
+      (3L, t3))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.winnowCutOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_words_cut"))).toMap
+    // doc 1 holds every first occurrence of the run's fingerprints — intact
+    assert(out(1L) == ((t1, 0L)), s"first doc must keep everything: ${out(1L)}")
+    // doc 2: the guarantee puts >= 1 shared fingerprint inside the run, so
+    // its k-word extent is cut — and only run words are ever fingerprint-
+    // matched, so the b-prefix survives
+    assert(out(2L)._2 >= k, s"non-first doc must lose >= $k words: ${out(2L)}")
+    assert((1 to 11).forall(i => out(2L)._1.contains(s"b$i")), s"prefix cut: ${out(2L)}")
+    assert(out(2L)._1.split(" ").count(_.startsWith("shared")) <= (w + k - 1) - k)
+    // disjoint doc passes through byte-identical
+    assert(out(3L) == ((t3, 0L)), s"bystander modified: ${out(3L)}")
+  }
+
   test("perplexity_buckets: labels are monotone in nll and cuts are sample order statistics") {
     // 9 docs with strictly increasing rarity (doc k repeats a common token
     // 8 times then carries k distinct rare tokens), all in the sample
