@@ -965,6 +965,69 @@ object TextAnalysis {
        |ORDER BY doc_id, span_start""".stripMargin
   }
 
+  /** `dedup_winnow_contain`: CONTAINMENT dedup on the winnow sample —
+    * pairs whose shared fingerprints cover ≥ [[GraftConf.winnowTauPct]]%
+    * of the SMALLER doc's fingerprint set (Broder 1997's containment
+    * measure, estimated on the ~2/(w+1) winnow sample). This is the dup
+    * class whole-doc Jaccard structurally misses: a short doc quoted
+    * wholesale inside a long one has Jaccard ≈ |short|/|long| (far below
+    * any MinHash tau) but containment ≈ 1. The fifth unified-dedup lane.
+    *
+    * Exactness: the threshold compare is pure integer
+    * (`n_shared·100 ≥ tauPct·nf_min`) and `c_pct` is truncating integer
+    * division — no ratio ever materializes as a float, so lane membership
+    * can't flip cross-engine. Scale shape: the pair join runs over the
+    * capped fingerprint sample (≤ fpCap docs per fp), per-doc fingerprint
+    * counts are one map-side-combined aggregation, and the count join
+    * touches only PAIRED docs.
+    */
+  def dedupWinnowContain(spark: SparkSession, dir: String): DataFrame =
+    dedupWinnowContainOf(Tables.documents(spark, dir))
+      .contractOrderBy("doc_a", "doc_b")
+
+  private[graft] def dedupWinnowContainOf(docs: DataFrame): DataFrame = {
+    val tau = GraftConf.winnowTauPct
+    val fppos = winnowFpPosOf(docs)
+    val fpd = fppos.select(col("doc_id"), col("fp")).distinct()
+    val nf = fpd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+    val eligible = fpd.join(winnowOccOf(fppos), Seq("fp"))
+    val shared = eligible.as("a").join(eligible.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(nf.select(col("doc_id").as("doc_a"), col("n_fps").as("nfa")), "doc_a")
+      .join(nf.select(col("doc_id").as("doc_b"), col("n_fps").as("nfb")), "doc_b")
+      .withColumn("nf_min", least(col("nfa"), col("nfb")))
+      .filter(col("n_shared") * 100 >= col("nf_min") * tau)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("nf_min"),
+        expr("(n_shared * 100) div nf_min").as("c_pct"))
+  }
+
+  def dedupWinnowContainSql: String = {
+    val tau = GraftConf.winnowTauPct
+    s"""${winnowPosCtesSql(GraftConf.winnowK, GraftConf.winnowW, GraftConf.winnowFpCap)},
+       |fpd AS (
+       |  SELECT DISTINCT doc_id, fp FROM fppos
+       |), nf AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps FROM fpd GROUP BY doc_id
+       |), e AS (
+       |  SELECT doc_id, fp FROM fpd JOIN occ USING (fp)
+       |), shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |)
+       |SELECT doc_a, doc_b, n_shared,
+       |  least(na.n_fps, nb.n_fps) AS nf_min,
+       |  (n_shared * 100) // least(na.n_fps, nb.n_fps) AS c_pct
+       |FROM shared
+       |JOIN nf na ON na.doc_id = doc_a
+       |JOIN nf nb ON nb.doc_id = doc_b
+       |WHERE n_shared * 100 >= least(na.n_fps, nb.n_fps) * $tau
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** `winnow_cut`: the ACT step over the fingerprint sample — every
     * matched fingerprint occurrence that is NOT the globally first
     * (min packed (doc_id, pos), the [[dedupSubstringsCut]] keep-first

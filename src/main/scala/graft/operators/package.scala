@@ -246,6 +246,14 @@ package object operators {
       * from pair generation — the band-join cap discipline.
       */
     def winnowFpCap: Int = positive("spark.graft.winnow.fpCap", "16")
+    /** Winnow-containment dedup threshold in percent
+      * (`spark.graft.winnow.tauPct`): a doc pair is a containment dup when
+      * shared fingerprints ≥ tauPct% of the SMALLER doc's fingerprint set
+      * (Broder containment, estimated on the winnow sample) — catches
+      * doc-in-doc duplication whole-doc Jaccard structurally misses.
+      * Integer percent so the threshold compare is exact cross-engine.
+      */
+    def winnowTauPct: Int = positive("spark.graft.winnow.tauPct", "50")
     /** Gopher word-count floor (`spark.graft.gopher.minWords`) — production
       * recipe 50 (Rae et al. 2021 A1.1), default scaled to the short
       * synthetic docs.

@@ -149,12 +149,46 @@ class DedupUnifiedSpec extends SparkSpec {
     }
   }
 
+  test("winnow lane: doc-in-doc containment pairs where Jaccard misses; bystanders don't") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // doc 2 is a 20-word span quoted wholesale inside 60-word doc 1:
+    // Jaccard = 20/60 — below the MinHash tau — but every winnow
+    // fingerprint of doc 2 is selected in doc 1 too (all its windows are
+    // windows of doc 1), so containment is ~100%
+    val span = (1 to 20).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"l$i").mkString(" ") + " " + span + " " +
+        (21 to 40).map(i => s"l$i").mkString(" ")),
+      (2L, span),
+      (3L, (1 to 30).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val contain = TextAnalysis.dedupWinnowContainOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("c_pct")).toMap
+    assert(contain.contains((1L, 2L)), s"containment pair missed: $contain")
+    assert(contain((1L, 2L)) >= graft.operators.GraftConf.winnowTauPct.toLong)
+    assert(contain.keySet == Set((1L, 2L)), s"bystander paired: $contain")
+    // the Jaccard lane structurally misses this pair
+    val mh = Dedup.minhashPairsOf(docs).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!mh.contains((1L, 2L)), s"minhash unexpectedly paired: $mh")
+    // and the lane reaches the unified tagged edge set
+    val embs = Seq(1L, 2L, 3L)
+      .map(i => (i, Seq.tabulate(64)(d => if (d == i.toInt) 1.0 else 0.0)))
+      .toDF("vec_id", "embedding")
+    val tagged = Dedup.taggedPairsOf(docs, embs)
+      .filter(org.apache.spark.sql.functions.col("lane") === "winnow").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseIntermediates()
+    assert(tagged == Set((1L, 2L)))
+  }
+
   test("dedup_lanes_report: combination counts sum to the distinct union pair count") {
     val report = Dedup.dedupLanesReport(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     Dedup.releaseIntermediates()
-    // valid = every non-empty sorted combination of the four lanes
-    val lanes = Seq("exact", "media", "minhash", "srp")
+    // valid = every non-empty sorted combination of the five lanes
+    val lanes = Seq("exact", "media", "minhash", "srp", "winnow")
     val valid = (1 to lanes.size).flatMap(lanes.combinations)
       .map(_.mkString("+")).toSet
     assert(report.keySet.subsetOf(valid), s"unexpected combos: ${report.keySet -- valid}")
@@ -167,6 +201,8 @@ class DedupUnifiedSpec extends SparkSpec {
       .unionByName(Dedup.minhashPairsOf(docs).select("doc_a", "doc_b"))
       .unionByName(Dedup.srpPairsOf(graft.sources.Tables.embeddings(spark, sf))
         .selectExpr("id_a as doc_a", "id_b as doc_b"))
+      .unionByName(graft.operators.TextAnalysis.dedupWinnowContainOf(docs)
+        .select("doc_a", "doc_b"))
       .distinct().count()
     assert(report.values.sum == union)
     Dedup.releaseIntermediates()
