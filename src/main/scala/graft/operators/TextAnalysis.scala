@@ -1028,6 +1028,109 @@ object TextAnalysis {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Train-time winnow knobs — everything that changes the stored
+    * fingerprint bytes or pair eligibility. tauPct is query-time (the same
+    * index serves any threshold) and deliberately excluded, the
+    * [[AnnIndex]] discipline.
+    */
+  def winnowFingerprintConf: String =
+    s"k=${GraftConf.winnowK};w=${GraftConf.winnowW};fpCap=${GraftConf.winnowFpCap}"
+
+  private val WinnowMetaKey = "graft.winnow"
+
+  private[graft] def validateWinnowConf(fpd: DataFrame, what: String): Unit =
+    fpd.schema.fields.find(_.name == "fp")
+      .filter(_.metadata.contains(WinnowMetaKey))
+      .map(_.metadata.getString(WinnowMetaKey))
+      .foreach { stored =>
+        if (stored != winnowFingerprintConf) throw new IllegalStateException(
+          s"$what was built with winnow conf [$stored] but the live spark.graft.winnow.* " +
+            s"conf is [$winnowFingerprintConf]; delta fingerprints would silently miss " +
+            "the stored index — rebuild the index or align the conf")
+      }
+
+  /** The persistable winnow fingerprint index: distinct (doc_id, fp),
+    * conf-stamped in column metadata (survives a parquet round-trip) so
+    * [[winnowContainDeltaFrom]] fails fast on conf drift — the same
+    * treatment as the MinHash banding and SRP fingerprints.
+    */
+  def winnowFpIndexOf(docs: DataFrame): DataFrame =
+    winnowFpPosOf(docs).select(col("doc_id"), col("fp")).distinct()
+      .withMetadata("fp", new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(WinnowMetaKey, winnowFingerprintConf).build())
+
+  /** `dedup_winnow_contain_delta`: INCREMENTAL containment dedup — a new
+    * crawl's docs test against the stored fingerprint index without
+    * re-fingerprinting the base corpus. Same split convention as
+    * `dedup_delta` (doc_id ≡ 0 mod [[Dedup.DeltaIdMod]] plays the crawl).
+    */
+  def dedupWinnowContainDelta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isDelta = col("doc_id") % Dedup.DeltaIdMod === 0
+    winnowContainDeltaFrom(winnowFpIndexOf(docs.filter(!isDelta)), docs.filter(isDelta))
+      .contractOrderBy("doc_a", "doc_b")
+  }
+
+  /** The incremental core over an ALREADY-built fingerprint index:
+    * `baseFpd` (doc_id, fp) is what production persists at index time.
+    * Only the delta is fingerprinted here; the index restricts to
+    * delta-TOUCHED fingerprints before any aggregation (the touched list
+    * is delta-sized — AQE broadcasts it), so per-crawl work is bounded by
+    * touched-fingerprint contents, never the whole index. Doc-frequency
+    * eligibility (2..fpCap) over touched fps equals the full-corpus rule
+    * exactly: stored-index occupancy + delta occupancy (a delta-touching
+    * pair's shared fps are all delta-carried by construction, and per-doc
+    * fingerprint counts come from the full stored index) — so results are
+    * spec-asserted equal to the full [[dedupWinnowContainOf]] restricted
+    * to delta-touching pairs.
+    */
+  private[graft] def winnowContainDeltaFrom(baseFpd0: DataFrame,
+      deltaDocs: DataFrame): DataFrame = {
+    val tau = GraftConf.winnowTauPct
+    validateWinnowConf(baseFpd0, "stored winnow fingerprint index")
+    val baseFpd = baseFpd0.select(col("doc_id"), col("fp"))
+    val deltaFpd = Intermediates.persist(
+      winnowFpPosOf(deltaDocs).select(col("doc_id"), col("fp")).distinct())
+    val touched = deltaFpd.select("fp").distinct()
+    val baseTouched = Intermediates.persist(baseFpd.join(touched, Seq("fp")))
+    // full-corpus doc-frequency of touched fps = index + delta occupancy
+    val occ = baseTouched.unionByName(deltaFpd)
+      .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= GraftConf.winnowFpCap)
+      .select("fp")
+    val b = baseTouched.join(occ, Seq("fp"))
+    val d = deltaFpd.join(occ, Seq("fp"))
+    val deltaBase = d.as("a").join(b.as("b"), col("a.fp") === col("b.fp"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val deltaDelta = d.as("a").join(d.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val shared = deltaBase.unionByName(deltaDelta)
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+    // per-doc totals: delta from its own fingerprints, base from the FULL
+    // stored index (one columnar scan, no text rescan)
+    val nf = baseFpd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+      .unionByName(deltaFpd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps")))
+    shared
+      .join(nf.select(col("doc_id").as("doc_a"), col("n_fps").as("nfa")), "doc_a")
+      .join(nf.select(col("doc_id").as("doc_b"), col("n_fps").as("nfb")), "doc_b")
+      .withColumn("nf_min", least(col("nfa"), col("nfb")))
+      .filter(col("n_shared") * 100 >= col("nf_min") * tau)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("nf_min"),
+        expr("(n_shared * 100) div nf_min").as("c_pct"))
+  }
+
+  /** Oracle: the FULL containment pipeline restricted to delta-touching
+    * pairs — the equivalence the incremental path must reproduce.
+    */
+  def dedupWinnowContainDeltaSql: String =
+    s"""SELECT doc_a, doc_b, n_shared, nf_min, c_pct FROM (
+       |$dedupWinnowContainSql
+       |) t
+       |WHERE doc_a % ${Dedup.DeltaIdMod} = 0 OR doc_b % ${Dedup.DeltaIdMod} = 0
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** `winnow_cut`: the ACT step over the fingerprint sample — every
     * matched fingerprint occurrence that is NOT the globally first
     * (min packed (doc_id, pos), the [[dedupSubstringsCut]] keep-first
