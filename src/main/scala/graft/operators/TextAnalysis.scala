@@ -888,6 +888,22 @@ object TextAnalysis {
     Intermediates.persist(wnd.distinct())
   }
 
+  /** Persist-free stateless fingerprint rows: (doc_id, fp, nfd) where nfd
+    * is the doc's own distinct-fingerprint count — one projection + one
+    * explode, no aggregation and no caching, so it runs unchanged on a
+    * STREAMING DataFrame (the crawl-time containment tap's stream side).
+    */
+  private[graft] def winnowFpRows(docs: DataFrame): DataFrame = {
+    val k = GraftConf.winnowK
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= k)
+      .withColumn("hs", expr(winnowHashExpr(k)))
+      .withColumn("fps", expr(winnowSelExpr(GraftConf.winnowW)))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("nfd"),
+        explode(col("fps")).as("fp"))
+  }
+
   /** Fingerprints eligible for matching: shared by 2..cap distinct docs. */
   private def winnowOccOf(fppos: DataFrame): DataFrame =
     fppos.select(col("doc_id"), col("fp")).distinct()

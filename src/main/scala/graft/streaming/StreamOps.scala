@@ -454,6 +454,35 @@ object StreamOps {
     * spec proves the rolled-up stream equals the batch operator's rows.
     * No hot-band cap: fan-out per arriving doc is bounded by the eval set.
     */
+  /** Crawl-time containment tap: arriving docs fingerprinted STATELESSLY
+    * (one projection + one explode per doc, no state) and stream-static
+    * joined against the stored winnow fingerprint index
+    * ([[graft.operators.TextAnalysis.winnowFpIndexOf]] output); emits one
+    * hit row per shared ELIGIBLE fingerprint (doc_id, base_id, fp, nfd,
+    * nf_base) — the sink (or a foreachBatch rollup) groups to pairs and
+    * applies the tauPct threshold, the same row-grain contract as
+    * [[fuzzyContamStream]]. Eligibility is per-arriving-doc: index df ∈
+    * [1, fpCap−1], so the fingerprint's total doc-frequency WITH this doc
+    * lands exactly in the batch rule's [2, fpCap]; cross-crawl
+    * (delta×delta) pairs are the batch path's job
+    * ([[graft.operators.TextAnalysis.winnowContainDeltaFrom]]). Fails fast
+    * on winnow conf drift via the index's metadata stamp.
+    */
+  def winnowContainStream(docsStream: DataFrame, baseFpd: DataFrame): DataFrame = {
+    import graft.operators.{GraftConf, TextAnalysis}
+    TextAnalysis.validateWinnowConf(baseFpd, "stored winnow fingerprint index")
+    val cap = GraftConf.winnowFpCap
+    val occ = baseFpd.groupBy(col("fp")).agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") <= cap - 1).select("fp")
+    val nfb = baseFpd.groupBy(col("doc_id")).agg(count(lit(1)).as("nf_base"))
+    val eligible = baseFpd.join(occ, Seq("fp"))
+      .select(col("fp"), col("doc_id").as("base_id"))
+      .join(nfb.select(col("doc_id").as("base_id"), col("nf_base")), "base_id")
+    TextAnalysis.winnowFpRows(docsStream)
+      .join(eligible, Seq("fp"))
+      .select(col("doc_id"), col("base_id"), col("fp"), col("nfd"), col("nf_base"))
+  }
+
   def fuzzyContamStream(docsStream: DataFrame, evalBands: DataFrame,
       evalSets: DataFrame): DataFrame = {
     import graft.operators.{Curation, Dedup}

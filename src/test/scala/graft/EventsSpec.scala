@@ -571,4 +571,61 @@ class EventsSpec extends SparkSpec {
         "every batch-flagged doc must surface in the stream")
     } finally { q.stop(); evalSets.unpersist(); evalBands.unpersist() }
   }
+
+  test("streaming winnowContainStream rolls up to the batch delta containment pairs") {
+    import spark.implicits._
+    import graft.operators.{Dedup, GraftConf, TextAnalysis}
+    implicit val sq = spark.sqlContext
+    val k = GraftConf.winnowK
+    val w = GraftConf.winnowW
+    val cap = GraftConf.winnowFpCap
+    val span = (1 to 12).map(i => s"sp$i").mkString(" ")
+    val hot = (1 to 12).map(i => s"hot$i").mkString(" ")
+    // base: one doc embedding the span, bystanders, and `cap` docs all
+    // carrying the hot span (its fingerprints hit df = cap → ineligible).
+    // ids avoid multiples of 10 (the delta split), stream ids are ≡ 0 mod 10
+    val hotIds = (21L to 40L).filter(_ % 10 != 0).take(cap.toInt)
+    val base = (Seq(
+      (1L, (1 to 15).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 5).map(i => s"p$i").mkString(" ") + " " + span + " " +
+        (1 to 4).map(i => s"q$i").mkString(" ")),
+      (3L, (1 to 15).map(i => s"c$i").mkString(" "))) ++
+      hotIds.map(id => (id, hot + " " + (1 to 3).map(i => s"u${id}x$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    // stream: S1 ⊂ base doc 2 (containment), S2 = the hot span (capped
+    // away), S3 disjoint
+    val streamRows = Seq((10L, span), (20L, hot), (40L, (1 to 14).map(i => s"z$i").mkString(" ")))
+    val idx = TextAnalysis.winnowFpIndexOf(base).cache()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.winnowContainStream(mem.toDF().toDF("doc_id", "text"), idx)
+      .writeStream.format("memory").queryName("winnowq").outputMode("append").start()
+    try {
+      mem.addData(streamRows.take(1)); q.processAllAvailable()
+      mem.addData(streamRows.drop(1)); q.processAllAvailable()
+      val hits = spark.table("winnowq").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("base_id"),
+          r.getAs[Long]("fp"), r.getAs[Long]("nfd"), r.getAs[Long]("nf_base"))).distinct
+      // sink-side rollup: pair → (n_shared, nf_min, c_pct), tau applied
+      val rolled = hits.groupBy(h => (h._1, h._2)).flatMap { case ((d, b), hs) =>
+        val nShared = hs.map(_._3).distinct.length.toLong
+        val nfMin = math.min(hs.head._4, hs.head._5)
+        if (nShared * 100 >= nfMin * GraftConf.winnowTauPct)
+          Some((math.min(d, b), math.max(d, b)) -> (nShared, nShared * 100 / nfMin))
+        else None
+      }.toMap
+      // batch reference: the delta path over the same base index + stream
+      // docs as the crawl (delta×delta pairs excluded — none planted)
+      val batch = TextAnalysis.winnowContainDeltaFrom(idx, streamRows.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          (r.getAs[Long]("n_shared"), r.getAs[Long]("c_pct"))).toMap
+      Dedup.releaseIntermediates()
+      assert(rolled.contains((2L, 10L)), s"containment pair missed: $rolled")
+      assert(!rolled.keys.exists(p => p._1 == 20L || p._2 == 20L),
+        s"hot-capped fingerprints must not pair: $rolled")
+      assert(!rolled.keys.exists(p => p._1 == 40L || p._2 == 40L),
+        s"disjoint doc paired: $rolled")
+      assert(rolled == batch, s"stream $rolled vs batch $batch")
+    } finally { q.stop(); idx.unpersist() }
+  }
 }
