@@ -51,6 +51,18 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val docs = sources.Tables.documents(spark, dir).select("doc_id", "text")
     val isDelta = col("doc_id") % Dedup.DeltaIdMod === 0
+    // comma-separated probe-family filter for single-family reruns
+    // (unset = all): minhash, embedding, fuzzy, winnow
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    def want(family: String): Boolean = only.forall(_.contains(family))
+    if (!want("minhash")) {
+      if (want("embedding")) embeddingProbes(spark)
+      if (want("fuzzy")) fuzzyDecontamProbe(spark, docs)
+      if (want("winnow")) winnowProbes(spark, docs)
+      spark.stop()
+      return
+    }
 
     // index time (untimed): base shingled + banded ONCE, materialized the
     // way production persists it
@@ -78,7 +90,54 @@ object ScaleProbe {
 
     embeddingProbes(spark)
     fuzzyDecontamProbe(spark, docs)
+    winnowProbes(spark, docs)
     spark.stop()
+  }
+
+  /** Winnow-containment probes (round 9), two axes:
+    *
+    *  1. VOLUME (`winnow_x{1,4,16}`): salted replicas — each copy
+    *     reproduces the corpus's internal containment pairs under its own
+    *     salt, so dup density stays constant while volume grows k×. Wall
+    *     time and pair count must track volume ~linearly (fingerprinting
+    *     is one linear projection; the pair join is capped per fp).
+    *  2. DENSITY (`winnow_alldup_x{4,16,32}`): UNSALTED replicas drive
+    *     every fingerprint's doc-frequency to k× its original. Once df
+    *     crosses `spark.graft.winnow.fpCap` (16) the fingerprint drops
+    *     from pair generation entirely — so candidate volume must stay
+    *     CAPPED as replication grows, and at k=32 (every df ≥ 32 > cap)
+    *     the pair count collapses to ZERO instead of exploding
+    *     quadratically. That collapse IS the cap doing its 100 TB job.
+    */
+  private def winnowProbes(spark: SparkSession, docs: DataFrame): Unit = {
+    import graft.operators.{Dedup, TextAnalysis}
+    def timed(df: () => DataFrame): Double = {
+      Dedup.releaseIntermediates()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      df().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val corpus = replicate(docs, k).localCheckpoint(true)
+      timed(() => TextAnalysis.dedupWinnowContainOf(corpus)) // warm-up
+      val times = (1 to 3).map(_ => timed(() => TextAnalysis.dedupWinnowContainOf(corpus)))
+      Dedup.releaseIntermediates(); spark.catalog.clearCache()
+      val pairs = TextAnalysis.dedupWinnowContainOf(corpus).count()
+      Dedup.releaseIntermediates(); spark.catalog.clearCache()
+      println(s"""{"probe":"winnow_x$k","docs":${corpus.count()},"pairs":$pairs,"sec_min":${times.min},"runs":[${times.mkString(",")}]}""")
+    }
+    for (k <- Seq(4, 16, 32)) {
+      val corpus = (0 until k).map(j =>
+        docs.select((lit(1000000L) * (j + 1) + col("doc_id")).as("doc_id"), col("text")))
+        .reduce(_ unionByName _).localCheckpoint(true)
+      timed(() => TextAnalysis.dedupWinnowContainOf(corpus)) // warm-up
+      val times = (1 to 3).map(_ => timed(() => TextAnalysis.dedupWinnowContainOf(corpus)))
+      Dedup.releaseIntermediates(); spark.catalog.clearCache()
+      val pairs = TextAnalysis.dedupWinnowContainOf(corpus).count()
+      Dedup.releaseIntermediates(); spark.catalog.clearCache()
+      println(s"""{"probe":"winnow_alldup_x$k","docs":${corpus.count()},"pairs":$pairs,"sec_min":${times.min},"runs":[${times.mkString(",")}]}""")
+    }
   }
 
   /** Fuzzy-decontamination probe: benchmark FIXED, train side ×1/×4/×16
