@@ -67,4 +67,24 @@ class ShortDocSpec extends SparkSpec {
     operators.Dedup.releaseIntermediates()
     spark.catalog.clearCache()
   }
+
+  test("winnow ops survive short/empty documents") {
+    val dir = shortDocsDir()
+    // docs 0/1/3 are under winnow.k words: zero fingerprints, zero
+    // windows — totals stay total; doc 2 (12 words) fingerprints alone,
+    // so nothing pairs, nothing cuts, nothing spans anywhere
+    val dw = operators.TextAnalysis.docWinnow(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_fps")).toMap
+    assert(dw.keySet == Set(0L, 1L, 2L, 3L))
+    assert(Seq(0L, 1L, 3L).forall(dw(_) == 0L) && dw(2L) > 0L)
+    assert(operators.TextAnalysis.winnowMatches(spark, dir).count() == 0)
+    assert(operators.TextAnalysis.winnowSpans(spark, dir).count() == 0)
+    assert(operators.TextAnalysis.dedupWinnowContain(spark, dir).count() == 0)
+    assert(operators.TextAnalysis.dedupWinnowContainDelta(spark, dir).count() == 0)
+    // the cut is the identity on an un-matched corpus: texts pass through
+    val cut = operators.TextAnalysis.winnowCut(spark, dir).collect()
+    assert(cut.length == 4 && cut.forall(_.getAs[Long]("n_words_cut") == 0L))
+    operators.Dedup.releaseIntermediates()
+    spark.catalog.clearCache()
+  }
 }
