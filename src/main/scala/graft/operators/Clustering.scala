@@ -99,6 +99,35 @@ object Clustering {
     }
   }
 
+  /** Argmin cell + exact integer distance for every vector of an
+    * (vec_id, embedding) relation — the shared "train the quantizer, then
+    * assign everything once" artifact: the cell blocks pair generation
+    * (`dedup_semantic`), the exact d2 is the prototypicality signal
+    * (SemDeDup's keep rule, `prototype_prune`'s difficulty rank). One
+    * broadcast corpus scan with map-side-combined argmin.
+    */
+  private[graft] def assignedCellsOf(embs: DataFrame): DataFrame = {
+    val sv = Intermediates.persist(scaledEmbOf(embs))
+    val cents = Intermediates.persist(trainedCentroidsOf(sv))
+    sv.crossJoin(broadcast(cents))
+      .withColumn("d2", expr("graft_l2sq(se, cemb)"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"), col("m.d2").as("d2"))
+  }
+
+  /** Oracle CTE for [[assignedCellsOf]] over [[kmeansCtesSql]]'s `d2t` —
+    * shared by every assigned-cell consumer so the assignment convention
+    * (ties to lower cid) can't drift between oracles.
+    */
+  private[operators] val assignedCteSql: String =
+    """assigned AS (
+      |  SELECT vec_id, cid AS cell, d2 FROM (
+      |    SELECT vec_id, cid, d2,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM d2t) WHERE rn = 1
+      |)""".stripMargin
+
   /** `kmeans_train`: [[Iters]] exact Lloyd assignment rounds, k = [[K]],
     * initialized from the K lowest vec_ids (deterministic seeding). Returns
     * the final assignment (vec_id, cluster, d2).

@@ -150,6 +150,63 @@ object Selection {
       .contractOrderBy("doc_id")
   }
 
+  /** Per-cell drop percentage for [[prototypePrune]]
+    * (see [[GraftConf.pruneDropPct]]).
+    */
+  def PruneDropPct: Int = GraftConf.pruneDropPct
+
+  /** `prototype_prune`: difficulty-ranked data pruning (Sorscher et al.
+    * 2022, "Beyond neural scaling laws" — on large corpora, pruning the
+    * EASIEST examples beats random pruning, and "easy" = close to your
+    * cluster centroid, their self-supervised prototype metric §4): every
+    * vector is ranked inside its trained k-means cell by exact integer d2
+    * ascending (most prototypical first), and the lowest
+    * floor([[PruneDropPct]]·n/100) ranks of each cell are dropped.
+    *
+    * The keep decision is one integer cross-multiply `rank·100 > pct·n` —
+    * floor semantics, so a singleton cell survives any pct < 100 and no
+    * float ratio ever decides membership. Ranking ties (equal d2) break to
+    * lower vec_id.
+    *
+    * Scale: reuses [[Clustering.assignedCellsOf]] (broadcast centroids,
+    * one corpus scan); the only added work is a rank window PARTITIONED BY
+    * cell — shuffle grain = cell id, bounded per-partition by sizing K ~
+    * √n (the same IVF sizing the ANN/dedup consumers already need), never
+    * a global sort.
+    */
+  def prototypePrune(spark: SparkSession, dir: String): DataFrame =
+    prototypePruneOf(Tables.embeddings(spark, dir)).contractOrderBy("vec_id")
+
+  private[graft] def prototypePruneOf(embs: DataFrame): DataFrame = {
+    val pct = PruneDropPct
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("d2"), col("vec_id"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    Clustering.assignedCellsOf(embs)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(wc))
+      .withColumn("keep", col("rank") * 100 > lit(pct) * col("n_cell"))
+  }
+
+  /** Oracle shares the kmeans CTE chain + assigned-cell CTE verbatim with
+    * the quantizer's other consumers.
+    */
+  def prototypePruneSql: String = {
+    val pct = PruneDropPct
+    s"""WITH ${Clustering.kmeansCtesSql},
+       |${Clustering.assignedCteSql},
+       |ranked AS (
+       |  SELECT vec_id, cell, d2,
+       |    CAST(row_number() OVER (PARTITION BY cell ORDER BY d2, vec_id) AS BIGINT) AS rank,
+       |    CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell
+       |  FROM assigned
+       |)
+       |SELECT vec_id, cell, d2, rank, n_cell,
+       |  rank * 100 > $pct * n_cell AS keep
+       |FROM ranked
+       |ORDER BY vec_id""".stripMargin
+  }
+
   def dsirSelectSql: String = {
     val b = DsirBuckets
     val k = DsirBudget

@@ -29,8 +29,20 @@ object Similarity {
   /** `ann_topk`: exact top-k cosine neighbors for the first NumQueries
     * vectors (embeddings are unit-norm ⇒ cosine = dot).
     */
-  def annTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = withDoubleEmb(Tables.embeddings(spark, dir))
+  def annTopK(spark: SparkSession, dir: String): DataFrame =
+    annTopKAt(spark, dir, TopK)
+
+  /** [[annTopK]] at an explicit cut — the RRF fusion reads the dense list
+    * at its own depth through the identical ranking.
+    */
+  private def annTopKAt(spark: SparkSession, dir: String, k: Int): DataFrame =
+    denseTopKOf(Tables.embeddings(spark, dir), k)
+
+  private def denseTopKOf(embs: DataFrame, k: Int): DataFrame = {
+    // label-free projection: planted spec frames carry only (vec_id,
+    // embedding), and this ranking never reads the label column
+    val e = embs.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("emb"))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
     val scored = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
@@ -38,7 +50,7 @@ object Similarity {
         round(expr("graft_dot(qemb, emb)"), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), col("cos"))
       .contractOrderBy("query_id", "rank")
@@ -819,5 +831,171 @@ object Similarity {
        |FROM scored
        |ORDER BY score DESC, doc_id
        |LIMIT $Bm25TopK""".stripMargin
+  }
+
+  // ---- hybrid retrieval: reciprocal rank fusion ----------------------------
+
+  def RrfK: Int = GraftConf.rrfK
+  def RrfDepth: Int = GraftConf.rrfDepth
+
+  /** Scaled-integer reciprocal rank: 10^15 div (k + rank). Exact bigint in
+    * both engines (truncating division on positive operands); two fused
+    * lists sum to < 2·10^15/(k+1), far under bigint range. Distinct true
+    * RRF sums (unit fractions with denominators ≤ k + depth) differ by at
+    * least 1/(k+depth)^4 of a unit — ≥ hundreds of scaled units at any
+    * sane (k, depth) — so the integer ranking can never disagree with the
+    * real-valued one, while a float sum of 1/(k+r) could tie-break
+    * differently across engines in the last ulp.
+    */
+  private val RrfScale = 1000000000000000L
+
+  /** `hybrid_search_rrf`: reciprocal-rank fusion (Cormack et al. 2009 —
+    * "outperforms Condorcet and individual rank learning methods"; the
+    * standard hybrid-retrieval merge) of the DENSE list ([[annTopK]]'s
+    * exact cosine ranking at [[RrfDepth]]) and a LEXICAL list: per-query
+    * query-by-example BM25 — the query DOCUMENT's distinct words score
+    * every other document through the same Okapi weighting `bm25_search`
+    * uses, computed relationally at the (query, doc, word) grain instead
+    * of per-term columns (the per-query term set is data, not conf).
+    * vec_id ≡ doc_id across the embeddings/documents tables (one corpus,
+    * two signals).
+    *
+    * Determinism (§5): per-word idf AND each (query, doc, word) Okapi
+    * component are frozen once as round(·, 6) DECIMAL(18,6); per-(q,d)
+    * lexical scores are exact decimal sums (an unordered float sum over
+    * join rows would be partition-order dependent), ranked (score DESC,
+    * doc_id). Fusion arithmetic is pure bigint ([[RrfScale]] div (k+r)),
+    * ties to lower doc_id; the one display float is a single identical
+    * IEEE divide rounded once.
+    *
+    * Scale: the query side is NumQueries docs — its distinct-word table
+    * BROADCASTS into the corpus-grain (doc, word, tf) join, so the corpus
+    * streams through one broadcast join + one (q,d)-grain map-side-combined
+    * aggregation; per-query rank windows partition by query_id (never
+    * global); the fusion full-outer join touches ≤ 2·depth rows per query.
+    * At 100 TB the dense list comes from the stored IVF-PQ index
+    * ([[graft.operators.AnnIndex]]) and the lexical side from a persisted
+    * (word → postings) table — both artifacts this library already ships;
+    * the fusion cost is unchanged: rank lists are queries×depth rows.
+    */
+  def hybridSearchRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridSearchRrfOf(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  /** Core over any (doc_id, text) + (vec_id, embedding) pair of relations
+    * — specs plant a corpus where the lexical and dense signals disagree.
+    */
+  private[graft] def hybridSearchRrfOf(docs: DataFrame, embs: DataFrame): DataFrame = {
+    val (k, depth) = (RrfK, RrfDepth)
+    val d = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val dl = d.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val tf = d.select(col("doc_id"), explode(col("ws")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfT = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val idf = dfT.crossJoin(broadcast(stats))
+      .select(col("word"),
+        round(log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)), 6).cast("decimal(18,6)").as("idf"))
+    val qwords = d.filter(col("doc_id") < NumQueries)
+      .select(col("doc_id").as("query_id"), explode(col("ws")).as("word"))
+      .distinct()
+    val comp = broadcast(qwords).join(tf, Seq("word"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .join(idf, Seq("word"))
+      .withColumn("wgt",
+        round(col("idf").cast("double") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))), 6)
+          .cast("decimal(18,6)"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = comp.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("wgt")).as("score"))
+      .withColumn("r_lex", row_number().over(wq).cast("long"))
+      .filter(col("r_lex") <= depth)
+      .select(col("query_id"), col("doc_id"), col("r_lex"))
+    val dense = denseTopKOf(embs, depth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("r_dense"))
+    val fused = dense.join(lex, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_s",
+        coalesce(expr(s"${RrfScale}L div (${k}L + r_dense)"), lit(0L)) +
+        coalesce(expr(s"${RrfScale}L div (${k}L + r_lex)"), lit(0L)))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_s").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wf).cast("long"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("r_dense"), col("r_lex"), col("rrf_s"),
+        round(col("rrf_s").cast("double") / lit(RrfScale.toDouble), 6).as("score"))
+      .contractOrderBy("query_id", "rank")
+  }
+
+  def hybridSearchRrfSql: String = {
+    val (k, depth) = (RrfK, RrfDepth)
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), dl AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d
+       |), tf AS (
+       |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(ws) AS word FROM d) GROUP BY doc_id, word
+       |), s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+       |), idf AS (
+       |  SELECT word,
+       |    CAST(round(ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+       |      + CAST(1.0 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS idf
+       |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word)
+       |  CROSS JOIN s
+       |), qw AS (
+       |  SELECT DISTINCT doc_id AS query_id, unnest(ws) AS word
+       |  FROM d WHERE doc_id < $NumQueries
+       |), comp AS (
+       |  SELECT qw.query_id, tf.doc_id,
+       |    CAST(round(CAST(idf.idf AS DOUBLE) * (tf.tf * CAST(2.2 AS DOUBLE))
+       |      / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+       |        + CAST(0.75 AS DOUBLE) * (dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))), 6)
+       |      AS DECIMAL(18,6)) AS wgt
+       |  FROM qw
+       |  JOIN tf ON qw.word = tf.word AND tf.doc_id <> qw.query_id
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  JOIN idf ON qw.word = idf.word
+       |  CROSS JOIN s
+       |), lex AS (
+       |  SELECT query_id, doc_id, r_lex FROM (
+       |    SELECT query_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
+       |    FROM (SELECT query_id, doc_id, sum(wgt) AS score
+       |          FROM comp GROUP BY query_id, doc_id))
+       |  WHERE r_lex <= $depth
+       |), dense AS (
+       |  SELECT query_id, neighbor_id AS doc_id, rank AS r_dense FROM (
+       |    SELECT q.query_id, e.vec_id AS neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_inner_product(q.qemb, CAST(e.embedding AS DOUBLE[])), 4) DESC,
+       |          e.vec_id) AS BIGINT) AS rank
+       |    FROM (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qemb
+       |          FROM embeddings WHERE vec_id < $NumQueries) q
+       |    JOIN embeddings e ON e.vec_id <> q.query_id)
+       |  WHERE rank <= $depth
+       |), fused AS (
+       |  SELECT coalesce(dn.query_id, lx.query_id) AS query_id,
+       |    coalesce(dn.doc_id, lx.doc_id) AS doc_id,
+       |    dn.r_dense, lx.r_lex,
+       |    coalesce($RrfScale // (${k} + dn.r_dense), 0)
+       |      + coalesce($RrfScale // (${k} + lx.r_lex), 0) AS rrf_s
+       |  FROM dense dn FULL OUTER JOIN lex lx
+       |    ON dn.query_id = lx.query_id AND dn.doc_id = lx.doc_id
+       |)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_s DESC, doc_id) AS BIGINT) AS rank,
+       |  doc_id, r_dense, r_lex, rrf_s,
+       |  round(CAST(rrf_s AS DOUBLE) / $RrfScale, 6) AS score
+       |FROM fused
+       |ORDER BY query_id, rank""".stripMargin
   }
 }

@@ -401,6 +401,197 @@ object TextAnalysis {
       |ORDER BY f.doc_id""".stripMargin
   }
 
+  /** `doc_perplexity_sbo`: trigram Stupid Backoff scoring (Brants et al.
+    * 2007 §4 — THE web-scale distributed LM: no discount normalization,
+    * just count ratios with a fixed α per backoff level, chosen precisely
+    * because it trains/serves as embarrassingly parallel count tables).
+    * The rung above [[docPerplexityBigram]]'s interpolated bigram toward
+    * CCNet's 5-gram KenLM.
+    *
+    * Counts come from the `doc_id % `[[GraftConf.pplSboTrainMod]]` == 0`
+    * slice (the held-out-LM shape — `perplexity_buckets`' sample
+    * discipline; training on everything would make backoff unreachable:
+    * every observed trigram has count ≥ 1 in its own LM). Every doc is
+    * scored. Per position: S = c3/c2(prefix) at the trigram level, else
+    * α·c2/c1(prefix), else α²·(c1+1)/(N+V) (+1-smoothed unigram so OOV
+    * words score finitely; N = train tokens, V = train vocab). Positions
+    * 1-2 start at their highest available level.
+    *
+    * §5 determinism: each level's log-ratio is frozen ONCE per distinct
+    * n-gram as round(ln(·),6) DECIMAL(18,6) (the [[docPerplexityBigram]]
+    * precedent); ln α is computed from the SAME Scala double and printed
+    * into both engines' plans, so a backed-off position's contribution
+    * `k·lnα + frozen` is exact decimal arithmetic; per-doc sums are exact
+    * decimal, one 4-dp rounding at the end. Level counts (n_tri/n_big/
+    * n_uni) partition n_tokens exactly.
+    *
+    * Scale: three map-side-combined count aggregations (token, bigram,
+    * trigram grain) over the train slice, n-gram-grain key joins for the
+    * frozen tables, position rows join those tables by n-gram key — all
+    * linear, no windows, no driver state. The count tables ARE the model
+    * artifact (Brants' whole point): a deployment persists them once and
+    * every scoring pass is joins.
+    */
+  def docPerplexitySbo(spark: SparkSession, dir: String): DataFrame =
+    docPerplexitySboOf(Tables.documents(spark, dir))
+
+  def docPerplexitySboOf(docs: DataFrame): DataFrame = {
+    val mod = GraftConf.pplSboTrainMod
+    val lnA = java.math.BigDecimal.valueOf(
+      math.log(GraftConf.pplSboAlphaPct / 100.0))
+      .setScale(6, java.math.RoundingMode.HALF_UP).toPlainString
+    val d = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val train = d.filter(col("doc_id") % mod === 0)
+    val tok = train.select(explode(col("ws")).as("word"))
+    val c1 = tok.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    // (N + V) as one broadcast row: train token count + train vocab size
+    val tot = c1.agg((sum(col("c")) + count(lit(1))).cast("double").as("nv"))
+    def grams(src: DataFrame, n: Int, cols: Seq[String]): DataFrame = {
+      val fields = (0 until n)
+        .map(k => s"'${cols(k)}', element_at(ws, i + $k)").mkString(", ")
+      src.filter(size(col("ws")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(ws) - ${n - 1}), i -> named_struct($fields))")).as("g"))
+        .select(col("doc_id") +: cols.map(c => col(s"g.$c").as(c)): _*)
+    }
+    val c2 = grams(train, 2, Seq("w1", "w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c3 = grams(train, 3, Seq("w1", "w2", "w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    // frozen log tables, one row per distinct n-gram
+    val lt1 = d.select(explode(col("ws")).as("word")).distinct()
+      .join(c1, Seq("word"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("word"),
+        round(log((coalesce(col("c"), lit(0L)) + 1).cast("double") / col("nv")), 6)
+          .cast("decimal(18,6)").as("lp1"))
+    val lt2 = c2.join(c1.select(col("word").as("w1"), col("c").as("cp")), Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(log(col("c2").cast("double") / col("cp").cast("double")), 6)
+          .cast("decimal(18,6)").as("lp2"))
+    val lt3 = c3.join(c2.select(col("w1"), col("w2"), col("c2").as("cp")), Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"),
+        round(log(col("c3").cast("double") / col("cp").cast("double")), 6)
+          .cast("decimal(18,6)").as("lp3"))
+    val lnAlpha = expr(s"cast($lnA as decimal(18,6))")
+    // per-position contributions tagged with the level that scored them
+    val p1 = d.select(col("doc_id"), element_at(col("ws"), 1).as("word"))
+      .join(lt1, Seq("word"))
+      .select(col("doc_id"), lit(1).as("lvl"), col("lp1").as("lp"))
+    val p2 = d.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), element_at(col("ws"), 1).as("w1"),
+        element_at(col("ws"), 2).as("w2"))
+      .join(lt2, Seq("w1", "w2"), "left")
+      .join(lt1.select(col("word").as("w2"), col("lp1")), Seq("w2"))
+      .select(col("doc_id"),
+        when(col("lp2").isNotNull, lit(2)).otherwise(lit(1)).as("lvl"),
+        when(col("lp2").isNotNull, col("lp2"))
+          .otherwise(lnAlpha + col("lp1")).as("lp"))
+    val p3 = grams(d, 3, Seq("w1", "w2", "w3"))
+      .join(lt3, Seq("w1", "w2", "w3"), "left")
+      .join(lt2.select(col("w1").as("w2"), col("w2").as("w3"), col("lp2")),
+        Seq("w2", "w3"), "left")
+      .join(lt1.select(col("word").as("w3"), col("lp1")), Seq("w3"))
+      .select(col("doc_id"),
+        when(col("lp3").isNotNull, lit(3))
+          .when(col("lp2").isNotNull, lit(2)).otherwise(lit(1)).as("lvl"),
+        when(col("lp3").isNotNull, col("lp3"))
+          .when(col("lp2").isNotNull, lnAlpha + col("lp2"))
+          .otherwise(lnAlpha + lnAlpha + col("lp1")).as("lp"))
+    p1.unionByName(p2).unionByName(p3)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_big"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_uni"),
+        sum(col("lp")).as("l"))
+      .select(col("doc_id"), col("n_tokens"), col("n_tri"), col("n_big"),
+        col("n_uni"),
+        round((-col("l")).cast("double") / col("n_tokens"), 4).as("nll"))
+      .contractOrderBy("doc_id")
+  }
+
+  def docPerplexitySboSql: String = {
+    val mod = GraftConf.pplSboTrainMod
+    val lnA = java.math.BigDecimal.valueOf(
+      math.log(GraftConf.pplSboAlphaPct / 100.0))
+      .setScale(6, java.math.RoundingMode.HALF_UP).toPlainString
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), tr AS (
+      |  SELECT * FROM d WHERE doc_id % $mod = 0
+      |), c1 AS (
+      |  SELECT word, count(*) AS c FROM (SELECT unnest(ws) AS word FROM tr)
+      |  GROUP BY word
+      |), tot AS (
+      |  SELECT CAST(sum(c) + count(*) AS DOUBLE) AS nv FROM c1
+      |), bg AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |        FROM tr WHERE len(ws) >= 2)
+      |), c2 AS (
+      |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+      |), tg AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+      |        FROM tr WHERE len(ws) >= 3)
+      |), c3 AS (
+      |  SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY w1, w2, w3
+      |), lt1 AS (
+      |  SELECT v.word,
+      |    CAST(round(ln(CAST(coalesce(c1.c, 0) + 1 AS DOUBLE) / (SELECT nv FROM tot)), 6)
+      |      AS DECIMAL(18,6)) AS lp1
+      |  FROM (SELECT DISTINCT unnest(ws) AS word FROM d) v
+      |  LEFT JOIN c1 ON v.word = c1.word
+      |), lt2 AS (
+      |  SELECT c2.w1, c2.w2,
+      |    CAST(round(ln(CAST(c2.c2 AS DOUBLE) / CAST(p.c AS DOUBLE)), 6)
+      |      AS DECIMAL(18,6)) AS lp2
+      |  FROM c2 JOIN c1 p ON c2.w1 = p.word
+      |), lt3 AS (
+      |  SELECT c3.w1, c3.w2, c3.w3,
+      |    CAST(round(ln(CAST(c3.c3 AS DOUBLE) / CAST(p.c2 AS DOUBLE)), 6)
+      |      AS DECIMAL(18,6)) AS lp3
+      |  FROM c3 JOIN c2 p ON c3.w1 = p.w1 AND c3.w2 = p.w2
+      |), la AS (
+      |  SELECT CAST($lnA AS DECIMAL(18,6)) AS v
+      |), p1 AS (
+      |  SELECT d.doc_id, 1 AS lvl, lt1.lp1 AS lp
+      |  FROM d JOIN lt1 ON ws[1] = lt1.word
+      |), p2 AS (
+      |  SELECT b.doc_id,
+      |    CASE WHEN l2.lp2 IS NOT NULL THEN 2 ELSE 1 END AS lvl,
+      |    CASE WHEN l2.lp2 IS NOT NULL THEN l2.lp2
+      |         ELSE (SELECT v FROM la) + l1.lp1 END AS lp
+      |  FROM (SELECT doc_id, ws[1] AS w1, ws[2] AS w2 FROM d WHERE len(ws) >= 2) b
+      |  LEFT JOIN lt2 l2 ON b.w1 = l2.w1 AND b.w2 = l2.w2
+      |  JOIN lt1 l1 ON b.w2 = l1.word
+      |), p3 AS (
+      |  SELECT g.doc_id,
+      |    CASE WHEN l3.lp3 IS NOT NULL THEN 3
+      |         WHEN l2.lp2 IS NOT NULL THEN 2 ELSE 1 END AS lvl,
+      |    CASE WHEN l3.lp3 IS NOT NULL THEN l3.lp3
+      |         WHEN l2.lp2 IS NOT NULL THEN (SELECT v FROM la) + l2.lp2
+      |         ELSE (SELECT v FROM la) + (SELECT v FROM la) + l1.lp1 END AS lp
+      |  FROM (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+      |        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+      |              FROM d WHERE len(ws) >= 3)) g
+      |  LEFT JOIN lt3 l3 ON g.w1 = l3.w1 AND g.w2 = l3.w2 AND g.w3 = l3.w3
+      |  LEFT JOIN lt2 l2 ON g.w2 = l2.w1 AND g.w3 = l2.w2
+      |  JOIN lt1 l1 ON g.w3 = l1.word
+      |), allp AS (
+      |  SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+      |)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+      |  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+      |  CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+      |  round(CAST(-sum(lp) AS DOUBLE) / count(*), 4) AS nll
+      |FROM allp GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** `doc_fingerprint`: whole-content md5 + winnowing-style min-shingle
     * fingerprint (min md5 over 5-gram shingles — the rolling-hash
     * fingerprint family).

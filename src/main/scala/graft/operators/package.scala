@@ -95,6 +95,24 @@ package object operators {
     def cosineTau: Double = fraction("spark.graft.dedup.cosineTau", "0.35")
     /** Hot band-bucket cap (`spark.graft.dedup.hotBandDocs`). */
     def hotBandDocs: Int = positive("spark.graft.dedup.hotBandDocs", "64")
+    /** SemDeDup within-cell cosine threshold
+      * (`spark.graft.dedup.semTau`): pairs at or above it inside one
+      * trained kmeans cell are semantic duplicates (Abbas et al. 2023 use
+      * ε ≈ 0.95 on real embeddings; the synthetic corpus's planted
+      * near-dups sit lower, so the default matches `cosineTau`).
+      */
+    def dedupSemTau: Double = fraction("spark.graft.dedup.semTau", "0.35")
+    /** Per-cluster prototype-prune drop percentage
+      * (`spark.graft.prune.dropPct`): the easiest (most prototypical =
+      * closest-to-centroid) pct% of each kmeans cell is dropped
+      * (Sorscher et al. 2022 — on large corpora pruning EASY examples
+      * beats random). Integer 0..100; compared in exact integer math.
+      */
+    def pruneDropPct: Int = {
+      val v = positive("spark.graft.prune.dropPct", "25")
+      require(v <= 100, s"spark.graft.prune.dropPct must be <= 100, got $v")
+      v
+    }
     /** Connected-components iteration backstop
       * (`spark.graft.dedup.ccMaxIters`).
       */
@@ -225,6 +243,30 @@ package object operators {
     def pplLambda: Double = fraction("spark.graft.ppl.lambda", "0.9")
     /** Per-doc tf-idf terms kept (`spark.graft.tfidf.topK`). */
     def tfidfTopK: Int = positive("spark.graft.tfidf.topK", "3")
+    /** Reciprocal-rank-fusion constant (`spark.graft.rrf.k`, Cormack et
+      * al. 2009's k = 60).
+      */
+    def rrfK: Int = positive("spark.graft.rrf.k", "60")
+    /** Per-list fusion depth (`spark.graft.rrf.depth`): how many ranks of
+      * each retrieval list (dense ANN, lexical BM25) enter the fusion.
+      */
+    def rrfDepth: Int = positive("spark.graft.rrf.depth", "10")
+    /** Stupid-backoff train-slice modulus (`spark.graft.ppl.sboTrainMod`):
+      * the trigram LM's counts come from the doc_id % mod == 0 slice only,
+      * so scoring the rest exercises real backoff (mod = 1 trains on the
+      * full corpus — every observed n-gram then hits the trigram level).
+      */
+    def pplSboTrainMod: Int = positive("spark.graft.ppl.sboTrainMod", "2")
+    /** Stupid-backoff multiplier as integer percent
+      * (`spark.graft.ppl.sboAlphaPct`, Brants et al. 2007's α = 0.4 →
+      * 40). 1..99; its frozen 6-dp natural log is printed into BOTH
+      * engines' plans from the same Scala double.
+      */
+    def pplSboAlphaPct: Int = {
+      val v = positive("spark.graft.ppl.sboAlphaPct", "40")
+      require(v <= 99, s"spark.graft.ppl.sboAlphaPct must be <= 99, got $v")
+      v
+    }
     /** Temperature-mix exponent as sqrt applications
       * (`spark.graft.mix.tempSqrts`): alpha = 2^-s, i.e. 1 → sqrt (0.5),
       * 2 → fourth root (0.25). Restricted to this family because sqrt is
