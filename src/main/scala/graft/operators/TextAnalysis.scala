@@ -1462,4 +1462,111 @@ object TextAnalysis {
        |LEFT JOIN cs ON d.doc_id = cs.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // Line-level (paragraph-hash) dedup — CCNet (Wenzek et al. 2020 §3.2)
+  // removes duplicated PARAGRAPHS corpus-wide by hash, keeping one copy.
+  // Reference anchor: utils/validation.py's per-block normalize+compare
+  // loop dedups repeated form blocks one document at a time; this is the
+  // corpus-grain version of that rule.
+  // --------------------------------------------------------------------
+
+  /** `dedup_lines`: CCNet-style duplicated-unit removal. The corpus has no
+    * newline structure, so the dedup unit is a TUMBLING window of
+    * `spark.graft.linedd.chunkWords` words (real crawl text would split on
+    * newlines; everything downstream of the split is unchanged). Every
+    * unit is hashed; only the corpus-wide FIRST occurrence of each hash
+    * (min packed (doc_id, idx), the [[dedupSubstringsCut]] keep-first
+    * convention) survives; docs are reassembled from their kept units.
+    *
+    * Differs from [[dedupSubstringsCut]] exactly the way CCNet differs
+    * from suffix-array dedup (Lee et al. 2021): removal is at unit
+    * granularity over a TUMBLING partition (corpus-linear unit count,
+    * n/W units), not per overlapping k-gram window (n windows) — the
+    * cheap first rung of a dedup ladder.
+    *
+    * Scale: unit extraction is a stateless projection; the keep-first rule
+    * is one hash-keyed aggregation (map-side combinable min) + one
+    * hash-keyed join back; reassembly is one doc_id-keyed aggregation.
+    * Three shuffles total, all corpus-linear, no windows over the corpus,
+    * no driver state — the exact CCNet sharding shape (they shard
+    * paragraph hashes across workers; Spark's hash Exchange is that shard
+    * step).
+    */
+  def dedupLines(spark: SparkSession, dir: String): DataFrame =
+    dedupLinesOf(Tables.documents(spark, dir))
+
+  /** Tumbling dedup units of every doc: (doc_id, idx, chunk, h). */
+  private[graft] def lineUnitsOf(docs: DataFrame): DataFrame = {
+    val cw = GraftConf.lineChunkWords
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(ws) - 1) div $cw), i -> concat_ws(' ', slice(ws, i * $cw + 1, $cw)))"))
+        .as(Seq("idx", "chunk")))
+      .withColumn("h", md5(col("chunk")))
+  }
+
+  private val LineMetaKey = "graft.linedd"
+  private def lineFingerprintConf: String = s"chunkWords=${GraftConf.lineChunkWords}"
+
+  private[graft] def validateLineConf(idx: DataFrame, what: String): Unit =
+    idx.schema.fields.find(_.name == "h")
+      .filter(_.metadata.contains(LineMetaKey))
+      .map(_.metadata.getString(LineMetaKey))
+      .foreach { stored =>
+        if (stored != lineFingerprintConf) throw new IllegalStateException(
+          s"$what was built with line-dedup conf [$stored] but the live " +
+            s"spark.graft.linedd.* conf is [$lineFingerprintConf]; arriving units would " +
+            "silently miss the stored hashes — rebuild the index or align the conf")
+      }
+
+  /** The persistable unit-hash index for crawl-time line dedup: distinct
+    * unit hashes of the base corpus, conf-stamped in column metadata
+    * (survives a parquet round-trip) — the [[winnowFpIndexOf]] treatment.
+    */
+  def lineUnitIndexOf(docs: DataFrame): DataFrame =
+    lineUnitsOf(docs).select(col("h")).distinct()
+      .withMetadata("h", new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(LineMetaKey, lineFingerprintConf).build())
+
+  def dedupLinesOf(docs: DataFrame): DataFrame = {
+    val units = lineUnitsOf(docs)
+    val firstKeys = units.groupBy(col("h"))
+      .agg(min(col("doc_id") * OccKey + col("idx")).as("first_key"))
+    units.join(firstKeys, Seq("h"))
+      .withColumn("keep", col("doc_id") * OccKey + col("idx") === col("first_key"))
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(CASE WHEN keep THEN struct(idx, chunk) END)), x -> x.chunk), ' ')")
+          .as("clean_text"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_chunks_cut"))
+      .contractOrderBy("doc_id")
+  }
+
+  def dedupLinesSql: String = {
+    val cw = GraftConf.lineChunkWords
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0, (len(ws) - 1) // $cw)) AS idx,
+       |    unnest(list_transform(generate_series(0, (len(ws) - 1) // $cw),
+       |      i -> array_to_string(ws[i * $cw + 1 : i * $cw + $cw], ' '))) AS chunk
+       |  FROM d
+       |), hx AS (
+       |  SELECT doc_id, idx, chunk, md5(chunk) AS h FROM c
+       |), fk AS (
+       |  SELECT h, min(doc_id * $OccKey + idx) AS first_key FROM hx GROUP BY h
+       |), k AS (
+       |  SELECT doc_id, idx, chunk, doc_id * $OccKey + idx = first_key AS keep
+       |  FROM hx JOIN fk USING (h)
+       |)
+       |SELECT doc_id,
+       |  coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE keep), '') AS clean_text,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_chunks_cut
+       |FROM k GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
 }

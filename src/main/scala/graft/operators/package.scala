@@ -243,6 +243,20 @@ package object operators {
     def pplLambda: Double = fraction("spark.graft.ppl.lambda", "0.9")
     /** Per-doc tf-idf terms kept (`spark.graft.tfidf.topK`). */
     def tfidfTopK: Int = positive("spark.graft.tfidf.topK", "3")
+    /** Line-dedup unit width in words (`spark.graft.linedd.chunkWords`):
+      * the corpus has no newline structure, so the CCNet "paragraph" is a
+      * tumbling window of this many words; a deployment over real crawl
+      * text splits on newlines instead and the keep-first hash logic is
+      * unchanged.
+      */
+    def lineChunkWords: Int = positive("spark.graft.linedd.chunkWords", "12")
+    /** BPE merge count (`spark.graft.bpe.merges`): how many merge rules
+      * the trainer learns. Production vocabularies run this at 30k+; the
+      * training loop's cost is merges × (one pass over the DISTINCT-WORD
+      * table), independent of corpus size, so the knob prices vocabulary
+      * quality, not corpus scans.
+      */
+    def bpeMerges: Int = positive("spark.graft.bpe.merges", "8")
     /** Reciprocal-rank-fusion constant (`spark.graft.rrf.k`, Cormack et
       * al. 2009's k = 60).
       */

@@ -483,6 +483,35 @@ object StreamOps {
       .select(col("doc_id"), col("base_id"), col("fp"), col("nfd"), col("nf_base"))
   }
 
+  /** Crawl-time line-dedup tap: each arriving doc's tumbling units
+    * (`spark.graft.linedd.chunkWords` words, the `dedup_lines` grain) are
+    * hashed STATELESSLY and stream-static left-joined against the stored
+    * unit-hash index ([[graft.operators.TextAnalysis.lineUnitIndexOf]]
+    * output). Emits one verdict row per unit: `in_base` (hash already in
+    * the base corpus) and `dup_in_doc` (an earlier unit of the SAME doc
+    * carries the hash — computed inside one projection via first-position
+    * array lookup, no state). The sink keeps units where neither flag is
+    * set and reassembles; cross-arrival dups are the batch path's job
+    * (`dedup_lines` over the merged corpus), the same division of labor
+    * as [[winnowContainStream]]. Fails fast on chunk-width conf drift via
+    * the index's metadata stamp.
+    */
+  def lineDedupStream(docsStream: DataFrame, baseUnits: DataFrame): DataFrame = {
+    import graft.operators.{GraftConf, TextAnalysis}
+    TextAnalysis.validateLineConf(baseUnits, "stored unit-hash index")
+    val cw = GraftConf.lineChunkWords
+    docsStream
+      .withColumn("us", expr(
+        s"transform(sequence(0, (size(split(text, ' ')) - 1) div $cw), " +
+          s"i -> concat_ws(' ', slice(split(text, ' '), i * $cw + 1, $cw)))"))
+      .select(col("doc_id"), col("us"), posexplode(col("us")).as(Seq("idx", "chunk")))
+      .withColumn("dup_in_doc", expr("array_position(us, chunk) - 1 < idx"))
+      .withColumn("h", md5(col("chunk")))
+      .join(baseUnits.select(col("h"), lit(true).as("hit")), Seq("h"), "left_outer")
+      .select(col("doc_id"), col("idx"), col("chunk"),
+        coalesce(col("hit"), lit(false)).as("in_base"), col("dup_in_doc"))
+  }
+
   def fuzzyContamStream(docsStream: DataFrame, evalBands: DataFrame,
       evalSets: DataFrame): DataFrame = {
     import graft.operators.{Curation, Dedup}

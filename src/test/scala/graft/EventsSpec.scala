@@ -628,4 +628,44 @@ class EventsSpec extends SparkSpec {
       assert(rolled == batch, s"stream $rolled vs batch $batch")
     } finally { q.stop(); idx.unpersist() }
   }
+
+  test("streaming lineDedupStream: sink rollup equals batch dedup_lines on the merged corpus") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.graft.linedd.chunkWords", "2")
+    try {
+      val base = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+      // arriving docs (ids above base): 10 repeats base unit [a b] + fresh
+      // tail; 11 repeats a unit WITHIN itself; 12 fully fresh
+      val streamRows = Seq((10L, "a b x y"), (11L, "p q p q z"), (12L, "m n"))
+      val idx = TextAnalysis.lineUnitIndexOf(base).cache()
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamOps.lineDedupStream(mem.toDF().toDF("doc_id", "text"), idx)
+        .writeStream.format("memory").queryName("lineddq").outputMode("append").start()
+      try {
+        mem.addData(streamRows.take(1)); q.processAllAvailable()
+        mem.addData(streamRows.drop(1)); q.processAllAvailable()
+        val cleaned = spark.table("lineddq").collect()
+          .groupBy(_.getAs[Long]("doc_id")).map { case (d, rs) =>
+            d -> rs.filter(r => !r.getAs[Boolean]("in_base") && !r.getAs[Boolean]("dup_in_doc"))
+              .sortBy(_.getAs[Int]("idx")).map(_.getAs[String]("chunk")).mkString(" ")
+          }
+        // batch reference: dedup_lines over base ∪ arrivals (base ids are
+        // lower, so corpus-wide keep-first agrees), restricted to arrivals
+        // (no cross-arrival dups planted — those are the batch path's job)
+        val batch = TextAnalysis.dedupLinesOf(base.union(streamRows.toDF("doc_id", "text")))
+          .collect().filter(_.getAs[Long]("doc_id") >= 10L)
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+        assert(cleaned == batch, s"stream $cleaned vs batch $batch")
+        assert(cleaned(10L) == "x y" && cleaned(11L) == "p q z" && cleaned(12L) == "m n")
+      } finally q.stop()
+      // chunk-width drift between index build and stream fails fast
+      spark.conf.set("spark.graft.linedd.chunkWords", "3")
+      val e = intercept[IllegalStateException](
+        StreamOps.lineDedupStream(streamRows.toDF("doc_id", "text"), idx))
+      assert(e.getMessage.contains("chunkWords=2") && e.getMessage.contains("chunkWords=3"))
+      idx.unpersist()
+    } finally spark.conf.unset("spark.graft.linedd.chunkWords")
+  }
 }
