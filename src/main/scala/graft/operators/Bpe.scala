@@ -100,7 +100,14 @@ object Bpe {
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncodeOf(Tables.documents(spark, dir))
 
-  def bpeEncodeOf(docs: DataFrame): DataFrame = {
+  def bpeEncodeOf(docs: DataFrame): DataFrame =
+    bpeTokensOf(docs).contractOrderBy("doc_id")
+
+  /** Unordered (doc_id, n_words, n_bpe_tokens) core — shared by
+    * [[bpeEncodeOf]] and `pack_sequences_bpe` so packing and accounting
+    * can never disagree on a word's price.
+    */
+  private[graft] def bpeTokensOf(docs: DataFrame): DataFrame = {
     val (vocab, _) = bpeTrainedOf(docs)
     val tok = vocab.select(col("word"),
       size(filter(split(col("enc"), "\\|\\|"), x => x =!= lit(""))).cast("long").as("n_tok"))
@@ -108,7 +115,32 @@ object Bpe {
       .join(broadcast(tok), Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tokens"))
-      .contractOrderBy("doc_id")
+  }
+
+  /** `bpe_vocab`: the post-merge SYMBOL unigram table — every subword the
+    * learned tokenizer emits, with its corpus-weighted occurrence count.
+    * This is the artifact a token-level LM or a token-budget planner
+    * consumes (the `vocab_top_tokens` analog at subword grain). One
+    * explode of the already-trained vocabulary table + one
+    * map-side-combined aggregation over the symbol universe — the corpus
+    * is never rescanned.
+    */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val (vocab, _) = bpeTrainedOf(Tables.documents(spark, dir))
+    vocab
+      .select(col("w"),
+        explode(filter(split(col("enc"), "\\|\\|"), x => x =!= lit(""))).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("w")).as("weight"))
+      .contractOrderBy("sym")
+  }
+
+  def bpeVocabSql: String = {
+    val m = GraftConf.bpeMerges
+    s"""${bpeCtesSql(m)}
+       |SELECT sym, CAST(sum(w) AS BIGINT) AS weight FROM (
+       |  SELECT w, unnest(list_filter(string_split(enc, '||'), x -> x <> '')) AS sym FROM e$m)
+       |GROUP BY sym
+       |ORDER BY sym""".stripMargin
   }
 
   // ------------------------------------------------------------------
@@ -224,19 +256,27 @@ object Bpe {
        |) ORDER BY rank""".stripMargin
   }
 
-  def bpeEncodeSql: String = {
+  /** CTE chain ending in `btok` (doc_id, n_words, n_tokens under the
+    * learned merges) — shared by `bpe_encode` and `pack_sequences_bpe`.
+    */
+  private[graft] def bpeTokenCtesSql: String = {
     val m = GraftConf.bpeMerges
     s"""${bpeCtesSql(m)},
        |tok AS (
        |  SELECT word,
        |    CAST(len(list_filter(string_split(enc, '||'), x -> x <> '')) AS BIGINT) AS n_tok
        |  FROM e$m
-       |)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-       |  CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
-       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
-       |JOIN tok USING (word)
-       |GROUP BY doc_id
-       |ORDER BY doc_id""".stripMargin
+       |), btok AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |  JOIN tok USING (word)
+       |  GROUP BY doc_id
+       |)""".stripMargin
   }
+
+  def bpeEncodeSql: String =
+    s"""$bpeTokenCtesSql
+       |SELECT doc_id, n_words, n_tokens AS n_bpe_tokens FROM btok
+       |ORDER BY doc_id""".stripMargin
 }

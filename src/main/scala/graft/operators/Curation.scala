@@ -734,11 +734,18 @@ object Curation {
     * `pack_sequences` and `pack_manifest` read from. One shuffle (the shard
     * window).
     */
-  private def packPlaced(spark: SparkSession, dir: String): DataFrame = {
+  private def packPlaced(spark: SparkSession, dir: String): DataFrame =
+    packPlacedOf(Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long")))
+
+  /** Placement over any (doc_id, n_tokens) frame — the token PRICE is a
+    * parameter, so the same cumsum serves whitespace pricing and the
+    * learned-tokenizer pricing of `pack_sequences_bpe`.
+    */
+  private def packPlacedOf(docsTok: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    docsTok
       .withColumn("shard",
         expr(s"pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), $PackShards)"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
@@ -772,6 +779,45 @@ object Curation {
        |  cum_before % $SeqBudget AS seq_offset, n_tokens,
        |  (cum_before + n_tokens - 1) // $SeqBudget - cum_before // $SeqBudget + 1 AS n_seqs
        |FROM c
+       |ORDER BY doc_id""".stripMargin
+
+  /** `pack_sequences_bpe`: the packing plan priced in LEARNED tokenizer
+    * tokens — `pack_sequences`' whitespace `n_tokens` is a stand-in; a
+    * real trainer's sequence budget is denominated in its tokenizer's
+    * subwords, so the cumsum packs [[Bpe.bpeTokensOf]]' per-doc counts
+    * instead. Same placement core (one shard-window shuffle), same
+    * integer chop arithmetic; the only added work is the BPE encode's
+    * broadcast word→price join. At 100 TB the prices come from the stored
+    * merge table (`Bpe.encodeFrom`), not a retrain.
+    */
+  def packSequencesBpe(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Bpe.bpeTokensOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+    packPlacedOf(tok)
+      .withColumn("seq_id", expr(s"cum_before div $SeqBudget"))
+      .withColumn("seq_offset", expr(s"cum_before % $SeqBudget"))
+      .withColumn("n_seqs",
+        expr(s"(cum_before + n_tokens - 1) div $SeqBudget") - col("seq_id") + 1)
+      .select("doc_id", "shard", "seq_id", "seq_offset", "n_tokens", "n_seqs")
+      .contractOrderBy("doc_id")
+  }
+
+  def packSequencesBpeSql: String =
+    s"""${Bpe.bpeTokenCtesSql},
+       |pd AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $PackShards AS shard
+       |  FROM btok
+       |), pc AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM pd
+       |)
+       |SELECT doc_id, shard, cum_before // $SeqBudget AS seq_id,
+       |  cum_before % $SeqBudget AS seq_offset, n_tokens,
+       |  (cum_before + n_tokens - 1) // $SeqBudget - cum_before // $SeqBudget + 1 AS n_seqs
+       |FROM pc
        |ORDER BY doc_id""".stripMargin
 
   /** `pack_manifest`: the packed output a TRAINER consumes — one row per

@@ -1545,6 +1545,110 @@ object TextAnalysis {
       .contractOrderBy("doc_id")
   }
 
+  /** `dedup_lines_report`: per-source duplicated-unit rates — the curation
+    * dashboard over [[dedupLines]]' unit table (which crawl sources carry
+    * boilerplate, BEFORE anyone rewrites documents; the `pii_audit`
+    * relationship to `text_normalize`). A unit occurrence counts as
+    * duplicated exactly when `dedup_lines` would cut it (not the
+    * corpus-wide first occurrence of its hash), so the report and the act
+    * step can never disagree. `cut_pct` is truncating integer division —
+    * no float ever decides a row. Same three corpus-linear shuffles as the
+    * act step, ending in an O(sources) aggregate.
+    */
+  def dedupLinesReport(spark: SparkSession, dir: String): DataFrame =
+    dedupLinesReportOf(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text, source) frame — specs plant sources. */
+  def dedupLinesReportOf(docs: DataFrame): DataFrame = {
+    val units = lineUnitsOf(docs)
+    val firstKeys = units.groupBy(col("h"))
+      .agg(min(col("doc_id") * OccKey + col("idx")).as("first_key"))
+    units.join(firstKeys, Seq("h"))
+      .withColumn("cut", col("doc_id") * OccKey + col("idx") =!= col("first_key"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("n_units_cut"))
+      .withColumn("cut_pct", expr("n_units_cut * 100 div n_units"))
+      .contractOrderBy("source")
+  }
+
+  def dedupLinesReportSql: String = {
+    val cw = GraftConf.lineChunkWords
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0, (len(ws) - 1) // $cw)) AS idx,
+       |    unnest(list_transform(generate_series(0, (len(ws) - 1) // $cw),
+       |      i -> array_to_string(ws[i * $cw + 1 : i * $cw + $cw], ' '))) AS chunk
+       |  FROM d
+       |), hx AS (
+       |  SELECT doc_id, idx, md5(chunk) AS h FROM c
+       |), fk AS (
+       |  SELECT h, min(doc_id * $OccKey + idx) AS first_key FROM hx GROUP BY h
+       |), k AS (
+       |  SELECT doc_id, doc_id * $OccKey + idx <> first_key AS cut
+       |  FROM hx JOIN fk USING (h)
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_units,
+       |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_units_cut,
+       |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) * 100 // count(*) AS BIGINT) AS cut_pct
+       |FROM k JOIN (SELECT doc_id, source FROM d) s USING (doc_id)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
+  /** `doc_entropy`: within-document Shannon entropy of the word
+    * distribution — the repetition/templatedness quality signal (a
+    * boilerplate or keyword-stuffed doc has low entropy regardless of
+    * which words it repeats; the information-theoretic complement of
+    * [[docRepetition]]'s positional signals). H = −Σ (c/n)·ln(c/n) over
+    * the doc's distinct words. §5 discipline: each distinct word's
+    * ln(c/n) is frozen ONCE as round(·,6) DECIMAL(18,6), multiplied by
+    * the exact integer count and summed as exact decimal — the only
+    * float steps are the frozen ln and the final round(·/n, 4). Scale:
+    * two map-side-combined aggregations ((doc, word) then doc) + one
+    * doc-keyed join — corpus-linear, no windows.
+    */
+  def docEntropy(spark: SparkSession, dir: String): DataFrame =
+    docEntropyOf(Tables.documents(spark, dir))
+
+  def docEntropyOf(docs: DataFrame): DataFrame = {
+    val cw = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    val nd = cw.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    cw.join(nd, "doc_id")
+      .withColumn("lp",
+        round(log(col("c").cast("double") / col("n").cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), max(col("n_distinct")).as("n_distinct"),
+        sum(col("c") * col("lp")).as("hsum"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round((-col("hsum")).cast("double") / col("n_tokens"), 4).as("entropy"))
+      .contractOrderBy("doc_id")
+  }
+
+  val docEntropySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      |), cw AS (
+      |  SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word
+      |), nd AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_distinct
+      |  FROM cw GROUP BY doc_id
+      |), lp AS (
+      |  SELECT doc_id, c, n, n_distinct,
+      |    CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+      |  FROM cw JOIN nd USING (doc_id)
+      |)
+      |SELECT doc_id, n AS n_tokens, n_distinct,
+      |  round(CAST(-sum(c * lp) AS DOUBLE) / n, 4) AS entropy
+      |FROM lp GROUP BY doc_id, n, n_distinct
+      |ORDER BY doc_id""".stripMargin
+
   def dedupLinesSql: String = {
     val cw = GraftConf.lineChunkWords
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

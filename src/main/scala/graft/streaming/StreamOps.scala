@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -510,6 +510,31 @@ object StreamOps {
       .join(baseUnits.select(col("h"), lit(true).as("hit")), Seq("h"), "left_outer")
       .select(col("doc_id"), col("idx"), col("chunk"),
         coalesce(col("hit"), lit(false)).as("in_base"), col("dup_in_doc"))
+  }
+
+  /** Crawl-time token pricing under a LEARNED tokenizer: every arriving
+    * doc's word/BPE-token counts from the trained merge list — ZERO state,
+    * ZERO joins. The merge rules ride as literals inside one nested
+    * higher-order expression (per word: char-split → `||`-bound → the
+    * rank-ordered replace chain → symbol count; per doc: one array-sum
+    * fold), so the plan is a stateless codegen'd projection at any crawl
+    * rate. The caller passes the (left, right) merge list read from the
+    * stored artifact ([[graft.operators.Bpe.writeMerges]]) or a fresh
+    * train; spec asserts per-doc equality with the batch encode.
+    */
+  def bpeTokensStream(docsStream: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    def tokCount(w: Column): Column = {
+      var enc: Column = concat(lit("||"),
+        array_join(filter(split(w, ""), c => c =!= lit("")), "||"), lit("||"))
+      merges.foreach { case (l, r) =>
+        enc = call_function("replace", enc, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+      }
+      size(filter(split(enc, "\\|\\|"), x => x =!= lit(""))).cast("long")
+    }
+    docsStream.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_words"),
+      aggregate(transform(split(col("text"), " "), w => tokCount(w)),
+        lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"))
   }
 
   def fuzzyContamStream(docsStream: DataFrame, evalBands: DataFrame,

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.operators.Bpe
 
 /** BPE trainer/encoder semantics on planted corpora: frequency-weighted
@@ -55,6 +56,17 @@ class BpeSpec extends SparkSpec {
     assert(out(2L) == ((1L, 1L)))
   }
 
+  test("bpe_vocab on a planted corpus: fully-merged words become whole-word symbols") {
+    // after (a,b), (ab,ab), (c,d) the vocabulary collapses to two symbols
+    val (vocab, _) = Bpe.bpeTrainedOf(docs("abab abab cd", "abab"))
+    val syms = vocab
+      .select(col("w"),
+        explode(filter(split(col("enc"), "\\|\\|"), x => x =!= lit(""))).as("sym"))
+      .groupBy("sym").sum("w").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(syms == Map("abab" -> 3L, "cd" -> 1L))
+  }
+
   test("stored merge table: encodeFrom is bit-equal to the in-memory encode; drift fails fast") {
     val path = java.nio.file.Files.createTempDirectory("bpe_idx").toString + "/merges"
     Bpe.writeMerges(spark, sf, path)
@@ -69,6 +81,23 @@ class BpeSpec extends SparkSpec {
       val e = intercept[IllegalStateException](Bpe.encodeFrom(spark, path, docs))
       assert(e.getMessage.contains("merges=8") && e.getMessage.contains("merges=5"))
     } finally spark.conf.unset("spark.graft.bpe.merges")
+  }
+
+  test("pack_sequences_bpe: packing invariants hold under the learned token price") {
+    val out = graft.operators.Curation.packSequencesBpe(spark, sf).collect()
+    graft.operators.Dedup.releaseIntermediates()
+    val enc = Bpe.bpeEncode(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+    graft.operators.Dedup.releaseIntermediates()
+    val budget = graft.operators.GraftConf.packSeqTokens
+    assert(out.length == enc.size)
+    out.foreach { r =>
+      // the packed price IS the encode's price, and the chop arithmetic holds
+      assert(r.getAs[Long]("n_tokens") == enc(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("seq_offset") < budget)
+      val spanSeqs = (r.getAs[Long]("seq_offset") + r.getAs[Long]("n_tokens") - 1) / budget + 1
+      assert(r.getAs[Long]("n_seqs") == spanSeqs)
+    }
   }
 
   test("corpus run: rank-complete table, new_sym = left || right, budget respected") {

@@ -629,6 +629,33 @@ class EventsSpec extends SparkSpec {
     } finally { q.stop(); idx.unpersist() }
   }
 
+  test("streaming bpeTokensStream: stateless per-doc pricing equals the batch encode") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    implicit val sq = spark.sqlContext
+    val docs = Seq((1L, "abab abab cd"), (2L, "abab"), (3L, "a b a"))
+    val batchDf = docs.toDF("doc_id", "text")
+    val (_, merges) = Bpe.bpeTrainedOf(batchDf)
+    val expected = Bpe.bpeEncodeOf(batchDf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens")))
+      .toSet
+    graft.operators.Dedup.releaseIntermediates()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.bpeTokensStream(mem.toDF().toDF("doc_id", "text"),
+        merges.map(m => (m._1, m._2)))
+      .writeStream.format("memory").queryName("bpeq").outputMode("append").start()
+    try {
+      mem.addData(docs.take(1)); q.processAllAvailable()
+      mem.addData(docs.drop(1)); q.processAllAvailable()
+      val got = spark.table("bpeq").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens")))
+        .toSet
+      assert(got == expected, s"stream $got vs batch $expected")
+      // the fully-merged word prices at ONE token through the same chain
+      assert(got.find(_._1 == 2L).get._3 == 1L)
+    } finally q.stop()
+  }
+
   test("streaming lineDedupStream: sink rollup equals batch dedup_lines on the merged corpus") {
     import spark.implicits._
     import graft.operators.TextAnalysis

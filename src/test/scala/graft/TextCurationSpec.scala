@@ -334,6 +334,38 @@ class TextCurationSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.linedd.chunkWords")
   }
 
+  test("dedup_lines_report: per-source cut accounting matches the act step's rule") {
+    spark.conf.set("spark.graft.linedd.chunkWords", "2")
+    try {
+      val docs = Seq(
+        (1L, "a b c d", "srcA"), // both units first occurrences
+        (2L, "a b x y", "srcB"), // [a b] cut
+        (3L, "c d", "srcB"))     // [c d] cut
+        .toDF("doc_id", "text", "source")
+      val out = graft.operators.TextAnalysis.dedupLinesReportOf(docs).collect().map(r =>
+        r.getAs[String]("source") ->
+          (r.getAs[Long]("n_units"), r.getAs[Long]("n_units_cut"), r.getAs[Long]("cut_pct"))).toMap
+      assert(out("srcA") == ((2L, 0L, 0L)))
+      assert(out("srcB") == ((3L, 2L, 66L))) // 2*100 div 3 — truncating
+    } finally spark.conf.unset("spark.graft.linedd.chunkWords")
+  }
+
+  test("doc_entropy: hand-computed Shannon entropy; constant doc scores zero") {
+    val docs = Seq(
+      (1L, "x x y y"),   // H = ln 2
+      (2L, "a b c d"),   // H = ln 4
+      (3L, "z z z"))     // H = 0
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.docEntropyOf(docs).collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"), r.getAs[Double]("entropy"))).toMap
+    assert(out(1L) == ((4L, 2L, 0.6931)))
+    assert(out(2L) == ((4L, 4L, 1.3863)))
+    assert(out(3L) == ((3L, 1L, 0.0)))
+    // the repetitive doc is strictly lower-entropy than the varied one
+    assert(out(1L)._3 < out(2L)._3)
+  }
+
   test("dedup_lines: untouched docs round-trip their text exactly") {
     val orig = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
