@@ -401,6 +401,127 @@ object TextAnalysis {
       |ORDER BY f.doc_id""".stripMargin
   }
 
+  /** `doc_perplexity_kn`: interpolated KNESER-NEY bigram scoring (Kneser &
+    * Ney 1995; Chen & Goodman 1999 §2.7 — the smoothing KenLM implements,
+    * i.e. the ACTUAL arithmetic inside CCNet's quality LM): p(w2|w1) =
+    * (c(w1,w2) − D)/c(w1) + (D/c(w1))·N1+(w1·)·p_cont(w2), with the
+    * continuation probability p_cont(w2) = N1+(·w2)/N1+(··). The rung the
+    * perplexity ladder was missing between [[docPerplexityBigram]]'s
+    * Jelinek-Mercer interpolation and [[docPerplexitySbo]]'s backoff: KN
+    * backs off to how many CONTEXTS a word completes, not how often it
+    * occurs — the canonical "francisco" failure (frequent, but only ever
+    * after "san") scores low where JM's unigram interpolation scores it
+    * high, and the spec plants exactly that reversal. The LM trains on the
+    * scored corpus itself ([[docPerplexityBigram]]'s convention), so every
+    * scored bigram is observed and `max(c−D, 0) = c−D` since D < 1.
+    *
+    * §5 determinism: D printed into both engines from one Scala double;
+    * each distinct bigram's ln p frozen ONCE as round(·,6) DECIMAL(18,6)
+    * with an IDENTICALLY-parenthesized IEEE expression; first token by
+    * the frozen unigram MLE; exact-decimal per-doc sums, one 4-dp round.
+    *
+    * Scale: the two continuation tables are bigram-TYPE-grain counts
+    * (strictly smaller than the bigram table), all aggregations map-side
+    * combined, scoring is n-gram-grain key joins — corpus-linear, no
+    * windows; the four count tables are the persistable model artifact,
+    * exactly KenLM's.
+    */
+  def docPerplexityKn(spark: SparkSession, dir: String): DataFrame =
+    docPerplexityKnOf(Tables.documents(spark, dir))
+
+  def docPerplexityKnOf(docs: DataFrame): DataFrame = {
+    val dD = GraftConf.pplKnDiscountPct / 100.0
+    val d = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val tok = d.select(col("doc_id"), explode(col("ws")).as("word"))
+    val c1 = tok.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val total = c1.agg(sum(col("c")).cast("double").as("t"))
+    val bg = d.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> named_struct('w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))"""
+          .stripMargin.replace("\n", ""))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val nfw = c2.groupBy(col("w1")).agg(count(lit(1)).as("nfw"))
+    val nbw = c2.groupBy(col("w2")).agg(count(lit(1)).as("nbw"))
+    val na = c2.agg(count(lit(1)).cast("double").as("na"))
+    val lp1 = c1.crossJoin(broadcast(total))
+      .select(col("word"),
+        round(log(col("c").cast("double") / col("t")), 6)
+          .cast("decimal(18,6)").as("logp"))
+    val lp2 = c2
+      .join(c1.select(col("word").as("w1"), col("c").as("ca")), Seq("w1"))
+      .join(nfw, Seq("w1"))
+      .join(nbw, Seq("w2"))
+      .crossJoin(broadcast(na))
+      .select(col("w1"), col("w2"),
+        round(log((col("c2").cast("double") - lit(dD)
+          + lit(dD) * col("nfw").cast("double")
+            * (col("nbw").cast("double") / col("na")))
+          / col("ca").cast("double")), 6)
+          .cast("decimal(18,6)").as("logp"))
+    val first = d.select(col("doc_id"), element_at(col("ws"), 1).as("w1"),
+      size(col("ws")).cast("long").as("n_tokens"))
+      .join(lp1.select(col("word").as("w1"), col("logp").as("l1")), Seq("w1"))
+    val bsum = bg.join(lp2, Seq("w1", "w2"))
+      .groupBy(col("doc_id")).agg(sum(col("logp")).as("l2"))
+    first.join(bsum, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round((-(col("l1") + coalesce(col("l2"), lit(0)))).cast("double")
+          / col("n_tokens"), 4).as("nll"))
+      .contractOrderBy("doc_id")
+  }
+
+  def docPerplexityKnSql: String = {
+    val dD = GraftConf.pplKnDiscountPct / 100.0
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), tok AS (
+      |  SELECT doc_id, unnest(ws) AS word FROM d
+      |), c1 AS (
+      |  SELECT word, count(*) AS c FROM tok GROUP BY word
+      |), tot AS (
+      |  SELECT CAST(sum(c) AS DOUBLE) AS t FROM c1
+      |), bg0 AS (
+      |  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |  FROM d WHERE len(ws) >= 2
+      |), bg AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM bg0
+      |), c2 AS (
+      |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+      |), nfw AS (
+      |  SELECT w1, count(*) AS nfw FROM c2 GROUP BY w1
+      |), nbw AS (
+      |  SELECT w2, count(*) AS nbw FROM c2 GROUP BY w2
+      |), nat AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS na FROM c2
+      |), lp1 AS (
+      |  SELECT word,
+      |    CAST(round(ln(CAST(c AS DOUBLE) / (SELECT t FROM tot)), 6) AS DECIMAL(18,6)) AS logp
+      |  FROM c1
+      |), lp2 AS (
+      |  SELECT c2.w1, c2.w2,
+      |    CAST(round(ln((CAST(c2.c2 AS DOUBLE) - $dD
+      |      + $dD * CAST(f.nfw AS DOUBLE) * (CAST(b2.nbw AS DOUBLE) / (SELECT na FROM nat)))
+      |      / CAST(a.c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS logp
+      |  FROM c2 JOIN c1 a ON c2.w1 = a.word
+      |  JOIN nfw f ON c2.w1 = f.w1
+      |  JOIN nbw b2 ON c2.w2 = b2.w2
+      |), first AS (
+      |  SELECT d.doc_id, ws[1] AS w1, CAST(len(ws) AS BIGINT) AS n_tokens FROM d
+      |), bsum AS (
+      |  SELECT bg.doc_id, sum(lp2.logp) AS l2
+      |  FROM bg JOIN lp2 ON bg.w1 = lp2.w1 AND bg.w2 = lp2.w2
+      |  GROUP BY bg.doc_id
+      |)
+      |SELECT f.doc_id, f.n_tokens,
+      |  round(CAST(-(lp1.logp + coalesce(b.l2, 0)) AS DOUBLE) / f.n_tokens, 4) AS nll
+      |FROM first f
+      |JOIN lp1 ON f.w1 = lp1.word
+      |LEFT JOIN bsum b ON f.doc_id = b.doc_id
+      |ORDER BY f.doc_id""".stripMargin
+  }
+
   /** `doc_perplexity_sbo`: trigram Stupid Backoff scoring (Brants et al.
     * 2007 §4 — THE web-scale distributed LM: no discount normalization,
     * just count ratios with a fixed α per backoff level, chosen precisely

@@ -281,6 +281,17 @@ package object operators {
       require(v <= 99, s"spark.graft.ppl.sboAlphaPct must be <= 99, got $v")
       v
     }
+    /** Kneser-Ney absolute discount as integer percent
+      * (`spark.graft.ppl.knDiscountPct`, the standard D = 0.75 → 75).
+      * 1..99 so `max(c − D, 0) = c − D` for every observed bigram; the
+      * double is printed into BOTH engines' plans from the same Scala
+      * value.
+      */
+    def pplKnDiscountPct: Int = {
+      val v = positive("spark.graft.ppl.knDiscountPct", "75")
+      require(v <= 99, s"spark.graft.ppl.knDiscountPct must be <= 99, got $v")
+      v
+    }
     /** Temperature-mix exponent as sqrt applications
       * (`spark.graft.mix.tempSqrts`): alpha = 2^-s, i.e. 1 → sqrt (0.5),
       * 2 → fourth root (0.25). Restricted to this family because sqrt is

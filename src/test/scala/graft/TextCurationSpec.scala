@@ -313,6 +313,22 @@ class TextCurationSpec extends SparkSpec {
     assert(Seq("head", "middle", "tail").map(b => nlls(b).size) == Seq(3, 3, 3))
   }
 
+  test("doc_perplexity_kn: continuation diversity beats raw frequency (the 'francisco' reversal)") {
+    // 'francisco' is the more frequent unigram (6 vs 5) but completes only
+    // 2 distinct contexts; 'y' completes 5. Scoring docs that differ only
+    // in that final word: JM's unigram interpolation prefers the frequent
+    // word, KN's continuation probability prefers the diverse one.
+    val docs = ((1 to 5).map(i => (i.toLong, "san francisco")) ++
+      Seq((6L, "p y"), (7L, "q y"), (8L, "r y"), (9L, "s y"),
+        (10L, "t francisco"), (11L, "t y"))).toDF("doc_id", "text")
+    val kn = TextAnalysis.docPerplexityKnOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll")).toMap
+    val jm = TextAnalysis.docPerplexityBigramOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll")).toMap
+    assert(kn(11L) < kn(10L), s"KN must prefer the high-continuation word: $kn")
+    assert(jm(10L) < jm(11L), s"JM prefers the frequent word — the reversal KN fixes: $jm")
+  }
+
   test("dedup_lines: corpus-wide keep-first at tumbling-unit granularity") {
     spark.conf.set("spark.graft.linedd.chunkWords", "2")
     try {

@@ -48,6 +48,7 @@ CONF+=";spark.graft.ppl.sampleMod=2"
 CONF+=";spark.graft.ppl.lambda=0.8"
 CONF+=";spark.graft.ppl.sboTrainMod=3"
 CONF+=";spark.graft.ppl.sboAlphaPct=30"
+CONF+=";spark.graft.ppl.knDiscountPct=60"
 CONF+=";spark.graft.tfidf.topK=2"
 CONF+=";spark.graft.rrf.k=40"
 CONF+=";spark.graft.rrf.depth=7"
