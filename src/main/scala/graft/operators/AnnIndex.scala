@@ -37,6 +37,13 @@ object AnnIndex {
     */
   def ivfPqFingerprint: String = fingerprint(residual = false)
 
+  /** Live fingerprint matching a STORED stamp's encoding flag — the
+    * catalog's way to compare a store against the live conf without
+    * knowing a priori whether it holds residual codes.
+    */
+  private[graft] def fingerprintFor(stored: String): String =
+    fingerprint(stored.contains("residual=true"))
+
   private def fingerprint(residual: Boolean): String =
     s"kmeansK=${Clustering.K};kmeansIters=${Clustering.Iters};" +
       s"trainMod=${Clustering.TrainSampleMod};pqSubs=${Clustering.PqSubs};" +

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry over a directory of STORED graft artifacts — the operational
+  * complement to the per-artifact fail-fast stamps. Every persisted index
+  * this library writes (MinHash band tables, SRP signatures, winnow
+  * fingerprint indexes, line-dedup unit hashes, IVF-PQ stores, BPE merge
+  * tables) carries its build-time conf fingerprint in parquet column
+  * metadata; the individual query paths validate their OWN input at use
+  * time, but an operator of a 100 TB deployment also needs the fleet view:
+  * "which of the artifacts under this root were built under a conf that no
+  * longer matches the live session?" — BEFORE a nightly pipeline trips a
+  * dozen IllegalStateExceptions one at a time.
+  *
+  * [[scan]] walks the root (driver-side directory walk — bounded by the
+  * artifact count, the same class of bounded driver work as the merge-table
+  * collect), reads each leaf parquet directory's FOOTER SCHEMA only (no
+  * data IO), and reports one row per stamped column: the artifact path,
+  * stamp kind, stored fingerprint, the live conf's fingerprint for that
+  * kind, and whether they drifted.
+  */
+object ArtifactCatalog {
+
+  /** Stamp key → live-fingerprint provider. The ANN provider is fed the
+    * stored string because the live comparison depends on whether the
+    * store encodes residuals.
+    */
+  private val Known: Map[String, String => String] = Map(
+    "graft.banding"   -> (_ => Dedup.bandingFingerprint),
+    "graft.srp"       -> (_ => Dedup.srpFingerprint),
+    "graft.winnow"    -> (_ => TextAnalysis.winnowFingerprintConf),
+    "graft.linedd"    -> (_ => TextAnalysis.lineFingerprintConf),
+    "graft.bpe"       -> (_ => Bpe.bpeFingerprint),
+    "graft.ann.ivfpq" -> (stored => AnnIndex.fingerprintFor(stored)))
+
+  /** Leaf parquet directories under `root`: a dir counts as one artifact
+    * when it directly holds parquet output (data files or a `_SUCCESS`
+    * marker) and the walk does NOT descend further — a cell-partitioned
+    * code table is ONE artifact, not one per partition directory.
+    */
+  private def artifactDirs(f: java.io.File): List[java.io.File] =
+    if (!f.isDirectory) Nil
+    else {
+      val children = Option(f.listFiles).map(_.toList).getOrElse(Nil)
+      val isLeaf = children.exists(c =>
+        c.getName.endsWith(".parquet") || c.getName == "_SUCCESS")
+      if (isLeaf) List(f) else children.flatMap(artifactDirs)
+    }
+
+  /** One row per stamped column found under `root`:
+    * (path, column, kind, stored_conf, live_conf, drifted).
+    */
+  def scan(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val rows = artifactDirs(new java.io.File(root)).sortBy(_.getPath).flatMap { dir =>
+      val schema =
+        try spark.read.parquet(dir.getPath).schema
+        catch { case _: Exception => org.apache.spark.sql.types.StructType(Nil) }
+      schema.fields.toList.flatMap { f =>
+        Known.flatMap { case (kind, live) =>
+          if (f.metadata.contains(kind)) {
+            val stored = f.metadata.getString(kind)
+            val liveFp = live(stored)
+            Some((dir.getPath, f.name, kind, stored, liveFp, stored != liveFp))
+          } else None
+        }
+      }
+    }
+    rows.toDF("path", "column", "kind", "stored_conf", "live_conf", "drifted")
+  }
+}

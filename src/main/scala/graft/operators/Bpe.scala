@@ -143,6 +143,37 @@ object Bpe {
        |ORDER BY sym""".stripMargin
   }
 
+  /** `bpe_fertility`: tokens-per-word by LANGUAGE under the learned
+    * merges — the standard multilingual-tokenizer fairness metric (a
+    * vocabulary trained on a skewed mix fragments under-represented
+    * languages into more subwords per word, inflating their effective
+    * sequence cost; fertility is how that skew is measured and reported).
+    * Rides [[bpeTokensOf]] + one lang-keyed aggregation; the one float
+    * step is the final round(token sum / word sum, 4).
+    */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    bpeTokensOf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 4))
+      .contractOrderBy("lang")
+  }
+
+  def bpeFertilitySql: String =
+    s"""$bpeTokenCtesSql
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(sum(n_tokens) AS DOUBLE) / sum(n_words), 4) AS fertility
+       |FROM btok JOIN (SELECT doc_id, lang FROM documents) d USING (doc_id)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------------
   // Stored tokenizer artifact — "train once, encode many" (the AnnIndex
   // discipline): the merge table persists to parquet, conf-stamped, and

@@ -796,8 +796,14 @@ object Curation {
     packPlacedOf(tok)
       .withColumn("seq_id", expr(s"cum_before div $SeqBudget"))
       .withColumn("seq_offset", expr(s"cum_before % $SeqBudget"))
+      // a 0-token doc (empty text prices at zero under BPE) occupies no
+      // sequence; guarded explicitly because (cum_before - 1) div budget
+      // would go NEGATIVE at a shard head, where Spark's `div` truncates
+      // toward zero but DuckDB's `//` floors — a cross-engine hash flip
       .withColumn("n_seqs",
-        expr(s"(cum_before + n_tokens - 1) div $SeqBudget") - col("seq_id") + 1)
+        when(col("n_tokens") === 0L, lit(0L))
+          .otherwise(expr(s"(cum_before + n_tokens - 1) div $SeqBudget")
+            - col("seq_id") + 1))
       .select("doc_id", "shard", "seq_id", "seq_offset", "n_tokens", "n_seqs")
       .contractOrderBy("doc_id")
   }
@@ -816,7 +822,9 @@ object Curation {
        |)
        |SELECT doc_id, shard, cum_before // $SeqBudget AS seq_id,
        |  cum_before % $SeqBudget AS seq_offset, n_tokens,
-       |  (cum_before + n_tokens - 1) // $SeqBudget - cum_before // $SeqBudget + 1 AS n_seqs
+       |  CASE WHEN n_tokens = 0 THEN 0
+       |    ELSE (cum_before + n_tokens - 1) // $SeqBudget - cum_before // $SeqBudget + 1
+       |  END AS n_seqs
        |FROM pc
        |ORDER BY doc_id""".stripMargin
 

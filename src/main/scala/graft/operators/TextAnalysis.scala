@@ -1629,7 +1629,7 @@ object TextAnalysis {
   }
 
   private val LineMetaKey = "graft.linedd"
-  private def lineFingerprintConf: String = s"chunkWords=${GraftConf.lineChunkWords}"
+  private[graft] def lineFingerprintConf: String = s"chunkWords=${GraftConf.lineChunkWords}"
 
   private[graft] def validateLineConf(idx: DataFrame, what: String): Unit =
     idx.schema.fields.find(_.name == "h")

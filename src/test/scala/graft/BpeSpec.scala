@@ -67,6 +67,27 @@ class BpeSpec extends SparkSpec {
     assert(syms == Map("abab" -> 3L, "cd" -> 1L))
   }
 
+  test("bpe_fertility: the under-represented language fragments into more tokens per word") {
+    // corpus dominated by 'hi' words: merges learn (h,i) first and exhaust
+    // on the majority language; the minority 'wxyz' words never merge and
+    // price at 4 tokens per word vs 1 — exactly the skew fertility reports
+    spark.conf.set("spark.graft.bpe.merges", "1")
+    try {
+      val docs = Seq(
+        (1L, "hi hi hi hi", "en"), (2L, "hi hi", "en"),
+        (3L, "wxyz wxyz", "xx"))
+        .toDF("doc_id", "text", "lang")
+      val tok = Bpe.bpeTokensOf(docs)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_bpe_tokens")).as("t"), sum(col("n_words")).as("w"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      graft.operators.Dedup.releaseIntermediates()
+      assert(tok("en") == ((6L, 6L)))   // fertility 1.0
+      assert(tok("xx") == ((8L, 2L)))   // fertility 4.0
+    } finally spark.conf.unset("spark.graft.bpe.merges")
+  }
+
   test("stored merge table: encodeFrom is bit-equal to the in-memory encode; drift fails fast") {
     val path = java.nio.file.Files.createTempDirectory("bpe_idx").toString + "/merges"
     Bpe.writeMerges(spark, sf, path)

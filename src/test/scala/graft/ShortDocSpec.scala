@@ -87,4 +87,33 @@ class ShortDocSpec extends SparkSpec {
     operators.Dedup.releaseIntermediates()
     spark.catalog.clearCache()
   }
+
+  test("line-dedup, entropy, KN, and BPE ops survive short/empty documents") {
+    val dir = shortDocsDir()
+    // dedup_lines: every doc is one (sub-width) unit, all distinct -> identity
+    val dl = operators.TextAnalysis.dedupLines(spark, dir).collect()
+    assert(dl.length == 4 && dl.forall(_.getAs[Long]("n_chunks_cut") == 0L))
+    assert(operators.TextAnalysis.dedupLinesReport(spark, dir).collect()
+      .forall(_.getAs[Long]("n_units_cut") == 0L))
+    // doc_entropy: the empty doc's single "" token gives ln(1) = 0, not NaN
+    val ent = operators.TextAnalysis.docEntropy(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy")).toMap
+    assert(ent.size == 4 && ent(3L) == 0.0 && ent(0L) == 0.0 && ent(2L) > 0.0)
+    // KN: 0/1-word docs score by the unigram head alone; all rows total
+    val kn = operators.TextAnalysis.docPerplexityKn(spark, dir).collect()
+    assert(kn.length == 4 && kn.forall(!_.getAs[Double]("nll").isNaN))
+    // BPE: the empty doc's "" word has zero symbols -> zero pairs, zero
+    // tokens; training still learns from the real words
+    val enc = operators.Bpe.bpeEncode(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+    operators.Dedup.releaseIntermediates()
+    assert(enc.keySet == Set(0L, 1L, 2L, 3L) && enc(3L) == 0L && enc(0L) >= 1L)
+    // BPE-priced packing: the 0-token doc occupies no sequence (the
+    // negative-dividend div/floor guard), everyone else packs normally
+    val pk = operators.Curation.packSequencesBpe(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_seqs")).toMap
+    operators.Dedup.releaseIntermediates()
+    assert(pk(3L) == 0L && Seq(0L, 1L, 2L).forall(pk(_) >= 1L))
+    spark.catalog.clearCache()
+  }
 }
