@@ -344,4 +344,38 @@ object CorpusOps {
       |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_doc_chars,
       |  CAST(sum(CASE WHEN regexp_matches(text, '\bdup\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_marked
       |FROM documents""".stripMargin
+
+  /** `length_histogram`: per-source document-length histogram in
+    * DECIMAL-DIGIT buckets (bucket = number of digits of the token count:
+    * 1 → 1-9 tokens, 2 → 10-99, …) — the corpus profile read before
+    * setting packing budgets and length filters, and the drift alarm
+    * between crawls (a new boilerplate source shows up as a spike in one
+    * bucket). The bucket function is `length(CAST(n AS VARCHAR))` — pure
+    * integer/string machinery with identical semantics in both engines,
+    * where a float `log10` would invite last-ulp bucket flips at powers of
+    * ten. Stateless projection + one (source, bucket) hash aggregation;
+    * output is O(sources × 20).
+    */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("bucket", length(col("n_tokens").cast("string")).cast("long"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .contractOrderBy("source", "bucket")
+
+  val lengthHistogramSql: String =
+    """WITH t AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |)
+      |SELECT source, CAST(length(CAST(n_tokens AS VARCHAR)) AS BIGINT) AS bucket,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+      |FROM t GROUP BY source, bucket
+      |ORDER BY source, bucket""".stripMargin
 }

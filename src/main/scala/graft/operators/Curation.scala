@@ -1138,4 +1138,82 @@ object Curation {
        |SELECT doc_id, source, n_tok, CAST(cum_before + n_tok AS BIGINT) AS cum_tokens
        |FROM c WHERE cum_before < budget
        |ORDER BY doc_id""".stripMargin
+
+  // ---- shard_balance ------------------------------------------------------
+
+  /** Size-balanced shards (`spark.graft.pack.balanceShards`). */
+  def BalanceShards: Int = GraftConf.packBalanceShards
+
+  /** `shard_balance`: SIZE-balanced output shards via serpentine (zigzag)
+    * assignment — rank documents by token count descending and deal them
+    * boustrophedon across the shards (pass 0 deals 0,1,…,S−1; pass 1 deals
+    * S−1,…,1,0; …), then report each shard's document count, token total,
+    * and largest document. [[packPlacedOf]]'s md5 hash sharding balances
+    * only in EXPECTATION — a heavy-tailed length distribution (every web
+    * crawl) leaves hash shards over/under-full by the variance of the few
+    * giant documents, and the straggler shard paces the whole training
+    * epoch. Serpentine-by-size is the classic one-pass LPT approximation:
+    * consecutive giants land on different shards and each pass reverses
+    * direction so the "always gets the biggest of the pass" shard
+    * alternates.
+    *
+    * Scale: the ranking is a DISTRIBUTED total sort (range-partitioned, the
+    * 100 TB-safe kind) + `zipWithIndex` for the global rank — deliberately
+    * NOT a single-partition `row_number()` window, which would funnel the
+    * corpus through one reducer. zipWithIndex computes per-partition
+    * offsets with one count job; everything downstream is stateless integer
+    * math + one S-row aggregation. The sort carries only (doc_id,
+    * n_tokens) — 16 bytes/doc, not the corpus text.
+    */
+  def shardBalance(spark: SparkSession, dir: String): DataFrame =
+    shardBalanceFrom(spark, Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long")))
+
+  /** The serpentine core over any (doc_id, n_tokens) frame — the seam specs
+    * plant adversarial (all-giants-first) length distributions through.
+    */
+  def shardBalanceFrom(spark: SparkSession, docsTok: DataFrame): DataFrame = {
+    val s = BalanceShards
+    import spark.implicits._
+    val ranked = docsTok
+      .select(col("doc_id").cast("long"), col("n_tokens").cast("long"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+      .rdd.zipWithIndex
+      .map { case (r, i) => (r.getLong(0), r.getLong(1), i) }
+      .toDF("doc_id", "n_tokens", "rk")
+    ranked
+      .withColumn("pos", pmod(col("rk"), lit(s.toLong)))
+      .withColumn("shard",
+        when(expr(s"(rk div $s) % 2 = 0"), col("pos"))
+          .otherwise(lit(s - 1L) - col("pos")))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).as("max_doc_tokens"))
+      .contractOrderBy("shard")
+  }
+
+  /** Oracle: the same serpentine rule with the rank as a plain window
+    * row_number — DuckDB's single-node sort is fine at oracle scale.
+    */
+  def shardBalanceSql: String = {
+    val s = BalanceShards
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS BIGINT) AS rk
+       |  FROM t
+       |), sh AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN (rk // $s) % 2 = 0 THEN rk % $s ELSE ($s - 1) - (rk % $s) END AS shard
+       |  FROM r
+       |)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  max(n_tokens) AS max_doc_tokens
+       |FROM sh GROUP BY shard
+       |ORDER BY shard""".stripMargin
+  }
 }

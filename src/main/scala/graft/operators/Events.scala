@@ -480,4 +480,101 @@ object Events {
       |FROM t
       |WHERE prev_n >= 6 AND 2 * cnt * prev_n > 3 * prev_sum
       |ORDER BY event_type, hour_us""".stripMargin
+
+  /** `events_anomaly_mad`: median/MAD outlier detection over hourly buckets
+    * — the ROBUST retrospective twin of [[eventsSpike]]'s trailing mean. A
+    * burst that lasts several hours drags a trailing MEAN up and masks its
+    * own tail; the median and the median-absolute-deviation ignore up to
+    * half the buckets being corrupted (50% breakdown point), which is what
+    * a post-hoc audit over a log with real incidents wants. Flags hourly
+    * buckets with |cnt − median| > 3·MAD per event type.
+    *
+    * Determinism: the classic median/MAD formulation compares floats. Here
+    * every compared quantity is an exact INTEGER — both engines interpolate
+    * the median of integers as x.0/x.5, so `2·median(cnt)` (`med2`) and
+    * `2·median(|2·cnt − med2|)` (`mad4` = 4·MAD) are integers, exactly
+    * representable in the double each engine's quantile returns, and the
+    * flag test |cnt − med| > 3·mad becomes the cross-multiply
+    * `2·|2·cnt − med2| > 3·mad4`. No float threshold ever decides a row.
+    * When more than half a type's buckets carry the identical count, MAD
+    * collapses to 0 and ANY deviation flags — standard MAD behavior, and
+    * exactly reproduced by the oracle.
+    *
+    * Scale: one event_type×hour hash aggregation over the log (map-side
+    * combined; the hourly table is tiny), then exact medians per event_type
+    * — one reducer per TYPE (bounded cardinality; same caveat and same
+    * approx_percentile swap path as [[eventsPercentiles]]). The med/mad
+    * tables are O(types) rows and broadcast back onto the hourly table.
+    */
+  def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .withColumn("hour_us", expr("unix_micros(date_trunc('HOUR', ts))"))
+      .groupBy(col("event_type"), col("hour_us"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = hourly.groupBy(col("event_type"))
+      .agg(expr("CAST(2 * percentile(cnt, 0.5) AS BIGINT)").as("med2"))
+    val dev = hourly.join(med, "event_type")
+      .withColumn("d2", abs(lit(2L) * col("cnt") - col("med2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("CAST(2 * percentile(d2, 0.5) AS BIGINT)").as("mad4"))
+    dev.join(mad, "event_type")
+      .filter(lit(2L) * col("d2") > lit(3L) * col("mad4"))
+      .select("event_type", "hour_us", "cnt", "med2", "mad4")
+      .contractOrderBy("event_type", "hour_us")
+  }
+
+  val eventsAnomalyMadSql: String =
+    """WITH h AS (
+      |  SELECT event_type, epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY event_type, hour_us
+      |), med AS (
+      |  SELECT event_type, CAST(2 * median(cnt) AS BIGINT) AS med2 FROM h GROUP BY event_type
+      |), dev AS (
+      |  SELECT h.event_type, h.hour_us, h.cnt, med.med2,
+      |    abs(2 * h.cnt - med.med2) AS d2
+      |  FROM h JOIN med ON h.event_type = med.event_type
+      |), mad AS (
+      |  SELECT event_type, CAST(2 * median(d2) AS BIGINT) AS mad4 FROM dev GROUP BY event_type
+      |)
+      |SELECT dev.event_type, dev.hour_us, dev.cnt, dev.med2, mad.mad4
+      |FROM dev JOIN mad ON dev.event_type = mad.event_type
+      |WHERE 2 * dev.d2 > 3 * mad.mad4
+      |ORDER BY dev.event_type, dev.hour_us""".stripMargin
+
+  /** `events_distinct_users`: daily active users per event type — exact
+    * `count(DISTINCT user_id)`. Exact distinct shuffles the (type, day,
+    * user) key set once (Spark expands distinct aggs to a two-phase plan:
+    * dedup on the full key, then count — both map-side combinable); at
+    * 100 TB the swap is [[eventsDistinctUsersApprox]] (HLL++ sketch,
+    * mergeable, bounded memory), whose relative error is spec-bounded
+    * against this exact form so the swap is evidence-backed.
+    */
+  def eventsDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day", date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .contractOrderBy("event_type", "day")
+
+  val eventsDistinctUsersSql: String =
+    """SELECT event_type,
+      |  strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+      |  count(*) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY event_type, day
+      |ORDER BY event_type, day""".stripMargin
+
+  /** The 100 TB distinct-count path: `approx_count_distinct` (HyperLogLog++,
+    * one pass, no key-set shuffle — partials are fixed-size sketches merged
+    * map-side). EventsSpec bounds its error against [[eventsDistinctUsers]].
+    */
+  def eventsDistinctUsersApprox(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day", date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), rsd).as("n_users"))
+      .contractOrderBy("event_type", "day")
 }

@@ -150,6 +150,60 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** `ann_recall_report`: per-query recall of the IVF path against the
+    * brute-force ground truth — AS A QUERY, not a notebook ritual. Every
+    * approximate index deployed at 100 TB needs its recall measured on a
+    * query sample before anyone trusts it (the faiss discipline), and here
+    * the measurement is the same engine, same rounding, same tie-breaks as
+    * the production paths it compares: `n_hits` = |IVF top-k ∩ exact
+    * top-k|, `recall_bp` = basis points of the exact list recovered —
+    * integer division, so no float ever decides a reported value.
+    *
+    * Scale: both rankings are the existing paths (broadcast queries, the
+    * IVF side scanning only its cells); the intersection joins two
+    * queries×k row sets — trivially broadcast. The report is O(queries).
+    */
+  def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val brute = annTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val ivf = annTopKIvf(spark, dir)
+      .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
+    val exact = brute.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val hits = brute.join(ivf,
+        col("query_id") === col("qi") && col("neighbor_id") === col("ni"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    exact.join(hits, Seq("query_id"), "left_outer")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_bp", expr("n_hits * 10000 div n_exact"))
+      .select("query_id", "n_exact", "n_hits", "recall_bp")
+      .contractOrderBy("query_id")
+  }
+
+  def annRecallReportSql: String =
+    s"""WITH brute AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |$annTopKSql
+       |  ) b
+       |), ivf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |$annTopKIvfSql
+       |  ) v
+       |), exact AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM brute GROUP BY query_id
+       |), hits AS (
+       |  SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM brute b JOIN ivf v
+       |    ON b.query_id = v.query_id AND b.neighbor_id = v.neighbor_id
+       |  GROUP BY b.query_id
+       |)
+       |SELECT e.query_id, e.n_exact,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(coalesce(h.n_hits, 0) * 10000 // e.n_exact AS BIGINT) AS recall_bp
+       |FROM exact e LEFT JOIN hits h ON e.query_id = h.query_id
+       |ORDER BY e.query_id""".stripMargin
+
   /** IVF probe width for the trained-quantizer path
     * (`spark.graft.ann.nprobe`).
     */

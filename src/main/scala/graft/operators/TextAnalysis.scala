@@ -1794,4 +1794,82 @@ object TextAnalysis {
        |FROM k GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // script_profile — Unicode script composition, the gate BEFORE langid:
+  // a fastText-style n-gram model only makes sense on text whose script it
+  // was trained on, and a crawl's first triage buckets pages by script
+  // (mixed-script pages are also a spam signal). Ranges are explicit
+  // codepoint intervals written as \x{....} classes — the ONE spelling
+  // with identical semantics in Java regex and RE2 (named script classes
+  // differ: Java \p{IsCyrillic} vs RE2 \p{Cyrillic}; \s differs on \x0B).
+  // Counting via regexp_count of a single-char class counts CODE POINTS in
+  // both engines (Spark length()/regexp both operate on code points, as
+  // does DuckDB).
+  // --------------------------------------------------------------------
+
+  /** (label, single-codepoint character class) — BMP ranges only. */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin"    -> "[A-Za-z]",
+    "digit"    -> "[0-9]",
+    "space"    -> "[ \\t\\n\\r]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek"    -> "[\\x{0370}-\\x{03FF}]",
+    "arabic"   -> "[\\x{0600}-\\x{06FF}]",
+    "cjk"      -> "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}]")
+
+  /** Per-row script counts over any (source, text) frame — the seam specs
+    * plant Cyrillic/CJK/mixed-script rows through (the shipped synthetic
+    * corpus is ASCII word-soup, so planted rows are where the ranges are
+    * actually exercised).
+    */
+  def scriptCountsOf(docs: DataFrame): DataFrame =
+    ScriptClasses.foldLeft(docs.withColumn("n_chars_sp", length(col("text")).cast("long"))) {
+      case (df, (label, re)) =>
+        df.withColumn(s"n_$label", regexp_count(col("text"), lit(re)).cast("long"))
+    }
+
+  /** `script_profile`: per-source script composition — total code points
+    * and how many fall in each major script range, with the remainder
+    * (`n_other`) closing the sum so downstream ratio math never needs a
+    * second scan. Stateless projection + one source-keyed hash aggregation
+    * (map-side partials); output is O(sources). The 100 TB use: route each
+    * source's documents to the right langid model, and quarantine sources
+    * whose `n_other`/mixed-script mass jumps between crawls.
+    */
+  def scriptProfile(spark: SparkSession, dir: String): DataFrame = {
+    val sums = ScriptClasses.map { case (label, _) =>
+      sum(col(s"n_$label")).as(s"n_$label")
+    }
+    val known = ScriptClasses.map { case (label, _) => col(s"n_$label") }
+      .reduce(_ + _)
+    scriptCountsOf(Tables.documents(spark, dir))
+      .withColumn("n_other_row", col("n_chars_sp") - known)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        ((sum(col("n_chars_sp")).as("n_chars") +: sums) :+
+          sum(col("n_other_row")).as("n_other")): _*)
+      .contractOrderBy("source")
+  }
+
+  val scriptProfileSql: String = {
+    val counts = ScriptClasses.map { case (label, re) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$label"
+    }.mkString(",\n    ")
+    val sums = ScriptClasses.map { case (label, _) =>
+      s"CAST(sum(n_$label) AS BIGINT) AS n_$label"
+    }.mkString(", ")
+    val known = ScriptClasses.map { case (label, _) => s"n_$label" }.mkString(" + ")
+    s"""WITH c AS (
+       |  SELECT source, CAST(length(text) AS BIGINT) AS n_chars_sp,
+       |    $counts
+       |  FROM documents
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_chars_sp) AS BIGINT) AS n_chars,
+       |  $sums,
+       |  CAST(sum(n_chars_sp - ($known)) AS BIGINT) AS n_other
+       |FROM c GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
 }

@@ -54,6 +54,8 @@ package object operators {
     def packShards: Int = positive("spark.graft.pack.shards", "8")
     /** Packed-sequence token budget (`spark.graft.pack.seqTokens`). */
     def packSeqTokens: Int = positive("spark.graft.pack.seqTokens", "512")
+    /** Size-balanced output shards (`spark.graft.pack.balanceShards`). */
+    def packBalanceShards: Int = positive("spark.graft.pack.balanceShards", "8")
     /** BM25 query terms, comma-separated (`spark.graft.bm25.terms`).
       * Terms are interpolated into generated SQL and lambda predicates, so
       * only word characters are accepted — a quote or regex metachar in a

@@ -1,0 +1,210 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Dedup, Events, TextAnalysis}
+
+/** Semantics of the corpus/telemetry PROFILING operators: the unified
+  * cluster-size histogram, the median/MAD anomaly flag, serpentine shard
+  * balancing, and the Unicode script mix. Each test plants the shape the
+  * operator exists to detect (a mega-cluster, a sustained burst, a
+  * heavy-tailed length distribution, a non-Latin source) — the shipped
+  * synthetic corpus is too benign to exercise any of them.
+  */
+class ProfileOpsSpec extends SparkSpec {
+
+  // ---- dedup_cluster_stats ------------------------------------------------
+
+  test("dedup_cluster_stats: histogram covers the whole corpus and flags the planted mega-cluster") {
+    import spark.implicits._
+    // 4 exact copies (one cluster of 4), 2 exact copies (cluster of 2),
+    // 3 untouched singletons
+    val mk = (i: Long, t: String) => (i, t, "en", "web")
+    val docs = Seq(
+      mk(1, "aaa bbb ccc"), mk(2, "aaa bbb ccc"), mk(3, "aaa bbb ccc"), mk(4, "aaa bbb ccc"),
+      mk(5, "ddd eee fff"), mk(6, "ddd eee fff"),
+      mk(7, "unique first document body"), mk(8, "another standalone body"), mk(9, "third lonely body"))
+      .toDF("doc_id", "text", "lang", "source")
+    // orthogonal embeddings: the semantic lane adds nothing
+    val embs = (1L to 9L).map(i =>
+      (i, Seq.tabulate(64)(d => if (d == i.toInt) 1.0 else 0.0)))
+      .toDF("vec_id", "embedding")
+    val hist = Dedup.dedupClusterStatsFrom(docs, embs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hist(4L) == ((1L, 4L)), s"mega-cluster row: $hist")
+    assert(hist(2L) == ((1L, 2L)))
+    assert(hist(1L) == ((3L, 3L)))
+    // n_docs column sums to the corpus
+    assert(hist.values.map(_._2).sum == 9L)
+    Dedup.releaseIntermediates()
+  }
+
+  // ---- events_anomaly_mad -------------------------------------------------
+
+  test("events_anomaly_mad: flags the burst hour a trailing mean would smear, not the steady hours") {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    // 20 steady hours at 5 events + one 50-event burst hour
+    val steady = for {
+      h <- 0L until 20L; i <- 0L until 5L
+    } yield (h * 100 + i, new java.sql.Timestamp(h * 3600000L), 1L, "click", 1.0, "{}")
+    val burst = (0L until 50L).map(i =>
+      (9000L + i, new java.sql.Timestamp(20L * 3600000L), 1L, "click", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mad").toString
+    (steady ++ burst).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.eventsAnomalyMad(spark, dir).collect()
+    assert(out.length == 1, s"exactly the burst hour flags: ${out.mkString(";")}")
+    val r = out.head
+    assert(r.getAs[String]("event_type") == "click")
+    assert(r.getAs[Long]("cnt") == 50L)
+    // 20-of-21 buckets at 5 → median 5 (med2=10), MAD 0 (mad4=0): the
+    // burst deviates and the steady hours (d2 = 0) never can
+    assert(r.getAs[Long]("med2") == 10L && r.getAs[Long]("mad4") == 0L)
+    assert(out.head.getAs[Long]("hour_us") == 20L * hourUs)
+  }
+
+  // ---- shard_balance ------------------------------------------------------
+
+  test("shard_balance: serpentine beats hash on a heavy-tailed distribution; token mass is conserved") {
+    import spark.implicits._
+    // heavy tail: a few giants + many small docs (sizes planted so LPT-ish
+    // balance is near-perfect and hash sharding is measurably lumpy)
+    val sizes = Seq(1000L, 900L, 800L, 700L) ++ Seq.fill(60)(10L)
+    val docsTok = sizes.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("doc_id", "n_tokens")
+    spark.conf.set("spark.graft.pack.balanceShards", "4")
+    try {
+      val out = Curation.shardBalanceFrom(spark, docsTok).collect()
+      assert(out.length == 4)
+      val totals = out.map(_.getAs[Long]("total_tokens"))
+      assert(totals.sum == sizes.sum, "token mass conserved")
+      // serpentine puts exactly one giant per shard: pass 0 deals
+      // 1000→s0, 900→s1, 800→s2, 700→s3
+      val maxes = out.map(r => r.getAs[Long]("shard") -> r.getAs[Long]("max_doc_tokens")).toMap
+      assert(maxes == Map(0L -> 1000L, 1L -> 900L, 2L -> 800L, 3L -> 700L))
+      // and the spread is tight: with 64 docs over 4 shards each shard
+      // gets 16 docs; imbalance only from the giants' 100-token steps
+      assert(totals.max - totals.min <= 300L, s"spread: ${totals.mkString(",")}")
+    } finally spark.conf.unset("spark.graft.pack.balanceShards")
+  }
+
+  test("shard_balance: rank ties broken by doc_id — equal-size docs land deterministically") {
+    import spark.implicits._
+    val docsTok = (0L until 8L).map(i => (i, 100L)).toDF("doc_id", "n_tokens")
+    spark.conf.set("spark.graft.pack.balanceShards", "4")
+    try {
+      val a = Curation.shardBalanceFrom(spark, docsTok).collect().map(_.toSeq)
+      val b = Curation.shardBalanceFrom(spark, docsTok).collect().map(_.toSeq)
+      assert(a.sameElements(b))
+      assert(a.forall(r => r(1) == 2L && r(2) == 200L))
+    } finally spark.conf.unset("spark.graft.pack.balanceShards")
+  }
+
+  // ---- ann_recall_report --------------------------------------------------
+
+  test("ann_recall_report: a planted cross-cell neighbor costs the IVF path exactly its basis points") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_recall").toString
+    def vec(parts: (Int, Double)*): Seq[Float] =
+      Seq.tabulate(8)(d => parts.toMap.getOrElse(d, 0.0).toFloat)
+    // query 0 (label 0); same-cell 1,2,3; vec 4 sits in cell 1 but is the
+    // NEAREST neighbor — the classic IVF boundary miss
+    Seq(
+      (0L, vec(0 -> 1.0), 0),
+      (1L, vec(0 -> 0.95, 2 -> 0.31225), 0),
+      (2L, vec(0 -> 0.90, 3 -> 0.43589), 0),
+      (3L, vec(0 -> 0.80, 4 -> 0.6), 0),
+      (4L, vec(0 -> 0.99, 5 -> 0.14107), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    spark.conf.set("spark.graft.ann.queries", "1")
+    spark.conf.set("spark.graft.ann.topK", "3")
+    try {
+      val r = operators.Similarity.annRecallReport(spark, dir).collect()
+      assert(r.length == 1)
+      assert(r.head.getAs[Long]("n_exact") == 3L)
+      // brute top-3 = {4, 1, 2}; IVF (cell 0 only) = {1, 2, 3} → 2 hits
+      assert(r.head.getAs[Long]("n_hits") == 2L)
+      assert(r.head.getAs[Long]("recall_bp") == 6666L)
+    } finally {
+      spark.conf.unset("spark.graft.ann.queries")
+      spark.conf.unset("spark.graft.ann.topK")
+    }
+  }
+
+  test("ann_recall_report: real-data recall is sane and n_exact = k for every query") {
+    val rows = operators.Similarity.annRecallReport(spark, sf).collect()
+    assert(rows.length == operators.Similarity.NumQueries)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == operators.Similarity.TopK.toLong)
+      val bp = r.getAs[Long]("recall_bp")
+      assert(bp >= 0L && bp <= 10000L)
+    }
+  }
+
+  // ---- events_distinct_users ----------------------------------------------
+
+  test("events_distinct_users: approx HLL path stays inside 3×rsd of the exact count") {
+    val exact = operators.Events.eventsDistinctUsers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_users")).toMap
+    val approx = operators.Events.eventsDistinctUsersApprox(spark, sf, rsd = 0.02).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_users")).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex) <= math.max(1L, (ex * 0.06).toLong),
+        s"$k: exact $ex vs approx $ap")
+    }
+  }
+
+  // ---- length_histogram ---------------------------------------------------
+
+  test("length_histogram: decimal-digit buckets partition the corpus; boundaries land exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lenh").toString
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    Seq(
+      (1L, words(9), "en", "s", 0L),    // 9 tokens  → bucket 1
+      (2L, words(10), "en", "s", 0L),   // 10 tokens → bucket 2
+      (3L, words(99), "en", "s", 0L),   // 99 → bucket 2
+      (4L, words(100), "en", "s", 0L))  // 100 → bucket 3
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val h = operators.CorpusOps.lengthHistogram(spark, dir).collect()
+      .map(r => r.getAs[Long]("bucket") -> (r.getAs[Long]("n_docs"), r.getAs[Long]("min_tokens"), r.getAs[Long]("max_tokens"))).toMap
+    assert(h(1L) == ((1L, 9L, 9L)))
+    assert(h(2L) == ((2L, 10L, 99L)))
+    assert(h(3L) == ((1L, 100L, 100L)))
+    assert(h.values.map(_._1).sum == 4L)
+  }
+
+  // ---- script_profile -----------------------------------------------------
+
+  test("script_profile: planted Cyrillic/CJK/mixed rows count by code point; n_other closes the sum") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_script").toString
+    Seq(
+      (1L, "hello world 42", "en", "web", 14L),
+      (2L, "привет мир", "ru", "web", 10L),              // 9 Cyrillic + 1 space
+      (3L, "日本語のテキスト", "ja", "cjk", 8L),            // 8 CJK-range chars
+      (4L, "mixed текст with 中文!", "xx", "mixed", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.scriptProfile(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val web = rows("web")
+    assert(web.getAs[Long]("n_latin") == 10L && web.getAs[Long]("n_digit") == 2L)
+    assert(web.getAs[Long]("n_cyrillic") == 9L)
+    val cjk = rows("cjk")
+    assert(cjk.getAs[Long]("n_cjk") == 8L && cjk.getAs[Long]("n_other") == 0L)
+    val mixed = rows("mixed")
+    assert(mixed.getAs[Long]("n_cyrillic") == 5L && mixed.getAs[Long]("n_cjk") == 2L)
+    assert(mixed.getAs[Long]("n_other") == 1L) // the '!'
+    // every row: class counts + other == n_chars
+    rows.values.foreach { r =>
+      val known = Seq("n_latin", "n_digit", "n_space", "n_cyrillic", "n_greek",
+        "n_arabic", "n_cjk", "n_other").map(r.getAs[Long]).sum
+      assert(known == r.getAs[Long]("n_chars"), s"sum mismatch for $r")
+    }
+  }
+}

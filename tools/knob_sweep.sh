@@ -11,6 +11,7 @@ OUT=${2:-/tmp/vout_sweep}
 CONF="spark.graft.bm25.terms=vector,filter"
 CONF+=";spark.graft.pack.shards=5"
 CONF+=";spark.graft.pack.seqTokens=257"
+CONF+=";spark.graft.pack.balanceShards=5"
 CONF+=";spark.graft.kmeans.k=7"
 CONF+=";spark.graft.kmeans.iters=3"
 CONF+=";spark.graft.kmeans.trainSampleMod=2"
