@@ -1139,6 +1139,58 @@ object Curation {
        |FROM c WHERE cum_before < budget
        |ORDER BY doc_id""".stripMargin
 
+  // ---- contamination_report -----------------------------------------------
+
+  /** `contamination_report`: the per-source decontamination dashboard —
+    * train docs, exact-n-gram hits ([[decontaminate]]), fuzzy MinHash hits
+    * ([[decontaminateFuzzy]]), and the union (`n_any`), one row per crawl
+    * source. This is the release-review read: WHICH source leaks benchmark
+    * text (a contaminated source gets dropped or re-scraped wholesale;
+    * per-doc removal alone hides the systemic leak), and how much the
+    * fuzzy sweep catches beyond the exact one (its marginal value at the
+    * current τ). Composes the two existing per-doc sweeps unchanged — the
+    * report can never disagree with the verdicts the act steps apply.
+    *
+    * Scale: both sweeps are the existing broadcast-against-benchmark
+    * pipelines; the composition adds one doc_id equi-join (AQE broadcasts
+    * the hit-sized fuzzy side) and an O(sources) rollup.
+    */
+  def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val exact = decontaminate(spark, dir)
+      .select(col("doc_id"), col("contaminated").as("ex"))
+    val fuzzy = decontaminateFuzzy(spark, dir)
+      .select(col("doc_id"), col("contaminated").as("fz"))
+    src.join(exact, Seq("doc_id"))
+      .join(fuzzy, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(when(col("ex"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("fz"), 1L).otherwise(0L)).as("n_fuzzy"),
+        sum(when(col("ex") || col("fz"), 1L).otherwise(0L)).as("n_any"))
+      .contractOrderBy("source")
+  }
+
+  def contaminationReportSql: String =
+    s"""WITH ex AS (
+       |  SELECT doc_id, contaminated AS ex FROM (
+       |$decontaminateSql
+       |  ) e
+       |), fz AS (
+       |  SELECT doc_id, contaminated AS fz FROM (
+       |$decontaminateFuzzySql
+       |  ) f
+       |)
+       |SELECT d.source, count(*) AS n_train_docs,
+       |  CAST(sum(CASE WHEN ex.ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |  CAST(sum(CASE WHEN fz.fz THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy,
+       |  CAST(sum(CASE WHEN ex.ex OR fz.fz THEN 1 ELSE 0 END) AS BIGINT) AS n_any
+       |FROM documents d
+       |JOIN ex ON d.doc_id = ex.doc_id
+       |JOIN fz ON d.doc_id = fz.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
   // ---- shard_balance ------------------------------------------------------
 
   /** Size-balanced shards (`spark.graft.pack.balanceShards`). */

@@ -507,20 +507,36 @@ object Events {
     * tables are O(types) rows and broadcast back onto the hourly table.
     */
   def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(spark, dir)
-      .withColumn("hour_us", expr("unix_micros(date_trunc('HOUR', ts))"))
-      .groupBy(col("event_type"), col("hour_us"))
-      .agg(count(lit(1)).as("cnt"))
-    val med = hourly.groupBy(col("event_type"))
-      .agg(expr("CAST(2 * percentile(cnt, 0.5) AS BIGINT)").as("med2"))
-    val dev = hourly.join(med, "event_type")
+    val hourly = hourlyCountsOf(Tables.events(spark, dir))
+    hourly.join(madBaselineOf(hourly), "event_type")
       .withColumn("d2", abs(lit(2L) * col("cnt") - col("med2")))
-    val mad = dev.groupBy(col("event_type"))
-      .agg(expr("CAST(2 * percentile(d2, 0.5) AS BIGINT)").as("mad4"))
-    dev.join(mad, "event_type")
       .filter(lit(2L) * col("d2") > lit(3L) * col("mad4"))
       .select("event_type", "hour_us", "cnt", "med2", "mad4")
       .contractOrderBy("event_type", "hour_us")
+  }
+
+  /** (event_type, hour_us, cnt) — the hourly grain both the MAD audit and
+    * its streaming tap's baseline read from.
+    */
+  private[graft] def hourlyCountsOf(events: DataFrame): DataFrame =
+    events
+      .withColumn("hour_us", expr("unix_micros(date_trunc('HOUR', ts))"))
+      .groupBy(col("event_type"), col("hour_us"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The (event_type, med2, mad4) robust baseline over an hourly count
+    * table — the artifact a crawl-time tap
+    * ([[graft.streaming.StreamOps.madAnomalyTapStream]]) joins against:
+    * batch trains it on history, the stream flags live hours with it.
+    */
+  def madBaselineOf(hourly: DataFrame): DataFrame = {
+    val med = hourly.groupBy(col("event_type"))
+      .agg(expr("CAST(2 * percentile(cnt, 0.5) AS BIGINT)").as("med2"))
+    hourly.join(med, "event_type")
+      .withColumn("d2", abs(lit(2L) * col("cnt") - col("med2")))
+      .groupBy(col("event_type"))
+      .agg(max(col("med2")).as("med2"),
+        expr("CAST(2 * percentile(d2, 0.5) AS BIGINT)").as("mad4"))
   }
 
   val eventsAnomalyMadSql: String =

@@ -43,6 +43,28 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Crawl-time anomaly tap: live hourly buckets flagged against a STORED
+    * median/MAD baseline — the streaming rung of
+    * [[graft.operators.Events.eventsAnomalyMad]] (which trains the
+    * baseline on history; `Events.madBaselineOf` is the shared seam, so
+    * batch and stream can never disagree on a threshold). The baseline is
+    * a static O(event-types) table: the join is stream-static (stateless —
+    * no join state accumulates), the window agg's state is watermark-
+    * bounded, and the flag test is the same integer cross-multiply
+    * `2·|2·cnt − med2| > 3·mad4` — a flagged hour is identical to what the
+    * batch audit would flag given the same baseline.
+    */
+  def madAnomalyTapStream(events: DataFrame, baseline: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+      .join(broadcast(baseline), "event_type")
+      .filter(lit(2L) * abs(lit(2L) * col("cnt") - col("med2")) >
+        lit(3L) * col("mad4"))
+      .select("event_type", "window_start", "cnt", "med2", "mad4")
+
   /** In-stream exact deduplication: drop events whose content key was
     * already seen, with state bounded by the watermark (the streaming rung
     * of the dedup family — [[graft.operators.Dedup]] is the batch side).

@@ -101,6 +101,32 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming madAnomalyTapStream: live hours flag exactly as the batch audit would") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // baseline trained on 10 steady history hours at 3 events/hour
+    val history = (for { h <- 0 until 10; i <- 0 until 3 }
+      yield Event(h * 10L + i, ts(h * 60), 1L, "click", 1.0)).toDS().toDF()
+    val baseline = Events.madBaselineOf(Events.hourlyCountsOf(
+      history.withColumn("ts", col("ts"))))
+    assert(baseline.collect().head.getAs[Long]("med2") == 6L) // median 3
+    val mem = MemoryStream[Event]
+    val q = StreamOps.madAnomalyTapStream(mem.toDF(), baseline)
+      .writeStream.format("memory").queryName("madtap").outputMode("append").start()
+    try {
+      // hour 20: steady (3 events — no flag); hour 21: burst (30 events)
+      mem.addData((0 until 3).map(i => Event(900L + i, ts(20 * 60 + i), 1L, "click", 1.0)): _*)
+      mem.addData((0 until 30).map(i => Event(950L + i, ts(21 * 60 + i), 1L, "click", 1.0)): _*)
+      // advance the watermark far enough to close both hourly windows
+      mem.addData(Event(999L, ts(30 * 60), 1L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("madtap").collect()
+      assert(rows.length == 1, s"only the burst hour flags: ${rows.mkString(";")}")
+      assert(rows.head.getAs[Long]("cnt") == 30L)
+      assert(rows.head.getAs[Long]("mad4") == 0L)
+    } finally q.stop()
+  }
+
   test("streaming sessionize: closed sessions match batch semantics") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -100,6 +100,56 @@ class ProfileOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.pack.balanceShards")
   }
 
+  // ---- similarity_histogram -----------------------------------------------
+
+  test("similarity_histogram: buckets describe exactly the candidate population the τ filter acts on") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docs = Seq(
+      (1L, base + " one", "en", "web"),
+      (2L, base + " two", "en", "web"),        // high-Jaccard pair with 1
+      (3L, "totally different words everywhere nothing shared with others", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val hist = Dedup.similarityHistogram _
+    val dir = java.nio.file.Files.createTempDirectory("graft_simh").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = hist(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    // the 1~2 pair is the only LSH candidate, landing in a top band
+    assert(total == 1L, s"rows: ${rows.mkString(";")}")
+    assert(rows.head.getAs[Long]("bucket") >= 15L)
+    // and the histogram population = the pair query's candidates: the
+    // tau-filtered pair count can never exceed the histogram total
+    val pairs = Dedup.dedupMinhashLsh(spark, dir).count()
+    assert(pairs <= total)
+    Dedup.releaseIntermediates()
+  }
+
+  // ---- contamination_report -----------------------------------------------
+
+  test("contamination_report: per-source totals agree with the per-doc sweeps it composes") {
+    val rep = operators.Curation.contaminationReport(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_train_docs"), r.getAs[Long]("n_exact"),
+          r.getAs[Long]("n_fuzzy"), r.getAs[Long]("n_any"))).toMap
+    rep.values.foreach { case (n, ex, fz, any) =>
+      assert(any <= n && ex <= any && fz <= any, s"ordering: $n $ex $fz $any")
+      assert(any <= ex + fz, "union bound")
+    }
+    // cross-check one total against the composed sweeps (train∩train grain)
+    import org.apache.spark.sql.functions._
+    val exact = operators.Curation.decontaminate(spark, sf)
+      .select(col("doc_id"), col("contaminated"))
+    val fuzzy = operators.Curation.decontaminateFuzzy(spark, sf)
+      .select(col("doc_id"), col("contaminated").as("fz"))
+    val both = exact.join(fuzzy, "doc_id")
+    assert(rep.values.map(_._1).sum == both.count())
+    assert(rep.values.map(_._2).sum ==
+      both.filter(col("contaminated")).count())
+    operators.Intermediates.release()
+  }
+
   // ---- ann_recall_report --------------------------------------------------
 
   test("ann_recall_report: a planted cross-cell neighbor costs the IVF path exactly its basis points") {
