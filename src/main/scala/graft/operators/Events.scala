@@ -582,6 +582,56 @@ object Events {
       |FROM events GROUP BY event_type, day
       |ORDER BY event_type, day""".stripMargin
 
+  /** `events_stickiness`: DAU/MAU per event type and month — the classic
+    * engagement ratio, reported in integer BASIS POINTS:
+    * `stickiness_bp = Σ(daily actives) · 10000 div (n_days · MAU)` — the
+    * mean-DAU/MAU division never leaves integer space, so no float ratio
+    * ever decides a reported value (an end-of-epoch ratio of two big
+    * counts is exactly the last-ulp class §5 bans).
+    *
+    * Scale: two exact distinct aggregations (day grain and month grain —
+    * each the two-phase dedup-then-count plan, map-side combinable) joined
+    * on the tiny (type, month) key. The same HLL++ swap as
+    * [[eventsDistinctUsersApprox]] applies when exact actives get too hot.
+    */
+  def eventsStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("day", date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd"))
+      .withColumn("month", date_format(date_trunc("MONTH", col("ts")), "yyyy-MM"))
+    val daily = e.groupBy(col("event_type"), col("month"), col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val monthly = e.groupBy(col("event_type"), col("month"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    daily.groupBy(col("event_type"), col("month"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+      .join(monthly, Seq("event_type", "month"))
+      .withColumn("stickiness_bp", expr("sum_dau * 10000 div (n_days * mau)"))
+      .select("event_type", "month", "n_days", "sum_dau", "mau", "stickiness_bp")
+      .contractOrderBy("event_type", "month")
+  }
+
+  val eventsStickinessSql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id,
+      |    strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+      |    strftime(date_trunc('month', CAST(ts AS TIMESTAMP)), '%Y-%m') AS month
+      |  FROM events
+      |), daily AS (
+      |  SELECT event_type, month, day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      |  FROM e GROUP BY event_type, month, day
+      |), monthly AS (
+      |  SELECT event_type, month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      |  FROM e GROUP BY event_type, month
+      |)
+      |SELECT d.event_type, d.month,
+      |  CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(sum(d.dau) AS BIGINT) AS sum_dau,
+      |  m.mau,
+      |  CAST(sum(d.dau) * 10000 // (count(*) * m.mau) AS BIGINT) AS stickiness_bp
+      |FROM daily d JOIN monthly m ON d.event_type = m.event_type AND d.month = m.month
+      |GROUP BY d.event_type, d.month, m.mau
+      |ORDER BY d.event_type, d.month""".stripMargin
+
   /** The 100 TB distinct-count path: `approx_count_distinct` (HyperLogLog++,
     * one pass, no key-set shuffle — partials are fixed-size sketches merged
     * map-side). EventsSpec bounds its error against [[eventsDistinctUsers]].

@@ -207,6 +207,26 @@ class ProfileOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- events_stickiness --------------------------------------------------
+
+  test("events_stickiness: a daily user scores 10000 bp; a one-day visitor dilutes MAU but not DAU") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stick").toString
+    // user 1 active all 4 days; user 2 shows up once → n_days=4, sum_dau=5,
+    // mau=2 → 5*10000 div 8 = 6250
+    val rows = (0 until 4).map(d =>
+      (d.toLong, new java.sql.Timestamp(d * 86400000L), 1L, "click", 1.0, "{}")) :+
+      ((99L, new java.sql.Timestamp(2 * 86400000L), 2L, "click", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.eventsStickiness(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_days") == 4L && r.getAs[Long]("sum_dau") == 5L)
+    assert(r.getAs[Long]("mau") == 2L)
+    assert(r.getAs[Long]("stickiness_bp") == 6250L)
+  }
+
   // ---- length_histogram ---------------------------------------------------
 
   test("length_histogram: decimal-digit buckets partition the corpus; boundaries land exactly") {
