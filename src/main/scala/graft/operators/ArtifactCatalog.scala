@@ -32,6 +32,7 @@ object ArtifactCatalog {
     "graft.winnow"    -> (_ => TextAnalysis.winnowFingerprintConf),
     "graft.linedd"    -> (_ => TextAnalysis.lineFingerprintConf),
     "graft.bpe"       -> (_ => Bpe.bpeFingerprint),
+    "graft.lm.sbo"    -> (_ => LmIndex.sboFingerprint),
     "graft.ann.ivfpq" -> (stored => AnnIndex.fingerprintFor(stored)))
 
   /** Leaf parquet directories under `root`: a dir counts as one artifact

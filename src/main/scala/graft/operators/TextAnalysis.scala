@@ -557,34 +557,51 @@ object TextAnalysis {
     docPerplexitySboOf(Tables.documents(spark, dir))
 
   def docPerplexitySboOf(docs: DataFrame): DataFrame = {
-    val mod = GraftConf.pplSboTrainMod
-    val lnA = java.math.BigDecimal.valueOf(
-      math.log(GraftConf.pplSboAlphaPct / 100.0))
-      .setScale(6, java.math.RoundingMode.HALF_UP).toPlainString
     val d = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    sboScoreOf(d, sboModelOf(d))
+  }
+
+  /** The persisted-model shape of the SBO LM: train-vocab unigram table
+    * (+1-smoothed), bigram/trigram ratio tables, and the OOV constant
+    * `round(ln(1/(N+V)),6)` as a 1-row frame. Scoring left-joins `lt1`
+    * and coalesces misses to the OOV row — BIT-EQUAL to the old inline
+    * corpus-vocab formulation (a known word scores log((c+1)/nv) and an
+    * unknown one log(1/nv) either way), but the model no longer depends
+    * on the SCORED corpus's vocabulary — which is what makes it storable
+    * and reusable against any future crawl ([[LmIndex]]).
+    */
+  private[graft] final case class SboModel(lt1: DataFrame, lt2: DataFrame,
+      lt3: DataFrame, oov: DataFrame)
+
+  private[graft] def sboGrams(src: DataFrame, n: Int, cols: Seq[String]): DataFrame = {
+    val fields = (0 until n)
+      .map(k => s"'${cols(k)}', element_at(ws, i + $k)").mkString(", ")
+    src.filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> named_struct($fields))")).as("g"))
+      .select(col("doc_id") +: cols.map(c => col(s"g.$c").as(c)): _*)
+  }
+
+  /** Train the SBO count-ratio tables from the `doc_id % trainMod == 0`
+    * slice of a (doc_id, ws) frame. Three map-side-combined count
+    * aggregations + n-gram-grain key joins — the count tables ARE the
+    * model (Brants 2007's point), so this is the write path's whole cost.
+    */
+  private[graft] def sboModelOf(d: DataFrame): SboModel = {
+    val mod = GraftConf.pplSboTrainMod
     val train = d.filter(col("doc_id") % mod === 0)
     val tok = train.select(explode(col("ws")).as("word"))
     val c1 = tok.groupBy(col("word")).agg(count(lit(1)).as("c"))
     // (N + V) as one broadcast row: train token count + train vocab size
     val tot = c1.agg((sum(col("c")) + count(lit(1))).cast("double").as("nv"))
-    def grams(src: DataFrame, n: Int, cols: Seq[String]): DataFrame = {
-      val fields = (0 until n)
-        .map(k => s"'${cols(k)}', element_at(ws, i + $k)").mkString(", ")
-      src.filter(size(col("ws")) >= n)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, size(ws) - ${n - 1}), i -> named_struct($fields))")).as("g"))
-        .select(col("doc_id") +: cols.map(c => col(s"g.$c").as(c)): _*)
-    }
-    val c2 = grams(train, 2, Seq("w1", "w2"))
+    val c2 = sboGrams(train, 2, Seq("w1", "w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c3 = grams(train, 3, Seq("w1", "w2", "w3"))
+    val c3 = sboGrams(train, 3, Seq("w1", "w2", "w3"))
       .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
-    // frozen log tables, one row per distinct n-gram
-    val lt1 = d.select(explode(col("ws")).as("word")).distinct()
-      .join(c1, Seq("word"), "left")
-      .crossJoin(broadcast(tot))
+    // frozen log tables, one row per distinct TRAIN n-gram
+    val lt1 = c1.crossJoin(broadcast(tot))
       .select(col("word"),
-        round(log((coalesce(col("c"), lit(0L)) + 1).cast("double") / col("nv")), 6)
+        round(log((col("c") + 1).cast("double") / col("nv")), 6)
           .cast("decimal(18,6)").as("lp1"))
     val lt2 = c2.join(c1.select(col("word").as("w1"), col("c").as("cp")), Seq("w1"))
       .select(col("w1"), col("w2"),
@@ -594,31 +611,50 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("w3"),
         round(log(col("c3").cast("double") / col("cp").cast("double")), 6)
           .cast("decimal(18,6)").as("lp3"))
+    val oov = tot.select(round(log(lit(1.0) / col("nv")), 6)
+      .cast("decimal(18,6)").as("lp_oov"))
+    SboModel(lt1, lt2, lt3, oov)
+  }
+
+  /** Score a (doc_id, ws) frame against an [[SboModel]] — whether the
+    * model was just trained in-plan or read back from [[LmIndex]]'s
+    * parquet store. ln α is a SCORE-time knob (frozen the same way in
+    * both engines), so one stored model serves any α.
+    */
+  private[graft] def sboScoreOf(d: DataFrame, m: SboModel): DataFrame = {
+    val lnA = java.math.BigDecimal.valueOf(
+      math.log(GraftConf.pplSboAlphaPct / 100.0))
+      .setScale(6, java.math.RoundingMode.HALF_UP).toPlainString
     val lnAlpha = expr(s"cast($lnA as decimal(18,6))")
+    val oovB = broadcast(m.oov)
     // per-position contributions tagged with the level that scored them
     val p1 = d.select(col("doc_id"), element_at(col("ws"), 1).as("word"))
-      .join(lt1, Seq("word"))
-      .select(col("doc_id"), lit(1).as("lvl"), col("lp1").as("lp"))
+      .join(m.lt1, Seq("word"), "left")
+      .crossJoin(oovB)
+      .select(col("doc_id"), lit(1).as("lvl"),
+        coalesce(col("lp1"), col("lp_oov")).as("lp"))
     val p2 = d.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), element_at(col("ws"), 1).as("w1"),
         element_at(col("ws"), 2).as("w2"))
-      .join(lt2, Seq("w1", "w2"), "left")
-      .join(lt1.select(col("word").as("w2"), col("lp1")), Seq("w2"))
+      .join(m.lt2, Seq("w1", "w2"), "left")
+      .join(m.lt1.select(col("word").as("w2"), col("lp1")), Seq("w2"), "left")
+      .crossJoin(oovB)
       .select(col("doc_id"),
         when(col("lp2").isNotNull, lit(2)).otherwise(lit(1)).as("lvl"),
         when(col("lp2").isNotNull, col("lp2"))
-          .otherwise(lnAlpha + col("lp1")).as("lp"))
-    val p3 = grams(d, 3, Seq("w1", "w2", "w3"))
-      .join(lt3, Seq("w1", "w2", "w3"), "left")
-      .join(lt2.select(col("w1").as("w2"), col("w2").as("w3"), col("lp2")),
+          .otherwise(lnAlpha + coalesce(col("lp1"), col("lp_oov"))).as("lp"))
+    val p3 = sboGrams(d, 3, Seq("w1", "w2", "w3"))
+      .join(m.lt3, Seq("w1", "w2", "w3"), "left")
+      .join(m.lt2.select(col("w1").as("w2"), col("w2").as("w3"), col("lp2")),
         Seq("w2", "w3"), "left")
-      .join(lt1.select(col("word").as("w3"), col("lp1")), Seq("w3"))
+      .join(m.lt1.select(col("word").as("w3"), col("lp1")), Seq("w3"), "left")
+      .crossJoin(oovB)
       .select(col("doc_id"),
         when(col("lp3").isNotNull, lit(3))
           .when(col("lp2").isNotNull, lit(2)).otherwise(lit(1)).as("lvl"),
         when(col("lp3").isNotNull, col("lp3"))
           .when(col("lp2").isNotNull, lnAlpha + col("lp2"))
-          .otherwise(lnAlpha + lnAlpha + col("lp1")).as("lp"))
+          .otherwise(lnAlpha + lnAlpha + coalesce(col("lp1"), col("lp_oov"))).as("lp"))
     p1.unionByName(p2).unionByName(p3)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
