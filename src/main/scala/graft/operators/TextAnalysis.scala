@@ -561,6 +561,52 @@ object TextAnalysis {
     sboScoreOf(d, sboModelOf(d))
   }
 
+  /** `lm_coverage_report`: per-source LM coverage — how much of each crawl
+    * source the trigram model actually EXPLAINS, in integer basis points
+    * of scoring positions per backoff level (`tri_bp`+`big_bp`+`uni_bp` =
+    * 10000 by construction — the level counts partition positions). This
+    * is the drift alarm for a STORED model ([[LmIndex]]): a new crawl of
+    * the same source whose `uni_bp` jumps is vocabulary the model has
+    * never seen (topic shift, spam injection, language drift) and is the
+    * trigger to retrain — cheaper to read than any perplexity threshold
+    * because it needs no calibration. Rides [[docPerplexitySboOf]]
+    * unchanged + one doc_id equi-join to recover `source` + an O(sources)
+    * rollup.
+    */
+  def lmCoverageReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perDoc = docPerplexitySboOf(docs)
+      .select("doc_id", "n_tokens", "n_tri", "n_big", "n_uni")
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_tri")).as("n_tri"),
+        sum(col("n_big")).as("n_big"),
+        sum(col("n_uni")).as("n_uni"))
+      .withColumn("tri_bp", expr("n_tri * 10000 div n_tokens"))
+      .withColumn("uni_bp", expr("n_uni * 10000 div n_tokens"))
+      .contractOrderBy("source")
+  }
+
+  def lmCoverageReportSql: String =
+    s"""WITH s AS (
+       |  SELECT * FROM (
+       |$docPerplexitySboSql
+       |  ) inner_s
+       |)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(s.n_tri) AS BIGINT) AS n_tri,
+       |  CAST(sum(s.n_big) AS BIGINT) AS n_big,
+       |  CAST(sum(s.n_uni) AS BIGINT) AS n_uni,
+       |  CAST(sum(s.n_tri) * 10000 // sum(s.n_tokens) AS BIGINT) AS tri_bp,
+       |  CAST(sum(s.n_uni) * 10000 // sum(s.n_tokens) AS BIGINT) AS uni_bp
+       |FROM s JOIN documents d ON s.doc_id = d.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin
+
   /** The persisted-model shape of the SBO LM: train-vocab unigram table
     * (+1-smoothed), bigram/trigram ratio tables, and the OOV constant
     * `round(ln(1/(N+V)),6)` as a 1-row frame. Scoring left-joins `lt1`

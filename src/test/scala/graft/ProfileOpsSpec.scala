@@ -248,6 +248,24 @@ class ProfileOpsSpec extends SparkSpec {
     assert(h.values.map(_._1).sum == 4L)
   }
 
+  // ---- lm_coverage_report -------------------------------------------------
+
+  test("lm_coverage_report: level basis points partition every source's positions") {
+    val rows = TextAnalysis.lmCoverageReport(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nt, tri, big, uni) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_tri"),
+        r.getAs[Long]("n_big"), r.getAs[Long]("n_uni"))
+      assert(tri + big + uni == nt, s"levels partition positions: $r")
+      val (tbp, ubp) = (r.getAs[Long]("tri_bp"), r.getAs[Long]("uni_bp"))
+      assert(tbp == tri * 10000 / nt && ubp == uni * 10000 / nt)
+    }
+    // doc totals roll up: summed n_tokens equals the per-doc operator's sum
+    val perDocTotal = TextAnalysis.docPerplexitySbo(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == perDocTotal)
+  }
+
   // ---- script_profile -----------------------------------------------------
 
   test("script_profile: planted Cyrillic/CJK/mixed rows count by code point; n_other closes the sum") {
