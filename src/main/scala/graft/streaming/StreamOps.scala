@@ -455,8 +455,8 @@ object StreamOps {
       .withColumn("jk", lit(1))
       .join(broadcast(ratioRow), "jk")
       .withColumn("score", expr(
-        """aggregate(bkts, cast(0 as decimal(38,6)),
-          | (acc, b) -> acc + coalesce(element_at(rm, b), cast(0 as decimal(38,6))))"""
+        """aggregate(bkts, cast(0 as bigint),
+          | (acc, b) -> acc + coalesce(element_at(rm, b), cast(0 as bigint)))"""
           .stripMargin.replace("\n", "")))
       .withColumn("n_feats",
         expr("size(filter(bkts, b -> element_at(rm, b) IS NOT NULL))").cast("long"))

@@ -536,8 +536,8 @@ class EventsSpec extends SparkSpec {
     val ratios = Selection.dsirRatiosOf(docs).cache()
     val batch = Selection.dsirPoolScoresOf(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->
-        (r.getAs[Long]("n_feats"), r.getAs[java.math.BigDecimal]("score"))).toMap
-    assert(batch.values.exists(_._2.signum != 0), "all-zero scores: vacuous corpus")
+        (r.getAs[Long]("n_feats"), r.getAs[Long]("score"))).toMap
+    assert(batch.values.exists(_._2 != 0L), "all-zero scores: vacuous corpus")
     // pool docs arriving as a stream in two micro-batches score identically
     val pool = docs.filter(col("lang") =!= Selection.DsirTargetLang)
       .select("doc_id", "text").as[(Long, String)].collect()
@@ -550,11 +550,11 @@ class EventsSpec extends SparkSpec {
       mem.addData(b.toIndexedSeq); q.processAllAvailable()
       val got = spark.table("dsirscores").collect()
         .map(r => r.getAs[Long]("doc_id") ->
-          (r.getAs[Long]("n_feats"), r.getAs[java.math.BigDecimal]("score"))).toMap
+          (r.getAs[Long]("n_feats"), r.getAs[Long]("score"))).toMap
       assert(got.keySet == batch.keySet)
       got.foreach { case (id, (nf, s)) =>
         val (bnf, bs) = batch(id)
-        assert(nf == bnf && s.compareTo(bs) == 0,
+        assert(nf == bnf && s == bs,
           s"doc $id: stream ($nf, $s) vs batch ($bnf, $bs)")
       }
     } finally { q.stop(); ratios.unpersist() }
