@@ -60,6 +60,7 @@ object ScaleProbe {
       if (want("embedding")) embeddingProbes(spark)
       if (want("fuzzy")) fuzzyDecontamProbe(spark, docs)
       if (want("winnow")) winnowProbes(spark, docs)
+      if (want("bpe")) bpeProbe(spark, docs)
       spark.stop()
       return
     }
@@ -91,7 +92,34 @@ object ScaleProbe {
     embeddingProbes(spark)
     fuzzyDecontamProbe(spark, docs)
     winnowProbes(spark, docs)
+    bpeProbe(spark, docs)
     spark.stop()
+  }
+
+  /** BPE-trainer budget probe (round 10): train at REAL merge budgets over
+    * the sf corpus vocabulary — 250 then 1000 merges. The r9 trainer kept
+    * the encoding as an iteration-deep nested `replace()` expression
+    * re-evaluated from `enc0` every round: O(m²) total replace
+    * evaluations and an m-deep expression tree that stops compiling long
+    * before a production 30k–60k budget. The r10 trainer re-materializes
+    * the encoding every `Bpe.RematEvery` merges (constant depth, O(m)
+    * vocab scans), so per-merge seconds must be ~FLAT between the two
+    * budgets — that flatness is what this probe asserts; a quadratic
+    * trainer shows ~4× the per-merge cost at the 1000 budget.
+    */
+  private def bpeProbe(spark: SparkSession, docs: DataFrame): Unit = {
+    import graft.operators.{Bpe, Dedup}
+    for (m <- Seq(250, 1000)) {
+      spark.conf.set("spark.graft.bpe.merges", m.toString)
+      Dedup.releaseIntermediates(); spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val (_, merges) = Bpe.bpeTrainedOf(docs)
+      val sec = (System.nanoTime() - t0) / 1e9
+      Dedup.releaseIntermediates(); spark.catalog.clearCache()
+      println(f"""{"probe":"bpe_train_m$m","merges":${merges.length},"sec":$sec%.2f,"ms_per_merge":${sec * 1000 / math.max(1, merges.length)}%.1f}""")
+    }
+    spark.conf.unset("spark.graft.bpe.merges")
+    Dedup.releaseIntermediates()
   }
 
   /** Winnow-containment probes (round 9), two axes:

@@ -39,23 +39,43 @@ import graft.sources.Tables
   */
 object Bpe {
 
+  /** Re-materialize the evolving encoding every this-many merges: bounds
+    * the pending `replace()` expression depth to a constant (codegen- and
+    * stack-safe at ANY merge budget) and makes total training cost O(m)
+    * vocab scans instead of the O(m²) a from-scratch re-evaluation per
+    * iteration would pay — the property a production 30k–60k-merge budget
+    * needs. 16 keeps each scan's replace chain shallow while amortizing
+    * the checkpoint cost over 16 argmax rounds.
+    */
+  private val RematEvery = 16
+
   /** Weighted distinct-word table with the post-merge encoding, plus the
     * learned merge list (left, right, total pair weight), in rank order.
     * Factored over any (text) frame so specs plant crafted corpora.
+    *
+    * Iteration discipline (the CC localCheckpoint discipline, r10): the
+    * encoding column accumulates at most [[RematEvery]] pending
+    * `replace()` applications before the vocab frame is
+    * localCheckpoint-ed (lazily — the next round's argmax collect is the
+    * materializing action), so expression depth is O(1) and iteration i
+    * never re-applies merges 1..i from scratch. Superseded checkpoints
+    * are reclaimed by Spark's ContextCleaner once unreferenced;
+    * production on a real cluster would use reliable `checkpoint()` to
+    * survive executor loss — the truncation point is the same.
     */
   def bpeTrainedOf(docs: DataFrame): (DataFrame, Seq[(String, String, Long)]) = {
     val m = GraftConf.bpeMerges
-    val base = Intermediates.persist(
+    var cur = Intermediates.persist(
       docs.select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("w"))
-        .withColumn("enc0", concat(lit("||"),
+        .withColumn("enc", concat(lit("||"),
           array_join(filter(split(col("word"), ""), x => x =!= lit("")), "||"),
           lit("||"))))
-    var enc: Column = col("enc0")
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
+    var depth = 0
     for (_ <- 1 to m if !exhausted) {
-      val best = base.withColumn("enc", enc)
+      val best = cur
         .withColumn("syms", filter(split(col("enc"), "\\|\\|"), x => x =!= lit("")))
         .filter(size(col("syms")) >= 2)
         .select(col("w"), explode(expr(
@@ -72,10 +92,13 @@ object Bpe {
         require(!l.contains("|") && !r.contains("|"),
           s"BPE symbols must not contain '|' (corpus word carries the separator): '$l','$r'")
         merges += ((l, r, cnt))
-        enc = call_function("replace", enc, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+        cur = cur.withColumn("enc",
+          call_function("replace", col("enc"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
+        depth += 1
+        if (depth >= RematEvery) { cur = cur.localCheckpoint(false); depth = 0 }
       }
     }
-    (base.withColumn("enc", enc).drop("enc0"), merges.toSeq)
+    (cur, merges.toSeq)
   }
 
   /** `bpe_train`: the learned merge table — (rank, left, right, merged
