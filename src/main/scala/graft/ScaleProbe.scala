@@ -109,14 +109,26 @@ object ScaleProbe {
     */
   private def bpeProbe(spark: SparkSession, docs: DataFrame): Unit = {
     import graft.operators.{Bpe, Dedup}
-    for (m <- Seq(250, 1000)) {
+    // The sf corpus vocabulary EXHAUSTS after <100 merges (its synthetic
+    // word list is small and words are short), so it cannot exercise a
+    // real budget. Train instead on a synthetic high-diversity
+    // vocabulary: 60k distinct 32-hex-char words over the 16-symbol hex
+    // alphabet — merge supply far exceeds the probed budgets, as a real
+    // multilingual corpus's would.
+    val synth = spark.range(60000)
+      .select(md5(concat(lit("bpe|"), col("id").cast("string"))).as("text"))
+      .localCheckpoint(true)
+    def train(m: Int): (Int, Double) = {
       spark.conf.set("spark.graft.bpe.merges", m.toString)
       Dedup.releaseIntermediates(); spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      val (_, merges) = Bpe.bpeTrainedOf(docs)
-      val sec = (System.nanoTime() - t0) / 1e9
-      Dedup.releaseIntermediates(); spark.catalog.clearCache()
-      println(f"""{"probe":"bpe_train_m$m","merges":${merges.length},"sec":$sec%.2f,"ms_per_merge":${sec * 1000 / math.max(1, merges.length)}%.1f}""")
+      val (_, merges) = Bpe.bpeTrainedOf(synth)
+      (merges.length, (System.nanoTime() - t0) / 1e9)
+    }
+    train(50) // warm-up (codegen/JVM), untimed — same policy as Bench
+    for (m <- Seq(250, 1000)) {
+      val (got, sec) = train(m)
+      println(f"""{"probe":"bpe_train_m$m","merges":$got,"sec":$sec%.2f,"ms_per_merge":${sec * 1000 / math.max(1, got)}%.1f}""")
     }
     spark.conf.unset("spark.graft.bpe.merges")
     Dedup.releaseIntermediates()

@@ -57,34 +57,73 @@ object AnnIndex {
     df.withColumn(colName, col(colName).as(colName, m))
   }
 
-  private[graft] def validateConf(df: DataFrame, colName: String, what: String,
-      residual: Boolean = false): Unit =
+  /** The stored conf stamp, if the artifact carries one. */
+  private def storedStamp(df: DataFrame, colName: String): Option[String] =
     df.schema.fields.find(_.name == colName)
       .filter(_.metadata.contains(MetaKey))
       .map(_.metadata.getString(MetaKey))
-      .foreach { stored =>
+
+  /** Fail FAST on conf drift — and (r10, the LmIndex hardening applied
+    * here too) on a MISSING stamp: an unstamped parquet directory is a
+    * foreign or hand-rolled table, and decoding it under the live conf
+    * is exactly the silent mis-decode the stamp exists to prevent.
+    */
+  private[graft] def validateConf(df: DataFrame, colName: String, what: String,
+      residual: Boolean = false): Unit =
+    storedStamp(df, colName) match {
+      case None => throw new IllegalStateException(
+        s"$what carries no $MetaKey conf stamp — not a graft-written ANN artifact " +
+          "(or written by a pre-stamp build); refusing to decode it blind — rebuild the index")
+      case Some(stored) =>
         if (stored != fingerprint(residual)) throw new IllegalStateException(
           s"$what was built with ANN conf [$stored] but the live spark.graft.* conf is " +
             s"[${fingerprint(residual)}]; stored codes would silently mis-decode — " +
             "rebuild the index or align the conf")
-      }
+    }
+
+  /** Coarse-cell assignment of scaled vectors against GIVEN centroids:
+    * (vec_id, cell). Broadcast centroids, one scan.
+    */
+  private def assignCells(scaled: DataFrame, cents: DataFrame): DataFrame =
+    scaled.crossJoin(broadcast(cents))
+      .withColumn("d2", expr("graft_l2sq(se, cemb)"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+
+  /** Encode scaled vectors into (vec_id, codes, cell) under GIVEN
+    * artifacts — the ONE encode used by both the train-and-write paths
+    * and [[appendToIvfPq]], so an appended vector's code can never be
+    * produced by different arithmetic than a build-time one's.
+    */
+  private[graft] def encodeWithArtifacts(scaled: DataFrame, cents: DataFrame,
+      cb: DataFrame, residual: Boolean): DataFrame = {
+    val assigned = assignCells(scaled, cents)
+    val encIn =
+      if (!residual) scaled
+      else scaled.join(assigned, "vec_id")
+        .join(broadcast(cents.select(col("cid").as("cell"), col("cemb").as("ccemb"))), "cell")
+        .select(col("vec_id"), expr("zip_with(se, ccemb, (a, b) -> a - b)").as("se"))
+    Similarity.pqCodesArr(Similarity.pqSubArrays(encIn), cb)
+      .join(assigned, "vec_id")
+  }
 
   /** Train + persist the IVF-PQ index under `path`: `centroids/`,
     * `codebooks/`, and `codes/` partitioned by coarse cell (probe-time
     * directory pruning — a query's IO is its probed cells only).
     */
-  def writeIvfPq(spark: SparkSession, dir: String, path: String): Unit = {
-    val scaled = Clustering.scaledEmb(spark, dir)
+  def writeIvfPq(spark: SparkSession, dir: String, path: String): Unit =
+    writeIvfPqFrom(Tables.embeddings(spark, dir), path)
+
+  /** [[writeIvfPq]] over an explicit embeddings frame (specs carve
+    * base/delta corpora from one table with it).
+    */
+  def writeIvfPqFrom(embs: DataFrame, path: String): Unit = {
+    val scaled = Clustering.scaledEmbOf(embs)
     val cents = Intermediates.persist(Clustering.trainedCentroidsOf(scaled))
-    val assigned = scaled.crossJoin(broadcast(cents))
-      .withColumn("d2", expr("graft_l2sq(se, cemb)"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cell"))
     val cb = Intermediates.persist(
       Clustering.pqCodebookArrays(Clustering.pqCodebooksOf(scaled)))
-    val codes = Similarity.pqCodesArr(Similarity.pqSubArrays(scaled), cb)
-      .join(assigned, "vec_id")
+    val codes = encodeWithArtifacts(scaled, cents, cb, residual = false)
     stamp(codes, "codes", residual = false).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$path/codes")
     stamp(cb, "cemb", residual = false).write.mode("overwrite").parquet(s"$path/codebooks")
@@ -99,26 +138,57 @@ object AnnIndex {
     * partitioned by cell), stamped `residual=true` so the two stores can
     * never be mistaken for each other.
     */
-  def writeIvfPqR(spark: SparkSession, dir: String, path: String): Unit = {
-    val scaled = Clustering.scaledEmb(spark, dir)
+  def writeIvfPqR(spark: SparkSession, dir: String, path: String): Unit =
+    writeIvfPqRFrom(Tables.embeddings(spark, dir), path)
+
+  /** [[writeIvfPqR]] over an explicit embeddings frame. */
+  def writeIvfPqRFrom(embs: DataFrame, path: String): Unit = {
+    val scaled = Clustering.scaledEmbOf(embs)
     val cents = Intermediates.persist(Clustering.trainedCentroidsOf(scaled))
-    val assigned = scaled.crossJoin(broadcast(cents))
-      .withColumn("d2", expr("graft_l2sq(se, cemb)"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cell"))
+    val assigned = assignCells(scaled, cents)
     val resid = scaled.join(assigned, "vec_id")
       .join(broadcast(cents.select(col("cid").as("cell"), col("cemb").as("ccemb"))), "cell")
       .select(col("vec_id"), expr("zip_with(se, ccemb, (a, b) -> a - b)").as("se"))
     val cb = Intermediates.persist(
       Clustering.pqCodebookArrays(Clustering.pqCodebooksOf(resid)))
-    val codes = Similarity.pqCodesArr(Similarity.pqSubArrays(resid), cb)
-      .join(assigned, "vec_id")
+    val codes = encodeWithArtifacts(scaled, cents, cb, residual = true)
     stamp(codes, "codes", residual = true).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$path/codes")
     stamp(cb, "cemb", residual = true).write.mode("overwrite").parquet(s"$path/codebooks")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     Dedup.releaseIntermediates()
+  }
+
+  /** Encode-only APPEND of a new crawl's vectors into an EXISTING store —
+    * faiss's add-with-trained-index shape, and the piece that was missing
+    * from the stored-artifact matrix (MinHash/SRP/winnow indexes all had
+    * delta paths; the ANN store was rebuild-only). NO retrain: the STORED
+    * coarse centroids and codebooks encode the delta (auto-detecting
+    * residual encoding from the stored stamp), and the new codes land in
+    * the existing `codes/cell=…` partition layout, so a following
+    * [[ivfPqTopKFrom]]/[[ivfPqRTopKFrom]] sees old and new vectors
+    * identically. At 100 TB this is the difference between re-encoding
+    * the whole corpus per crawl and touching only the crawl.
+    *
+    * Scale shape: one delta scan (broadcast centroid assign + broadcast
+    * codebook encode — both artifact tables are broadcast-sized), one
+    * partitioned append write; the existing code table is never read.
+    *
+    * Caller contract: delta vec_ids are disjoint from those already
+    * indexed (id allocation is upstream's job — enforcing it here would
+    * scan the whole store per crawl). Fails fast on conf drift or a
+    * missing stamp via [[validateConf]].
+    */
+  def appendToIvfPq(spark: SparkSession, indexPath: String, embs: DataFrame): Unit = {
+    val cb = spark.read.parquet(s"$indexPath/codebooks")
+    val residual = storedStamp(cb, "cemb").exists(_.contains("residual=true"))
+    validateConf(cb, "cemb",
+      s"stored IVF-PQ codebooks at $indexPath", residual)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val scaled = Clustering.scaledEmbOf(embs)
+    val codes = encodeWithArtifacts(scaled, cents, cb, residual)
+    stamp(codes, "codes", residual).write.mode("append")
+      .partitionBy("cell").parquet(s"$indexPath/codes")
   }
 
   /** Answer top-k from the stored index. Identical results to

@@ -41,16 +41,24 @@ object LmIndex {
     df.withColumn(colName, col(colName).as(colName, m))
   }
 
+  /** Fail FAST on conf drift — and (r10) on a MISSING stamp: an
+    * unstamped or foreign parquet directory scored blind is exactly the
+    * silent mis-score the stamp exists to prevent, so absence is an
+    * error, not a pass.
+    */
   private def validateConf(df: DataFrame, colName: String, what: String): Unit =
     df.schema.fields.find(_.name == colName)
       .filter(_.metadata.contains(MetaKey))
-      .map(_.metadata.getString(MetaKey))
-      .foreach { stored =>
+      .map(_.metadata.getString(MetaKey)) match {
+      case None => throw new IllegalStateException(
+        s"$what carries no $MetaKey conf stamp — not a graft-written SBO artifact " +
+          "(or written by a pre-stamp build); refusing to score against it blind — retrain the model")
+      case Some(stored) =>
         if (stored != sboFingerprint) throw new IllegalStateException(
           s"$what was trained with LM conf [$stored] but the live spark.graft.* conf is " +
             s"[$sboFingerprint]; stored log-ratios would silently mis-score — " +
             "retrain the model or align the conf")
-      }
+    }
 
   /** Train + persist the SBO model under `path`: `lt1/` (train-vocab
     * unigram log-probs, +1-smoothed), `lt2/`, `lt3/` (backoff ratio

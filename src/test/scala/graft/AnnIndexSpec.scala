@@ -62,6 +62,97 @@ class AnnIndexSpec extends SparkSpec {
     Dedup.releaseIntermediates()
   }
 
+  test("appendToIvfPq: encode-only append ≡ one-shot encode of the union under the stored quantizer") {
+    import graft.operators.Clustering
+    val embs = Tables.embeddings(spark, sf)
+    // delta = a new crawl: vec_id remapped high (disjoint by contract),
+    // including an exact copy of query 0's vector — after append the
+    // query path must surface the new arrival as query 0's top hit
+    val isDelta = col("vec_id") % 5 === 3 && col("vec_id") >= Similarity.NumQueries
+    val base = embs.filter(!isDelta)
+    val q0dup = embs.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+    val delta = embs.filter(isDelta)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"), col("label"))
+      .unionByName(q0dup)
+    val path = java.nio.file.Files.createTempDirectory("graft-annindex-app").toString
+    AnnIndex.writeIvfPqFrom(base, path)
+    AnnIndex.appendToIvfPq(spark, path, delta)
+    // 1. stored codes after append == the shared encode over base ∪ delta
+    //    under the STORED artifacts (bit-equal: same arithmetic, one path)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val expected = AnnIndex.encodeWithArtifacts(
+        Clustering.scaledEmbOf(base.unionByName(delta)), cents, cb, residual = false)
+      .select(col("vec_id"), col("codes"), col("cell").cast("long"))
+      .collect().map(_.toSeq).toSet
+    val stored = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("codes"), col("cell").cast("long"))
+      .collect().map(_.toSeq).toSet
+    assert(stored == expected,
+      s"stored ${stored.size} codes != expected ${expected.size}")
+    // 2. the appended exact-duplicate is discoverable end to end: query 0's
+    //    top stored-index hit is the new arrival (same cell, ADC + exact
+    //    re-rank both maximal at cos ≈ 1)
+    val top = AnnIndex.ivfPqTopKFrom(spark, path, base.unionByName(delta))
+      .filter(col("query_id") === 0 && col("rank") === 1)
+      .select("neighbor_id").collect()
+    Dedup.releaseIntermediates()
+    assert(top.nonEmpty && top.head.getLong(0) == 1000000L,
+      s"appended duplicate of query 0 not its top hit: ${top.toSeq}")
+  }
+
+  test("appendToIvfPq auto-detects a residual store and encodes residuals") {
+    import graft.operators.Clustering
+    val embs = Tables.embeddings(spark, sf)
+    val isDelta = col("vec_id") % 5 === 3 && col("vec_id") >= Similarity.NumQueries
+    val base = embs.filter(!isDelta)
+    val delta = embs.filter(isDelta)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"), col("label"))
+    val path = java.nio.file.Files.createTempDirectory("graft-annindex-appr").toString
+    AnnIndex.writeIvfPqRFrom(base, path)
+    AnnIndex.appendToIvfPq(spark, path, delta)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val expected = AnnIndex.encodeWithArtifacts(
+        Clustering.scaledEmbOf(base.unionByName(delta)), cents, cb, residual = true)
+      .select(col("vec_id"), col("codes"), col("cell").cast("long"))
+      .collect().map(_.toSeq).toSet
+    val stored = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("codes"), col("cell").cast("long"))
+      .collect().map(_.toSeq).toSet
+    assert(stored == expected, s"stored ${stored.size} != expected ${expected.size}")
+    // residual query path reads the appended store without drift errors
+    val n = AnnIndex.ivfPqRTopKFrom(spark, path, base.unionByName(delta)).count()
+    Dedup.releaseIntermediates()
+    assert(n > 0)
+  }
+
+  test("appendToIvfPq fails fast on conf drift and on an unstamped store") {
+    val path = freshIndex()
+    val delta = Tables.embeddings(spark, sf).limit(5)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"), col("label"))
+    spark.conf.set("spark.graft.ann.pqK", "16")
+    try {
+      val e = intercept[IllegalStateException] {
+        AnnIndex.appendToIvfPq(spark, path, delta)
+      }
+      assert(e.getMessage.contains("pqK=16") && e.getMessage.contains("pqK=32"))
+    } finally spark.conf.unset("spark.graft.ann.pqK")
+    // a foreign (unstamped) codebook table must be refused, not decoded blind
+    val foreign = java.nio.file.Files.createTempDirectory("graft-annindex-f").toString
+    val cbRaw = spark.read.parquet(s"$path/codebooks")
+    cbRaw.select(cbRaw.columns.map(c =>
+        col(c).as(c, org.apache.spark.sql.types.Metadata.empty)): _*)
+      .write.mode("overwrite").parquet(s"$foreign/codebooks")
+    spark.read.parquet(s"$path/centroids").write.mode("overwrite").parquet(s"$foreign/centroids")
+    val e2 = intercept[IllegalStateException] {
+      AnnIndex.appendToIvfPq(spark, foreign, delta)
+    }
+    assert(e2.getMessage.contains("no graft.ann.ivfpq conf stamp"), e2.getMessage)
+    Dedup.releaseIntermediates()
+  }
+
   test("probe reads prune to probed cell directories (PartitionFilters, not data filters)") {
     val path = freshIndex()
     val df = AnnIndex.ivfPqTopK(spark, path, sf)
