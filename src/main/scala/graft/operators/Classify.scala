@@ -64,12 +64,25 @@ object Classify {
   /** Core over any (doc_id, text, lang) frame — specs plant a
     * class-correlated corpus and assert the model actually learns.
     */
-  def nbClassifyOf(docs: DataFrame): DataFrame = {
-    val m = NbEvalMod
+  def nbClassifyOf(docs: DataFrame): DataFrame =
+    nbPredictionsOf(docs, NbEvalMod, split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        when(col("lang") === col("pred_lang"), 1).otherwise(0).as("correct"))
+      .contractOrderBy("doc_id")
+
+  /** The shared sparse-NB train+score core over ANY tokenization (r10 —
+    * extracted so `lang_id_nb`'s char-trigram model and `nb_classify`'s
+    * word model are the SAME arithmetic): train on the `doc_id % m != 0`
+    * slice with class = `lang` and features = `tokArr(text)`, score the
+    * held-out slice, return (doc_id, lang, pred_lang) at the eval-doc
+    * grain (`pred_lang = ''` for a doc with no in-vocab token).
+    */
+  private[graft] def nbPredictionsOf(docs: DataFrame, m: Int,
+      tokArr: org.apache.spark.sql.Column): DataFrame = {
     val train = docs.filter(col("doc_id") % m =!= 0)
     val evalDocs = docs.filter(col("doc_id") % m === 0)
 
-    val tokT = train.select(col("lang"), explode(split(col("text"), " ")).as("word"))
+    val tokT = train.select(col("lang"), explode(tokArr).as("word"))
     // observed (class, word) counts — the sparse table; map-side combined
     val cw = tokT.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
     // per-class token totals from the sparse table (C rows)
@@ -95,7 +108,7 @@ object Classify {
         (round(log((col("c") + lit(1)).cast("double") / (col("t") + col("v")).cast("double")), 6)
           .cast("decimal(18,6)") - col("dflt")).as("bonus"))
 
-    val tokE = evalDocs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tokE = evalDocs.select(col("doc_id"), explode(tokArr).as("word"))
     val vocab = tokT.select(col("word")).distinct()
     val tokIv = tokE.join(vocab, Seq("word"))
     val nIv = tokIv.groupBy(col("doc_id")).agg(count(lit(1)).as("n_iv"))
@@ -120,21 +133,107 @@ object Classify {
     evalDocs.select(col("doc_id"), col("lang"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
-        coalesce(col("pred_lang"), lit("")).as("pred_lang"),
-        when(col("lang") === coalesce(col("pred_lang"), lit("")), 1)
-          .otherwise(0).as("correct"))
-      .contractOrderBy("doc_id")
+        coalesce(col("pred_lang"), lit("")).as("pred_lang"))
+  }
+
+  /** Char-trigram array of `text` — `lang_id_nb`'s feature extractor
+    * (fastText's char-n-gram shape). Guarded for texts shorter than 3
+    * chars: Spark's `sequence(1, 0)` DESCENDS instead of emitting empty,
+    * so the short-text branch is explicit in BOTH engines.
+    */
+  private val TrigramArrSpark: String =
+    "CASE WHEN length(text) >= 3 THEN transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) " +
+      "ELSE cast(array() as array<string>) END"
+
+  private val TrigramArrDuck: String =
+    "CASE WHEN length(text) >= 3 THEN list_transform(generate_series(1, length(text) - 2), i -> substr(text, i, 3)) " +
+      "ELSE CAST([] AS VARCHAR[]) END"
+
+  /** Held-out modulus for `lang_id_nb` (`spark.graft.langid.evalMod`). */
+  def LangIdEvalMod: Int = GraftConf.langIdEvalMod
+
+  /** `lang_id_nb`: TRAINED language identification — the production rung
+    * above `lang_id`'s stopword heuristic (fastText's shape: a linear
+    * model over character n-grams; CCNet ships exactly this as its LID
+    * stage). Multinomial NB over CHARACTER TRIGRAMS trained in-engine on
+    * the labeled `doc_id % langIdEvalMod != 0` slice via
+    * [[nbPredictionsOf]] — the same sparse-scoring identity and
+    * exact-decimal argmax as `nb_classify`, so scoring cost is one
+    * trigram-grain equi-join + one C-row broadcast, never vocab×C.
+    * Output is the compact agreement cube (lang, pred_nb, pred_heur,
+    * n_docs) of gold label × trained prediction × stopword-heuristic
+    * prediction over the held-out slice — the measure-before-trust
+    * report for swapping the heuristic out.
+    *
+    * Why char trigrams: same-SCRIPT languages share short words (the
+    * stopword rule ties at ratio 0 on both) but not trigram
+    * distributions; ClassifySpec plants Latin-script lookalikes the
+    * heuristic cannot separate and asserts the trained model splits them.
+    */
+  def langIdNb(spark: SparkSession, dir: String): DataFrame =
+    langIdNbOf(Tables.documents(spark, dir))
+
+  def langIdNbOf(docs: DataFrame): DataFrame = {
+    val m = LangIdEvalMod
+    val preds = nbPredictionsOf(docs, m, expr(TrigramArrSpark))
+    val stopList = TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(",")
+    val heur = docs.filter(col("doc_id") % m === 0)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        when(expr(s"size(filter(ws, w -> w IN ($stopList)))").cast("double") /
+            size(col("ws")) > TextAnalysis.EnTau, "en")
+          .otherwise("unknown").as("pred_heur"))
+    preds.select(col("doc_id"), col("lang"), col("pred_lang").as("pred_nb"))
+      .join(heur, "doc_id")
+      .groupBy(col("lang"), col("pred_nb"), col("pred_heur"))
+      .agg(count(lit(1)).as("n_docs"))
+      .contractOrderBy("lang", "pred_nb", "pred_heur")
+  }
+
+  def langIdNbSql: String = {
+    val m = LangIdEvalMod
+    val stopList = TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(",")
+    s"""WITH ${nbChainSql(m, TrigramArrDuck)},
+       |heur AS (
+       |  SELECT doc_id,
+       |    CASE WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |           / len(string_split(text, ' ')) > ${TextAnalysis.EnTau} THEN 'en'
+       |         ELSE 'unknown' END AS pred_heur
+       |  FROM ev
+       |)
+       |SELECT e.lang, COALESCE(b.pred_lang, '') AS pred_nb, h.pred_heur,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM ev e
+       |LEFT JOIN (SELECT doc_id, pred_lang FROM best WHERE rn = 1) b USING (doc_id)
+       |JOIN heur h ON h.doc_id = e.doc_id
+       |GROUP BY e.lang, COALESCE(b.pred_lang, ''), h.pred_heur
+       |ORDER BY e.lang, pred_nb, h.pred_heur""".stripMargin
   }
 
   /** Oracle: the same sparse identity, CTE for CTE. */
   def nbClassifySql: String = {
     val m = NbEvalMod
-    s"""WITH train AS (
+    s"""WITH ${nbChainSql(m, "string_split(text, ' ')")}
+       |SELECT e.doc_id, e.lang,
+       |  COALESCE(b.pred_lang, '') AS pred_lang,
+       |  CASE WHEN e.lang = COALESCE(b.pred_lang, '') THEN 1 ELSE 0 END AS correct
+       |FROM ev e LEFT JOIN (SELECT doc_id, pred_lang FROM best WHERE rn = 1) b USING (doc_id)
+       |ORDER BY e.doc_id""".stripMargin
+  }
+
+  /** The shared NB CTE chain (train/ev → tok → sparse model → `best`
+    * prediction per eval doc), parameterized by the token-array SQL so
+    * `nb_classify` (words) and `lang_id_nb` (char trigrams) run the SAME
+    * generated arithmetic. Callers prepend `WITH ` and append their
+    * report SELECT (plus any extra CTEs after a comma).
+    */
+  private def nbChainSql(m: Int, arrSql: String): String =
+    s"""train AS (
        |  SELECT * FROM documents WHERE doc_id % $m != 0
        |), ev AS (
        |  SELECT * FROM documents WHERE doc_id % $m = 0
        |), tok_t AS (
-       |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM train
+       |  SELECT lang, unnest($arrSql) AS word FROM train
        |), cw AS (
        |  SELECT lang, word, count(*) AS c FROM tok_t GROUP BY lang, word
        |), ctot AS (
@@ -155,7 +254,7 @@ object Classify {
        |      - cl.dflt AS bonus
        |  FROM cw JOIN classes cl USING (lang)
        |), tok_e AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM ev
+       |  SELECT doc_id, unnest($arrSql) AS word FROM ev
        |), tok_iv AS (
        |  SELECT doc_id, word FROM tok_e
        |  WHERE word IN (SELECT DISTINCT word FROM tok_t)
@@ -174,11 +273,5 @@ object Classify {
        |  SELECT doc_id, lang AS pred_lang,
        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
        |  FROM scored
-       |)
-       |SELECT e.doc_id, e.lang,
-       |  COALESCE(b.pred_lang, '') AS pred_lang,
-       |  CASE WHEN e.lang = COALESCE(b.pred_lang, '') THEN 1 ELSE 0 END AS correct
-       |FROM ev e LEFT JOIN (SELECT doc_id, pred_lang FROM best WHERE rn = 1) b USING (doc_id)
-       |ORDER BY e.doc_id""".stripMargin
-  }
+       |)""".stripMargin
 }

@@ -350,6 +350,13 @@ package object operators {
       */
     def nbEvalMod: Int = positive("spark.graft.nb.evalMod", "4")
 
+    /** Trained language-ID held-out modulus
+      * (`spark.graft.langid.evalMod`) — `lang_id_nb`'s train/score split,
+      * independent of the word-grain classifier's so the two sweeps can
+      * move separately.
+      */
+    def langIdEvalMod: Int = positive("spark.graft.langid.evalMod", "4")
+
     // -- DSIR data-selection knobs --
     /** Hashed-bigram feature buckets (`spark.graft.dsir.buckets`) — the
       * paper's hashed n-gram dimensionality; the bucket table is at most

@@ -71,4 +71,45 @@ class ClassifySpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.getAs[String]("pred_lang") == "aa")
   }
+
+  /** Same-SCRIPT lookalike corpus the stopword heuristic cannot separate:
+    * both "languages" are Latin-script, contain zero English stopwords
+    * (heuristic ratio 0 for every doc → pred_heur 'unknown' across the
+    * board, a total tie), but carry distinct characteristic trigram mass
+    * ('sch/ung/eit' vs 'tio/ing/the' word shapes).
+    */
+  private def lookalikes = {
+    val mk = (id: Long, lang: String, core: String) =>
+      (id, s"$core $core $core", lang)
+    val rows = (0L until 40L).map { i =>
+      if (i % 3 == 0) mk(i, "de", "verwaltung eigenschaft freundlichkeit")
+      else mk(i, "en", "nation wondering weathering motivation")
+    }
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  test("lang_id_nb separates same-script lookalikes where the stopword heuristic ties") {
+    val out = Classify.langIdNbOf(lookalikes).collect()
+    // the heuristic ties: every held-out doc lands in pred_heur 'unknown'
+    assert(out.forall(_.getAs[String]("pred_heur") == "unknown"),
+      s"heuristic should tie on stopword-free text: ${out.mkString(", ")}")
+    // the trained trigram model splits them perfectly: every agreement
+    // cell is on the diagonal (pred_nb == lang)
+    assert(out.nonEmpty && out.forall(r =>
+        r.getAs[String]("pred_nb") == r.getAs[String]("lang")),
+      s"off-diagonal cells: ${out.filterNot(r =>
+        r.getAs[String]("pred_nb") == r.getAs[String]("lang")).mkString(", ")}")
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    assert(total == 10L, s"held-out slice should be 10 docs, got $total")
+  }
+
+  test("lang_id_nb is total over the held-out slice and deterministic") {
+    val a = Classify.langIdNb(spark, sf).collect()
+    val b = Classify.langIdNb(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val expected = docs.filter(col("doc_id") % Classify.LangIdEvalMod === 0).count()
+    assert(a.map(_.getAs[Long]("n_docs")).sum == expected,
+      "agreement cube covers every held-out doc exactly once")
+  }
 }
