@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream the forked program's stdout RAW (no "[info] " logger prefix):
+// the driver parses graft.Bench's one-line JSON from captured output, and
+// the prefix made it record parsed:null (r9 verdict, hygiene item 4).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -147,28 +147,52 @@ object Bench {
     //       swept 5.18 min / 5.73 median vs 1.28 s isolated).
     // The artifact carries BOTH readings; headline `value`/`queries` stay
     // the sweep MINs.
-    val adjudicated = results.collect {
+    val perQueryTrigger = results.collect {
       case (name, (min, median))
           if min > 0 && ((median > 2 * min && median - min > 0.5) ||
             prevMins.get(name).exists(p => p > 0 && min > 2 * p && min - p > 0.5)) =>
-        name -> timeQuery(name, SparkEntry.queries(name), warm = true)
-    }
+        name
+    }.toSet
+    // whole-sweep churn trigger (r10): a UNIFORMLY inflated window makes
+    // every query a bit slow — median/min per query stays under 2x, so
+    // (a) never fires, and (b) only fires against last round's artifact.
+    // When the sweep's total-median exceeds 1.3x its total-min, the window
+    // itself churned: auto-rerun the slowest rows isolated so the honest
+    // steady-state total is computable from THIS artifact alone (r9 swept
+    // med/min 1.49x with clean probes and only the >2x rows adjudicated).
+    val totalMin = results.values.map(_._1).sum
+    val totalMedian = results.values.map(_._2).sum
+    val sweepChurn = totalMin > 0 && totalMedian > 1.3 * totalMin
+    val churnRows: Set[String] =
+      if (!sweepChurn) Set.empty
+      else results.toSeq.filter(_._2._1 > 0).sortBy(-_._2._1)
+        .take(10).map(_._1).toSet -- perQueryTrigger
+    if (sweepChurn) System.err.println(
+      f"[bench] sweep churn: total median $totalMedian%.1f > 1.3x total min $totalMin%.1f — " +
+        s"adjudicating top ${churnRows.size} rows beyond the per-query triggers")
+    val adjudicated = (perQueryTrigger ++ churnRows).toSeq.sorted.map { name =>
+      name -> timeQuery(name, SparkEntry.queries(name), warm = true)
+    }.toMap
     adjudicated.foreach { case (name, (m, d)) =>
       System.err.println(f"[bench] adjudicated $name: isolated min=$m%.3f median=$d%.3f")
     }
+    // honest steady-state total: sweep mins with each adjudicated isolated
+    // min substituted where it is smaller — the number a quiet machine
+    // reproduces, computable from the artifact alone
+    val adjustedTotal = results.map { case (name, (mn, _)) =>
+      adjudicated.get(name).map(_._1).filter(a => a > 0 && mn > 0 && a < mn).getOrElse(mn)
+    }.sum
 
     val probeAfter = probeSeconds(cpus.toInt)
     val contended = probeBefore > probeBound || probeAfter > probeBound
 
     def qJson(rs: Iterable[(String, (Double, Double))], pick: ((Double, Double)) => Double): String =
       rs.map { case (k, v) => "\"" + k + "\":" + pick(v) }.mkString("{", ",", "}")
-    val totalMin = results.values.map(_._1).sum
-    val totalMedian = results.values.map(_._2).sum
     // `value`/`queries` carry the per-query MIN — the steady-state number a
     // quiet machine reproduces (SURVEY §8 documents this as authoritative).
     val json =
       s"""{"metric":"total","value":$totalMin,"unit":"sec","stat":"min","schema_version":2,""" +
-      s""""min":$totalMin,"median":$totalMedian,""" +
+      s""""min":$totalMin,"median":$totalMedian,"adjusted_total":$adjustedTotal,"sweep_churn":$sweepChurn,""" +
       s""""contended":$contended,"probe_sec":[$probeBefore,$probeAfter],"probe_bound":$probeBound,""" +
       s""""queries":${qJson(results, _._1)},"queries_median":${qJson(results, _._2)},""" +
       s""""adjudicated_min":${qJson(adjudicated, _._1)},"adjudicated_median":${qJson(adjudicated, _._2)},""" +
@@ -187,7 +211,8 @@ object Bench {
     val topSlow = results.toSeq.sortBy { case (_, (min, _)) => -min }.take(8)
     val compactLine: String =
       s"""{"metric":"total","value":${round3(totalMin)},"unit":"sec","stat":"min","schema_version":2,""" +
-      s""""min":${round3(totalMin)},"median":${round3(totalMedian)},"n_queries":${results.size},""" +
+      s""""min":${round3(totalMin)},"median":${round3(totalMedian)},"adjusted_total":${round3(adjustedTotal)},""" +
+      s""""sweep_churn":$sweepChurn,"n_queries":${results.size},""" +
       s""""contended":$contended,"probe_sec":[${round3(probeBefore)},${round3(probeAfter)}],""" +
       s""""adjudicated":${adjudicated.map(kv => "\"" + kv._1 + "\":" + round3(kv._2._1)).mkString("{", ",", "}")},""" +
       s""""queries_omitted":${results.size - topSlow.size},"full_artifact":"target/bench.json",""" +
