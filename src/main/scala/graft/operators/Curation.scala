@@ -1148,18 +1148,25 @@ object Curation {
     * text (a contaminated source gets dropped or re-scraped wholesale;
     * per-doc removal alone hides the systemic leak), and how much the
     * fuzzy sweep catches beyond the exact one (its marginal value at the
-    * current τ). Composes the two existing per-doc sweeps unchanged — the
-    * report can never disagree with the verdicts the act steps apply.
+    * current τ). Composes the two sweep CORES under ONE eval predicate —
+    * the `doc_id % FuzzyEvalMod == 0` seam [[corpusCurateFrom]] already
+    * uses (r10, was: each sweep under its own default mod, which made
+    * n_exact and n_fuzzy hits against DIFFERENT benchmark sets and
+    * silently dropped docs that were eval under exactly one sweep) — so
+    * both columns count hits against the SAME benchmark, train grain is
+    * identical on both sides, and the inner joins are lossless.
     *
     * Scale: both sweeps are the existing broadcast-against-benchmark
     * pipelines; the composition adds one doc_id equi-join (AQE broadcasts
     * the hit-sized fuzzy side) and an O(sources) rollup.
     */
   def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
-    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    val exact = decontaminate(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val isEval = col("doc_id") % FuzzyEvalMod === 0
+    val src = docs.filter(!isEval).select(col("doc_id"), col("source"))
+    val exact = decontaminateFrom(docs, isEval)
       .select(col("doc_id"), col("contaminated").as("ex"))
-    val fuzzy = decontaminateFuzzy(spark, dir)
+    val fuzzy = decontaminateFuzzyFrom(docs, isEval)
       .select(col("doc_id"), col("contaminated").as("fz"))
     src.join(exact, Seq("doc_id"))
       .join(fuzzy, Seq("doc_id"))
@@ -1174,7 +1181,7 @@ object Curation {
   def contaminationReportSql: String =
     s"""WITH ex AS (
        |  SELECT doc_id, contaminated AS ex FROM (
-       |$decontaminateSql
+       |${decontaminateSqlAt(FuzzyEvalMod)}
        |  ) e
        |), fz AS (
        |  SELECT doc_id, contaminated AS fz FROM (

@@ -507,7 +507,11 @@ object Events {
     * tables are O(types) rows and broadcast back onto the hourly table.
     */
   def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = hourlyCountsOf(Tables.events(spark, dir))
+    // the hourly table feeds three consumers (the flag join + the two
+    // baseline aggregations) — persist it (r10) so the event log is
+    // scanned and hash-aggregated ONCE, as the docstring promises, instead
+    // of relying on exchange reuse to fire
+    val hourly = Intermediates.persist(hourlyCountsOf(Tables.events(spark, dir)))
     hourly.join(madBaselineOf(hourly), "event_type")
       .withColumn("d2", abs(lit(2L) * col("cnt") - col("med2")))
       .filter(lit(2L) * col("d2") > lit(3L) * col("mad4"))

@@ -563,8 +563,12 @@ object TextAnalysis {
 
   /** `lm_coverage_report`: per-source LM coverage — how much of each crawl
     * source the trigram model actually EXPLAINS, in integer basis points
-    * of scoring positions per backoff level (`tri_bp`+`big_bp`+`uni_bp` =
-    * 10000 by construction — the level counts partition positions). This
+    * of scoring positions per backoff level. `tri_bp` and `uni_bp` are
+    * floor-divided from the raw counts; `big_bp` is emitted as
+    * `10000 − tri_bp − uni_bp` (r10), so `tri_bp + big_bp + uni_bp =
+    * 10000` holds LITERALLY — the bigram level absorbs both floor
+    * remainders, a ≤ 2 bp distortion on the level nobody alarms on
+    * (the raw `n_tri/n_big/n_uni` counts ride along un-rounded). This
     * is the drift alarm for a STORED model ([[LmIndex]]): a new crawl of
     * the same source whose `uni_bp` jumps is vocabulary the model has
     * never seen (topic shift, spam injection, language drift) and is the
@@ -587,6 +591,7 @@ object TextAnalysis {
         sum(col("n_uni")).as("n_uni"))
       .withColumn("tri_bp", expr("n_tri * 10000 div n_tokens"))
       .withColumn("uni_bp", expr("n_uni * 10000 div n_tokens"))
+      .withColumn("big_bp", lit(10000L) - col("tri_bp") - col("uni_bp"))
       .contractOrderBy("source")
   }
 
@@ -602,7 +607,9 @@ object TextAnalysis {
        |  CAST(sum(s.n_big) AS BIGINT) AS n_big,
        |  CAST(sum(s.n_uni) AS BIGINT) AS n_uni,
        |  CAST(sum(s.n_tri) * 10000 // sum(s.n_tokens) AS BIGINT) AS tri_bp,
-       |  CAST(sum(s.n_uni) * 10000 // sum(s.n_tokens) AS BIGINT) AS uni_bp
+       |  CAST(sum(s.n_uni) * 10000 // sum(s.n_tokens) AS BIGINT) AS uni_bp,
+       |  CAST(10000 - (sum(s.n_tri) * 10000 // sum(s.n_tokens))
+       |    - (sum(s.n_uni) * 10000 // sum(s.n_tokens)) AS BIGINT) AS big_bp
        |FROM s JOIN documents d ON s.doc_id = d.doc_id
        |GROUP BY d.source
        |ORDER BY d.source""".stripMargin

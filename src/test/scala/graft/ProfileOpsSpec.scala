@@ -137,11 +137,16 @@ class ProfileOpsSpec extends SparkSpec {
       assert(any <= n && ex <= any && fz <= any, s"ordering: $n $ex $fz $any")
       assert(any <= ex + fz, "union bound")
     }
-    // cross-check one total against the composed sweeps (train∩train grain)
+    // cross-check one total against the composed sweeps under the SAME
+    // eval predicate the report uses (r10: one benchmark set, not each
+    // sweep's own default mod — the train grain is identical on both
+    // sides, so the join is lossless by construction)
     import org.apache.spark.sql.functions._
-    val exact = operators.Curation.decontaminate(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val isEval = col("doc_id") % operators.Curation.FuzzyEvalMod === 0
+    val exact = operators.Curation.decontaminateFrom(docs, isEval)
       .select(col("doc_id"), col("contaminated"))
-    val fuzzy = operators.Curation.decontaminateFuzzy(spark, sf)
+    val fuzzy = operators.Curation.decontaminateFuzzyFrom(docs, isEval)
       .select(col("doc_id"), col("contaminated").as("fz"))
     val both = exact.join(fuzzy, "doc_id")
     assert(rep.values.map(_._1).sum == both.count())
