@@ -72,7 +72,14 @@ object CorpusOps {
   }
 
   /** The diff core over two explicit (doc_id, text) snapshots. */
-  def corpusDiffOf(snapA: DataFrame, snapB: DataFrame): DataFrame = {
+  def corpusDiffOf(snapA: DataFrame, snapB: DataFrame): DataFrame =
+    corpusDiffRawOf(snapA, snapB).contractOrderBy("doc_id")
+
+  /** [[corpusDiffOf]] without the contract ordering — the seam
+    * aggregation consumers ([[sourceDriftReport]]) read so no sort sits
+    * under their group-by.
+    */
+  private[graft] def corpusDiffRawOf(snapA: DataFrame, snapB: DataFrame): DataFrame = {
     val a = snapA.select(col("doc_id"), md5(col("text")).as("hash_a"))
     val b = snapB.select(col("doc_id"), md5(col("text")).as("hash_b"))
     a.join(b, Seq("doc_id"), "full_outer")
@@ -82,7 +89,6 @@ object CorpusOps {
           .when(col("hash_a") =!= col("hash_b"), "changed")
           .otherwise("unchanged").as("status"),
         col("hash_a"), col("hash_b"))
-      .contractOrderBy("doc_id")
   }
 
   val corpusDiffSql: String =
@@ -101,6 +107,137 @@ object CorpusOps {
       |  hash_a, hash_b
       |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** `source_drift_report`: the crawl-ops drift dashboard (r10) — per
+    * SOURCE, how the corpus moved between two snapshots: doc/token totals
+    * and their integer deltas, per-doc churn (added/removed/changed from
+    * the [[corpusDiffOf]] status grain), and mean composite quality per
+    * side. This is the twin of `lm_coverage_report` on the crawl axis:
+    * coverage tells you the MODEL no longer fits a source; this tells you
+    * the SOURCE itself moved (a scrape pipeline change, a spam flood, a
+    * site redesign), per source so the re-crawl/drop decision has a
+    * target. Snapshots are the deterministic carving `corpus_diff`
+    * already uses (A = `doc_id % 11 ≠ 0`; B = `doc_id % 13 ≠ 0` with the
+    * `% 7` rev2 text mutation); quality is [[TextAnalysis
+    * .qualityIntScoreOf]]'s EXACT integer composite summed per side, so
+    * the only float step is one identical divide + round(·,4) per emitted
+    * mean.
+    *
+    * Scale: two snapshot scans with map-side-combined per-source rollups,
+    * the diff's doc_id full-outer hash join (hashes only, never text),
+    * one source-keyed join of O(sources)-row tables. No windows, no
+    * driver state.
+    */
+  def sourceDriftReport(spark: SparkSession, dir: String): DataFrame =
+    sourceDriftReportOf(Tables.documents(spark, dir))
+
+  /** The drift core over any (doc_id, source, text) frame — specs plant
+    * per-source churn and assert the counts land on the right source.
+    */
+  private[graft] def sourceDriftReportOf(docs: DataFrame): DataFrame = {
+    val snapA = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    val snapB = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    def rollup(snap: DataFrame, sfx: String): DataFrame =
+      snap.withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .join(TextAnalysis.qualityIntScoreOf(snap), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as(s"n_docs_$sfx"),
+          sum(col("n_tokens")).as(s"tok_$sfx"),
+          sum(col("qint")).as(s"qint_$sfx"))
+    val churn = corpusDiffRawOf(
+        snapA.select("doc_id", "text"), snapB.select("doc_id", "text"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"))
+    def meanQ(qintCol: String, nCol: String) =
+      when(col(nCol) > 0,
+        round(col(qintCol).cast("double") / (col(nCol) * 100000L), 4))
+        .otherwise(lit(null).cast("double"))
+    rollup(snapA, "a").join(rollup(snapB, "b"), Seq("source"), "full_outer")
+      .join(churn, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_docs_a"), lit(0L)).as("n_docs_a"),
+        coalesce(col("n_docs_b"), lit(0L)).as("n_docs_b"),
+        (coalesce(col("n_docs_b"), lit(0L)) - coalesce(col("n_docs_a"), lit(0L))).as("d_docs"),
+        coalesce(col("tok_a"), lit(0L)).as("tok_a"),
+        coalesce(col("tok_b"), lit(0L)).as("tok_b"),
+        (coalesce(col("tok_b"), lit(0L)) - coalesce(col("tok_a"), lit(0L))).as("d_tokens"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_changed"), lit(0L)).as("n_changed"),
+        meanQ("qint_a", "n_docs_a").as("avg_q_a"),
+        meanQ("qint_b", "n_docs_b").as("avg_q_b"))
+      .contractOrderBy("source")
+  }
+
+  def sourceDriftReportSql: String = {
+    val stopList = TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(",")
+    def rollupSql(name: String, src: String, sfx: String): String =
+      s"""$name AS (
+         |  SELECT source,
+         |    CAST(count(*) AS BIGINT) AS n_docs_$sfx,
+         |    CAST(sum(n_tokens) AS BIGINT) AS tok_$sfx,
+         |    CAST(sum(qint) AS BIGINT) AS qint_$sfx
+         |  FROM (
+         |    SELECT source, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |      ((10000 * CAST(len(list_distinct(ws)) AS BIGINT)) // CAST(len(ws) AS BIGINT)) * 3
+         |        + (10000 - ((10000 * CAST(len(list_filter(ws, w -> w IN ($stopList))) AS BIGINT)) // CAST(len(ws) AS BIGINT))) * 3
+         |        + least(CAST(len(ws) AS BIGINT) * 100, 10000) * 4 AS qint
+         |    FROM (SELECT source, string_split(text, ' ') AS ws FROM $src))
+         |  GROUP BY source
+         |)""".stripMargin
+    s"""WITH sa AS (
+       |  SELECT doc_id, source, text FROM documents WHERE doc_id % 11 <> 0
+       |), sb AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 13 <> 0
+       |),
+       |${rollupSql("ra", "sa", "a")},
+       |${rollupSql("rb", "sb", "b")},
+       |st AS (
+       |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |    CASE WHEN a.doc_id IS NULL THEN 'added'
+       |         WHEN b.doc_id IS NULL THEN 'removed'
+       |         WHEN a.hash_a <> b.hash_b THEN 'changed'
+       |         ELSE 'unchanged' END AS status
+       |  FROM (SELECT doc_id, md5(text) AS hash_a FROM sa) a
+       |  FULL OUTER JOIN (SELECT doc_id, md5(text) AS hash_b FROM sb) b
+       |    ON a.doc_id = b.doc_id
+       |), churn AS (
+       |  SELECT d.source,
+       |    CAST(sum(CASE WHEN st.status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       |    CAST(sum(CASE WHEN st.status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |    CAST(sum(CASE WHEN st.status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+       |  FROM st JOIN documents d ON st.doc_id = d.doc_id
+       |  GROUP BY d.source
+       |)
+       |SELECT coalesce(ra.source, rb.source) AS source,
+       |  CAST(coalesce(n_docs_a, 0) AS BIGINT) AS n_docs_a,
+       |  CAST(coalesce(n_docs_b, 0) AS BIGINT) AS n_docs_b,
+       |  CAST(coalesce(n_docs_b, 0) - coalesce(n_docs_a, 0) AS BIGINT) AS d_docs,
+       |  CAST(coalesce(tok_a, 0) AS BIGINT) AS tok_a,
+       |  CAST(coalesce(tok_b, 0) AS BIGINT) AS tok_b,
+       |  CAST(coalesce(tok_b, 0) - coalesce(tok_a, 0) AS BIGINT) AS d_tokens,
+       |  CAST(coalesce(n_added, 0) AS BIGINT) AS n_added,
+       |  CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+       |  CAST(coalesce(n_changed, 0) AS BIGINT) AS n_changed,
+       |  CASE WHEN coalesce(n_docs_a, 0) > 0
+       |    THEN round(CAST(qint_a AS DOUBLE) / (n_docs_a * 100000), 4)
+       |    ELSE CAST(NULL AS DOUBLE) END AS avg_q_a,
+       |  CASE WHEN coalesce(n_docs_b, 0) > 0
+       |    THEN round(CAST(qint_b AS DOUBLE) / (n_docs_b * 100000), 4)
+       |    ELSE CAST(NULL AS DOUBLE) END AS avg_q_b
+       |FROM ra FULL OUTER JOIN rb ON ra.source = rb.source
+       |LEFT JOIN churn ON churn.source = coalesce(ra.source, rb.source)
+       |ORDER BY source""".stripMargin
+  }
 
   /** `stratified_sample`: hash-deterministic 20% sample per language
     * stratum (uniform within stratum, stable across runs).

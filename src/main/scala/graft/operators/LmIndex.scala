@@ -82,6 +82,29 @@ object LmIndex {
     * key joins against the stored tables (broadcast when small, shuffle
     * on the gram key when not) — no retraining, no corpus-sized state.
     */
+  /** `doc_perplexity_sbo_stored`: the stored-artifact path AS an oracle
+    * query (r10) — write the SBO model to parquet, read it back, score
+    * the corpus from the STORE. Output is bit-equal to
+    * `doc_perplexity_sbo` by construction (the same
+    * [[TextAnalysis.sboScoreOf]] over the round-tripped tables —
+    * LmIndexSpec asserts it row for row), so it shares that query's
+    * oracle SQL verbatim; what this row adds is the driver's hash check
+    * standing guard over the parquet round-trip + stamp machinery itself,
+    * exactly as `dedup_delta` does for the stored MinHash band index.
+    * The write lands under java.io.tmpdir keyed by the sf dir, mode
+    * overwrite — rebuilt per invocation (that cost is the train pass the
+    * in-plan query pays anyway; Bench times the honest train+store+score
+    * cycle).
+    */
+  def docPerplexitySboStored(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft-sbo-store-" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
+    writeSbo(spark, dir, path)
+    // sboScoreOf already applies the contract ordering
+    sboNllFrom(spark, path, Tables.documents(spark, dir))
+  }
+
   def sboNllFrom(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
     val lt1 = spark.read.parquet(s"$path/lt1")
     val lt2 = spark.read.parquet(s"$path/lt2")

@@ -155,6 +155,55 @@ class ProfileOpsSpec extends SparkSpec {
     operators.Intermediates.release()
   }
 
+  // ---- source_drift_report ------------------------------------------------
+
+  test("source_drift_report: planted churn lands on the right source with exact counts") {
+    import spark.implicits._
+    // carving: A = id%11≠0, B = id%13≠0, B text gains ' rev2' when id%7=0.
+    // s1 {1,2,3}: in both snapshots, never mutated → pure steady state.
+    // s2 {7,11,13,14}: 7 and 14 mutate (changed), 11 is A-absent (added),
+    // 13 is B-absent (removed).
+    val docs = Seq(
+      (1L, "s1"), (2L, "s1"), (3L, "s1"),
+      (7L, "s2"), (11L, "s2"), (13L, "s2"), (14L, "s2"))
+      .map { case (id, src) => (id, "alpha beta", src) }
+      .toDF("doc_id", "text", "source")
+    val rep = graft.operators.CorpusOps.sourceDriftReportOf(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val s1 = rep("s1")
+    assert(s1.getAs[Long]("n_docs_a") == 3 && s1.getAs[Long]("n_docs_b") == 3)
+    assert(s1.getAs[Long]("n_added") == 0 && s1.getAs[Long]("n_removed") == 0
+      && s1.getAs[Long]("n_changed") == 0 && s1.getAs[Long]("d_tokens") == 0)
+    val s2 = rep("s2")
+    assert(s2.getAs[Long]("n_docs_a") == 3 && s2.getAs[Long]("n_docs_b") == 3
+      && s2.getAs[Long]("d_docs") == 0)
+    assert(s2.getAs[Long]("n_added") == 1 && s2.getAs[Long]("n_removed") == 1
+      && s2.getAs[Long]("n_changed") == 2)
+    // ' rev2' adds one token to each of the two changed docs surviving in B
+    assert(s2.getAs[Long]("tok_a") == 6 && s2.getAs[Long]("tok_b") == 8
+      && s2.getAs[Long]("d_tokens") == 2)
+  }
+
+  test("source_drift_report: totals agree with the snapshots and the diff it composes") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rep = operators.CorpusOps.sourceDriftReport(spark, sf).collect()
+    assert(rep.map(_.getAs[Long]("n_docs_a")).sum ==
+      docs.filter(col("doc_id") % 11 =!= 0).count())
+    assert(rep.map(_.getAs[Long]("n_docs_b")).sum ==
+      docs.filter(col("doc_id") % 13 =!= 0).count())
+    val byStatus = operators.CorpusOps.corpusDiff(spark, sf)
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep.map(_.getAs[Long]("n_added")).sum == byStatus.getOrElse("added", 0L))
+    assert(rep.map(_.getAs[Long]("n_removed")).sum == byStatus.getOrElse("removed", 0L))
+    assert(rep.map(_.getAs[Long]("n_changed")).sum == byStatus.getOrElse("changed", 0L))
+    // composite quality is qint/1e5 ∈ (0, 1]
+    rep.foreach { r =>
+      val qa = r.getAs[Double]("avg_q_a")
+      assert(qa > 0.0 && qa <= 1.0, s"avg_q_a out of range: $qa")
+    }
+  }
+
   // ---- ann_recall_report --------------------------------------------------
 
   test("ann_recall_report: a planted cross-cell neighbor costs the IVF path exactly its basis points") {
