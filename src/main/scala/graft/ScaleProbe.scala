@@ -61,6 +61,7 @@ object ScaleProbe {
       if (want("fuzzy")) fuzzyDecontamProbe(spark, docs)
       if (want("winnow")) winnowProbes(spark, docs)
       if (want("bpe")) bpeProbe(spark, docs)
+      if (want("annappend")) annAppendProbe(spark)
       spark.stop()
       return
     }
@@ -93,7 +94,57 @@ object ScaleProbe {
     fuzzyDecontamProbe(spark, docs)
     winnowProbes(spark, docs)
     bpeProbe(spark, docs)
+    annAppendProbe(spark)
     spark.stop()
+  }
+
+  /** ANN append probe (round 10): the encode-only append path must cost
+    * DELTA work, not corpus work. Base store built once (untimed — index
+    * time, as production amortizes it), then per "crawl":
+    * `appendToIvfPq` of a 1/16-sized delta vs a full `writeIvfPqFrom`
+    * rebuild over base∪delta. The append re-trains nothing and never
+    * reads the existing code table, so its time must sit far under the
+    * rebuild's (which pays coarse + PQ training and a full re-encode);
+    * that gap is the per-crawl economics of the stored ANN artifact.
+    */
+  private def annAppendProbe(spark: SparkSession): Unit = {
+    import graft.operators.{AnnIndex, Dedup}
+    def freshDir(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft-probe-$tag").toString
+    val base = syntheticEmb(spark, 8000).localCheckpoint(true)
+    val delta = syntheticEmb(spark, 500)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val basePath = freshDir("annbase")
+    AnnIndex.writeIvfPqFrom(base, basePath) // index time, untimed
+    def timed(f: () => Unit): Double = {
+      Dedup.releaseIntermediates(); spark.catalog.clearCache()
+      val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+    }
+    def copyDir(src: String, dst: String): Unit = {
+      val (s, d) = (java.nio.file.Paths.get(src), java.nio.file.Paths.get(dst))
+      val it = java.nio.file.Files.walk(s).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val t = d.resolve(s.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    // each rep appends into a fresh COPY of the base store so appends never
+    // accumulate in the measured store; rep 0 is the warm-up, not billed
+    val appendTimes = (0 to 3).map { _ =>
+      val p = freshDir("annapp")
+      copyDir(basePath, p)
+      timed(() => AnnIndex.appendToIvfPq(spark, p, delta))
+    }.drop(1)
+    val rebuildTimes = (1 to 3).map { _ =>
+      val p = freshDir("annfull")
+      timed(() => AnnIndex.writeIvfPqFrom(base.unionByName(delta), p))
+    }
+    println(f"""{"probe":"ann_append","delta_vecs":500,"base_vecs":8000,"append_sec_min":${appendTimes.min}%.2f,"rebuild_sec_min":${rebuildTimes.min}%.2f}""")
+    Dedup.releaseIntermediates()
   }
 
   /** BPE-trainer budget probe (round 10): train at REAL merge budgets over

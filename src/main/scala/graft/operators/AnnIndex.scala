@@ -262,6 +262,24 @@ object AnnIndex {
     Similarity.pqAdcRerank(pairs, scaled, "cos_ivfpqr", adcOffset = col("qc"))
   }
 
+  /** `ann_topk_ivfpq_stored`: the stored-index path AS an oracle query
+    * (r10, the `doc_perplexity_sbo_stored` discipline applied to the ANN
+    * artifact) — train + write the IVF-PQ index to parquet, then answer
+    * the standard query set FROM the store. Bit-equal to
+    * `ann_topk_ivfpq` by construction (AnnIndexSpec asserts it), so it
+    * shares that query's oracle SQL verbatim; the row puts the store's
+    * write→stamp→partition-prune→read cycle under the driver's hash
+    * check every round. Write lands under java.io.tmpdir keyed by the sf
+    * dir, mode overwrite.
+    */
+  def annTopKIvfPqStored(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft-ann-store-" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
+    writeIvfPq(spark, dir, path)
+    ivfPqTopK(spark, path, dir)
+  }
+
   /** Convenience: query the stored index against the corpus at `dir`. */
   def ivfPqTopK(spark: SparkSession, indexPath: String, dir: String): DataFrame =
     ivfPqTopKFrom(spark, indexPath, Tables.embeddings(spark, dir))
