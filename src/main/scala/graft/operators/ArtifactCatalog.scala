@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * complement to the per-artifact fail-fast stamps. Every persisted index
   * this library writes (MinHash band tables, SRP signatures, winnow
   * fingerprint indexes, line-dedup unit hashes, IVF-PQ stores, BPE merge
-  * tables) carries its build-time conf fingerprint in parquet column
+  * tables, SBO language models, NB classifiers) carries its build-time
+  * conf fingerprint in parquet column
   * metadata; the individual query paths validate their OWN input at use
   * time, but an operator of a 100 TB deployment also needs the fleet view:
   * "which of the artifacts under this root were built under a conf that no
@@ -33,6 +34,7 @@ object ArtifactCatalog {
     "graft.linedd"    -> (_ => TextAnalysis.lineFingerprintConf),
     "graft.bpe"       -> (_ => Bpe.bpeFingerprint),
     "graft.lm.sbo"    -> (_ => LmIndex.sboFingerprint),
+    "graft.nb"        -> (stored => NbIndex.fingerprintFor(stored)),
     "graft.ann.ivfpq" -> (stored => AnnIndex.fingerprintFor(stored)))
 
   /** Leaf parquet directories under `root`: a dir counts as one artifact

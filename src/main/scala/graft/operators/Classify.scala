@@ -70,6 +70,15 @@ object Classify {
         when(col("lang") === col("pred_lang"), 1).otherwise(0).as("correct"))
       .contractOrderBy("doc_id")
 
+  /** The trained-NB model artifact: the C-row class table (prior +
+    * class-unseen default), the sparse observed-(class, word) bonus
+    * table, and the train vocabulary. These three tables ARE the model —
+    * [[graft.operators.NbIndex]] persists exactly them, and
+    * [[nbScoreAllOf]] scores any corpus from them.
+    */
+  private[graft] final case class NbModel(classes: DataFrame,
+      sparse: DataFrame, vocab: DataFrame)
+
   /** The shared sparse-NB train+score core over ANY tokenization (r10 —
     * extracted so `lang_id_nb`'s char-trigram model and `nb_classify`'s
     * word model are the SAME arithmetic): train on the `doc_id % m != 0`
@@ -81,14 +90,31 @@ object Classify {
       tokArr: org.apache.spark.sql.Column): DataFrame = {
     val train = docs.filter(col("doc_id") % m =!= 0)
     val evalDocs = docs.filter(col("doc_id") % m === 0)
+    evalDocs.select(col("doc_id"), col("lang"))
+      .join(nbScoreAllOf(evalDocs, tokArr, nbTrainOf(train, tokArr)), "doc_id")
+  }
 
+  /** Train the three NB model tables on a labeled (doc_id, text, lang)
+    * slice — two counting aggregations plus the frozen-decimal log maps;
+    * the write path's whole cost ([[NbIndex.writeNb]]).
+    */
+  private[graft] def nbTrainOf(train: DataFrame,
+      tokArr: org.apache.spark.sql.Column): NbModel = {
     val tokT = train.select(col("lang"), explode(tokArr).as("word"))
-    // observed (class, word) counts — the sparse table; map-side combined
-    val cw = tokT.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+    // observed (class, word) counts — the sparse table; map-side combined.
+    // Persisted: vocab, per-class totals, the v scalar, and the bonus
+    // table ALL derive from it (r10 — the token-grain explode used to run
+    // three times; now it runs once and everything else reads this small
+    // aggregated table)
+    val cw = Intermediates.persist(
+      tokT.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c")))
     // per-class token totals from the sparse table (C rows)
     val ctot = cw.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    // train vocabulary = words observed in ANY class — identical to
+    // distinct(tokT.word), derived from cw so the corpus isn't re-exploded
+    val vocab = cw.select(col("word")).distinct()
     // vocab size + train doc total: 1-row broadcast scalars
-    val scalars = tokT.agg(countDistinct(col("word")).as("v"))
+    val scalars = vocab.agg(count(lit(1)).as("v"))
       .crossJoin(train.agg(count(lit(1)).as("d_total")))
     // C-row class table: doc-count prior and the class-unseen default
     // log-prob, each ln rounded ONCE then frozen as DECIMAL(18,6)
@@ -107,17 +133,25 @@ object Classify {
       .select(col("lang"), col("word"),
         (round(log((col("c") + lit(1)).cast("double") / (col("t") + col("v")).cast("double")), 6)
           .cast("decimal(18,6)") - col("dflt")).as("bonus"))
+    NbModel(classes.select("lang", "prior", "dflt"), sparse, vocab)
+  }
 
-    val tokE = evalDocs.select(col("doc_id"), explode(tokArr).as("word"))
-    val vocab = tokT.select(col("word")).distinct()
-    val tokIv = tokE.join(vocab, Seq("word"))
+  /** Score EVERY doc of a (doc_id, text) frame against a trained
+    * [[NbModel]] → (doc_id, pred_lang) — a doc with no in-vocab token
+    * gets `''`. The production scoring pass: one token-grain vocab join,
+    * one sparse join, one C-row broadcast; no training work.
+    */
+  private[graft] def nbScoreAllOf(docs: DataFrame,
+      tokArr: org.apache.spark.sql.Column, m: NbModel): DataFrame = {
+    val tokE = docs.select(col("doc_id"), explode(tokArr).as("word"))
+    val tokIv = tokE.join(m.vocab, Seq("word"))
     val nIv = tokIv.groupBy(col("doc_id")).agg(count(lit(1)).as("n_iv"))
     // per-(doc, class) bonus sums exist only where the doc shares a word
     // with the class — the sparse join; decimal sum is exact
-    val hits = tokIv.join(sparse, Seq("word"))
+    val hits = tokIv.join(m.sparse, Seq("word"))
       .groupBy(col("doc_id"), col("lang")).agg(sum(col("bonus")).as("bonus"))
     val scored = nIv
-      .crossJoin(broadcast(classes.select("lang", "prior", "dflt")))
+      .crossJoin(broadcast(m.classes))
       .join(hits, Seq("doc_id", "lang"), "left")
       .select(col("doc_id"), col("lang"),
         (col("prior") + col("n_iv") * col("dflt") +
@@ -130,9 +164,9 @@ object Classify {
     val best = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).select(col("doc_id"), col("lang").as("pred_lang"))
 
-    evalDocs.select(col("doc_id"), col("lang"))
+    docs.select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"),
         coalesce(col("pred_lang"), lit("")).as("pred_lang"))
   }
 
@@ -151,6 +185,19 @@ object Classify {
 
   /** Held-out modulus for `lang_id_nb` (`spark.graft.langid.evalMod`). */
   def LangIdEvalMod: Int = GraftConf.langIdEvalMod
+
+  /** Tokenizer registry for the stored-model path ([[NbIndex]]): the
+    * stamp's `tok=` tag resolves here, so a word-trained model can never
+    * be scored with trigram features (or vice versa) — the tag is part
+    * of the fingerprint and the resolver rejects unknown tags loudly.
+    */
+  private[graft] def tokArrFor(tok: String): org.apache.spark.sql.Column =
+    tok match {
+      case "words"   => split(col("text"), " ")
+      case "chartri" => expr(TrigramArrSpark)
+      case other => throw new IllegalArgumentException(
+        s"unknown NB tokenizer tag '$other' (expected words|chartri)")
+    }
 
   /** `lang_id_nb`: TRAINED language identification — the production rung
     * above `lang_id`'s stopword heuristic (fastText's shape: a linear

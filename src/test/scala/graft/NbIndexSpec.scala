@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ArtifactCatalog, Classify, NbIndex}
+import graft.sources.Tables
+
+/** Stored NB classifier: the train-once/score-many seam must be bit-equal
+  * to the in-plan operators, resolve its tokenizer from the STAMP (never
+  * an argument), and fail fast on drift or a foreign table.
+  */
+class NbIndexSpec extends SparkSpec {
+
+  private def fresh(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-nbindex-$tag").toString
+
+  test("stored word model scores the eval slice bit-equal to nb_classify's predictions") {
+    val path = fresh("w")
+    NbIndex.writeNb(spark, sf, path, "words")
+    val docs = Tables.documents(spark, sf)
+    val evalDocs = docs.filter(col("doc_id") % Classify.NbEvalMod === 0)
+    val stored = NbIndex.nbScoreFrom(spark, path, evalDocs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val inPlan = Classify.nbClassify(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(stored.nonEmpty && stored == inPlan)
+  }
+
+  test("stored char-trigram model reproduces lang_id_nb's per-doc predictions") {
+    val path = fresh("t")
+    NbIndex.writeNb(spark, sf, path, "chartri")
+    val docs = Tables.documents(spark, sf)
+    val m = Classify.LangIdEvalMod
+    val evalDocs = docs.filter(col("doc_id") % m === 0)
+    val stored = NbIndex.nbScoreFrom(spark, path, evalDocs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val inPlan = Classify.nbPredictionsOf(docs, m, Classify.tokArrFor("chartri"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(stored.nonEmpty && stored == inPlan)
+  }
+
+  test("the tokenizer comes from the stamp: a trigram store scores trigram features") {
+    // a doc whose WORDS are all out-of-vocab but whose trigrams are not:
+    // under the word model it predicts '' — the trigram store must not
+    val path = fresh("x")
+    NbIndex.writeNb(spark, sf, path, "chartri")
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val sample = docs.limit(1).select(col("text")).collect().head.getString(0)
+    // glue two real words together: a novel "word", familiar trigrams
+    val glued = sample.split(" ").take(3).mkString("")
+    val probe = Seq((999999L, glued)).toDF("doc_id", "text")
+    val pred = NbIndex.nbScoreFrom(spark, path, probe).collect().head.getString(1)
+    assert(pred.nonEmpty, "trigram store must score via trigram features")
+  }
+
+  test("fails fast on conf drift and on an unstamped store") {
+    val path = fresh("d")
+    NbIndex.writeNb(spark, sf, path, "words")
+    val probe = Tables.documents(spark, sf).limit(3).select("doc_id", "text")
+    spark.conf.set("spark.graft.nb.evalMod", "9")
+    try {
+      val e = intercept[IllegalStateException] {
+        NbIndex.nbScoreFrom(spark, path, probe)
+      }
+      assert(e.getMessage.contains("evalMod=9") && e.getMessage.contains("evalMod=4"))
+    } finally spark.conf.unset("spark.graft.nb.evalMod")
+    // unstamped copy → refused
+    val foreign = fresh("f")
+    for (t <- Seq("classes", "sparse", "vocab")) {
+      val df = spark.read.parquet(s"$path/$t")
+      df.select(df.columns.map(c =>
+          col(c).as(c, org.apache.spark.sql.types.Metadata.empty)): _*)
+        .write.mode("overwrite").parquet(s"$foreign/$t")
+    }
+    val e2 = intercept[IllegalStateException] {
+      NbIndex.nbScoreFrom(spark, foreign, probe)
+    }
+    assert(e2.getMessage.contains("no graft.nb conf stamp"), e2.getMessage)
+  }
+
+  test("the artifact catalog sees the NB store and flags drift") {
+    val root = fresh("c")
+    NbIndex.writeNb(spark, sf, s"$root/nb-words", "words")
+    val clean = ArtifactCatalog.scan(spark, root)
+      .filter(col("kind") === "graft.nb").collect()
+    assert(clean.nonEmpty && clean.forall(!_.getAs[Boolean]("drifted")))
+    spark.conf.set("spark.graft.nb.evalMod", "9")
+    try {
+      val drifted = ArtifactCatalog.scan(spark, root)
+        .filter(col("kind") === "graft.nb").collect()
+      assert(drifted.nonEmpty && drifted.forall(_.getAs[Boolean]("drifted")))
+    } finally spark.conf.unset("spark.graft.nb.evalMod")
+  }
+}
