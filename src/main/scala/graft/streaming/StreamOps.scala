@@ -463,6 +463,55 @@ object StreamOps {
       .select(col("doc_id"), col("n_feats"), col("score"))
   }
 
+  /** Crawl-time LANGUAGE-ID tap (r10): every arriving doc classified by a
+    * TRAINED char-trigram NB model ([[graft.operators.Classify.nbTrainOf]]
+    * output or an [[graft.operators.NbIndex]] store) — the streaming twin
+    * of `lang_id_nb`, and the production shape of CCNet's LID stage: the
+    * model trains once offline, the crawl scores forever. Fully STATELESS:
+    * the C-row class table and the sparse (token → per-class bonus) table
+    * collapse to ONE broadcast row each (the trigram vocabulary is
+    * alphabet-bounded, so the map broadcasts at any corpus size — unlike a
+    * word vocabulary, which is why this tap is the LID one); scoring is
+    * per-doc in-array decimal folds (exact adds — order can't matter) and
+    * the argmax fold breaks ties to the lexicographically first class,
+    * the batch argmax's exact rule. A doc with no in-vocab trigram emits
+    * `pred_lang = ''`, also the batch contract. Spec proves two
+    * micro-batches ≡ [[graft.operators.Classify.nbScoreAllOf]] per doc.
+    */
+  def langIdNbStream(docsStream: DataFrame, classes: DataFrame,
+      sparse: DataFrame): DataFrame = {
+    import graft.operators.Classify
+    val classRow = classes
+      .agg(sort_array(collect_list(struct(col("lang"), col("prior"), col("dflt")))).as("cs"))
+      .withColumn("jk", lit(1))
+    val bonusRow = sparse
+      .groupBy(col("word"))
+      .agg(collect_list(struct(col("lang"), col("bonus"))).as("bs"))
+      .agg(map_from_arrays(collect_list(col("word")), collect_list(col("bs"))).as("bm"))
+      .withColumn("jk", lit(1))
+    docsStream
+      .withColumn("toks", Classify.tokArrFor("chartri"))
+      .withColumn("jk", lit(1))
+      .join(broadcast(classRow), "jk")
+      .join(broadcast(bonusRow), "jk")
+      .withColumn("iv", expr("filter(toks, t -> element_at(bm, t) IS NOT NULL)"))
+      .withColumn("n_iv", size(col("iv")).cast("long"))
+      .withColumn("scored", expr(
+        """transform(cs, c -> named_struct(
+          | 'score', c.prior + n_iv * c.dflt + aggregate(iv, cast(0 as decimal(38,6)),
+          |   (acc, t) -> acc + aggregate(filter(element_at(bm, t), b -> b.lang = c.lang),
+          |     cast(0 as decimal(38,6)), (a2, b) -> a2 + b.bonus)),
+          | 'lang', c.lang))"""
+          .stripMargin.replace("\n", "")))
+      .withColumn("best", expr(
+        """aggregate(scored, element_at(scored, 1), (b, c) ->
+          | IF(c.score > b.score OR (c.score = b.score AND c.lang < b.lang), c, b))"""
+          .stripMargin.replace("\n", "")))
+      .select(col("doc_id"),
+        when(col("n_iv") > 0, col("best.lang")).otherwise(lit("")).as("pred_lang"),
+        col("n_iv"))
+  }
+
   /** Crawl-time FUZZY contamination tap: arriving docs MinHash-banded
     * (stateless projections, as [[deltaDedupStream]]) and bucket-joined
     * against the STATIC band table of the benchmark corpus, then

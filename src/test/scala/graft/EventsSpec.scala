@@ -560,6 +560,36 @@ class EventsSpec extends SparkSpec {
     } finally { q.stop(); ratios.unpersist() }
   }
 
+  test("streaming langIdNbStream ≡ batch NB scoring, incl. the no-in-vocab '' contract") {
+    import spark.implicits._
+    import graft.operators.Classify
+    implicit val sq = spark.sqlContext
+    val docs = sources.Tables.documents(spark, sf)
+    val m = Classify.LangIdEvalMod
+    val tok = Classify.tokArrFor("chartri")
+    val model = Classify.nbTrainOf(docs.filter(col("doc_id") % m =!= 0), tok)
+    val classes = model.classes.cache()
+    val sparse = model.sparse.cache()
+    val evalDocs = docs.filter(col("doc_id") % m === 0).select("doc_id", "text")
+    val batch = Classify.nbScoreAllOf(evalDocs, tok, model).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batch.values.exists(_.nonEmpty), "vacuous model: no prediction at all")
+    // plus one planted doc too short for any trigram → must emit ''
+    val rows = evalDocs.as[(Long, String)].collect() :+ ((888888L, "xy"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.langIdNbStream(mem.toDF().toDF("doc_id", "text"), classes, sparse)
+      .writeStream.format("memory").queryName("lidstream").outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      mem.addData(a.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("lidstream").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+      assert((got - 888888L) == batch)
+      assert(got(888888L) == "")
+    } finally { q.stop(); classes.unpersist(); sparse.unpersist() }
+  }
+
   test("streaming fuzzyContamStream rolls up to the batch fuzzy-decontamination rows") {
     import spark.implicits._
     import graft.operators.{Curation, Dedup}
