@@ -449,6 +449,102 @@ object Curation {
        |WHERE d.doc_id % $FuzzyEvalMod <> 0
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- decontaminate_semantic ---------------------------------------------
+
+  /** Semantic decontamination cosine threshold
+    * (`spark.graft.decontam.semTau`).
+    */
+  def SemDecontamTau: Double = GraftConf.decontamSemTau
+
+  /** `decontaminate_semantic` (r10): the THIRD decontamination rung —
+    * exact n-gram ([[decontaminate]]) catches verbatim leaks, fuzzy
+    * MinHash ([[decontaminateFuzzy]]) catches edited copies, and this
+    * catches PARAPHRASES: train items whose EMBEDDING sits above
+    * [[SemDecontamTau]] cosine of any benchmark item (the
+    * rephrased-benchmark leak none of the lexical rungs can see — the
+    * decontamination analog of `dedup_semantic` vs the lexical dedup
+    * lanes). Same benchmark carving as the other rungs
+    * (`% FuzzyEvalMod`), applied to vec_id, so all three rungs audit ONE
+    * benchmark set; same per-train-doc rollup shape as the fuzzy rung
+    * (hit count, worst offender, flag) so the act step composes
+    * identically.
+    *
+    * Scale: the benchmark side BROADCASTS (an eval suite is thousands of
+    * items — the same broadcast-the-benchmark argument the exact and
+    * fuzzy rungs stand on) and the corpus streams through one
+    * broadcast-nested-loop scan of exact `graft_dot` products; per-train
+    * fan-out is bounded by the benchmark. When the benchmark itself is
+    * huge, the blocking seams already exist: SRP bands
+    * ([[Dedup.srpPairsOf]]) or the trained IVF cells restrict candidate
+    * pairs before the exact dot, exactly as the dedup lanes do.
+    * Determinism: cosine frozen once as round(graft_dot, 4) — the
+    * [[Dedup.dedupEmbedding]] discipline, green since r5.
+    */
+  def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame =
+    decontaminateSemanticFrom(Tables.embeddings(spark, dir),
+      col("vec_id") % FuzzyEvalMod === 0)
+
+  /** The semantic rung over any (vec_id, embedding) relation with an
+    * arbitrary eval-membership predicate — the deployment seam, as the
+    * exact/fuzzy rungs have.
+    */
+  def decontaminateSemanticFrom(embs: DataFrame, isEval: Column): DataFrame = {
+    val e = embs.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val ev = e.filter(isEval)
+      .select(col("vec_id").as("eval_id"), col("emb").as("eemb"))
+    val hits = e.filter(!isEval)
+      .crossJoin(broadcast(ev))
+      .withColumn("cos", round(expr("graft_dot(emb, eemb)"), 4))
+      .filter(col("cos") >= SemDecontamTau)
+    // per-train-doc rollup: hit count + worst offender — window partitions
+    // carry one train doc's hits (bounded by the benchmark), never the corpus
+    val byDoc = Window.partitionBy(col("vec_id"))
+    val top = hits
+      .withColumn("n_sem_hits", count(lit(1)).over(byDoc))
+      .withColumn("rn", row_number().over(
+        byDoc.orderBy(col("cos").desc, col("eval_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("n_sem_hits"),
+        col("eval_id").as("top_eval_id"), col("cos").as("top_cos"))
+    embs.filter(!isEval).select("vec_id")
+      .join(top, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_sem_hits"), lit(0L)).as("n_sem_hits"),
+        col("top_eval_id"),
+        coalesce(col("top_cos"), lit(0.0)).as("top_cos"),
+        col("top_eval_id").isNotNull.as("contaminated"))
+      .contractOrderBy("vec_id")
+  }
+
+  def decontaminateSemanticSql: String =
+    s"""WITH ev AS (
+       |  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS eemb
+       |  FROM embeddings WHERE vec_id % $FuzzyEvalMod = 0
+       |), tr AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings WHERE vec_id % $FuzzyEvalMod <> 0
+       |), hits AS (
+       |  SELECT t.vec_id, e.eval_id,
+       |    round(list_inner_product(t.emb, e.eemb), 4) AS cos
+       |  FROM tr t CROSS JOIN ev e
+       |  WHERE round(list_inner_product(t.emb, e.eemb), 4) >= $SemDecontamTau
+       |), flagged AS (
+       |  SELECT vec_id, eval_id, cos,
+       |    CAST(count(*) OVER (PARTITION BY vec_id) AS BIGINT) AS n_sem_hits,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn
+       |  FROM hits
+       |)
+       |SELECT t.vec_id,
+       |  CAST(coalesce(f.n_sem_hits, 0) AS BIGINT) AS n_sem_hits,
+       |  f.eval_id AS top_eval_id,
+       |  coalesce(f.cos, 0.0) AS top_cos,
+       |  f.vec_id IS NOT NULL AS contaminated
+       |FROM embeddings t
+       |LEFT JOIN flagged f ON t.vec_id = f.vec_id AND f.rn = 1
+       |WHERE t.vec_id % $FuzzyEvalMod <> 0
+       |ORDER BY t.vec_id""".stripMargin
+
   // ---- corpus_curate ------------------------------------------------------
 
   /** `corpus_curate`: the full curation FUNNEL a pretraining corpus runs —

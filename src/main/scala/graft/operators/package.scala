@@ -104,6 +104,12 @@ package object operators {
       * near-dups sit lower, so the default matches `cosineTau`).
       */
     def dedupSemTau: Double = fraction("spark.graft.dedup.semTau", "0.35")
+
+    /** Semantic decontamination cosine threshold
+      * (`spark.graft.decontam.semTau`): a train item within this cosine
+      * of any benchmark item is flagged a paraphrase-level leak.
+      */
+    def decontamSemTau: Double = fraction("spark.graft.decontam.semTau", "0.35")
     /** Per-cluster prototype-prune drop percentage
       * (`spark.graft.prune.dropPct`): the easiest (most prototypical =
       * closest-to-centroid) pct% of each kmeans cell is dropped

@@ -71,6 +71,37 @@ class CurationSpec extends SparkSpec {
     assert(!out(12L).getAs[Boolean]("contaminated"))
   }
 
+  test("decontaminate_semantic: paraphrase-level (embedding) leaks flag; orthogonal docs stay clean") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def axis(d: Int, scale: Double = 1.0): Seq[Float] =
+      Seq.tabulate(8)(i => if (i == d) scale.toFloat else 0f)
+    val diag = Seq.tabulate(8)(i =>
+      if (i <= 1) (1.0 / math.sqrt(2)).toFloat else 0f)
+    val embs = Seq(
+      (100L, axis(0)),      // eval a: e0
+      (200L, axis(1)),      // eval b: e1
+      (1L, axis(0)),        // train: exact twin of eval a → cos 1.0
+      (2L, diag),           // train: 45° between both evals → two hits at 0.7071
+      (3L, axis(5))         // train: orthogonal → clean
+    ).toDF("vec_id", "embedding")
+    val isEval = col("vec_id") >= 100L
+    val out = graft.operators.Curation.decontaminateSemanticFrom(embs, isEval)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    val t1 = out(1L)
+    assert(t1.getAs[Boolean]("contaminated") && t1.getAs[Long]("n_sem_hits") == 1
+      && t1.getAs[Long]("top_eval_id") == 100L && t1.getAs[Double]("top_cos") == 1.0)
+    val t2 = out(2L)
+    assert(t2.getAs[Boolean]("contaminated") && t2.getAs[Long]("n_sem_hits") == 2)
+    // equal-cosine tie breaks to the lower eval id — the fuzzy rung's rule
+    assert(t2.getAs[Long]("top_eval_id") == 100L
+      && t2.getAs[Double]("top_cos") == 0.7071)
+    val t3 = out(3L)
+    assert(!t3.getAs[Boolean]("contaminated") && t3.getAs[Long]("n_sem_hits") == 0
+      && t3.getAs[Double]("top_cos") == 0.0)
+  }
+
   test("decontaminate_bloom: superset of exact flags, zero false negatives, bounded FPR") {
     val isEval = col("doc_id") % Curation.EvalIdMod === 0
     val docs = graft.sources.Tables.documents(spark, sf)
