@@ -257,6 +257,72 @@ object Classify {
        |ORDER BY e.lang, pred_nb, h.pred_heur""".stripMargin
   }
 
+  /** Held-out modulus for `quality_classifier_nb`
+    * (`spark.graft.qnb.evalMod`).
+    */
+  def QnbEvalMod: Int = GraftConf.qnbEvalMod
+
+  /** `hi`/`lo` label bar on the integer quality composite
+    * (`spark.graft.qnb.tauQint`).
+    */
+  def QnbTauQint: Int = GraftConf.qnbTauQint
+
+  /** `quality_classifier_nb`: TRAINED document-quality classification —
+    * the FineWeb-Edu / DCLM-fastText shape, where an expensive teacher's
+    * judgments are distilled into a cheap linear model that then labels
+    * the whole crawl. The deterministic analog: the teacher is the
+    * engine's own exact-integer quality composite
+    * ([[TextAnalysis.qualityIntScoreOf]] — `quality_score`'s composite
+    * before its single division), binarized at [[QnbTauQint]] into
+    * `hi`/`lo`; a word-feature multinomial NB trains on the
+    * `doc_id % qnbEvalMod != 0` slice through the SAME sparse-scoring
+    * chain as `nb_classify` ([[nbPredictionsOf]]) and labels the
+    * held-out docs. Output is per-doc (doc_id, label, pred, correct) —
+    * the distillation-fidelity read: where the student disagrees with
+    * the teacher is where the rule set and the vocabulary distribution
+    * pull apart.
+    *
+    * Scale: teacher labeling is one stateless map-side projection
+    * (integer composite, no joins), then the NB chain's costs —
+    * token-grain equi-joins + a 2-row class broadcast, never vocab×C.
+    * The real win this models: the composite needs the full rule
+    * cascade; the trained model scores ANY future crawl with one
+    * token join (and persists via [[NbIndex]], tokenizer tag `words`).
+    */
+  def qualityClassifierNb(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifierNbOf(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — specs plant a
+    * vocabulary-correlated hi/lo corpus and assert the student matches
+    * the teacher on held-out docs.
+    */
+  def qualityClassifierNbOf(docs: DataFrame): DataFrame = {
+    val labeled = docs.select(col("doc_id"), col("text"))
+      .join(TextAnalysis.qualityIntScoreOf(docs), "doc_id")
+      .select(col("doc_id"), col("text"),
+        when(col("qint") >= QnbTauQint, "hi").otherwise("lo").as("lang"))
+    nbPredictionsOf(labeled, QnbEvalMod, split(col("text"), " "))
+      .select(col("doc_id"), col("lang").as("label"),
+        col("pred_lang").as("pred"),
+        when(col("lang") === col("pred_lang"), 1).otherwise(0).as("correct"))
+      .contractOrderBy("doc_id")
+  }
+
+  def qualityClassifierNbSql: String = {
+    val m = QnbEvalMod
+    s"""WITH ${TextAnalysis.qualityIntCtesSql},
+       |qsrc AS (
+       |  SELECT d.doc_id, d.text,
+       |    CASE WHEN q.qint >= $QnbTauQint THEN 'hi' ELSE 'lo' END AS lang
+       |  FROM documents d JOIN qscore q USING (doc_id)
+       |), ${nbChainSql(m, "string_split(text, ' ')", "qsrc")}
+       |SELECT e.doc_id, e.lang AS label,
+       |  COALESCE(b.pred_lang, '') AS pred,
+       |  CASE WHEN e.lang = COALESCE(b.pred_lang, '') THEN 1 ELSE 0 END AS correct
+       |FROM ev e LEFT JOIN (SELECT doc_id, pred_lang FROM best WHERE rn = 1) b USING (doc_id)
+       |ORDER BY e.doc_id""".stripMargin
+  }
+
   /** Oracle: the same sparse identity, CTE for CTE. */
   def nbClassifySql: String = {
     val m = NbEvalMod
@@ -271,14 +337,17 @@ object Classify {
   /** The shared NB CTE chain (train/ev → tok → sparse model → `best`
     * prediction per eval doc), parameterized by the token-array SQL so
     * `nb_classify` (words) and `lang_id_nb` (char trigrams) run the SAME
-    * generated arithmetic. Callers prepend `WITH ` and append their
-    * report SELECT (plus any extra CTEs after a comma).
+    * generated arithmetic, and (r10) by the labeled source relation so
+    * `quality_classifier_nb` can feed a DERIVED (doc_id, text, lang)
+    * relation through the identical chain. Callers prepend `WITH ` and
+    * append their report SELECT (plus any extra CTEs after a comma).
     */
-  private def nbChainSql(m: Int, arrSql: String): String =
+  private def nbChainSql(m: Int, arrSql: String,
+      srcRel: String = "documents"): String =
     s"""train AS (
-       |  SELECT * FROM documents WHERE doc_id % $m != 0
+       |  SELECT * FROM $srcRel WHERE doc_id % $m != 0
        |), ev AS (
-       |  SELECT * FROM documents WHERE doc_id % $m = 0
+       |  SELECT * FROM $srcRel WHERE doc_id % $m = 0
        |), tok_t AS (
        |  SELECT lang, unnest($arrSql) AS word FROM train
        |), cw AS (

@@ -363,6 +363,21 @@ package object operators {
       */
     def langIdEvalMod: Int = positive("spark.graft.langid.evalMod", "4")
 
+    /** Trained quality-classifier held-out modulus
+      * (`spark.graft.qnb.evalMod`) — `quality_classifier_nb`'s
+      * train/score split; 5 by default so the slice decorrelates from the
+      * other NB sweeps' `% 4` carving.
+      */
+    def qnbEvalMod: Int = positive("spark.graft.qnb.evalMod", "5")
+    /** Integer-composite label threshold for `quality_classifier_nb`
+      * (`spark.graft.qnb.tauQint`): docs with
+      * `qualityIntScoreOf >= tau` are labeled `hi`, the rest `lo` —
+      * 64000 is the shipped corpus's median composite, so both classes
+      * are populated at every sf. A deployment sets this to ITS rule
+      * set's chosen bar (the teacher the classifier distills).
+      */
+    def qnbTauQint: Int = positive("spark.graft.qnb.tauQint", "64000")
+
     // -- DSIR data-selection knobs --
     /** Hashed-bigram feature buckets (`spark.graft.dsir.buckets`) — the
       * paper's hashed n-gram dimensionality; the bucket table is at most

@@ -103,6 +103,44 @@ class ClassifySpec extends SparkSpec {
     assert(total == 10L, s"held-out slice should be 10 docs, got $total")
   }
 
+  /** Quality-correlated corpus: `hi` docs are 30 distinct rich words
+    * (qint = 30000 + 30000 + 12000 = 72000 ≥ 64000), `lo` docs are 30
+    * stopwords over a 2-word vocabulary (qint = 2000 + 0 + 12000 =
+    * 14000). Vocabularies are disjoint, so the student must match the
+    * teacher on every held-out doc.
+    */
+  private def qualityPlanted = {
+    val rich = (0 until 30).map(i => s"rich$i").mkString(" ")
+    val junk = Seq.fill(15)("the a").mkString(" ")
+    (0L until 40L).map { i =>
+      if (i % 3 == 0) (i, rich) else (i, junk)
+    }.toDF("doc_id", "text")
+  }
+
+  test("quality_classifier_nb: the NB student reproduces the integer-composite teacher on held-out docs") {
+    val out = Classify.qualityClassifierNbOf(qualityPlanted).collect()
+    assert(out.length == 8) // 40 docs, %5 == 0 held out
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expected = if (id % 3 == 0) "hi" else "lo"
+      assert(r.getAs[String]("label") == expected,
+        s"teacher label for doc $id should be $expected: $r")
+      assert(r.getAs[Int]("correct") == 1, s"student disagreed on doc $id: $r")
+    }
+  }
+
+  test("quality_classifier_nb is total, deterministic, and non-vacuous on the real corpus") {
+    val a = Classify.qualityClassifierNb(spark, sf).collect()
+    val b = Classify.qualityClassifierNb(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val expected = docs.filter(col("doc_id") % Classify.QnbEvalMod === 0).count()
+    assert(a.length == expected, "every held-out doc gets a verdict row")
+    val labels = a.map(_.getAs[String]("label")).toSet
+    assert(labels == Set("hi", "lo"),
+      s"the 64000 bar must populate both classes on the shipped corpus, got $labels")
+  }
+
   test("lang_id_nb is total over the held-out slice and deterministic") {
     val a = Classify.langIdNb(spark, sf).collect()
     val b = Classify.langIdNb(spark, sf).collect()
