@@ -296,6 +296,84 @@ object TextAnalysis {
       |FROM ppl p, th t
       |ORDER BY p.doc_id""".stripMargin
 
+  /** `ccnet_filter` (r10): the full CCNet keep decision — per-LANGUAGE
+    * perplexity terciles plus the act step (Wenzek et al. 2020 §4.3:
+    * bucket each language's crawl into thirds by LM score, train on
+    * head+middle, drop tail). [[perplexityBuckets]] is the single-corpus
+    * diagnostic; this is the production form, because perplexity is NOT
+    * comparable across languages (each language's LM normalizes
+    * differently) — CCNet cuts within language, so a high-resource
+    * language's tail can't crowd out a low-resource language's head.
+    *
+    * Same order-statistic discipline as [[perplexityBuckets]], one level
+    * down: cut points are the per-lang sample's nll at integer-ceil
+    * ranks n/3 and 2n/3 (ties by doc_id, never float interpolation).
+    * A language with NO sampled doc gets null thresholds → every doc
+    * falls to the `tail` branch (conservative: an unsampled language is
+    * not silently kept; production sizes `spark.graft.ppl.sampleMod`
+    * so every language samples).
+    *
+    * Scale shape: scoring is [[perplexityCoreOf]]'s linear pass; the
+    * only ordered pass is a row_number over the SAMPLE partitioned by
+    * lang (partitions sized sample/langs, bounded by the mod knob); the
+    * threshold table is O(languages) rows and broadcasts; the corpus is
+    * labeled map-side through that broadcast join. Never a global sort
+    * or a corpus-grain window.
+    */
+  def ccnetFilter(spark: SparkSession, dir: String): DataFrame =
+    ccnetFilterOf(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text, lang) frame — specs plant per-lang
+    * frequency tiers and assert the cuts are per-language.
+    */
+  def ccnetFilterOf(docs: DataFrame): DataFrame = {
+    val ppl = Intermediates.persist(perplexityCoreOf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id"))
+    val smp = ppl.filter(col("doc_id") % PplSampleMod === 0)
+      .select(col("lang"), col("nll"), col("doc_id"))
+    val ordered = smp.withColumn("rn", row_number().over(
+      Window.partitionBy(col("lang")).orderBy(col("nll"), col("doc_id"))))
+    val n = smp.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val th = ordered.join(n, "lang")
+      .groupBy(col("lang"))
+      .agg(max(when(col("rn") === expr("(n + 2) div 3"), col("nll"))).as("t_head"),
+           max(when(col("rn") === expr("(2 * n + 2) div 3"), col("nll"))).as("t_mid"))
+    ppl.join(broadcast(th), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("nll"),
+        when(col("nll") <= col("t_head"), lit("head"))
+          .when(col("nll") <= col("t_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .withColumn("keep", col("bucket") =!= "tail")
+      .contractOrderBy("doc_id")
+  }
+
+  def ccnetFilterSql: String =
+    s"""$perplexityCtes,
+      |pl AS (
+      |  SELECT p.doc_id, d.lang, p.n_tokens, p.nll
+      |  FROM ppl p JOIN documents d USING (doc_id)
+      |), smp AS (
+      |  SELECT lang, nll, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY nll, doc_id) AS rn
+      |  FROM pl WHERE doc_id % $PplSampleMod = 0
+      |), nl AS (
+      |  SELECT lang, count(*) AS n FROM smp GROUP BY lang
+      |), th AS (
+      |  SELECT s.lang,
+      |    max(CASE WHEN s.rn = (c.n + 2) // 3 THEN s.nll END) AS t_head,
+      |    max(CASE WHEN s.rn = (2 * c.n + 2) // 3 THEN s.nll END) AS t_mid
+      |  FROM smp s JOIN nl c USING (lang) GROUP BY s.lang
+      |), lab AS (
+      |  SELECT p.doc_id, p.lang, p.n_tokens, p.nll,
+      |    CASE WHEN p.nll <= t.t_head THEN 'head'
+      |         WHEN p.nll <= t.t_mid THEN 'middle'
+      |         ELSE 'tail' END AS bucket
+      |  FROM pl p LEFT JOIN th t USING (lang)
+      |)
+      |SELECT doc_id, lang, n_tokens, nll, bucket, bucket != 'tail' AS keep
+      |FROM lab
+      |ORDER BY doc_id""".stripMargin
+
   /** `doc_perplexity_bigram`: Jelinek-Mercer interpolated bigram LM score
     * — the rung above [[docPerplexity]]'s unigram scorer on the CCNet
     * ladder (Wenzek et al. 2020 train a 5-gram KenLM; interpolation per

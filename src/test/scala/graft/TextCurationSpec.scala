@@ -313,6 +313,55 @@ class TextCurationSpec extends SparkSpec {
     assert(Seq("head", "middle", "tail").map(b => nlls(b).size) == Seq(3, 3, 3))
   }
 
+  test("ccnet_filter: cuts are PER-LANGUAGE order statistics; unsampled docs still label") {
+    // Two languages, three global-frequency tiers each (2 sampled docs per
+    // tier; ids are multiples of 3 = the sample). Within each language the
+    // ceil-third ranks land exactly on the tier boundaries, so the
+    // expected bucket per doc is hand-derivable: tier1 → head,
+    // tier2 → middle, tier3 → tail. Doc 1 (1 % 3 != 0, unsampled) shares
+    // aa's tier-2 word and must still label middle through the broadcast
+    // thresholds.
+    val docs = Seq(
+      (0L, "c c c c", "aa"), (3L, "c c c c", "aa"),
+      (6L, "m m", "aa"), (9L, "m m", "aa"),
+      (12L, "r", "aa"), (15L, "r", "aa"),
+      (1L, "m m", "aa"),
+      (18L, "cc cc cc cc cc cc", "bb"), (21L, "cc cc cc cc cc cc", "bb"),
+      (24L, "mm mm mm", "bb"), (27L, "mm mm mm", "bb"),
+      (30L, "rr", "bb"), (33L, "rr", "bb")
+    ).toDF("doc_id", "text", "lang")
+    val rows = graft.operators.TextAnalysis.ccnetFilterOf(docs).collect()
+    graft.operators.Dedup.releaseIntermediates()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("bucket"), r.getAs[Boolean]("keep"))).toMap
+    val expected = Map[Long, String](
+      0L -> "head", 3L -> "head", 6L -> "middle", 9L -> "middle",
+      12L -> "tail", 15L -> "tail", 1L -> "middle",
+      18L -> "head", 21L -> "head", 24L -> "middle", 27L -> "middle",
+      30L -> "tail", 33L -> "tail")
+    assert(byId.keySet == expected.keySet)
+    expected.foreach { case (id, b) =>
+      assert(byId(id)._1 == b, s"doc $id: expected $b, got ${byId(id)._1}")
+      assert(byId(id)._2 == (b != "tail"), s"keep must be bucket != tail for doc $id")
+    }
+  }
+
+  test("ccnet_filter: total, deterministic, and every corpus language cuts into all three buckets") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val a = graft.operators.TextAnalysis.ccnetFilter(spark, sf).collect()
+    graft.operators.Dedup.releaseIntermediates()
+    val b = graft.operators.TextAnalysis.ccnetFilter(spark, sf).collect()
+    graft.operators.Dedup.releaseIntermediates()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a.length == docs.count(), "every doc gets a verdict row")
+    val perLang = a.groupBy(_.getAs[String]("lang"))
+      .map { case (l, rs) => l -> rs.map(_.getAs[String]("bucket")).toSet }
+    perLang.foreach { case (l, buckets) =>
+      assert(buckets == Set("head", "middle", "tail"),
+        s"lang $l should cut into all three buckets, got $buckets")
+    }
+  }
+
   test("doc_perplexity_kn: continuation diversity beats raw frequency (the 'francisco' reversal)") {
     // 'francisco' is the more frequent unigram (6 vs 5) but completes only
     // 2 distinct contexts; 'y' completes 5. Scoring docs that differ only
