@@ -102,6 +102,25 @@ class ProfileOpsSpec extends SparkSpec {
 
   // ---- similarity_histogram -----------------------------------------------
 
+  test("source_dedup_matrix ≡ the minhash pair list rolled up by unordered source pair") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    val expected = pairs.groupBy { case (a, b, _) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        if (sa <= sb) (sa, sb) else (sb, sa)
+      }.map { case (k, v) => k -> ((v.length.toLong, v.map(_._3).max)) }
+    val out = Dedup.sourceDedupMatrix(spark, sf).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("max_jaccard")))).toMap
+    assert(expected.nonEmpty, "corpus must carry near-dup pairs for a non-vacuous matrix")
+    assert(out == expected)
+    // every cell is unordered-canonical: source_a <= source_b
+    assert(out.keys.forall { case (a, b) => a <= b })
+  }
+
   test("similarity_histogram: buckets describe exactly the candidate population the τ filter acts on") {
     import spark.implicits._
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
