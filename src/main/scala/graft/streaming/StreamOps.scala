@@ -627,4 +627,31 @@ object StreamOps {
       .filter(col("jaccard") >= Curation.FuzzyTau)
       .select(col("doc_id"), col("eval_id"), col("jaccard"))
   }
+
+  /** Crawl-time SEMANTIC decontamination tap (r10): every arriving
+    * embedding checked against the benchmark embedding table — the
+    * streaming twin of `decontaminate_semantic`, emitted at the HIT
+    * grain (vec_id, eval_id, cos ≥ semTau) exactly as
+    * [[fuzzyContamStream]] emits band hits: the per-doc rollup (count +
+    * worst offender) is a sink-side fold, because a per-doc window would
+    * need state the hit stream doesn't. Fully STATELESS: the benchmark
+    * is eval-suite-sized so it broadcasts at any crawl rate, and the
+    * join rides a literal key so Spark plans a broadcast hash join under
+    * streaming's join restrictions (a bare cross join is not in the
+    * stream-static support matrix; the constant-key equi-join is).
+    * Same frozen cosine as the batch rung: round(graft_dot, 4) once.
+    */
+  def semDecontamStream(embStream: DataFrame, evalEmbs: DataFrame): DataFrame = {
+    import graft.operators.Curation
+    val e = embStream.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("emb"),
+      lit(1).as("k"))
+    val ev = evalEmbs.select(col("vec_id").as("eval_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("eemb"),
+      lit(1).as("k"))
+    e.join(broadcast(ev), Seq("k"))
+      .withColumn("cos", round(expr("graft_dot(emb, eemb)"), 4))
+      .filter(col("cos") >= Curation.SemDecontamTau)
+      .select(col("vec_id"), col("eval_id"), col("cos"))
+  }
 }

@@ -628,6 +628,41 @@ class EventsSpec extends SparkSpec {
     } finally { q.stop(); evalSets.unpersist(); evalBands.unpersist() }
   }
 
+  test("streaming semDecontamStream rolls up to the batch semantic-decontamination rows") {
+    import spark.implicits._
+    import graft.operators.Curation
+    implicit val sq = spark.sqlContext
+    val embs = sources.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val isEval = col("vec_id") % Curation.FuzzyEvalMod === 0
+    val batch = Curation.decontaminateSemanticFrom(embs, isEval).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_sem_hits"),
+          if (r.isNullAt(2)) -1L else r.getAs[Long]("top_eval_id"),
+          r.getAs[Double]("top_cos"))).toMap
+    assert(batch.values.exists(_._1 > 0), "cross-set cosine hits must exist at this sf")
+    val evalEmbs = embs.filter(isEval).cache()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.semDecontamStream(
+        mem.toDF().toDF("vec_id", "embedding"), evalEmbs)
+      .writeStream.format("memory").queryName("semq").outputMode("append").start()
+    try {
+      val rows = embs.filter(!isEval).as[(Long, Seq[Float])].collect()
+      val (a, b) = rows.splitAt(rows.length / 2)
+      mem.addData(a.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b.toIndexedSeq); q.processAllAvailable()
+      val hits = spark.table("semq").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("eval_id"),
+          r.getAs[Double]("cos")))
+      val rolled = hits.groupBy(_._1).map { case (id, hs) =>
+        val top = hs.minBy(h => (-h._3, h._2))
+        id -> (hs.length.toLong, top._2, top._3)
+      }
+      rolled.foreach { case (id, r) => assert(batch(id) == r, s"doc $id: $r vs ${batch(id)}") }
+      assert(batch.filter(_._2._1 > 0).keySet == rolled.keySet,
+        "every batch-flagged doc must surface in the stream, and only those")
+    } finally { q.stop(); evalEmbs.unpersist() }
+  }
+
   test("streaming winnowContainStream rolls up to the batch delta containment pairs") {
     import spark.implicits._
     import graft.operators.{Dedup, GraftConf, TextAnalysis}
