@@ -212,6 +212,85 @@ object Clustering {
        |  FROM d2t) WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
 
+  /** `cluster_topics` (r10): corpus CARTOGRAPHY — the top TF-IDF terms of
+    * each kmeans cell, where the "documents" of the TF-IDF are the CELLS
+    * (tf = term occurrences across the cell's docs, idf = ln(cells /
+    * cells-containing-term)). This is how an embedding-space map gets
+    * LABELED: SemDeDup/prototype-prune/IVF all operate on anonymous cell
+    * ids, and this query names them ("cell 7 is the SQL-keyword mass"),
+    * turning cluster dashboards, drift reads, and domain-mix decisions
+    * into something a human can act on (the Nomic-Atlas / topic-model
+    * read over the SAME trained cells the ANN and dedup paths use —
+    * shared [[assignedCellsOf]] seam, so the map describes exactly the
+    * geometry the other operators act on; vec_id ≡ doc_id links text).
+    *
+    * Determinism: idf frozen once as round(ln, 6) DECIMAL (the
+    * `tfidf_topk` discipline), rank ties to the lexicographically first
+    * word, n = count of non-empty cells (not K: an empty cell
+    * contributes no documents, so it isn't part of the collection).
+    *
+    * Scale: assignment is the one broadcast corpus scan; tf is a
+    * (cell, word)-grain map-side-combined count (≤ cells × vocab rows,
+    * vocab Heaps-bounded); idf a vocab-grain rollup + broadcast scalar;
+    * the top-k window partitions by CELL over the cell-grain tf table —
+    * K partitions of ≤ vocab rows, never a corpus-grain sort.
+    */
+  def clusterTopics(spark: SparkSession, dir: String): DataFrame =
+    clusterTopicsOf(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  /** Core over any (doc_id, text) + (vec_id, embedding) pair of relations
+    * — specs plant separated clusters with disjoint vocabularies.
+    */
+  def clusterTopicsOf(docs: DataFrame, embs: DataFrame): DataFrame = {
+    val cells = assignedCellsOf(embs)
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val tok = docs.join(cells, "doc_id")
+      .select(col("cell"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = tok.groupBy(col("cell"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = tf.select(col("cell")).distinct().agg(count(lit(1)).as("n"))
+    val idf = dfr.crossJoin(broadcast(n))
+      .select(col("word"),
+        round(log(col("n").cast("double") / col("df").cast("double")), 6)
+          .cast("decimal(18,6)").as("idf"))
+    tf.join(idf, Seq("word"))
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("rank", row_number()
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+          .orderBy(col("score").desc, col("word"))).cast("long"))
+      .filter(col("rank") <= GraftConf.tfidfTopK)
+      .select(col("cell"), col("rank"), col("word"), col("tf"),
+        round(col("score").cast("double"), 4).as("score"))
+      .contractOrderBy("cell", "rank")
+  }
+
+  def clusterTopicsSql: String =
+    s"""WITH $kmeansCtesSql,
+       |$assignedCteSql,
+       |ctok AS (
+       |  SELECT a.cell, unnest(string_split(d.text, ' ')) AS word
+       |  FROM documents d JOIN assigned a ON d.doc_id = a.vec_id
+       |), ctf AS (
+       |  SELECT cell, word, count(*) AS tf FROM ctok WHERE word <> '' GROUP BY cell, word
+       |), cdf AS (
+       |  SELECT word, count(*) AS df FROM ctf GROUP BY word
+       |), cn AS (
+       |  SELECT count(DISTINCT cell) AS n FROM ctf
+       |), cidf AS (
+       |  SELECT word,
+       |    CAST(round(ln(CAST((SELECT n FROM cn) AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS DECIMAL(18,6)) AS idf
+       |  FROM cdf
+       |), cranked AS (
+       |  SELECT ctf.cell, ctf.word, ctf.tf, ctf.tf * cidf.idf AS score,
+       |    row_number() OVER (PARTITION BY ctf.cell ORDER BY ctf.tf * cidf.idf DESC, ctf.word) AS rank
+       |  FROM ctf JOIN cidf USING (word)
+       |)
+       |SELECT cell, CAST(rank AS BIGINT) AS rank, word, CAST(tf AS BIGINT) AS tf,
+       |  round(CAST(score AS DOUBLE), 4) AS score
+       |FROM cranked WHERE rank <= ${GraftConf.tfidfTopK}
+       |ORDER BY cell, rank""".stripMargin
+
   // ---- product-quantization codebooks (subspace Lloyd) ---------------------
 
   /** PQ geometry/training knobs (`spark.graft.ann.pq*`). */

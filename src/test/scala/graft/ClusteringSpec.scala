@@ -72,4 +72,58 @@ class ClusteringSpec extends SparkSpec {
     assert(r2 >= r1, s"widening the probe lost recall: nprobe1=$r1 nprobe2=$r2")
     assert(r2 > 0.0)
   }
+
+  test("cluster_topics: separated clusters are labeled from their own vocabulary only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Two far-apart embedding groups with disjoint doc vocabularies; the
+    // two lowest vec_ids (= the K=2 deterministic seeds) sit one per
+    // group, so Lloyd converges to a pure A/B split by construction.
+    def vec(axis: Int, j: Float): Seq[Float] =
+      Seq.tabulate(8)(d => if (d == axis) 1.0f else if (d == axis + 1) j else 0f)
+    val aIds = 0L +: (2L until 20L).toVector
+    val bIds = 1L +: (20L until 38L).toVector
+    val embs = (aIds.map(i => (i, vec(0, (i % 5) * 0.01f))) ++
+      bIds.map(i => (i, vec(4, (i % 5) * 0.01f)))).toDF("vec_id", "embedding")
+    val docs = (aIds.map(i => (i, "alpha apple anchor alpha")) ++
+      bIds.map(i => (i, "bravo berry basket bravo"))).toDF("doc_id", "text")
+    val avocab = Set("alpha", "apple", "anchor")
+    val bvocab = Set("bravo", "berry", "basket")
+    spark.conf.set("spark.graft.kmeans.k", "2")
+    try {
+      val cellOf = Clustering.assignedCellsOf(embs).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+      graft.operators.Dedup.releaseIntermediates()
+      val cellsOfA = aIds.map(cellOf).toSet
+      val cellsOfB = bIds.map(cellOf).toSet
+      assert((cellsOfA & cellsOfB).isEmpty, "separated groups must not share a cell")
+      val topics = Clustering.clusterTopicsOf(docs, embs).collect()
+      graft.operators.Dedup.releaseIntermediates()
+      assert(topics.nonEmpty)
+      topics.foreach { r =>
+        val cell = r.getAs[Long]("cell")
+        val w = r.getAs[String]("word")
+        if (cellsOfA(cell)) assert(avocab(w), s"A-cell $cell labeled with foreign term '$w'")
+        else assert(bvocab(w), s"B-cell $cell labeled with foreign term '$w'")
+      }
+    } finally spark.conf.unset("spark.graft.kmeans.k")
+  }
+
+  test("cluster_topics: cells are the assignment's, ranks contiguous, scores non-increasing") {
+    val assigned = Clustering.kmeansTrain(spark, sf).collect()
+      .map(_.getAs[Long]("cluster")).toSet
+    graft.operators.Dedup.releaseIntermediates()
+    val topics = Clustering.clusterTopics(spark, sf).collect()
+    graft.operators.Dedup.releaseIntermediates()
+    assert(topics.map(_.getAs[Long]("cell")).toSet == assigned,
+      "every non-empty cell gets topics (the synthetic corpus has no empty-text docs)")
+    topics.groupBy(_.getAs[Long]("cell")).foreach { case (c, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length).toSeq,
+        s"cell $c ranks not contiguous")
+      assert(sorted.length <= graft.operators.GraftConf.tfidfTopK)
+      val scores = sorted.map(_.getAs[Double]("score")).toSeq
+      assert(scores == scores.sorted.reverse, s"cell $c scores not non-increasing: $scores")
+    }
+  }
 }
