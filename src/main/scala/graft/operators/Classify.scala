@@ -296,17 +296,23 @@ object Classify {
     * vocabulary-correlated hi/lo corpus and assert the student matches
     * the teacher on held-out docs.
     */
-  def qualityClassifierNbOf(docs: DataFrame): DataFrame = {
-    val labeled = docs.select(col("doc_id"), col("text"))
-      .join(TextAnalysis.qualityIntScoreOf(docs), "doc_id")
-      .select(col("doc_id"), col("text"),
-        when(col("qint") >= QnbTauQint, "hi").otherwise("lo").as("lang"))
-    nbPredictionsOf(labeled, QnbEvalMod, split(col("text"), " "))
+  def qualityClassifierNbOf(docs: DataFrame): DataFrame =
+    nbPredictionsOf(qualityLabeledOf(docs), QnbEvalMod, split(col("text"), " "))
       .select(col("doc_id"), col("lang").as("label"),
         col("pred_lang").as("pred"),
         when(col("lang") === col("pred_lang"), 1).otherwise(0).as("correct"))
       .contractOrderBy("doc_id")
-  }
+
+  /** The teacher's labeled frame — (doc_id, text, lang = hi|lo at the
+    * [[QnbTauQint]] bar). Extracted so [[NbIndex.writeQualityNb]]'s
+    * stored model trains on the bit-identical labeling the in-plan
+    * operator uses.
+    */
+  private[graft] def qualityLabeledOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .join(TextAnalysis.qualityIntScoreOf(docs), "doc_id")
+      .select(col("doc_id"), col("text"),
+        when(col("qint") >= QnbTauQint, "hi").otherwise("lo").as("lang"))
 
   def qualityClassifierNbSql: String = {
     val m = QnbEvalMod

@@ -54,20 +54,37 @@ object NbIndex {
   def nbFingerprint(tok: String): String =
     s"model=nb;tok=$tok;evalMod=${evalModFor(tok)}"
 
-  /** Live fingerprint matching a STORED stamp's tokenizer tag — the
-    * artifact-catalog hook (the catalog compares a store against the live
-    * conf without knowing a priori which tokenizer it holds).
+  /** The quality-distillation model's identity (r10): word features, the
+    * quality sweep's own train slice, AND the teacher's threshold —
+    * a model distilled at one `hi`/`lo` bar scored under another is
+    * silently answering a different question, so τ is part of the
+    * stored bytes' identity exactly as the tokenizer is.
+    */
+  def qualityNbFingerprint: String =
+    "model=nb;tok=words;labeler=quality;" +
+      s"evalMod=${Classify.QnbEvalMod};tau=${Classify.QnbTauQint}"
+
+  /** Live fingerprint matching a STORED stamp's tokenizer + labeler tags
+    * — the artifact-catalog hook (the catalog compares a store against
+    * the live conf without knowing a priori which model family it holds).
     */
   private[graft] def fingerprintFor(stored: String): String = {
-    val tok = stored.split(";").collectFirst {
-      case kv if kv.startsWith("tok=") => kv.stripPrefix("tok=")
-    }.getOrElse("words")
-    try nbFingerprint(tok)
-    catch { case _: IllegalArgumentException => s"model=nb;tok=$tok;evalMod=?" }
+    val tags = stored.split(";").flatMap(_.split("=", 2) match {
+      case Array(k, v) => Some(k -> v); case _ => None
+    }).toMap
+    val tok = tags.getOrElse("tok", "words")
+    if (tags.get("labeler").contains("quality")) qualityNbFingerprint
+    else {
+      try nbFingerprint(tok)
+      catch { case _: IllegalArgumentException => s"model=nb;tok=$tok;evalMod=?" }
+    }
   }
 
-  private def stamp(df: DataFrame, colName: String, tok: String): DataFrame = {
-    val m = new MetadataBuilder().putString(MetaKey, nbFingerprint(tok)).build()
+  private def stamp(df: DataFrame, colName: String, tok: String): DataFrame =
+    stampWith(df, colName, nbFingerprint(tok))
+
+  private def stampWith(df: DataFrame, colName: String, fp: String): DataFrame = {
+    val m = new MetadataBuilder().putString(MetaKey, fp).build()
     df.withColumn(colName, col(colName).as(colName, m))
   }
 
@@ -107,6 +124,26 @@ object NbIndex {
     stamp(model.classes, "lang", tok).write.mode("overwrite").parquet(s"$path/classes")
     stamp(model.sparse, "lang", tok).write.mode("overwrite").parquet(s"$path/sparse")
     stamp(model.vocab, "word", tok).write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Train + persist the QUALITY-distillation model (r10): the
+    * [[Classify.qualityLabeledOf]] teacher labels (`hi`/`lo` at the
+    * [[Classify.QnbTauQint]] bar) on the `doc_id % qnbEvalMod != 0`
+    * slice, word features — the stored twin of `quality_classifier_nb`
+    * exactly as [[writeNb]]'s tok variants twin `nb_classify` /
+    * `lang_id_nb`. The production economics this buys are LARGER than
+    * the lang models': the teacher is the full rule cascade, so every
+    * scoring pass against the store skips not just training but the
+    * whole rule evaluation.
+    */
+  def writeQualityNb(spark: SparkSession, dir: String, path: String): Unit = {
+    val labeled = Classify.qualityLabeledOf(Tables.documents(spark, dir))
+    val train = labeled.filter(col("doc_id") % Classify.QnbEvalMod =!= 0)
+    val model = Classify.nbTrainOf(train, Classify.tokArrFor("words"))
+    val fp = qualityNbFingerprint
+    stampWith(model.classes, "lang", fp).write.mode("overwrite").parquet(s"$path/classes")
+    stampWith(model.sparse, "lang", fp).write.mode("overwrite").parquet(s"$path/sparse")
+    stampWith(model.vocab, "word", fp).write.mode("overwrite").parquet(s"$path/vocab")
   }
 
   /** Score any (doc_id, text) corpus against the stored model →

@@ -53,6 +53,28 @@ class NbIndexSpec extends SparkSpec {
     assert(pred.nonEmpty, "trigram store must score via trigram features")
   }
 
+  test("stored quality model reproduces quality_classifier_nb's held-out predictions; τ drift fails fast") {
+    val path = fresh("q")
+    NbIndex.writeQualityNb(spark, sf, path)
+    val docs = Tables.documents(spark, sf)
+    val evalDocs = docs.filter(col("doc_id") % Classify.QnbEvalMod === 0)
+    val stored = NbIndex.nbScoreFrom(spark, path, evalDocs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val inPlan = Classify.qualityClassifierNb(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred")).toMap
+    assert(stored.nonEmpty && stored == inPlan)
+    assert(stored.values.toSet == Set("hi", "lo"))
+    // the teacher's bar is part of the model identity: a different τ is a
+    // DIFFERENT model, not a re-parameterization of this one
+    spark.conf.set("spark.graft.qnb.tauQint", "50000")
+    try {
+      val e = intercept[IllegalStateException] {
+        NbIndex.nbScoreFrom(spark, path, evalDocs)
+      }
+      assert(e.getMessage.contains("tau=50000") && e.getMessage.contains("tau=64000"))
+    } finally spark.conf.unset("spark.graft.qnb.tauQint")
+  }
+
   test("fails fast on conf drift and on an unstamped store") {
     val path = fresh("d")
     NbIndex.writeNb(spark, sf, path, "words")
