@@ -265,6 +265,67 @@ object Clustering {
       .contractOrderBy("cell", "rank")
   }
 
+  /** `embedding_outliers` (r10): per-CELL robust outlier audit over the
+    * embedding space — a vector whose distance-to-own-centroid deviates
+    * > 3× MAD from its cell's median d2 is flagged (garbage vectors,
+    * encoder faults, corrupted rows — the things you want OUT before
+    * they become somebody's nearest neighbor in the ANN index or a
+    * phantom "semantic dup"). The per-cell framing matters: a tight
+    * cell's noise floor would read as clean under one global threshold,
+    * and a diffuse cell's healthy spread would all flag.
+    *
+    * Discipline: exactly [[Events.eventsAnomalyMad]]'s integer
+    * median/MAD form — med2 = 2·median, mad4 = 2·median(|2·d2 − med2|),
+    * flag `2·|2·d2 − med2| > 3·mad4`; every quantity stays a BIGINT
+    * (the ×2 absorbs percentile's midpoint interpolation; d2 ≤ ~6e13 so
+    * 2·interp is exact in double before the cast). Baselines come from
+    * the `vec_id % ppl.sampleMod` SAMPLE (the `ccnet_filter` /
+    * `perplexity_buckets` knob), so the exact `percentile` agg holds
+    * sample-sized — never corpus-sized — per-cell state; the corpus is
+    * then flagged map-side through the O(cells) broadcast baseline. A
+    * cell with no sampled member gets null baselines and flags nothing
+    * (conservative; production sizes the mod so every cell samples).
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame =
+    embeddingOutliersOf(Tables.embeddings(spark, dir))
+
+  /** Core over any (vec_id, embedding) relation — specs plant a far
+    * outlier inside an otherwise tight cell.
+    */
+  def embeddingOutliersOf(embs: DataFrame): DataFrame = {
+    val assigned = Intermediates.persist(assignedCellsOf(embs))
+    val smp = assigned.filter(col("vec_id") % GraftConf.pplSampleMod === 0)
+    val med = smp.groupBy(col("cell"))
+      .agg(expr("CAST(2 * percentile(d2, 0.5) AS BIGINT)").as("med2"))
+    val mad = smp.join(med, "cell")
+      .withColumn("dd", abs(lit(2L) * col("d2") - col("med2")))
+      .groupBy(col("cell"))
+      .agg(max(col("med2")).as("med2"),
+        expr("CAST(2 * percentile(dd, 0.5) AS BIGINT)").as("mad4"))
+    assigned.join(broadcast(mad), Seq("cell"), "left")
+      .select(col("vec_id"), col("cell"), col("d2"), col("med2"), col("mad4"),
+        coalesce(lit(2L) * abs(lit(2L) * col("d2") - col("med2")) >
+          lit(3L) * col("mad4"), lit(false)).as("outlier"))
+      .contractOrderBy("vec_id")
+  }
+
+  def embeddingOutliersSql: String =
+    s"""WITH $kmeansCtesSql,
+       |$assignedCteSql,
+       |osmp AS (
+       |  SELECT cell, d2 FROM assigned WHERE vec_id % ${GraftConf.pplSampleMod} = 0
+       |), omed AS (
+       |  SELECT cell, CAST(2 * median(d2) AS BIGINT) AS med2 FROM osmp GROUP BY cell
+       |), omad AS (
+       |  SELECT s.cell, max(m.med2) AS med2,
+       |    CAST(2 * median(abs(2 * s.d2 - m.med2)) AS BIGINT) AS mad4
+       |  FROM osmp s JOIN omed m ON s.cell = m.cell GROUP BY s.cell
+       |)
+       |SELECT a.vec_id, a.cell, a.d2, o.med2, o.mad4,
+       |  COALESCE(2 * abs(2 * a.d2 - o.med2) > 3 * o.mad4, FALSE) AS outlier
+       |FROM assigned a LEFT JOIN omad o ON a.cell = o.cell
+       |ORDER BY a.vec_id""".stripMargin
+
   def clusterTopicsSql: String =
     s"""WITH $kmeansCtesSql,
        |$assignedCteSql,

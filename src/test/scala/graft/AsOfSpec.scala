@@ -39,6 +39,59 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("events_asof_next: one row per click; matched purchase is the EARLIEST one ≥ click ts") {
+    val a = AsOf.eventsAsofNext(spark, sf)
+    val clicks = Tables.events(spark, sf).filter(col("event_type") === "click").count()
+    assert(a.count() == clicks)
+    assert(a.filter(col("purchase_us") < col("ts_us")).count() == 0)
+    assert(a.filter(col("latency_sec") < 0).count() == 0)
+    val events = Tables.events(spark, sf)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select("event_id", "user_id", "event_type", "ts_us").collect()
+    val purchByUser = events.filter(_.getAs[String]("event_type") == "purchase")
+      .groupBy(_.getAs[Long]("user_id"))
+    a.collect().take(200).foreach { r =>
+      val user = r.getAs[Long]("user_id")
+      val cts = r.getAs[Long]("ts_us")
+      // earliest purchase at-or-after; equal-instant ties to lowest event_id
+      val expected = purchByUser.getOrElse(user, Array())
+        .filter(_.getAs[Long]("ts_us") >= cts)
+        .sortBy(p => (p.getAs[Long]("ts_us"), p.getAs[Long]("event_id")))
+        .headOption.map(_.getAs[Long]("event_id"))
+      val got = if (r.isNullAt(r.fieldIndex("purchase_event"))) None
+                else Some(r.getAs[Long]("purchase_event"))
+      assert(got == expected, s"user $user click ${r.getAs[Long]("event_id")}")
+    }
+  }
+
+  test("events_asof_next: planted same-instant conversion, no-later-purchase null, equal-ts tie") {
+    import spark.implicits._
+    val rows = Seq(
+      // user 1: click t=10 converts at t=20 (not the earlier t=5 purchase);
+      //         click t=25 converts at t=30
+      (1L, 1L, "click", 10L), (2L, 1L, "purchase", 5L),
+      (3L, 1L, "purchase", 20L), (4L, 1L, "purchase", 30L),
+      (5L, 1L, "click", 25L),
+      // user 2: same-instant purchase converts at latency 0; duplicate
+      //         equal-ts purchases tie to the LOWER event_id
+      (6L, 2L, "click", 40L), (8L, 2L, "purchase", 40L), (7L, 2L, "purchase", 40L),
+      // user 3: click after the last purchase → never converts
+      (9L, 3L, "purchase", 50L), (10L, 3L, "click", 60L)
+    ).map { case (id, u, t, s) => (id, u, t, new java.sql.Timestamp(s * 1000L)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-asofn").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AsOf.eventsAsofNext(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("purchase_event"))) None
+         else Some((r.getAs[Long]("purchase_event"), r.getAs[Long]("latency_sec"))))).toMap
+    assert(out(1L) == Some((3L, 10L)), s"click 1 must convert at t=20: ${out(1L)}")
+    assert(out(5L) == Some((4L, 5L)))
+    assert(out(6L) == Some((7L, 0L)), s"same-instant tie must pick event 7: ${out(6L)}")
+    assert(out(10L) == None, "a click after the last purchase never converts")
+  }
+
   test("dedup_simhash_pairs: hamming verified ≤ tau and catches hamming-0 planted dups") {
     val p = Dedup.dedupSimhashPairs(spark, sf).collect()
     assert(p.nonEmpty)

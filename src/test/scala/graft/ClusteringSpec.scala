@@ -109,6 +109,38 @@ class ClusteringSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.kmeans.k")
   }
 
+  test("embedding_outliers: a planted far vector flags; its tight cell-mates don't") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def vec(axis: Int, mag: Float): Seq[Float] =
+      Seq.tabulate(8)(d => if (d == axis) mag else 0f)
+    // cell A: 18 IDENTICAL vectors (all sit exactly at the cell median →
+    // dd = 0, never flags even at MAD 0) + one 3× outlier (id 19 —
+    // deliberately OUTSIDE the %3 sample: flagging must ride the
+    // broadcast baseline, not sample membership); cell B: an identical
+    // decoy group so the K=2 seeds (ids 0, 1) split purely
+    val a = (Seq(0L) ++ (2L to 18L)).map(i => (i, vec(0, 1f))) :+ ((19L, vec(0, 3f)))
+    val b = Seq((1L, vec(4, 1f))) ++ (21L to 29L).map(i => (i, vec(4, 1f)))
+    val embs = (a ++ b).toDF("vec_id", "embedding")
+    spark.conf.set("spark.graft.kmeans.k", "2")
+    try {
+      val out = Clustering.embeddingOutliersOf(embs).collect()
+      graft.operators.Dedup.releaseIntermediates()
+      val byId = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("outlier")).toMap
+      assert(byId.size == embs.count())
+      assert(byId(19L), "the 3x-magnitude vector must flag")
+      ((Seq(0L) ++ (2L to 18L)) ++ (21L to 29L) :+ 1L).foreach(i =>
+        assert(!byId(i), s"tight member $i must not flag"))
+      // the flag is exactly the recorded inequality, row for row
+      out.foreach { r =>
+        val expected = !r.isNullAt(r.fieldIndex("mad4")) &&
+          2L * math.abs(2L * r.getAs[Long]("d2") - r.getAs[Long]("med2")) >
+            3L * r.getAs[Long]("mad4")
+        assert(r.getAs[Boolean]("outlier") == expected, s"row $r")
+      }
+    } finally spark.conf.unset("spark.graft.kmeans.k")
+  }
+
   test("cluster_topics: cells are the assignment's, ranks contiguous, scores non-increasing") {
     val assigned = Clustering.kmeansTrain(spark, sf).collect()
       .map(_.getAs[Long]("cluster")).toSet
