@@ -1239,22 +1239,23 @@ object Curation {
 
   /** `contamination_report`: the per-source decontamination dashboard —
     * train docs, exact-n-gram hits ([[decontaminate]]), fuzzy MinHash hits
-    * ([[decontaminateFuzzy]]), and the union (`n_any`), one row per crawl
-    * source. This is the release-review read: WHICH source leaks benchmark
-    * text (a contaminated source gets dropped or re-scraped wholesale;
-    * per-doc removal alone hides the systemic leak), and how much the
-    * fuzzy sweep catches beyond the exact one (its marginal value at the
-    * current τ). Composes the two sweep CORES under ONE eval predicate —
-    * the `doc_id % FuzzyEvalMod == 0` seam [[corpusCurateFrom]] already
-    * uses (r10, was: each sweep under its own default mod, which made
-    * n_exact and n_fuzzy hits against DIFFERENT benchmark sets and
-    * silently dropped docs that were eval under exactly one sweep) — so
-    * both columns count hits against the SAME benchmark, train grain is
-    * identical on both sides, and the inner joins are lossless.
+    * ([[decontaminateFuzzy]]), semantic embedding hits
+    * ([[decontaminateSemantic]], the r10 third rung), and the union
+    * (`n_any`), one row per crawl source. This is the release-review
+    * read: WHICH source leaks benchmark text (a contaminated source gets
+    * dropped or re-scraped wholesale; per-doc removal alone hides the
+    * systemic leak), and how much each deeper rung catches beyond the
+    * previous one (their marginal value at the current thresholds).
+    * Composes the three sweep CORES under ONE eval predicate — the
+    * `doc_id % FuzzyEvalMod == 0` seam [[corpusCurateFrom]] already uses
+    * (applied to `vec_id` for the embedding rung: vec_id ≡ doc_id, so
+    * the carving is the same id set) — so every column counts hits
+    * against the SAME benchmark, train grain is identical on all sides,
+    * and the inner joins are lossless.
     *
-    * Scale: both sweeps are the existing broadcast-against-benchmark
-    * pipelines; the composition adds one doc_id equi-join (AQE broadcasts
-    * the hit-sized fuzzy side) and an O(sources) rollup.
+    * Scale: all three sweeps are the existing broadcast-against-benchmark
+    * pipelines; the composition adds doc_id equi-joins (AQE broadcasts
+    * the hit-sized sides) and an O(sources) rollup.
     */
   def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -1264,13 +1265,21 @@ object Curation {
       .select(col("doc_id"), col("contaminated").as("ex"))
     val fuzzy = decontaminateFuzzyFrom(docs, isEval)
       .select(col("doc_id"), col("contaminated").as("fz"))
+    // the THIRD rung (r10): vec_id ≡ doc_id and the carving modulus is
+    // the same, so all three columns audit ONE benchmark set and the
+    // inner joins stay lossless
+    val sem = decontaminateSemanticFrom(Tables.embeddings(spark, dir),
+        col("vec_id") % FuzzyEvalMod === 0)
+      .select(col("vec_id").as("doc_id"), col("contaminated").as("sm"))
     src.join(exact, Seq("doc_id"))
       .join(fuzzy, Seq("doc_id"))
+      .join(sem, Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_train_docs"),
         sum(when(col("ex"), 1L).otherwise(0L)).as("n_exact"),
         sum(when(col("fz"), 1L).otherwise(0L)).as("n_fuzzy"),
-        sum(when(col("ex") || col("fz"), 1L).otherwise(0L)).as("n_any"))
+        sum(when(col("sm"), 1L).otherwise(0L)).as("n_sem"),
+        sum(when(col("ex") || col("fz") || col("sm"), 1L).otherwise(0L)).as("n_any"))
       .contractOrderBy("source")
   }
 
@@ -1283,14 +1292,20 @@ object Curation {
        |  SELECT doc_id, contaminated AS fz FROM (
        |$decontaminateFuzzySql
        |  ) f
+       |), sm AS (
+       |  SELECT vec_id AS doc_id, contaminated AS sm FROM (
+       |$decontaminateSemanticSql
+       |  ) s
        |)
        |SELECT d.source, count(*) AS n_train_docs,
        |  CAST(sum(CASE WHEN ex.ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
        |  CAST(sum(CASE WHEN fz.fz THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy,
-       |  CAST(sum(CASE WHEN ex.ex OR fz.fz THEN 1 ELSE 0 END) AS BIGINT) AS n_any
+       |  CAST(sum(CASE WHEN sm.sm THEN 1 ELSE 0 END) AS BIGINT) AS n_sem,
+       |  CAST(sum(CASE WHEN ex.ex OR fz.fz OR sm.sm THEN 1 ELSE 0 END) AS BIGINT) AS n_any
        |FROM documents d
        |JOIN ex ON d.doc_id = ex.doc_id
        |JOIN fz ON d.doc_id = fz.doc_id
+       |JOIN sm ON d.doc_id = sm.doc_id
        |GROUP BY d.source
        |ORDER BY d.source""".stripMargin
 

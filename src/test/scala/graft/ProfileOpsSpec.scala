@@ -151,15 +151,16 @@ class ProfileOpsSpec extends SparkSpec {
     val rep = operators.Curation.contaminationReport(spark, sf).collect()
       .map(r => r.getAs[String]("source") ->
         (r.getAs[Long]("n_train_docs"), r.getAs[Long]("n_exact"),
-          r.getAs[Long]("n_fuzzy"), r.getAs[Long]("n_any"))).toMap
-    rep.values.foreach { case (n, ex, fz, any) =>
-      assert(any <= n && ex <= any && fz <= any, s"ordering: $n $ex $fz $any")
-      assert(any <= ex + fz, "union bound")
+          r.getAs[Long]("n_fuzzy"), r.getAs[Long]("n_sem"), r.getAs[Long]("n_any"))).toMap
+    rep.values.foreach { case (n, ex, fz, sm, any) =>
+      assert(any <= n && ex <= any && fz <= any && sm <= any,
+        s"ordering: $n $ex $fz $sm $any")
+      assert(any <= ex + fz + sm, "union bound")
     }
-    // cross-check one total against the composed sweeps under the SAME
-    // eval predicate the report uses (r10: one benchmark set, not each
-    // sweep's own default mod — the train grain is identical on both
-    // sides, so the join is lossless by construction)
+    // cross-check totals against the composed sweeps under the SAME eval
+    // predicate the report uses (one benchmark set across all THREE rungs
+    // — the train grain is identical on every side, so the joins are
+    // lossless by construction)
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, sf)
     val isEval = col("doc_id") % operators.Curation.FuzzyEvalMod === 0
@@ -171,6 +172,10 @@ class ProfileOpsSpec extends SparkSpec {
     assert(rep.values.map(_._1).sum == both.count())
     assert(rep.values.map(_._2).sum ==
       both.filter(col("contaminated")).count())
+    val sem = operators.Curation.decontaminateSemanticFrom(
+      graft.sources.Tables.embeddings(spark, sf),
+      col("vec_id") % operators.Curation.FuzzyEvalMod === 0)
+    assert(rep.values.map(_._4).sum == sem.filter(col("contaminated")).count())
     operators.Intermediates.release()
   }
 
