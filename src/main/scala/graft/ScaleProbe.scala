@@ -62,6 +62,7 @@ object ScaleProbe {
       if (want("winnow")) winnowProbes(spark, docs)
       if (want("bpe")) bpeProbe(spark, docs)
       if (want("annappend")) annAppendProbe(spark)
+      if (want("semdecon")) semDecontamProbe(spark)
       spark.stop()
       return
     }
@@ -95,6 +96,7 @@ object ScaleProbe {
     winnowProbes(spark, docs)
     bpeProbe(spark, docs)
     annAppendProbe(spark)
+    semDecontamProbe(spark)
     spark.stop()
   }
 
@@ -266,6 +268,39 @@ object ScaleProbe {
       val trainDocs = out.count()
       Dedup.releaseIntermediates()
       println(s"""{"probe":"fuzzy_x$k","train_docs":$trainDocs,"flagged":$flagged,"sec_min":${times.min},"runs":[${times.mkString(",")}]}""")
+    }
+  }
+
+  /** Semantic-decontamination probe (round 10): corpus ×1/×4/×16 against
+    * a FIXED benchmark (the `vec_id < 500 ∩ % FuzzyEvalMod` slice of the
+    * synthetic embedding corpus). The rung is one broadcast nested-loop
+    * scan of exact dots, so cost must scale LINEARLY with the corpus at a
+    * fixed benchmark, and per-train fan-out is bounded by the benchmark —
+    * there is nothing super-linear to excite; the probe certifies the
+    * shape instead of asserting it.
+    */
+  private def semDecontamProbe(spark: SparkSession): Unit = {
+    import graft.operators.{Curation, Dedup}
+    val isEval = col("vec_id") % Curation.FuzzyEvalMod === 0 &&
+      col("vec_id") < 500L
+    def timed(embs: DataFrame): Double = {
+      Dedup.releaseIntermediates()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      Curation.decontaminateSemanticFrom(embs, isEval)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for (k <- Seq(1, 4, 16)) {
+      val embs = syntheticEmb(spark, 500 * k).localCheckpoint(true)
+      timed(embs) // warm-up, not billed
+      val times = (1 to 3).map(_ => timed(embs))
+      Dedup.releaseIntermediates(); spark.catalog.clearCache()
+      val out = Curation.decontaminateSemanticFrom(embs, isEval)
+      val flagged = out.filter(col("contaminated")).count()
+      val trainDocs = out.count()
+      Dedup.releaseIntermediates()
+      println(s"""{"probe":"semdecon_x$k","train_docs":$trainDocs,"flagged":$flagged,"sec_min":${times.min},"runs":[${times.mkString(",")}]}""")
     }
   }
 
