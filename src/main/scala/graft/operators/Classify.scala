@@ -144,7 +144,10 @@ object Classify {
   private[graft] def nbScoreAllOf(docs: DataFrame,
       tokArr: org.apache.spark.sql.Column, m: NbModel): DataFrame = {
     val tokE = docs.select(col("doc_id"), explode(tokArr).as("word"))
-    val tokIv = tokE.join(m.vocab, Seq("word"))
+    // persisted: the in-vocab token table feeds BOTH the n_iv count and
+    // the sparse-bonus join (r10 — the explode + vocab join used to run
+    // twice; for the trigram model that was the dominant scan)
+    val tokIv = Intermediates.persist(tokE.join(m.vocab, Seq("word")))
     val nIv = tokIv.groupBy(col("doc_id")).agg(count(lit(1)).as("n_iv"))
     // per-(doc, class) bonus sums exist only where the doc shares a word
     // with the class — the sparse join; decimal sum is exact

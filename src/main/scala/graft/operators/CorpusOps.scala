@@ -239,6 +239,256 @@ object CorpusOps {
        |ORDER BY source""".stripMargin
   }
 
+  // ---- vocab_growth / vocab_coverage --------------------------------------
+
+  /** Doc-count checkpoints (percent of the max doc_id) at which
+    * [[vocabGrowth]] samples the curve.
+    */
+  private[graft] val GrowthPcts: Seq[Int] = Seq(1, 2, 5, 10, 20, 50, 100)
+
+  /** `vocab_growth` (r10): the Heaps-law curve — distinct-vocabulary size
+    * and token total at doc-count checkpoints (1/2/5/10/20/50/100% of the
+    * id range). The tokenizer-budget planning read: where the V ∝ Tᵝ
+    * curve is still steep, a bigger crawl keeps buying vocabulary (and a
+    * BPE/vocab budget sized on the sample will under-fit the full crawl);
+    * where it flattens, the corpus has saturated its domain. Also the
+    * crawl-dedup sanity check — a vocab curve that goes FLAT early while
+    * tokens keep growing is a crawler re-fetching the same content.
+    *
+    * NO ordered pass and no cumulative window: "vocab at checkpoint c" =
+    * count of words whose MIN doc_id ≤ c — one word-grain min
+    * aggregation, one doc-grain token count, each conditionally summed
+    * against the 7-row broadcast checkpoint table. Exactly two
+    * map-side-combinable aggregations over the corpus at any scale.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowthOf(spark, Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — specs plant a one-new-word-per-
+    * doc prefix whose curve is exact by construction.
+    */
+  def vocabGrowthOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val maxId = docs.agg(max(col("doc_id")).as("max_id"))
+    val cps = spark.createDataFrame(GrowthPcts.map(Tuple1(_))).toDF("pct")
+      .crossJoin(broadcast(maxId))
+      .select(col("pct"), expr("(max_id * pct) div 100").as("cut"))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(min(col("doc_id")).as("first_doc"))
+    val vocabAt = firstSeen.crossJoin(broadcast(cps))
+      .groupBy(col("pct"), col("cut"))
+      .agg(sum(when(col("first_doc") <= col("cut"), 1L).otherwise(0L)).as("vocab"))
+    val docTok = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "), w => w =!= "")).cast("long").as("n_tok"))
+    val tokAt = docTok.crossJoin(broadcast(cps))
+      .groupBy(col("pct"))
+      .agg(sum(when(col("doc_id") <= col("cut"), 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("doc_id") <= col("cut"), col("n_tok")).otherwise(0L)).as("n_tokens"))
+    vocabAt.join(tokAt, "pct")
+      .select(col("pct"), col("cut"), col("n_docs"), col("n_tokens"), col("vocab"))
+      .contractOrderBy("pct")
+  }
+
+  def vocabGrowthSql: String =
+    s"""WITH mx AS (
+       |  SELECT max(doc_id) AS max_id FROM documents
+       |), cps AS (
+       |  SELECT pct, (max_id * pct) // 100 AS cut
+       |  FROM (SELECT unnest([${GrowthPcts.mkString(", ")}]) AS pct) CROSS JOIN mx
+       |), fs AS (
+       |  SELECT word, min(doc_id) AS first_doc FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+       |  ) WHERE word <> '' GROUP BY word
+       |), va AS (
+       |  SELECT pct, cut,
+       |    CAST(sum(CASE WHEN first_doc <= cut THEN 1 ELSE 0 END) AS BIGINT) AS vocab
+       |  FROM fs CROSS JOIN cps GROUP BY pct, cut
+       |), dt AS (
+       |  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |), ta AS (
+       |  SELECT pct,
+       |    CAST(sum(CASE WHEN doc_id <= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN doc_id <= cut THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens
+       |  FROM dt CROSS JOIN cps GROUP BY pct
+       |)
+       |SELECT va.pct, va.cut, ta.n_docs, ta.n_tokens, va.vocab
+       |FROM va JOIN ta ON va.pct = ta.pct
+       |ORDER BY va.pct""".stripMargin
+
+  /** Power-of-two count thresholds for [[vocabCoverage]]. */
+  private[graft] val CoverageThresholds: Seq[Long] =
+    Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L)
+
+  /** `vocab_coverage` (r10): the Zipf head/tail mass profile WITHOUT a
+    * sort — for each power-of-two count threshold t, how many vocabulary
+    * words occur ≥ t times and what integer basis-point share of all
+    * token occurrences they cover. The how-big-must-the-vocab-be read
+    * (`vocab_top_tokens` shows the head's members; this prices the whole
+    * curve): a corpus where 128+-count words cover 9000 bp tokenizes
+    * cheaply; one where coverage collapses below t=8 is identifier soup
+    * that will shred any fixed vocab. Rank-free by design — cumulative
+    * coverage at RANK checkpoints needs a vocab-grain global sort, the
+    * count-threshold form is two map-side-combinable aggregations and an
+    * 8-row broadcast, the same no-ordered-pass discipline as
+    * [[vocabGrowth]]; coverage_bp is integer `(10000·mass) div total`
+    * (no float ratio decides a reported value).
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageOf(spark, Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — specs plant exact word counts
+    * on both sides of each threshold.
+    */
+  def vocabCoverageOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val ths = spark.createDataFrame(CoverageThresholds.map(Tuple1(_))).toDF("threshold")
+    counts.crossJoin(broadcast(ths))
+      .groupBy(col("threshold"))
+      .agg(sum(when(col("n") >= col("threshold"), 1L).otherwise(0L)).as("n_words"),
+        sum(when(col("n") >= col("threshold"), col("n")).otherwise(0L)).as("mass"))
+      .crossJoin(broadcast(total))
+      .select(col("threshold"), col("n_words"),
+        col("mass"), expr("(10000 * mass) div total").as("coverage_bp"))
+      .contractOrderBy("threshold")
+  }
+
+  def vocabCoverageSql: String =
+    s"""WITH c AS (
+       |  SELECT word, count(*) AS n FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |  ) WHERE word <> '' GROUP BY word
+       |), tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS total FROM c
+       |), th AS (
+       |  SELECT CAST(unnest([${CoverageThresholds.mkString(", ")}]) AS BIGINT) AS threshold
+       |)
+       |SELECT threshold,
+       |  CAST(sum(CASE WHEN n >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_words,
+       |  CAST(sum(CASE WHEN n >= threshold THEN n ELSE 0 END) AS BIGINT) AS mass,
+       |  (10000 * CAST(sum(CASE WHEN n >= threshold THEN n ELSE 0 END) AS BIGINT)) // (SELECT total FROM tot) AS coverage_bp
+       |FROM c CROSS JOIN th
+       |GROUP BY threshold
+       |ORDER BY threshold""".stripMargin
+
+  // ---- embedding_drift ----------------------------------------------------
+
+  /** `embedding_drift` (r10): the ENCODER-axis drift dashboard,
+    * completing the drift family — `lm_coverage_report` says the model
+    * no longer fits a source (model axis), `source_drift_report` says
+    * the source's text moved (crawl axis), and this says the source's
+    * EMBEDDINGS moved (encoder axis: a re-encode with a new checkpoint,
+    * a quietly bumped encoder version, a corrupted re-run). Per source,
+    * the centroid of each snapshot on the exact kmeans integer grid
+    * ([[Clustering.scaledEmbOf]]'s quantization + the Lloyd
+    * round-half-up mean — the SAME arithmetic, so a drifted centroid
+    * here means the ANN/SemDeDup geometry actually moved), with exact
+    * integer centroid-to-centroid d2 and one rounded cosine as the
+    * drift signal. cos ≈ 1 with d2 > 0 = magnitude-only change
+    * (rescaled encoder); cos < 1 = the direction moved (retrained
+    * encoder — rebuild the IVF/PQ stores, the `ArtifactCatalog` drift
+    * class this query gives a per-source early warning for).
+    *
+    * Snapshots are the `corpus_diff` carving applied to vec_ids
+    * (A = `% 11 ≠ 0`, B = `% 13 ≠ 0`), and B's `% 7 ≡ 0` rows are
+    * "re-encoded" by an integer grid offset (+[[ReencodeGridOffset]] on
+    * dim 0) — applied AFTER quantization, so the mutation is exactly
+    * representable in both engines and the carving stays the tested
+    * seam, not float arithmetic.
+    *
+    * Scale: two snapshot scans exploded to (source, dim) grain —
+    * map-side-combinable sums, sources × dims rows out — then one
+    * O(sources) key join; no windows, no driver state.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    embeddingDriftOf(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  /** Grid offset simulating a re-encode on snapshot B's `% 7` rows
+    * (0.25 at the 1e-6 grid).
+    */
+  private[graft] val ReencodeGridOffset: Long = 250000L
+
+  def embeddingDriftOf(docs: DataFrame, embs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id").as("vec_id"), col("source"))
+    val sv = Clustering.scaledEmbOf(embs)
+    val a = sv.filter(col("vec_id") % 11 =!= 0).select(col("vec_id"), col("se"))
+    val b = sv.filter(col("vec_id") % 13 =!= 0)
+      .select(col("vec_id"),
+        when(col("vec_id") % 7 === 0,
+          expr(s"transform(se, (x, i) -> CASE WHEN i = 0 THEN x + $ReencodeGridOffset ELSE x END)"))
+          .otherwise(col("se")).as("se"))
+    def centroids(side: DataFrame): DataFrame = side.join(src, "vec_id")
+      .select(col("source"), posexplode(col("se")).as(Seq("pos", "v")))
+      .groupBy(col("source"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("source"), col("pos"),
+        expr("cast(round(cast(s as double) / n) as bigint)").as("c"), col("n"))
+    val ca = centroids(a)
+    val cb = centroids(b).select(col("source"), col("pos"),
+      col("c").as("cb"), col("n").as("nb"))
+    ca.join(cb, Seq("source", "pos"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_a"), max(col("nb")).as("n_b"),
+        sum((col("c") - col("cb")) * (col("c") - col("cb"))).as("d2_centroid"),
+        sum(col("c") * col("cb")).as("dot"),
+        sum(col("c") * col("c")).as("na2"),
+        sum(col("cb") * col("cb")).as("nb2"))
+      .select(col("source"), col("n_a"), col("n_b"), col("d2_centroid"),
+        when(col("na2") > 0 && col("nb2") > 0,
+          round(col("dot").cast("double") /
+            (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))), 4))
+          .as("cos_centroid"))
+      .contractOrderBy("source")
+  }
+
+  def embeddingDriftSql: String = {
+    val sc = Clustering.Scale
+    val off = ReencodeGridOffset
+    s"""WITH sv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $sc) AS BIGINT)) AS se
+       |  FROM embeddings
+       |), esrc AS (
+       |  SELECT doc_id AS vec_id, source FROM documents
+       |), ea AS (
+       |  SELECT s.source, unnest(v.se) AS v, unnest(generate_series(1, len(v.se))) AS pos
+       |  FROM (SELECT vec_id, se FROM sv WHERE vec_id % 11 <> 0) v
+       |  JOIN esrc s USING (vec_id)
+       |), eb AS (
+       |  SELECT s.source, unnest(v.se) AS v, unnest(generate_series(1, len(v.se))) AS pos
+       |  FROM (
+       |    SELECT vec_id,
+       |      CASE WHEN vec_id % 7 = 0
+       |        THEN list_transform(generate_series(1, len(se)), i ->
+       |          CASE WHEN i = 1 THEN se[i] + $off ELSE se[i] END)
+       |        ELSE se END AS se
+       |    FROM sv WHERE vec_id % 13 <> 0) v
+       |  JOIN esrc s USING (vec_id)
+       |), ca AS (
+       |  SELECT source, pos, CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM ea GROUP BY source, pos
+       |), cb AS (
+       |  SELECT source, pos, CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM eb GROUP BY source, pos
+       |)
+       |SELECT ca.source, max(ca.n) AS n_a, max(cb.n) AS n_b,
+       |  CAST(sum((ca.c - cb.c) * (ca.c - cb.c)) AS BIGINT) AS d2_centroid,
+       |  CASE WHEN sum(ca.c * ca.c) > 0 AND sum(cb.c * cb.c) > 0 THEN
+       |    round(CAST(sum(ca.c * cb.c) AS DOUBLE) /
+       |      (sqrt(CAST(sum(ca.c * ca.c) AS DOUBLE)) * sqrt(CAST(sum(cb.c * cb.c) AS DOUBLE))), 4)
+       |  END AS cos_centroid
+       |FROM ca JOIN cb ON ca.source = cb.source AND ca.pos = cb.pos
+       |GROUP BY ca.source
+       |ORDER BY ca.source""".stripMargin
+  }
+
   /** `stratified_sample`: hash-deterministic 20% sample per language
     * stratum (uniform within stratum, stable across runs).
     */

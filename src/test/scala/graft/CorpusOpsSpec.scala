@@ -158,4 +158,43 @@ class CorpusOpsSpec extends SparkSpec {
       .select("status").distinct().collect().map(_.getString(0)).toSet
     assert(statuses == Set("added", "removed", "changed", "unchanged"))
   }
+
+  test("vocab_growth: one-new-word-per-doc prefix makes the Heaps curve exact by construction") {
+    import spark.implicits._
+    // docs 0..49 each introduce one fresh word; 50..99 repeat w0 → the
+    // vocab curve rises 1:1 with docs then goes exactly flat
+    val docs = (0L until 100L).map(i =>
+      (i, if (i < 50) s"w$i" else "w0")).toDF("doc_id", "text")
+    val out = CorpusOps.vocabGrowthOf(spark, docs).collect()
+      .map(r => r.getAs[Int]("pct") ->
+        (r.getAs[Long]("cut"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"))).toMap
+    CorpusOps.GrowthPcts.foreach { pct =>
+      val cut = 99L * pct / 100
+      val expectVocab = math.min(cut + 1, 50L)
+      assert(out(pct) == ((cut, cut + 1, cut + 1, expectVocab)),
+        s"pct $pct: ${out(pct)} vs ($cut, ${cut + 1}, ${cut + 1}, $expectVocab)")
+    }
+    // flat-while-tokens-grow is visible: vocab(100%) == vocab(50%)
+    assert(out(100)._4 == out(50)._4 && out(100)._3 > out(50)._3)
+  }
+
+  test("vocab_coverage: planted counts land exactly on both sides of every threshold") {
+    import spark.implicits._
+    // word counts: a=128, b=16, c=3, d=1 → total 148
+    val text = (Seq.fill(128)("a") ++ Seq.fill(16)("b") ++ Seq.fill(3)("c") :+ "d")
+    val docs = Seq((1L, text.mkString(" "))).toDF("doc_id", "text")
+    val out = CorpusOps.vocabCoverageOf(spark, docs).collect()
+      .map(r => r.getAs[Long]("threshold") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("mass"), r.getAs[Long]("coverage_bp"))).toMap
+    val counts = Map("a" -> 128L, "b" -> 16L, "c" -> 3L, "d" -> 1L)
+    val total = counts.values.sum
+    CorpusOps.CoverageThresholds.foreach { t =>
+      val kept = counts.filter(_._2 >= t)
+      val mass = kept.values.sum
+      val expected = (kept.size.toLong, mass, 10000L * mass / total)
+      assert(out(t) == expected, s"threshold $t: ${out(t)} vs $expected")
+    }
+    assert(out(1L)._3 == 10000L, "threshold 1 covers everything")
+  }
 }

@@ -230,6 +230,39 @@ class ProfileOpsSpec extends SparkSpec {
 
   // ---- ann_recall_report --------------------------------------------------
 
+  test("embedding_drift: the re-encoded source's centroid moves exactly as the grid arithmetic says; stable source reads d2=0, cos=1") {
+    import spark.implicits._
+    // sY (ids 1,2,3): identical on both snapshots (no id hits %7/%11/%13)
+    // sX (ids 7,8): id 7 is %7 ≡ 0 → snapshot B re-encodes it
+    def vec(axis: Int): Seq[Float] = Seq.tabulate(8)(d => if (d == axis) 1.0f else 0f)
+    val embs = Seq((1L, vec(0)), (2L, vec(0)), (3L, vec(0)),
+      (7L, vec(0)), (8L, vec(1))).toDF("vec_id", "embedding")
+    val docs = Seq((1L, "sY"), (2L, "sY"), (3L, "sY"), (7L, "sX"), (8L, "sX"))
+      .toDF("doc_id", "source")
+    val out = operators.CorpusOps.embeddingDriftOf(docs, embs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val sy = out("sY")
+    assert(sy.getAs[Long]("n_a") == 3 && sy.getAs[Long]("n_b") == 3)
+    assert(sy.getAs[Long]("d2_centroid") == 0L && sy.getAs[Double]("cos_centroid") == 1.0)
+    // scala mirror of the exact grid arithmetic for sX
+    val off = operators.CorpusOps.ReencodeGridOffset
+    def mean(vals: Seq[Long]): Long =
+      java.math.BigDecimal.valueOf(vals.sum.toDouble / vals.length)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    val g = 1000000L
+    val ca = Seq(mean(Seq(g, 0L)), mean(Seq(0L, g))) ++ Seq.fill(6)(0L)        // snapshot A
+    val cbv = Seq(mean(Seq(g + off, 0L)), mean(Seq(0L, g))) ++ Seq.fill(6)(0L) // snapshot B
+    val d2 = ca.zip(cbv).map { case (x, y) => (x - y) * (x - y) }.sum
+    val dot = ca.zip(cbv).map { case (x, y) => x * y }.sum.toDouble
+    val cos = java.math.BigDecimal.valueOf(dot /
+      (math.sqrt(ca.map(x => x * x).sum.toDouble) * math.sqrt(cbv.map(x => x * x).sum.toDouble)))
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    val sx = out("sX")
+    assert(sx.getAs[Long]("d2_centroid") == d2, s"d2: ${sx.getAs[Long]("d2_centroid")} vs $d2")
+    assert(sx.getAs[Double]("cos_centroid") == cos && cos < 1.0,
+      s"cos: ${sx.getAs[Double]("cos_centroid")} vs $cos")
+  }
+
   test("ann_recall_report: a planted cross-cell neighbor costs the IVF path exactly its basis points") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_recall").toString

@@ -35,6 +35,9 @@ CONF+=";spark.graft.dedup.srpHotBandDocs=128"
 CONF+=";spark.graft.decontam.fuzzyTau=0.4"
 CONF+=";spark.graft.decontam.ngram=4"
 CONF+=";spark.graft.decontam.fuzzyEvalMod=23"
+CONF+=";spark.graft.decontam.semTau=0.3"
+CONF+=";spark.graft.qnb.evalMod=7"
+CONF+=";spark.graft.qnb.tauQint=60000"
 CONF+=";spark.graft.ann.queries=7"
 CONF+=";spark.graft.ann.topK=4"
 CONF+=";spark.graft.ann.nprobe=3"
