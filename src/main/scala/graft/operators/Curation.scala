@@ -1235,6 +1235,60 @@ object Curation {
        |FROM c WHERE cum_before < budget
        |ORDER BY doc_id""".stripMargin
 
+  // ---- quality_gate_report ------------------------------------------------
+
+  /** `quality_gate_report` (r10): the RULE-SET agreement matrix — per
+    * source, how the C4-style filter ([[qualityFilter]]) and the Gopher
+    * rule set ([[gopherQuality]]) split the corpus: both-keep, C4-only,
+    * Gopher-only, both-drop. The which-gate-bites read a curation team
+    * makes before composing hard filters: a source where the two
+    * independent rule sets DISAGREE heavily is where the filter choice
+    * actually changes the corpus (and where to look before trusting
+    * either); a source they both drop wholesale is a drop-the-source
+    * decision, not a per-doc one. Pure composition of the two shipped
+    * keep verdicts — nothing re-derived, so the matrix describes exactly
+    * the gates `corpus_curate` applies.
+    *
+    * Scale: both filters are stateless map-side projections (the
+    * quality filter's one bigram aggregation rides along); the report
+    * adds two doc_id equi-joins and an O(sources) rollup.
+    */
+  def qualityGateReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val c4 = qualityFilterOf(docs).select(col("doc_id"), col("keep").as("c4"))
+    val gp = gopherQualityOf(docs).select(col("doc_id"), col("keep").as("gp"))
+    docs.select(col("doc_id"), col("source"))
+      .join(c4, Seq("doc_id"))
+      .join(gp, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("c4") && col("gp"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("c4") && !col("gp"), 1L).otherwise(0L)).as("n_c4_only"),
+        sum(when(!col("c4") && col("gp"), 1L).otherwise(0L)).as("n_gopher_only"),
+        sum(when(!col("c4") && !col("gp"), 1L).otherwise(0L)).as("n_neither"))
+      .contractOrderBy("source")
+  }
+
+  def qualityGateReportSql: String =
+    // assembled by concatenation, NOT one stripMargin template: the
+    // embedded gopher SQL carries line-leading `||` array concats, and an
+    // outer stripMargin would eat one pipe and turn them into bitwise-or
+    "WITH c4v AS (\n  SELECT doc_id, keep AS c4 FROM (\n" +
+      qualityFilterSql +
+      "\n  ) qc\n), gpv AS (\n  SELECT doc_id, keep AS gp FROM (\n" +
+      gopherQualitySql +
+      "\n  ) qg\n)\n" +
+      """SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN c4 AND gp THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(sum(CASE WHEN c4 AND NOT gp THEN 1 ELSE 0 END) AS BIGINT) AS n_c4_only,
+        |  CAST(sum(CASE WHEN NOT c4 AND gp THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_only,
+        |  CAST(sum(CASE WHEN NOT c4 AND NOT gp THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+        |FROM documents d
+        |JOIN c4v ON d.doc_id = c4v.doc_id
+        |JOIN gpv ON d.doc_id = gpv.doc_id
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin
+
   // ---- contamination_report -----------------------------------------------
 
   /** `contamination_report`: the per-source decontamination dashboard —

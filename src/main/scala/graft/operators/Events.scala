@@ -647,4 +647,35 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         approx_count_distinct(col("user_id"), rsd).as("n_users"))
       .contractOrderBy("event_type", "day")
+
+  /** `events_seasonality` (r10): the hour-of-day × day-of-week load
+    * profile per event type — the capacity-planning grid AND the
+    * calendar-aware baseline `events_anomaly_mad`'s flat per-type median
+    * deliberately isn't (a Monday-9am spike is noise against a weekly
+    * profile but an anomaly against a flat one; reading this grid is how
+    * you decide which baseline a type needs). All calendar math is exact
+    * epoch-microsecond integer arithmetic (`events_retention`'s
+    * discipline: dow 0 = Monday via `(epoch_day + 3) % 7`, epoch day 0 =
+    * Thursday; hour = in-day microseconds div 3.6e9) — no date type, no
+    * timezone surface, bit-identical in both engines.
+    *
+    * Scale: ONE map-side-combined aggregation to types × 168 cells.
+    */
+  def eventsSeasonality(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("((unix_micros(ts) div 86400000000) + 3) % 7").as("dow"),
+        expr("(unix_micros(ts) % 86400000000) div 3600000000").as("hour"))
+      .groupBy(col("event_type"), col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .contractOrderBy("event_type", "dow", "hour")
+
+  val eventsSeasonalitySql: String =
+    """SELECT event_type,
+      |  ((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) + 3) % 7 AS dow,
+      |  (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) // 3600000000 AS hour,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM events
+      |GROUP BY event_type, dow, hour
+      |ORDER BY event_type, dow, hour""".stripMargin
 }

@@ -628,6 +628,31 @@ class EventsSpec extends SparkSpec {
     } finally { q.stop(); evalSets.unpersist(); evalBands.unpersist() }
   }
 
+  test("events_seasonality: planted instants land in the right weekday/hour cells; grid partitions the log") {
+    import spark.implicits._
+    // 1970-01-01 (Thursday, epoch day 0) 00:10 → dow 3, hour 0;
+    // 1970-01-05 (Monday) 09:30 → dow 0, hour 9; two copies of the latter
+    val mk = (id: Long, us: Long) =>
+      (id, 1L, "click", new java.sql.Timestamp(us / 1000L))
+    val rows = Seq(
+      mk(1L, 10L * 60 * 1000000),
+      mk(2L, (4L * 86400 + 9L * 3600 + 30 * 60) * 1000000),
+      mk(3L, (4L * 86400 + 9L * 3600 + 45 * 60) * 1000000)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-season").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.eventsSeasonality(spark, dir).collect()
+      .map(r => (r.getAs[Long]("dow"), r.getAs[Long]("hour")) -> r.getAs[Long]("n_events")).toMap
+    assert(out == Map((3L, 0L) -> 1L, (0L, 9L) -> 2L))
+    // real log: the grid partitions the event count exactly
+    val grid = Events.eventsSeasonality(spark, sf).collect()
+    assert(grid.map(_.getAs[Long]("n_events")).sum ==
+      sources.Tables.events(spark, sf).count())
+    assert(grid.forall(r => r.getAs[Long]("dow") >= 0 && r.getAs[Long]("dow") <= 6
+      && r.getAs[Long]("hour") >= 0 && r.getAs[Long]("hour") <= 23))
+  }
+
   test("streaming semDecontamStream rolls up to the batch semantic-decontamination rows") {
     import spark.implicits._
     import graft.operators.Curation

@@ -179,6 +179,34 @@ class ProfileOpsSpec extends SparkSpec {
     operators.Intermediates.release()
   }
 
+  test("quality_gate_report: the four cells partition every source and agree with the composed filters") {
+    import org.apache.spark.sql.functions._
+    val rep = operators.Curation.qualityGateReport(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_both"), r.getAs[Long]("n_c4_only"),
+          r.getAs[Long]("n_gopher_only"), r.getAs[Long]("n_neither"))).toMap
+    rep.values.foreach { case (n, b, c, g, x) =>
+      assert(b + c + g + x == n, s"cells must partition: $n vs ${b + c + g + x}")
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val c4 = operators.Curation.qualityFilterOf(docs)
+      .select(col("doc_id"), col("keep").as("c4"))
+    val gp = operators.Curation.gopherQualityOf(docs)
+      .select(col("doc_id"), col("keep").as("gp"))
+    val joined = docs.select(col("doc_id"), col("source"))
+      .join(c4, "doc_id").join(gp, "doc_id").collect()
+    val expected = joined.groupBy(_.getAs[String]("source")).map { case (s, rows) =>
+      val cells = rows.map(r => (r.getAs[Boolean]("c4"), r.getAs[Boolean]("gp")))
+      s -> (rows.length.toLong,
+        cells.count(c => c._1 && c._2).toLong, cells.count(c => c._1 && !c._2).toLong,
+        cells.count(c => !c._1 && c._2).toLong, cells.count(c => !c._1 && !c._2).toLong)
+    }
+    assert(rep == expected)
+    // the matrix is non-vacuous: the two rule sets disagree somewhere
+    assert(rep.values.map(v => v._3 + v._4).sum > 0,
+      "corpus must carry docs the two rule sets split on")
+  }
+
   // ---- source_drift_report ------------------------------------------------
 
   test("source_drift_report: planted churn lands on the right source with exact counts") {
