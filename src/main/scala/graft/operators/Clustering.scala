@@ -297,7 +297,7 @@ object Clustering {
     val smp = assigned.filter(col("vec_id") % GraftConf.pplSampleMod === 0)
     val med = smp.groupBy(col("cell"))
       .agg(expr("CAST(2 * percentile(d2, 0.5) AS BIGINT)").as("med2"))
-    val mad = smp.join(med, "cell")
+    val mad = smp.join(broadcast(med), "cell")
       .withColumn("dd", abs(lit(2L) * col("d2") - col("med2")))
       .groupBy(col("cell"))
       .agg(max(col("med2")).as("med2"),
