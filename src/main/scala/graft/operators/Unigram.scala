@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Unigram-LM subword segmentation (Kudo 2018 — SentencePiece's OTHER
+  * algorithm, next to the [[Bpe]] family): score a word's segmentations by
+  * the sum of independent piece log-probabilities and keep the Viterbi
+  * argmax. BPE composes greedy merges; the unigram model segments
+  * OPTIMALLY under an explicit probabilistic inventory, which is why
+  * SentencePiece defaults to it — and why a data engine wants both: the
+  * two tokenizers price the same corpus differently, and `bpe_fertility` /
+  * `unigram_segment` side by side is how that choice gets made.
+  *
+  * Deterministic scope: the piece inventory is the SEED model (Kudo §3.2's
+  * starting point — all substrings up to [[GraftConf.unigramMaxPiece]]
+  * chars, weighted by corpus word counts, pruned to the
+  * [[GraftConf.unigramSeedK]] heaviest multi-char pieces; single chars
+  * always survive so every word stays segmentable), with piece
+  * log-probabilities frozen once as `round(ln(cnt/total), 6)`
+  * DECIMAL(18,6) — the §5 discipline, so Viterbi comparisons are exact
+  * decimal adds both engines agree on bit-for-bit. The EM re-estimation
+  * loop on top of the seed model is the non-deterministic-float part of
+  * Kudo's trainer and is deliberately out; the seed model is exactly what
+  * the paper initializes EM from, and the Viterbi DP here is byte-for-byte
+  * the INFERENCE path a trained unigram tokenizer runs forever.
+  *
+  * Spark-first scale shape (the [[Bpe]] argument): ONE corpus scan builds
+  * the weighted distinct-word table; everything after — substring
+  * counting, inventory pruning, the DP — runs at VOCABULARY grain,
+  * independent of corpus rows. The Viterbi unroll is
+  * 2·[[GraftConf.unigramMaxWordLen]] vocab-grain join+agg stages (a
+  * PLAN-SIZE knob, not data truncation — words past the bound are
+  * excluded, loudly visible in the output row count; production sizes it
+  * to its corpus's ceiling). Ties break to the LONGEST last piece at each
+  * position — a fixed rule both engines implement as max(j) among
+  * exact-decimal score equals, never an unspecified argmax.
+  *
+  * Reference anchor: the reference counts whitespace tokens
+  * (utils/validation.py length checks); this learns subword pricing, the
+  * denomination real token budgets use.
+  */
+object Unigram {
+
+  private def P: Int = GraftConf.unigramMaxPiece
+  private def K: Int = GraftConf.unigramSeedK
+  private def L: Int = GraftConf.unigramMaxWordLen
+
+  /** Weighted distinct words within the DP's length bound. */
+  private def vocabOf(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "" && length(col("word")) <= L)
+      .groupBy("word").agg(count(lit(1)).as("w"))
+
+  /** The frozen seed piece model: (piece, cnt, lp) — all single chars
+    * plus the K heaviest multi-char substrings (≤ P chars), lp =
+    * round(ln(cnt/total), 6) over the KEPT inventory.
+    */
+  private[graft] def unigramModelOf(docs: DataFrame): DataFrame = {
+    val subs = vocabOf(docs).select(col("w"), explode(expr(
+        s"flatten(transform(sequence(1, length(word)), e -> " +
+          s"transform(sequence(1, least($P, e)), j -> substring(word, e - j + 1, j))))"))
+        .as("piece"))
+      .groupBy("piece").agg(sum(col("w")).as("cnt"))
+    val multi = subs.filter(length(col("piece")) >= 2)
+      .orderBy(desc("cnt"), asc("piece")).limit(K)
+    val kept = subs.filter(length(col("piece")) === 1).unionByName(multi)
+    val total = kept.agg(sum(col("cnt")).as("total"))
+    kept.crossJoin(broadcast(total))
+      .select(col("piece"), col("cnt"),
+        round(log(col("cnt").cast("double") / col("total").cast("double")), 6)
+          .cast("decimal(18,6)").as("lp"))
+  }
+
+  /** `unigram_segment`: per distinct corpus word, the Viterbi-optimal
+    * segmentation under the seed model — (word, corpus count, n_chars,
+    * n_pieces, `|`-joined pieces, 4-dp score).
+    */
+  def unigramSegment(spark: SparkSession, dir: String): DataFrame =
+    unigramSegmentOf(Tables.documents(spark, dir))
+
+  def unigramSegmentOf(docs: DataFrame): DataFrame = {
+    val vw = Intermediates.persist(vocabOf(docs))
+    val model = Intermediates.persist(unigramModelOf(docs))
+    // candidate segments: piece ending at position e with length j
+    val segs = Intermediates.persist(
+      vw.select(col("word"), explode(expr(
+          s"flatten(transform(sequence(1, length(word)), e -> " +
+            s"transform(sequence(1, least($P, e)), j -> struct(e, j, substring(word, e - j + 1, j) AS piece))))"))
+          .as("s"))
+        .select(col("word"), col("s.e").as("e"), col("s.j").as("j"), col("s.piece").as("piece"))
+        .join(broadcast(model.select(col("piece"), col("lp"))), Seq("piece")))
+    // forward DP: bb holds (word, pos, best score, argmax last-piece len).
+    // Each level's rows are EAGERLY localCheckpoint-ed before unioning:
+    // level i's candidates join the running union, so without truncation
+    // the logical plan doubles per level (bb_{i-1} appears both under the
+    // new level's join and as the union's left arm) and analysis goes
+    // exponential in L — the BPE RematEvery discipline, here per level
+    // because each level is one tiny vocab-grain job.
+    var bb = vw.select(col("word"), lit(0).as("pos"),
+      lit(0).cast("decimal(18,6)").as("score"), lit(0).as("bj"))
+      .localCheckpoint(true)
+    for (i <- 1 to L) {
+      val cand = segs.filter(col("e") === i).as("s")
+        .join(bb.as("b"),
+          expr(s"s.word = b.word AND b.pos = ${i} - s.j"))
+        .select(col("s.word").as("word"), col("s.j").as("j"),
+          (col("b.score") + col("s.lp")).cast("decimal(18,6)").as("sc"))
+      val ms = cand.groupBy("word").agg(max(col("sc")).as("score"))
+      // tie at equal exact-decimal score → the LONGEST last piece
+      val bj = cand.join(ms, Seq("word")).filter(col("sc") === col("score"))
+        .groupBy("word").agg(max(col("j")).as("bj"))
+      val level = ms.join(bj, Seq("word"))
+        .select(col("word"), lit(i).as("pos"), col("score"), col("bj"))
+        .localCheckpoint(true)
+      bb = bb.unionByName(level)
+    }
+    // backtrace: walk pos down by the recorded argmax piece lengths
+    var t = vw.select(col("word"), length(col("word")).cast("int").as("pos"),
+      lit("").as("path"))
+    for (_ <- 1 to L) {
+      t = t.join(bb, Seq("word", "pos"))
+        .select(col("word"),
+          when(col("pos") > 0, col("pos") - col("bj")).otherwise(col("pos")).as("pos2"),
+          when(col("pos") > 0,
+            concat(expr("substring(word, pos - bj + 1, bj)"),
+              when(col("path") === "", lit("")).otherwise(lit("|")), col("path")))
+            .otherwise(col("path")).as("path"))
+        .withColumnRenamed("pos2", "pos")
+    }
+    val fin = bb.select(col("word").as("fword"), col("pos").as("fpos"), col("score"))
+    vw.join(t.select(col("word"), col("path")), Seq("word"))
+      .join(fin, col("word") === col("fword") &&
+        col("fpos") === length(col("word")).cast("int"))
+      .select(col("word"), col("w"), length(col("word")).cast("long").as("n_chars"),
+        size(split(col("path"), "\\|")).cast("long").as("n_pieces"),
+        col("path").as("segmentation"),
+        round(col("score").cast("double"), 4).as("score"))
+      .contractOrderBy("word")
+  }
+
+  /** Oracle: the identical seed model + the DP UNROLLED as a generated
+    * CTE chain, one (candidates, max, argmax, union) block per position
+    * and one backtrace CTE per step — the [[Clustering.kmeansCtesSql]] /
+    * BPE-unroll discipline: loops in the engine become generated SQL, so
+    * the two implementations stay independent formulations of the same
+    * fixed-point.
+    */
+  def unigramSegmentSql: String = {
+    val model =
+      s"""uvw AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS w FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+         |  ) WHERE word <> '' AND len(word) <= $L GROUP BY word
+         |), usub AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(w) AS BIGINT) AS cnt FROM (
+         |    SELECT v.word, v.w, substr(v.word, e.e - j.j + 1, j.j) AS piece
+         |    FROM uvw v
+         |    CROSS JOIN (SELECT unnest(generate_series(1, $L)) AS e) e
+         |    CROSS JOIN (SELECT unnest(generate_series(1, $P)) AS j) j
+         |    WHERE e.e <= len(v.word) AND j.j <= least($P, e.e)
+         |  ) GROUP BY piece
+         |), ukept AS MATERIALIZED (
+         |  SELECT piece, cnt FROM usub WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+         |    FROM usub WHERE len(piece) >= 2
+         |  ) WHERE rn <= $K
+         |), utot AS MATERIALIZED (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ukept
+         |), upc AS MATERIALIZED (
+         |  SELECT piece,
+         |    CAST(round(ln(CAST(cnt AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM utot)), 6) AS DECIMAL(18,6)) AS lp
+         |  FROM ukept
+         |), usegs AS MATERIALIZED (
+         |  SELECT v.word, e.e, j.j, p.lp
+         |  FROM uvw v
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $L)) AS e) e
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $P)) AS j) j
+         |  JOIN upc p ON p.piece = substr(v.word, e.e - j.j + 1, j.j)
+         |  WHERE e.e <= len(v.word) AND j.j <= least($P, e.e)
+         |), ubb0 AS MATERIALIZED (
+         |  SELECT word, 0 AS pos, CAST(0 AS DECIMAL(18,6)) AS score, 0 AS bj FROM uvw
+         |)""".stripMargin
+    val fwd = (1 to L).map { i =>
+      s"""uc$i AS MATERIALIZED (
+         |  SELECT s.word, s.j, CAST(b.score + s.lp AS DECIMAL(18,6)) AS sc
+         |  FROM usegs s JOIN ubb${i - 1} b ON b.word = s.word AND b.pos = $i - s.j
+         |  WHERE s.e = $i
+         |), um$i AS MATERIALIZED (
+         |  SELECT word, max(sc) AS score FROM uc$i GROUP BY word
+         |), uj$i AS MATERIALIZED (
+         |  SELECT c.word, max(c.j) AS bj
+         |  FROM uc$i c JOIN um$i m ON c.word = m.word AND c.sc = m.score
+         |  GROUP BY c.word
+         |), ubb$i AS MATERIALIZED (
+         |  SELECT * FROM ubb${i - 1}
+         |  UNION ALL
+         |  SELECT m.word, $i AS pos, m.score, j.bj
+         |  FROM um$i m JOIN uj$i j ON m.word = j.word
+         |)""".stripMargin
+    }.mkString(",\n")
+    val bt0 =
+      s"""ut0 AS MATERIALIZED (
+         |  SELECT word, CAST(len(word) AS INTEGER) AS pos, '' AS path FROM uvw
+         |)""".stripMargin
+    val bt = (1 to L).map { k =>
+      s"""ut$k AS MATERIALIZED (
+         |  SELECT t.word,
+         |    CASE WHEN t.pos > 0 THEN t.pos - b.bj ELSE t.pos END AS pos,
+         |    CASE WHEN t.pos > 0
+         |      THEN substr(t.word, t.pos - b.bj + 1, b.bj)
+         |        || (CASE WHEN t.path = '' THEN '' ELSE '|' END) || t.path
+         |      ELSE t.path END AS path
+         |  FROM ut${k - 1} t JOIN ubb$L b ON b.word = t.word AND b.pos = t.pos
+         |)""".stripMargin
+    }.mkString(",\n")
+    // assembled by concatenation, not an outer stripMargin template: the
+    // backtrace CTEs carry line-leading `||` string concats a second
+    // stripMargin pass would corrupt into single pipes (the
+    // quality_gate_report lesson, caught by the DuckDB binder in-round)
+    "WITH " + model + ",\n" + fwd + ",\n" + bt0 + ",\n" + bt + "\n" +
+      s"""SELECT v.word, v.w, CAST(len(v.word) AS BIGINT) AS n_chars,
+         |  CAST(len(string_split(t.path, '|')) AS BIGINT) AS n_pieces,
+         |  t.path AS segmentation,
+         |  round(CAST(b.score AS DOUBLE), 4) AS score
+         |FROM uvw v
+         |JOIN ut$L t ON t.word = v.word
+         |JOIN ubb$L b ON b.word = v.word AND b.pos = len(v.word)
+         |ORDER BY v.word""".stripMargin
+  }
+}

@@ -378,6 +378,24 @@ package object operators {
       */
     def qnbTauQint: Int = positive("spark.graft.qnb.tauQint", "64000")
 
+    /** Longest candidate subword piece for the unigram-LM tokenizer
+      * (`spark.graft.unigram.maxPiece`).
+      */
+    def unigramMaxPiece: Int = positive("spark.graft.unigram.maxPiece", "4")
+    /** Multi-char seed pieces kept, by weighted substring frequency
+      * (`spark.graft.unigram.seedK`); single chars always survive for
+      * coverage. Production sizes this ~vocab_budget × m (Kudo 2018's
+      * seed heuristic).
+      */
+    def unigramSeedK: Int = positive("spark.graft.unigram.seedK", "64")
+    /** Longest word the Viterbi unroll covers
+      * (`spark.graft.unigram.maxWordLen`) — the generated DP chain has
+      * one stage per position, so this is a PLAN-SIZE knob, not a data
+      * truncation: longer words are excluded loudly, and production
+      * sizes it to its corpus's word-length ceiling.
+      */
+    def unigramMaxWordLen: Int = positive("spark.graft.unigram.maxWordLen", "12")
+
     // -- DSIR data-selection knobs --
     /** Hashed-bigram feature buckets (`spark.graft.dsir.buckets`) — the
       * paper's hashed n-gram dimensionality; the bucket table is at most

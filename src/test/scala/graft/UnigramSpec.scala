@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{GraftConf, Unigram}
+
+/** `unigram_segment` vs a from-scratch brute-force reference: enumerate
+  * EVERY segmentation of every word, score with the engine's own frozen
+  * piece model, and apply the documented tie rule (max score, then
+  * longest-last-piece cascading from the end) — a third independent
+  * implementation next to the DuckDB unrolled-DP oracle.
+  */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** All segmentations of `word` into pieces of length ≤ P. */
+  private def allSegs(word: String, P: Int): List[List[String]] =
+    if (word.isEmpty) List(Nil)
+    else (1 to math.min(P, word.length)).toList.flatMap { j =>
+      allSegs(word.substring(j), P).map(word.substring(0, j) :: _)
+    }
+
+  /** The engine's tie rule as a total order: higher score first, then the
+    * segmentation whose reversed piece-length sequence is lexicographically
+    * LARGER (the DP picks the longest last piece at every position).
+    */
+  private def better(a: (java.math.BigDecimal, List[String]),
+      b: (java.math.BigDecimal, List[String])): Boolean = {
+    val c = a._1.compareTo(b._1)
+    if (c != 0) c > 0
+    else {
+      val la = a._2.reverse.map(_.length)
+      val lb = b._2.reverse.map(_.length)
+      la.zip(lb).find { case (x, y) => x != y } match {
+        case Some((x, y)) => x > y
+        case None => la.length < lb.length
+      }
+    }
+  }
+
+  private def bruteforce(docs: org.apache.spark.sql.DataFrame)
+      : Map[String, (List[String], Double)] = {
+    val P = GraftConf.unigramMaxPiece
+    val lp = Unigram.unigramModelOf(docs).collect()
+      .map(r => r.getAs[String]("piece") -> r.getAs[java.math.BigDecimal]("lp")).toMap
+    graft.operators.Dedup.releaseIntermediates()
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "" &&
+        length(col("w")) <= GraftConf.unigramMaxWordLen)
+      .distinct().as[String].collect()
+    words.map { w =>
+      val cands = allSegs(w, P).filter(_.forall(lp.contains))
+        .map(s => (s.map(lp).reduce(_.add(_)), s))
+      val best = cands.reduce((a, b) => if (better(a, b)) a else b)
+      w -> (best._2,
+        java.math.BigDecimal.valueOf(best._1.doubleValue)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue)
+    }.toMap
+  }
+
+  test("every corpus word segments exactly as the brute-force optimum under the same model") {
+    val docs = sources.Tables.documents(spark, sf)
+    val expected = bruteforce(docs)
+    val got = Unigram.unigramSegment(spark, sf).collect()
+      .map(r => r.getAs[String]("word") ->
+        (r.getAs[String]("segmentation").split("\\|").toList,
+          r.getAs[Double]("score"), r.getAs[Long]("n_pieces"))).toMap
+    graft.operators.Dedup.releaseIntermediates()
+    assert(got.keySet == expected.keySet, "one verdict per bounded-length corpus word")
+    got.foreach { case (w, (seg, score, np)) =>
+      assert(seg == expected(w)._1, s"word '$w': $seg vs ${expected(w)._1}")
+      assert(score == expected(w)._2, s"word '$w' score: $score vs ${expected(w)._2}")
+      assert(np == seg.length && seg.mkString("") == w,
+        s"word '$w': pieces must tile the word exactly")
+    }
+  }
+
+  test("a frequent pair is learned as one piece: 'abab' segments as ab|ab, not chars") {
+    val docs = Seq((1L, "ab ab ab ab abab")).toDF("doc_id", "text")
+    val out = Unigram.unigramSegmentOf(docs).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[String]("segmentation")).toMap
+    graft.operators.Dedup.releaseIntermediates()
+    assert(out("abab") == "ab|ab", s"got ${out("abab")}")
+    assert(out("ab") == "ab")
+    // and the brute-force reference agrees on the planted corpus too
+    val expected = bruteforce(docs)
+    out.foreach { case (w, s) => assert(s.split("\\|").toList == expected(w)._1) }
+  }
+}

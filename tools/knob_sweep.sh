@@ -38,6 +38,9 @@ CONF+=";spark.graft.decontam.fuzzyEvalMod=23"
 CONF+=";spark.graft.decontam.semTau=0.3"
 CONF+=";spark.graft.qnb.evalMod=7"
 CONF+=";spark.graft.qnb.tauQint=60000"
+CONF+=";spark.graft.unigram.maxPiece=3"
+CONF+=";spark.graft.unigram.seedK=48"
+CONF+=";spark.graft.unigram.maxWordLen=10"
 CONF+=";spark.graft.ann.queries=7"
 CONF+=";spark.graft.ann.topK=4"
 CONF+=";spark.graft.ann.nprobe=3"
