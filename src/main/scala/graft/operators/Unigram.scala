@@ -147,7 +147,22 @@ object Unigram {
     * the two implementations stay independent formulations of the same
     * fixed-point.
     */
-  def unigramSegmentSql: String = {
+  def unigramSegmentSql: String =
+    "WITH " + unigramChainSql + "\n" +
+      s"""SELECT v.word, v.w, CAST(len(v.word) AS BIGINT) AS n_chars,
+         |  CAST(len(string_split(t.path, '|')) AS BIGINT) AS n_pieces,
+         |  t.path AS segmentation,
+         |  round(CAST(b.score AS DOUBLE), 4) AS score
+         |FROM uvw v
+         |JOIN ut$L t ON t.word = v.word
+         |JOIN ubb$L b ON b.word = v.word AND b.pos = len(v.word)
+         |ORDER BY v.word""".stripMargin
+
+  /** The shared model + unrolled-DP + backtrace CTE body (callers prepend
+    * `WITH ` and append their SELECT) — one string for every unigram
+    * consumer, the `minhashVerifiedCtes` discipline.
+    */
+  private def unigramChainSql: String = {
     val model =
       s"""uvw AS MATERIALIZED (
          |  SELECT word, CAST(count(*) AS BIGINT) AS w FROM (
@@ -221,14 +236,45 @@ object Unigram {
     // backtrace CTEs carry line-leading `||` string concats a second
     // stripMargin pass would corrupt into single pipes (the
     // quality_gate_report lesson, caught by the DuckDB binder in-round)
-    "WITH " + model + ",\n" + fwd + ",\n" + bt0 + ",\n" + bt + "\n" +
-      s"""SELECT v.word, v.w, CAST(len(v.word) AS BIGINT) AS n_chars,
-         |  CAST(len(string_split(t.path, '|')) AS BIGINT) AS n_pieces,
-         |  t.path AS segmentation,
-         |  round(CAST(b.score AS DOUBLE), 4) AS score
-         |FROM uvw v
-         |JOIN ut$L t ON t.word = v.word
-         |JOIN ubb$L b ON b.word = v.word AND b.pos = len(v.word)
-         |ORDER BY v.word""".stripMargin
+    model + ",\n" + fwd + ",\n" + bt0 + ",\n" + bt
   }
+
+  /** `unigram_fertility`: per-language corpus pricing under the unigram
+    * model — whitespace words vs unigram pieces, the direct side-by-side
+    * with `bpe_fertility` that the tokenizer-choice read needs (same
+    * grouping, same 4-dp ratio convention). One doc-grain word explode
+    * joined to the word→n_pieces table the DP already produces (vocab
+    * grain — AQE broadcasts it), then an O(languages) rollup.
+    */
+  def unigramFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val wp = unigramSegmentOf(docs).select(col("word"), col("n_pieces"))
+    val tok = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "" && length(col("word")) <= L)
+    tok.join(wp, Seq("word"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_pieces"))
+      .withColumn("fertility",
+        round(col("n_pieces").cast("double") / col("n_words"), 4))
+      .contractOrderBy("lang")
+  }
+
+  def unigramFertilitySql: String =
+    "WITH " + unigramChainSql + ",\n" +
+      s"""uwp AS MATERIALIZED (
+         |  SELECT word, CAST(len(string_split(path, '|')) AS BIGINT) AS n_pieces FROM ut$L
+         |), udtok AS (
+         |  SELECT doc_id, lang, word FROM (
+         |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+         |  ) WHERE word <> '' AND len(word) <= $L
+         |)
+         |SELECT d.lang, CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(p.n_pieces) AS BIGINT) AS n_pieces,
+         |  round(CAST(sum(p.n_pieces) AS DOUBLE) / count(*), 4) AS fertility
+         |FROM udtok d JOIN uwp p ON d.word = p.word
+         |GROUP BY d.lang
+         |ORDER BY d.lang""".stripMargin
 }

@@ -74,6 +74,26 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("unigram_fertility ≡ the per-word piece table rolled up over the corpus by language") {
+    val docs = sources.Tables.documents(spark, sf)
+    val np = Unigram.unigramSegment(spark, sf).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("n_pieces")).toMap
+    graft.operators.Dedup.releaseIntermediates()
+    val L = GraftConf.unigramMaxWordLen
+    val toks = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= L).collect()
+    val expected = toks.groupBy(_.getAs[String]("lang")).map { case (lang, rows) =>
+      lang -> (rows.map(_.getAs[Long]("doc_id")).distinct.length.toLong,
+        rows.length.toLong, rows.map(r => np(r.getAs[String]("w"))).sum)
+    }
+    val got = Unigram.unigramFertility(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"), r.getAs[Long]("n_pieces"))).toMap
+    graft.operators.Dedup.releaseIntermediates()
+    assert(got == expected)
+  }
+
   test("a frequent pair is learned as one piece: 'abab' segments as ab|ab, not chars") {
     val docs = Seq((1L, "ab ab ab ab abab")).toDF("doc_id", "text")
     val out = Unigram.unigramSegmentOf(docs).collect()
