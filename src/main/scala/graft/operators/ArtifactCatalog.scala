@@ -33,6 +33,7 @@ object ArtifactCatalog {
     "graft.winnow"    -> (_ => TextAnalysis.winnowFingerprintConf),
     "graft.linedd"    -> (_ => TextAnalysis.lineFingerprintConf),
     "graft.bpe"       -> (_ => Bpe.bpeFingerprint),
+    "graft.unigram"   -> (_ => Unigram.unigramFingerprint),
     "graft.lm.sbo"    -> (_ => LmIndex.sboFingerprint),
     "graft.nb"        -> (stored => NbIndex.fingerprintFor(stored)),
     "graft.ann.ivfpq" -> (stored => AnnIndex.fingerprintFor(stored)))

@@ -80,9 +80,16 @@ object Unigram {
   def unigramSegment(spark: SparkSession, dir: String): DataFrame =
     unigramSegmentOf(Tables.documents(spark, dir))
 
-  def unigramSegmentOf(docs: DataFrame): DataFrame = {
+  def unigramSegmentOf(docs: DataFrame): DataFrame =
+    segmentWithModel(docs, unigramModelOf(docs))
+
+  /** The DP over an EXPLICIT (piece, lp) model — the seam
+    * [[unigramSegmentFrom]]'s stored artifact feeds, so the stored path
+    * is the same arithmetic by construction.
+    */
+  private def segmentWithModel(docs: DataFrame, modelIn: DataFrame): DataFrame = {
     val vw = Intermediates.persist(vocabOf(docs))
-    val model = Intermediates.persist(unigramModelOf(docs))
+    val model = Intermediates.persist(modelIn)
     // candidate segments: piece ending at position e with length j
     val segs = Intermediates.persist(
       vw.select(col("word"), explode(expr(
@@ -138,6 +145,53 @@ object Unigram {
         col("path").as("segmentation"),
         round(col("score").cast("double"), 4).as("score"))
       .contractOrderBy("word")
+  }
+
+  // ------------------------------------------------------------------
+  // Stored tokenizer artifact — "train once, segment many" (the
+  // Bpe.writeMerges / NbIndex discipline): the seed piece model persists
+  // to parquet, conf-stamped, and the segment path runs the identical DP
+  // from the stored inventory without re-deriving it. At 100 TB the
+  // model trains once per corpus snapshot; every downstream pricing pass
+  // reads the artifact.
+  // ------------------------------------------------------------------
+
+  private val MetaKey = "graft.unigram"
+
+  /** Every knob that changes the stored bytes. */
+  def unigramFingerprint: String =
+    s"maxPiece=$P;seedK=$K;maxWordLen=$L"
+
+  /** Train the seed model on the corpus at `dir` and persist it. */
+  def writeModel(spark: SparkSession, dir: String, path: String): Unit = {
+    val m = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(MetaKey, unigramFingerprint).build()
+    unigramModelOf(Tables.documents(spark, dir))
+      .withColumn("piece", col("piece").as("piece", m))
+      .write.mode("overwrite").parquet(path)
+    Dedup.releaseIntermediates()
+  }
+
+  /** Segment any (doc_id, text) corpus's vocabulary from the STORED
+    * model — fails FAST on conf drift or a missing stamp (a model pruned
+    * at one seedK segmented under another inventory silently answers a
+    * different question). Bit-equal to [[unigramSegmentOf]] when the
+    * store was trained on the same corpus+conf (spec-asserted).
+    */
+  def unigramSegmentFrom(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
+    val stored = spark.read.parquet(path)
+    stored.schema.fields.find(_.name == "piece")
+      .filter(_.metadata.contains(MetaKey))
+      .map(_.metadata.getString(MetaKey)) match {
+      case None => throw new IllegalStateException(
+        s"stored unigram model at $path carries no $MetaKey conf stamp — not a " +
+          "graft-written artifact; refusing to segment against it blind")
+      case Some(fp) if fp != unigramFingerprint => throw new IllegalStateException(
+        s"stored unigram model at $path was trained with [$fp] but the live conf is " +
+          s"[$unigramFingerprint]; segmentations would silently differ — retrain or align")
+      case _ => ()
+    }
+    segmentWithModel(docs, stored.select(col("piece"), col("lp")))
   }
 
   /** Oracle: the identical seed model + the DP UNROLLED as a generated

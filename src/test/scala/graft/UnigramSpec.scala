@@ -94,6 +94,46 @@ class UnigramSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("stored model segments bit-equal to the in-plan path; drift and missing stamps fail fast") {
+    val path = java.nio.file.Files.createTempDirectory("graft-uni").toString + "/model"
+    Unigram.writeModel(spark, sf, path)
+    val docs = sources.Tables.documents(spark, sf)
+    val stored = Unigram.unigramSegmentFrom(spark, path, docs).collect().map(_.toString).toSeq
+    graft.operators.Dedup.releaseIntermediates()
+    val inPlan = Unigram.unigramSegment(spark, sf).collect().map(_.toString).toSeq
+    graft.operators.Dedup.releaseIntermediates()
+    assert(stored.nonEmpty && stored == inPlan)
+    // conf drift → refused
+    spark.conf.set("spark.graft.unigram.seedK", "48")
+    try {
+      val e = intercept[IllegalStateException] {
+        Unigram.unigramSegmentFrom(spark, path, docs)
+      }
+      assert(e.getMessage.contains("seedK=48") && e.getMessage.contains("seedK=64"))
+    } finally spark.conf.unset("spark.graft.unigram.seedK")
+    // unstamped copy → refused
+    val foreign = java.nio.file.Files.createTempDirectory("graft-unif").toString + "/model"
+    val df = spark.read.parquet(path)
+    df.select(df.columns.map(c =>
+        col(c).as(c, org.apache.spark.sql.types.Metadata.empty)): _*)
+      .write.mode("overwrite").parquet(foreign)
+    val e2 = intercept[IllegalStateException] {
+      Unigram.unigramSegmentFrom(spark, foreign, docs)
+    }
+    assert(e2.getMessage.contains("no graft.unigram conf stamp"))
+    // the artifact catalog sees the store and flags drift
+    val root = path.stripSuffix("/model")
+    val clean = graft.operators.ArtifactCatalog.scan(spark, root)
+      .filter(col("kind") === "graft.unigram").collect()
+    assert(clean.nonEmpty && clean.forall(!_.getAs[Boolean]("drifted")))
+    spark.conf.set("spark.graft.unigram.maxPiece", "3")
+    try {
+      val drifted = graft.operators.ArtifactCatalog.scan(spark, root)
+        .filter(col("kind") === "graft.unigram").collect()
+      assert(drifted.nonEmpty && drifted.forall(_.getAs[Boolean]("drifted")))
+    } finally spark.conf.unset("spark.graft.unigram.maxPiece")
+  }
+
   test("a frequent pair is learned as one piece: 'abab' segments as ab|ab, not chars") {
     val docs = Seq((1L, "ab ab ab ab abab")).toDF("doc_id", "text")
     val out = Unigram.unigramSegmentOf(docs).collect()
