@@ -98,17 +98,26 @@ object Unigram {
           .as("s"))
         .select(col("word"), col("s.e").as("e"), col("s.j").as("j"), col("s.piece").as("piece"))
         .join(broadcast(model.select(col("piece"), col("lp"))), Seq("piece")))
+    // The DP only needs levels up to the corpus's ACTUAL longest word —
+    // the conf bound is a ceiling, and every level past maxLen would be
+    // an empty frame costing a job. One bounded driver scalar (the BPE
+    // argmax-collect discipline) prunes the loop.
+    val maxLen = math.min(L,
+      vw.agg(max(length(col("word")))).head.getInt(0))
     // forward DP: bb holds (word, pos, best score, argmax last-piece len).
-    // Each level's rows are EAGERLY localCheckpoint-ed before unioning:
-    // level i's candidates join the running union, so without truncation
-    // the logical plan doubles per level (bb_{i-1} appears both under the
+    // Each LEVEL's rows (one tiny vocab-grain frame, never the running
+    // union) are eagerly localCheckpoint-ed before unioning: level i's
+    // candidates join the running union, so without truncation the
+    // logical plan doubles per level (bb_{i-1} appears both under the
     // new level's join and as the union's left arm) and analysis goes
-    // exponential in L — the BPE RematEvery discipline, here per level
-    // because each level is one tiny vocab-grain job.
+    // exponential — the BPE RematEvery discipline. Checkpointing the
+    // union instead would re-materialize every prior level each time
+    // (measured 3× slower in-round); the per-level leaf keeps bb a flat
+    // union of materialized leaves at one small job per position.
     var bb = vw.select(col("word"), lit(0).as("pos"),
       lit(0).cast("decimal(18,6)").as("score"), lit(0).as("bj"))
       .localCheckpoint(true)
-    for (i <- 1 to L) {
+    for (i <- 1 to maxLen) {
       val cand = segs.filter(col("e") === i).as("s")
         .join(bb.as("b"),
           expr(s"s.word = b.word AND b.pos = ${i} - s.j"))
@@ -126,7 +135,7 @@ object Unigram {
     // backtrace: walk pos down by the recorded argmax piece lengths
     var t = vw.select(col("word"), length(col("word")).cast("int").as("pos"),
       lit("").as("path"))
-    for (_ <- 1 to L) {
+    for (_ <- 1 to maxLen) {
       t = t.join(bb, Seq("word", "pos"))
         .select(col("word"),
           when(col("pos") > 0, col("pos") - col("bj")).otherwise(col("pos")).as("pos2"),
