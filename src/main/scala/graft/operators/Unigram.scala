@@ -47,8 +47,10 @@ object Unigram {
   private def K: Int = GraftConf.unigramSeedK
   private def L: Int = GraftConf.unigramMaxWordLen
 
-  /** Weighted distinct words within the DP's length bound. */
-  private def vocabOf(docs: DataFrame): DataFrame =
+  /** Weighted distinct words within the DP's length bound (shared with
+    * [[WordPiece]] — both tokenizers price the same vocabulary).
+    */
+  private[graft] def vocabOf(docs: DataFrame): DataFrame =
     docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "" && length(col("word")) <= L)
       .groupBy("word").agg(count(lit(1)).as("w"))
@@ -87,7 +89,7 @@ object Unigram {
     * [[unigramSegmentFrom]]'s stored artifact feeds, so the stored path
     * is the same arithmetic by construction.
     */
-  private def segmentWithModel(docs: DataFrame, modelIn: DataFrame): DataFrame = {
+  private[graft] def segmentWithModel(docs: DataFrame, modelIn: DataFrame): DataFrame = {
     val vw = Intermediates.persist(vocabOf(docs))
     val model = Intermediates.persist(modelIn)
     // candidate segments: piece ending at position e with length j
@@ -225,43 +227,53 @@ object Unigram {
     * `WITH ` and append their SELECT) — one string for every unigram
     * consumer, the `minhashVerifiedCtes` discipline.
     */
-  private def unigramChainSql: String = {
-    val model =
-      s"""uvw AS MATERIALIZED (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS w FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
-         |  ) WHERE word <> '' AND len(word) <= $L GROUP BY word
-         |), usub AS MATERIALIZED (
-         |  SELECT piece, CAST(sum(w) AS BIGINT) AS cnt FROM (
-         |    SELECT v.word, v.w, substr(v.word, e.e - j.j + 1, j.j) AS piece
-         |    FROM uvw v
-         |    CROSS JOIN (SELECT unnest(generate_series(1, $L)) AS e) e
-         |    CROSS JOIN (SELECT unnest(generate_series(1, $P)) AS j) j
-         |    WHERE e.e <= len(v.word) AND j.j <= least($P, e.e)
-         |  ) GROUP BY piece
-         |), ukept AS MATERIALIZED (
-         |  SELECT piece, cnt FROM usub WHERE len(piece) = 1
-         |  UNION ALL
-         |  SELECT piece, cnt FROM (
-         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
-         |    FROM usub WHERE len(piece) >= 2
-         |  ) WHERE rn <= $K
-         |), utot AS MATERIALIZED (
-         |  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ukept
-         |), upc AS MATERIALIZED (
-         |  SELECT piece,
-         |    CAST(round(ln(CAST(cnt AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM utot)), 6) AS DECIMAL(18,6)) AS lp
-         |  FROM ukept
-         |), usegs AS MATERIALIZED (
-         |  SELECT v.word, e.e, j.j, p.lp
-         |  FROM uvw v
-         |  CROSS JOIN (SELECT unnest(generate_series(1, $L)) AS e) e
-         |  CROSS JOIN (SELECT unnest(generate_series(1, $P)) AS j) j
-         |  JOIN upc p ON p.piece = substr(v.word, e.e - j.j + 1, j.j)
-         |  WHERE e.e <= len(v.word) AND j.j <= least($P, e.e)
-         |), ubb0 AS MATERIALIZED (
-         |  SELECT word, 0 AS pos, CAST(0 AS DECIMAL(18,6)) AS score, 0 AS bj FROM uvw
-         |)""".stripMargin
+  /** The seed-model CTEs alone (uvw/usub/ukept/utot/upc) — shared with
+    * [[WordPiece]]'s oracle so both tokenizers provably price the same
+    * frozen inventory.
+    */
+  private[graft] def modelCoreSql: String =
+    s"""uvw AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |  ) WHERE word <> '' AND len(word) <= $L GROUP BY word
+       |), usub AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(w) AS BIGINT) AS cnt FROM (
+       |    SELECT v.word, v.w, substr(v.word, e.e - j.j + 1, j.j) AS piece
+       |    FROM uvw v
+       |    CROSS JOIN (SELECT unnest(generate_series(1, $L)) AS e) e
+       |    CROSS JOIN (SELECT unnest(generate_series(1, $P)) AS j) j
+       |    WHERE e.e <= len(v.word) AND j.j <= least($P, e.e)
+       |  ) GROUP BY piece
+       |), ukept AS MATERIALIZED (
+       |  SELECT piece, cnt FROM usub WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |    FROM usub WHERE len(piece) >= 2
+       |  ) WHERE rn <= $K
+       |), utot AS MATERIALIZED (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ukept
+       |), upc AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(round(ln(CAST(cnt AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM utot)), 6) AS DECIMAL(18,6)) AS lp
+       |  FROM ukept
+       |)""".stripMargin
+
+  /** The DP's candidate table + level-0 row, end-position keyed. */
+  private def segBlocksSql: String =
+    s"""usegs AS MATERIALIZED (
+       |  SELECT v.word, e.e, j.j, p.lp
+       |  FROM uvw v
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $L)) AS e) e
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $P)) AS j) j
+       |  JOIN upc p ON p.piece = substr(v.word, e.e - j.j + 1, j.j)
+       |  WHERE e.e <= len(v.word) AND j.j <= least($P, e.e)
+       |), ubb0 AS MATERIALIZED (
+       |  SELECT word, 0 AS pos, CAST(0 AS DECIMAL(18,6)) AS score, 0 AS bj FROM uvw
+       |)""".stripMargin
+
+  private[graft] def unigramChainSql: String = {
+    val model = modelCoreSql + ",\n" + segBlocksSql
     val fwd = (1 to L).map { i =>
       s"""uc$i AS MATERIALIZED (
          |  SELECT s.word, s.j, CAST(b.score + s.lp AS DECIMAL(18,6)) AS sc
