@@ -189,7 +189,16 @@ object Unigram {
     * different question). Bit-equal to [[unigramSegmentOf]] when the
     * store was trained on the same corpus+conf (spec-asserted).
     */
-  def unigramSegmentFrom(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
+  def unigramSegmentFrom(spark: SparkSession, path: String, docs: DataFrame): DataFrame =
+    segmentWithModel(docs, loadModel(spark, path))
+
+  /** Load + stamp-validate the stored piece model — the shared seam for
+    * every consumer of the artifact ([[unigramSegmentFrom]] and
+    * [[WordPiece.wordpieceSegmentFrom]]: one trained inventory serves
+    * both inference rules, which is exactly how SentencePiece models are
+    * deployed).
+    */
+  private[graft] def loadModel(spark: SparkSession, path: String): DataFrame = {
     val stored = spark.read.parquet(path)
     stored.schema.fields.find(_.name == "piece")
       .filter(_.metadata.contains(MetaKey))
@@ -202,7 +211,7 @@ object Unigram {
           s"[$unigramFingerprint]; segmentations would silently differ — retrain or align")
       case _ => ()
     }
-    segmentWithModel(docs, stored.select(col("piece"), col("lp")))
+    stored.select(col("piece"), col("lp"))
   }
 
   /** Oracle: the identical seed model + the DP UNROLLED as a generated

@@ -110,6 +110,18 @@ object WordPiece {
         round(col("sc").cast("double"), 4).as("score"))
       .contractOrderBy("word")
 
+  /** Greedy-segment any (doc_id, text) corpus's vocabulary from the
+    * STORED unigram piece model ([[Unigram.writeModel]]) — one trained
+    * inventory serves BOTH inference rules, exactly how a SentencePiece
+    * model deploys (the artifact is the vocabulary; Viterbi vs MaxMatch
+    * is a serving-time choice). Stamp-validated via the shared
+    * [[Unigram.loadModel]] seam, so drift/missing-stamp fail-fast is
+    * identical; bit-equal to [[wordpieceSegment]] when the store was
+    * trained on the same corpus+conf (spec-asserted).
+    */
+  def wordpieceSegmentFrom(spark: SparkSession, path: String, docs: DataFrame): DataFrame =
+    greedyWithModel(docs, Unigram.loadModel(spark, path))
+
   /** The wordpiece CTE blocks (candidates by start, greedy successor,
     * doubling rounds) — callers prepend the shared model CTEs.
     */
