@@ -91,12 +91,14 @@ object ScaleProbe {
     val times = (1 to 3).map(_ => timeCrawl(spark, bigSets, bigBands, delta1))
     println(s"""{"probe":"base_x16_delta_x1","base_docs":${bigSets.count()},"sec_min":${times.min},"runs":[${times.mkString(",")}]}""")
 
-    embeddingProbes(spark)
-    fuzzyDecontamProbe(spark, docs)
-    winnowProbes(spark, docs)
-    bpeProbe(spark, docs)
-    annAppendProbe(spark)
-    semDecontamProbe(spark)
+    // same want() guards as the early-return branch — PROBE_ONLY=minhash
+    // must run ONLY the minhash family, not minhash plus everything else
+    if (want("embedding")) embeddingProbes(spark)
+    if (want("fuzzy")) fuzzyDecontamProbe(spark, docs)
+    if (want("winnow")) winnowProbes(spark, docs)
+    if (want("bpe")) bpeProbe(spark, docs)
+    if (want("annappend")) annAppendProbe(spark)
+    if (want("semdecon")) semDecontamProbe(spark)
     spark.stop()
   }
 

@@ -127,7 +127,8 @@ object AnnIndex {
     stamp(codes, "codes", residual = false).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$path/codes")
     stamp(cb, "cemb", residual = false).write.mode("overwrite").parquet(s"$path/codebooks")
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    stamp(cents, "cemb", residual = false).write.mode("overwrite")
+      .parquet(s"$path/centroids")
     Dedup.releaseIntermediates()
   }
 
@@ -155,7 +156,8 @@ object AnnIndex {
     stamp(codes, "codes", residual = true).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$path/codes")
     stamp(cb, "cemb", residual = true).write.mode("overwrite").parquet(s"$path/codebooks")
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    stamp(cents, "cemb", residual = true).write.mode("overwrite")
+      .parquet(s"$path/centroids")
     Dedup.releaseIntermediates()
   }
 
@@ -184,7 +186,13 @@ object AnnIndex {
     val residual = storedStamp(cb, "cemb").exists(_.contains("residual=true"))
     validateConf(cb, "cemb",
       s"stored IVF-PQ codebooks at $indexPath", residual)
+    // The centroids table is validated too (r11): an append encodes
+    // against it and PERSISTS the result into codes/, so foreign or
+    // drifted centroids would durably mis-assign cells — unlike the
+    // query paths, the damage would outlive the session.
     val cents = spark.read.parquet(s"$indexPath/centroids")
+    validateConf(cents, "cemb",
+      s"stored IVF-PQ centroids at $indexPath", residual)
     val scaled = Clustering.scaledEmbOf(embs)
     val codes = encodeWithArtifacts(scaled, cents, cb, residual)
     stamp(codes, "codes", residual).write.mode("append")

@@ -1304,15 +1304,23 @@ object Curation {
     * `doc_id % FuzzyEvalMod == 0` seam [[corpusCurateFrom]] already uses
     * (applied to `vec_id` for the embedding rung: vec_id ≡ doc_id, so
     * the carving is the same id set) — so every column counts hits
-    * against the SAME benchmark, train grain is identical on all sides,
-    * and the inner joins are lossless.
+    * against the SAME benchmark and train grain is identical on all
+    * sides. The semantic rung joins LEFT (sm = false when a train doc
+    * has no embedding row): the report's train-doc population is defined
+    * by the document table, never shrunk to the embedded subset.
     *
     * Scale: all three sweeps are the existing broadcast-against-benchmark
     * pipelines; the composition adds doc_id equi-joins (AQE broadcasts
     * the hit-sized sides) and an O(sources) rollup.
     */
-  def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def contaminationReport(spark: SparkSession, dir: String): DataFrame =
+    contaminationReportFrom(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir))
+
+  /** The report over explicit (documents, embeddings) frames — the seam
+    * the missing-embedding-row contract is spec'd through.
+    */
+  def contaminationReportFrom(docs: DataFrame, embs: DataFrame): DataFrame = {
     val isEval = col("doc_id") % FuzzyEvalMod === 0
     val src = docs.filter(!isEval).select(col("doc_id"), col("source"))
     val exact = decontaminateFrom(docs, isEval)
@@ -1322,12 +1330,17 @@ object Curation {
     // the THIRD rung (r10): vec_id ≡ doc_id and the carving modulus is
     // the same, so all three columns audit ONE benchmark set and the
     // inner joins stay lossless
-    val sem = decontaminateSemanticFrom(Tables.embeddings(spark, dir),
+    val sem = decontaminateSemanticFrom(embs,
         col("vec_id") % FuzzyEvalMod === 0)
-      .select(col("vec_id").as("doc_id"), col("contaminated").as("sm"))
+      .select(col("vec_id").as("doc_id"), col("contaminated").as("sm0"))
+    // semantic verdicts join LEFT (r11): a train doc with no embedding
+    // row simply lacks the semantic rung (sm = false) — an inner join
+    // would silently shrink the whole report's train-doc population (and
+    // the exact/fuzzy counts with it) to the embedded subset
     src.join(exact, Seq("doc_id"))
       .join(fuzzy, Seq("doc_id"))
-      .join(sem, Seq("doc_id"))
+      .join(sem, Seq("doc_id"), "left")
+      .withColumn("sm", coalesce(col("sm0"), lit(false)))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_train_docs"),
         sum(when(col("ex"), 1L).otherwise(0L)).as("n_exact"),
@@ -1354,12 +1367,12 @@ object Curation {
        |SELECT d.source, count(*) AS n_train_docs,
        |  CAST(sum(CASE WHEN ex.ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
        |  CAST(sum(CASE WHEN fz.fz THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy,
-       |  CAST(sum(CASE WHEN sm.sm THEN 1 ELSE 0 END) AS BIGINT) AS n_sem,
-       |  CAST(sum(CASE WHEN ex.ex OR fz.fz OR sm.sm THEN 1 ELSE 0 END) AS BIGINT) AS n_any
+       |  CAST(sum(CASE WHEN COALESCE(sm.sm, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_sem,
+       |  CAST(sum(CASE WHEN ex.ex OR fz.fz OR COALESCE(sm.sm, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_any
        |FROM documents d
        |JOIN ex ON d.doc_id = ex.doc_id
        |JOIN fz ON d.doc_id = fz.doc_id
-       |JOIN sm ON d.doc_id = sm.doc_id
+       |LEFT JOIN sm ON d.doc_id = sm.doc_id
        |GROUP BY d.source
        |ORDER BY d.source""".stripMargin
 

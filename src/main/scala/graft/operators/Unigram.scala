@@ -103,9 +103,13 @@ object Unigram {
     // The DP only needs levels up to the corpus's ACTUAL longest word —
     // the conf bound is a ceiling, and every level past maxLen would be
     // an empty frame costing a job. One bounded driver scalar (the BPE
-    // argmax-collect discipline) prunes the loop.
+    // argmax-collect discipline) prunes the loop. An empty vocabulary
+    // (empty corpus, or every word past the length bound) aggregates to
+    // NULL — read nullable and fall to 0 levels, so the result is the
+    // empty contract-shaped frame instead of an NPE.
     val maxLen = math.min(L,
-      vw.agg(max(length(col("word")))).head.getInt(0))
+      Option(vw.agg(max(length(col("word")))).head.get(0))
+        .map(_.asInstanceOf[Int]).getOrElse(0))
     // forward DP: bb holds (word, pos, best score, argmax last-piece len).
     // Each LEVEL's rows (one tiny vocab-grain frame, never the running
     // union) are eagerly localCheckpoint-ed before unioning: level i's
@@ -134,9 +138,13 @@ object Unigram {
         .localCheckpoint(true)
       bb = bb.unionByName(level)
     }
-    // backtrace: walk pos down by the recorded argmax piece lengths
+    // backtrace: walk pos down by the recorded argmax piece lengths.
+    // np counts pieces AS the walk takes them — n_pieces must never be
+    // re-derived by re-splitting the '|'-joined path (a corpus word
+    // containing '|' would silently inflate it); the DP's own step count
+    // is the authoritative figure in both engines.
     var t = vw.select(col("word"), length(col("word")).cast("int").as("pos"),
-      lit("").as("path"))
+      lit("").as("path"), lit(0L).as("np"))
     for (_ <- 1 to maxLen) {
       t = t.join(bb, Seq("word", "pos"))
         .select(col("word"),
@@ -144,15 +152,16 @@ object Unigram {
           when(col("pos") > 0,
             concat(expr("substring(word, pos - bj + 1, bj)"),
               when(col("path") === "", lit("")).otherwise(lit("|")), col("path")))
-            .otherwise(col("path")).as("path"))
+            .otherwise(col("path")).as("path"),
+          when(col("pos") > 0, col("np") + 1L).otherwise(col("np")).as("np"))
         .withColumnRenamed("pos2", "pos")
     }
     val fin = bb.select(col("word").as("fword"), col("pos").as("fpos"), col("score"))
-    vw.join(t.select(col("word"), col("path")), Seq("word"))
+    vw.join(t.select(col("word"), col("path"), col("np")), Seq("word"))
       .join(fin, col("word") === col("fword") &&
         col("fpos") === length(col("word")).cast("int"))
       .select(col("word"), col("w"), length(col("word")).cast("long").as("n_chars"),
-        size(split(col("path"), "\\|")).cast("long").as("n_pieces"),
+        col("np").as("n_pieces"),
         col("path").as("segmentation"),
         round(col("score").cast("double"), 4).as("score"))
       .contractOrderBy("word")
@@ -224,7 +233,7 @@ object Unigram {
   def unigramSegmentSql: String =
     "WITH " + unigramChainSql + "\n" +
       s"""SELECT v.word, v.w, CAST(len(v.word) AS BIGINT) AS n_chars,
-         |  CAST(len(string_split(t.path, '|')) AS BIGINT) AS n_pieces,
+         |  t.np AS n_pieces,
          |  t.path AS segmentation,
          |  round(CAST(b.score AS DOUBLE), 4) AS score
          |FROM uvw v
@@ -303,7 +312,8 @@ object Unigram {
     }.mkString(",\n")
     val bt0 =
       s"""ut0 AS MATERIALIZED (
-         |  SELECT word, CAST(len(word) AS INTEGER) AS pos, '' AS path FROM uvw
+         |  SELECT word, CAST(len(word) AS INTEGER) AS pos, '' AS path,
+         |    CAST(0 AS BIGINT) AS np FROM uvw
          |)""".stripMargin
     val bt = (1 to L).map { k =>
       s"""ut$k AS MATERIALIZED (
@@ -312,7 +322,8 @@ object Unigram {
          |    CASE WHEN t.pos > 0
          |      THEN substr(t.word, t.pos - b.bj + 1, b.bj)
          |        || (CASE WHEN t.path = '' THEN '' ELSE '|' END) || t.path
-         |      ELSE t.path END AS path
+         |      ELSE t.path END AS path,
+         |    CASE WHEN t.pos > 0 THEN t.np + 1 ELSE t.np END AS np
          |  FROM ut${k - 1} t JOIN ubb$L b ON b.word = t.word AND b.pos = t.pos
          |)""".stripMargin
     }.mkString(",\n")
@@ -348,7 +359,7 @@ object Unigram {
   def unigramFertilitySql: String =
     "WITH " + unigramChainSql + ",\n" +
       s"""uwp AS MATERIALIZED (
-         |  SELECT word, CAST(len(string_split(path, '|')) AS BIGINT) AS n_pieces FROM ut$L
+         |  SELECT word, np AS n_pieces FROM ut$L
          |), udtok AS (
          |  SELECT doc_id, lang, word FROM (
          |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents

@@ -86,7 +86,11 @@ object WordPiece {
     // ceil(log2(maxLen)) rounds finish every walk from pos 0. Each round's
     // frame is eagerly localCheckpoint-ed — the self-join would otherwise
     // double the logical plan per round (the Unigram/Bpe discipline).
-    val maxLen = math.min(L, vw.agg(max(length(col("word")))).head.getInt(0))
+    // Empty vocabulary aggregates to NULL — read nullable and fall to 0
+    // so the walk degrades to the empty contract-shaped frame, not an NPE.
+    val maxLen = math.min(L,
+      Option(vw.agg(max(length(col("word")))).head.get(0))
+        .map(_.asInstanceOf[Int]).getOrElse(0))
     val rounds = 32 - Integer.numberOfLeadingZeros(math.max(maxLen - 1, 1))
     for (_ <- 1 to rounds) {
       val fin = frag.filter(col("nxt") >= length(col("word")))
@@ -213,7 +217,7 @@ object WordPiece {
   def tokenizerCompareSql: String =
     "WITH " + Unigram.unigramChainSql + ",\n" + wpChainSql + ",\n" +
       s"""cuni AS MATERIALIZED (
-         |  SELECT word, CAST(len(string_split(path, '|')) AS BIGINT) AS up, path AS useg
+         |  SELECT word, np AS up, path AS useg
          |  FROM ut$L
          |), cwp AS MATERIALIZED (
          |  SELECT word, np AS wp, path AS wseg FROM ${wpFinal} WHERE pos = 0

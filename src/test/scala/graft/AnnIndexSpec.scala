@@ -150,6 +150,22 @@ class AnnIndexSpec extends SparkSpec {
       AnnIndex.appendToIvfPq(spark, foreign, delta)
     }
     assert(e2.getMessage.contains("no graft.ann.ivfpq conf stamp"), e2.getMessage)
+    // valid codebooks but FOREIGN (unstamped) centroids must also be
+    // refused (r11 advice): an append encodes against the centroids and
+    // persists the codes, so drifted centroids would durably mis-assign
+    // cells — the codebook check alone cannot catch a swapped centroid table
+    val foreign2 = java.nio.file.Files.createTempDirectory("graft-annindex-f2").toString
+    spark.read.parquet(s"$path/codebooks").write.mode("overwrite")
+      .parquet(s"$foreign2/codebooks")
+    val ctRaw = spark.read.parquet(s"$path/centroids")
+    ctRaw.select(ctRaw.columns.map(c =>
+        col(c).as(c, org.apache.spark.sql.types.Metadata.empty)): _*)
+      .write.mode("overwrite").parquet(s"$foreign2/centroids")
+    val e3 = intercept[IllegalStateException] {
+      AnnIndex.appendToIvfPq(spark, foreign2, delta)
+    }
+    assert(e3.getMessage.contains("centroids") &&
+      e3.getMessage.contains("no graft.ann.ivfpq conf stamp"), e3.getMessage)
     Dedup.releaseIntermediates()
   }
 

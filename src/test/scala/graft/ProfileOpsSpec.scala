@@ -179,6 +179,29 @@ class ProfileOpsSpec extends SparkSpec {
     operators.Intermediates.release()
   }
 
+  test("contamination_report: a train doc without an embedding row stays in the population (sm = false), never drops (r11 advice)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+    val full = operators.Curation.contaminationReportFrom(docs, embs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_train_docs"), r.getAs[Long]("n_sem"))).toMap
+    operators.Intermediates.release()
+    // drop the embedding rows of an arbitrary slice of NON-eval docs: the
+    // semantic rung loses its verdict there, but the report's train-doc
+    // population is defined by the DOCUMENT table and must not shrink
+    val gap = col("vec_id") % operators.Curation.FuzzyEvalMod =!= 0 &&
+      col("vec_id") % 3 === 1
+    val holey = operators.Curation.contaminationReportFrom(docs, embs.filter(!gap))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_train_docs"), r.getAs[Long]("n_sem"))).toMap
+    operators.Intermediates.release()
+    assert(holey.view.mapValues(_._1).toMap == full.view.mapValues(_._1).toMap,
+      "n_train_docs must be the document population, not the embedded subset")
+    // and a doc with no embedding row can only LOWER n_sem, never error
+    holey.foreach { case (s, (_, sm)) => assert(sm <= full(s)._2) }
+  }
+
   test("quality_gate_report: the four cells partition every source and agree with the composed filters") {
     import org.apache.spark.sql.functions._
     val rep = operators.Curation.qualityGateReport(spark, sf).collect()

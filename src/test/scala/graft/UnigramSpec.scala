@@ -134,6 +134,39 @@ class UnigramSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.unigram.maxPiece")
   }
 
+  test("empty vocabulary degrades to the empty contract frame, not an NPE (r11 advice)") {
+    // empty corpus AND every-word-over-the-length-bound both leave the
+    // vocabulary empty; the DP's maxLen aggregate is NULL there
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val tooLong = Seq((1L, "a".repeat(GraftConf.unigramMaxWordLen + 1)))
+      .toDF("doc_id", "text")
+    for (docs <- Seq(empty, tooLong)) {
+      val u = Unigram.unigramSegmentOf(docs)
+      assert(u.columns.toSeq == Seq("word", "w", "n_chars", "n_pieces",
+        "segmentation", "score") && u.count() == 0)
+      val wp = graft.operators.WordPiece.greedyWithModel(docs,
+        Unigram.unigramModelOf(docs))
+      assert(wp.columns.toSeq == u.columns.toSeq && wp.count() == 0)
+      graft.operators.Dedup.releaseIntermediates()
+    }
+  }
+
+  test("a corpus word containing '|' cannot inflate n_pieces: the DP's own step count is emitted, never a path re-split") {
+    // 'a|b' is frequent enough that the whole word survives pruning as a
+    // single piece — the optimal segmentation is 1 piece, while
+    // re-splitting the joined path on '|' would misread it as 2
+    val docs = Seq((1L, "a|b a|b a|b cd")).toDF("doc_id", "text")
+    val out = Unigram.unigramSegmentOf(docs).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("n_pieces")).toMap
+    graft.operators.Dedup.releaseIntermediates()
+    assert(out("a|b") == 1L, s"DP picks the whole-word piece: $out")
+    val wp = graft.operators.WordPiece.greedyWithModel(docs,
+        Unigram.unigramModelOf(docs)).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("n_pieces")).toMap
+    graft.operators.Dedup.releaseIntermediates()
+    assert(wp("a|b") == 1L, s"greedy MaxMatch takes the longest piece: $wp")
+  }
+
   test("a frequent pair is learned as one piece: 'abab' segments as ab|ab, not chars") {
     val docs = Seq((1L, "ab ab ab ab abab")).toDF("doc_id", "text")
     val out = Unigram.unigramSegmentOf(docs).collect()
