@@ -265,6 +265,64 @@ object Clustering {
       .contractOrderBy("cell", "rank")
   }
 
+  /** `topic_mix_report` (r11): the SOURCE × CELL composition matrix —
+    * for every crawl source, how its documents distribute over the
+    * trained kmeans cells (doc count + integer basis-point share of the
+    * source's embedded docs). [[clusterTopics]] names the cells; this is
+    * the read that uses those names per SOURCE: "crawl X is 60% cell 7"
+    * is the what's-in-my-crawl dashboard, the between-crawls topic-drift
+    * alarm (a source whose cell mix jumps changed what it serves —
+    * the embedding-space twin of `script_profile`'s codepoint mix), and
+    * the input a `domain_mix_sample` weighting decision actually wants
+    * (balance by TOPIC mass, not by source label). Same shared
+    * [[assignedCellsOf]] seam as every cell consumer, so the matrix
+    * describes exactly the geometry SemDeDup/IVF/prune act on; vec_id ≡
+    * doc_id links the source column.
+    *
+    * Determinism: counts are exact integers; `share_bp` is pure integer
+    * division (`n_docs·10000 div src_docs`) — no float ever decides a
+    * reported value. Scale: the assignment is the one broadcast corpus
+    * scan; the rollup is a (source, cell)-grain map-side-combined count
+    * (≤ sources × K rows) + an O(sources) totals join. No windows.
+    */
+  def topicMixReport(spark: SparkSession, dir: String): DataFrame =
+    topicMixReportOf(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  /** Core over explicit (doc_id, source) + (vec_id, embedding) relations —
+    * specs plant separated clusters with known per-source mixes.
+    */
+  def topicMixReportOf(docs: DataFrame, embs: DataFrame): DataFrame = {
+    val cells = assignedCellsOf(embs)
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val perCell = docs.select(col("doc_id"), col("source"))
+      .join(cells, "doc_id")
+      .groupBy(col("source"), col("cell"))
+      .agg(count(lit(1)).as("n_docs"))
+    val perSrc = perCell.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("src_docs"))
+    perCell.join(perSrc, "source")
+      .withColumn("share_bp", expr("n_docs * 10000 div src_docs"))
+      .select(col("source"), col("cell").cast("long").as("cell"),
+        col("n_docs"), col("src_docs"), col("share_bp"))
+      .contractOrderBy("source", "cell")
+  }
+
+  def topicMixReportSql: String =
+    s"""WITH $kmeansCtesSql,
+       |$assignedCteSql,
+       |tmx AS (
+       |  SELECT d.source, a.cell, count(*) AS n_docs
+       |  FROM documents d JOIN assigned a ON d.doc_id = a.vec_id
+       |  GROUP BY d.source, a.cell
+       |), tms AS (
+       |  SELECT source, CAST(sum(n_docs) AS BIGINT) AS src_docs FROM tmx GROUP BY source
+       |)
+       |SELECT x.source, CAST(x.cell AS BIGINT) AS cell,
+       |  CAST(x.n_docs AS BIGINT) AS n_docs, s.src_docs,
+       |  CAST(x.n_docs * 10000 // s.src_docs AS BIGINT) AS share_bp
+       |FROM tmx x JOIN tms s ON x.source = s.source
+       |ORDER BY x.source, x.cell""".stripMargin
+
   /** `embedding_outliers` (r10): per-CELL robust outlier audit over the
     * embedding space — a vector whose distance-to-own-centroid deviates
     * > 3× MAD from its cell's median d2 is flagged (garbage vectors,

@@ -360,6 +360,89 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- ann_topk_bq --------------------------------------------------------
+
+  /** Hamming candidate pool per query (`spark.graft.ann.bqRerank`). */
+  def BqRerank: Int = GraftConf.annBqRerank
+
+  /** `ann_topk_bq`: BINARY quantization + Hamming pre-rank + exact
+    * re-rank — the cheapest rung of the quantization ladder (sign bit per
+    * dimension: 64-dim float32 = 256 B → 8 B of bits, a 32× cut below
+    * even `ann_topk_q8`'s 8×; the faiss `IndexBinaryFlat` / modern
+    * vector-DB "binary quantization" pre-filter shape). Candidates are
+    * the [[BqRerank]] Hamming-nearest sign patterns per query; only those
+    * raw vectors are touched for the exact cosine re-rank — at 100 TB the
+    * Hamming scan reads the bit table (xor + popcount, the cheapest
+    * possible distance) and the re-rank reads queries × BqRerank rows.
+    *
+    * Determinism: the sign bit is `x > 0` on the stored float bits
+    * (bit-identical in both engines; 0 → 0), Hamming is an exact integer,
+    * both the candidate cut (hamming asc, vec_id) and the final rank
+    * (4-dp cos desc, vec_id) order on values the engines hash-agree on.
+    *
+    * Two independent formulations (the `events_session_window`
+    * discipline): the engine packs bits 32-per-BIGINT and counts
+    * `bit_count(xor)` over the packed words — the real storage layout —
+    * while the oracle computes `Σa + Σb − 2·a·b` over the 0/1 vectors;
+    * the spec asserts the packed and arithmetic forms agree in-engine.
+    */
+  def annTopKBq(spark: SparkSession, dir: String): DataFrame =
+    annTopKBqOf(Tables.embeddings(spark, dir))
+
+  private[graft] def annTopKBqOf(embs: DataFrame): DataFrame = {
+    val bt = Intermediates.persist(embs
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      .withColumn("sbits", expr(
+        "transform(emb, x -> CASE WHEN x > 0D THEN 1L ELSE 0L END)"))
+      .withColumn("words", expr(
+        "transform(sequence(0, (size(sbits) + 31) div 32 - 1), " +
+          "w -> aggregate(slice(sbits, w * 32 + 1, 32), 0L, (acc, b) -> acc * 2L + b))"))
+      .select(col("vec_id"), col("emb"), col("words")))
+    val q = bt.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("words").as("qw"))
+    val ham = broadcast(q).join(bt, col("vec_id") =!= col("query_id"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(qw, words, (x, y) -> cast(bit_count(x ^ y) as bigint)), 0L, (a, b) -> a + b)"))
+    val cw = Window.partitionBy(col("query_id")).orderBy(col("hamming"), col("vec_id"))
+    val cand = ham.withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= BqRerank)
+      .withColumn("cos", round(expr("graft_dot(qemb, emb)"), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("hamming"), col("cos"))
+      .contractOrderBy("query_id", "rank")
+  }
+
+  def annTopKBqSql: String =
+    s"""WITH be AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+       |  FROM embeddings
+       |), bq AS (
+       |  SELECT vec_id AS query_id, emb AS qemb, bits AS qbits FROM be
+       |  WHERE vec_id < $NumQueries
+       |), bham AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id, q.qemb, e.emb,
+       |    CAST(list_sum(q.qbits) + list_sum(e.bits)
+       |      - 2 * list_inner_product(q.qbits, e.bits) AS BIGINT) AS hamming
+       |  FROM bq q JOIN be e ON e.vec_id <> q.query_id
+       |), bcand AS (
+       |  SELECT query_id, neighbor_id, hamming,
+       |    round(list_inner_product(qemb, emb), 4) AS cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS crank
+       |  FROM bham
+       |), branked AS (
+       |  SELECT query_id, neighbor_id, hamming, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM bcand WHERE crank <= $BqRerank
+       |)
+       |SELECT query_id, rank, neighbor_id, hamming, cos FROM branked
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   // ---- ann_topk_pq --------------------------------------------------------
 
   /** ADC candidate pool size (`spark.graft.ann.pqRerank`). */

@@ -1937,6 +1937,93 @@ object TextAnalysis {
       |FROM lp GROUP BY doc_id, n, n_distinct
       |ORDER BY doc_id""".stripMargin
 
+  // ---- ngram_novelty ------------------------------------------------------
+
+  /** `ngram_novelty` (r11): per NEW-crawl document, the fraction of its
+    * word n-grams never seen in the EXISTING corpus — the
+    * memorization/marginal-value audit of an incoming crawl (the Lee et
+    * al. 2022 / Carlini memorization framing run FORWARD: before paying
+    * to train on a crawl, measure how much of it is n-gram-new; a crawl
+    * whose novelty collapses is re-serving what the corpus already has,
+    * the per-DOC complement of `vocab_growth`'s corpus-level curve and
+    * the cheap pre-read before any dedup lane runs). Split is the
+    * `dedup_delta` carving: `doc_id % novelty.mod == 0` is the new
+    * crawl, everything else is the seen corpus.
+    *
+    * Per new doc: distinct n-grams, n-grams absent from the seen set,
+    * and `novelty_bp` in pure integer basis points (NULL for a doc too
+    * short to carry one n-gram — emitted, not dropped, so the scored
+    * population is the whole crawl). Grams cross the shuffle as 60-bit
+    * md5 longs (the `hs` discipline — 8 bytes, not strings) in BOTH
+    * engines, so the join key is bit-identical.
+    *
+    * Scale: seen side is ONE gram-grain distinct (map-side combined);
+    * scoring is one gram-grain key join + a doc-grain count — all
+    * corpus-linear, no windows. At 100 TB the seen-gram table is the
+    * persistable artifact (or its [[Curation.decontaminateBloomFrom]]
+    * sketch when only the flag matters).
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOf(Tables.documents(spark, dir))
+
+  def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    val k = GraftConf.noveltyNgram
+    val mod = GraftConf.noveltyMod
+    val parts = (1 to k).map(i => s"element_at(ws, i + $i)").mkString(", ")
+    val gramsExpr =
+      s"""CASE WHEN size(ws) >= $k
+         | THEN array_distinct(transform(sequence(0, size(ws) - $k),
+         |   i -> cast(conv(substr(md5(concat_ws(' ', $parts)), 1, 15), 16, 10) as bigint)))
+         | ELSE array() END""".stripMargin.replace("\n", "")
+    val g = docs.withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), expr(gramsExpr).as("gs"))
+    val isNew = col("doc_id") % mod === 0
+    val seen = g.filter(!isNew)
+      .select(explode(col("gs")).as("g")).distinct()
+      .withColumn("known", lit(true))
+    val newG = g.filter(isNew)
+      .select(col("doc_id"), explode_outer(col("gs")).as("g"))
+    newG.join(seen, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("g")).as("n_grams"),
+        sum(when(col("g").isNotNull && col("known").isNull, 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_bp",
+        when(col("n_grams") > 0, expr("n_novel * 10000 div n_grams")))
+      .contractOrderBy("doc_id")
+  }
+
+  def ngramNoveltySql: String = {
+    val k = GraftConf.noveltyNgram
+    val mod = GraftConf.noveltyMod
+    val parts = (0 until k).map(i => s"ws[i + $i]").mkString(" || ' ' || ")
+    val gramsSql =
+      s"""CASE WHEN len(ws) >= $k
+         | THEN list_distinct(list_transform(generate_series(1, len(ws) - ${k - 1}),
+         |   i -> CAST(('0x' || substr(md5($parts), 1, 15)) AS BIGINT)))
+         | ELSE CAST([] AS BIGINT[]) END""".stripMargin.replace("\n", "")
+    s"""WITH nvd AS (
+       |  SELECT doc_id, $gramsSql AS gs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |), nvseen AS (
+       |  SELECT DISTINCT unnest(gs) AS g FROM nvd WHERE doc_id % $mod <> 0
+       |), nvnew AS (
+       |  SELECT doc_id, unnest(gs) AS g FROM nvd WHERE doc_id % $mod = 0
+       |), nvcnt AS (
+       |  SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(CASE WHEN s.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |  FROM nvnew n LEFT JOIN nvseen s ON n.g = s.g
+       |  GROUP BY n.doc_id
+       |)
+       |SELECT d.doc_id, COALESCE(c.n_grams, 0) AS n_grams,
+       |  COALESCE(c.n_novel, 0) AS n_novel,
+       |  CASE WHEN COALESCE(c.n_grams, 0) > 0
+       |    THEN CAST(c.n_novel * 10000 // c.n_grams AS BIGINT) END AS novelty_bp
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % $mod = 0) d
+       |LEFT JOIN nvcnt c ON d.doc_id = c.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def dedupLinesSql: String = {
     val cw = GraftConf.lineChunkWords
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -421,6 +421,20 @@ package object operators {
       */
     def budgetTokens: Long = positive("spark.graft.budget.tokens", "4200").toLong
 
+    /** Binary-quantization candidate pool per query
+      * (`spark.graft.ann.bqRerank`): the exact re-rank touches this many
+      * Hamming-nearest raw vectors per query.
+      */
+    def annBqRerank: Int = positive("spark.graft.ann.bqRerank", "64")
+
+    /** Novelty-audit n-gram width in words (`spark.graft.novelty.ngram`). */
+    def noveltyNgram: Int = positive("spark.graft.novelty.ngram", "3")
+    /** Novelty-audit crawl split (`spark.graft.novelty.mod`): docs with
+      * `doc_id % mod == 0` are the NEW crawl scored against the rest —
+      * the `dedup_delta` carving convention.
+      */
+    def noveltyMod: Int = positive("spark.graft.novelty.mod", "10")
+
     // -- quality-filter bounds (integer percents: thresholds compare as
     //    exact integer cross-multiplies in both engines, never a float) --
     /** Minimum words per document (`spark.graft.quality.minWords`). */

@@ -583,6 +583,33 @@ object StreamOps {
         coalesce(col("hit"), lit(false)).as("in_base"), col("dup_in_doc"))
   }
 
+  /** Crawl-time EXACT-dedup tap (r11): every arriving doc content-hashed
+    * STATELESSLY (the [[graft.operators.Dedup.exactHashIndexOf]] hash —
+    * conf-free, nothing to drift) and stream-static left-joined against
+    * the stored (doc_id, content_hash) index. Emits one verdict row per
+    * arriving doc: `in_base` + the base group's canonical (min doc_id)
+    * and occupancy when hit — the first gate a crawl passes in
+    * production (byte-identical re-fetches are the bulk of crawl
+    * redundancy; dropping them here keeps every downstream lane's
+    * micro-batch small). Cross-arrival exact dups are the batch delta
+    * path's job ([[graft.operators.Dedup.dedupExactDeltaFrom]]), the
+    * [[lineDedupStream]] division of labor. Base index collapses to a
+    * hash-grain (canonical, count) rollup before the stream join, so
+    * join-state size tracks DISTINCT base contents, and no state at all
+    * lives on the stream side.
+    */
+  def exactDedupStream(docsStream: DataFrame, baseIndex: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val baseAgg = baseIndex.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("base_canonical"),
+        count(lit(1)).as("n_base"))
+    Dedup.exactHashIndexOf(docsStream)
+      .join(baseAgg, Seq("content_hash"), "left_outer")
+      .select(col("doc_id"), col("content_hash"),
+        col("base_canonical").isNotNull.as("in_base"),
+        col("base_canonical"), coalesce(col("n_base"), lit(0L)).as("n_base"))
+  }
+
   /** Crawl-time token pricing under a LEARNED tokenizer: every arriving
     * doc's word/BPE-token counts from the trained merge list — ZERO state,
     * ZERO joins. The merge rules ride as literals inside one nested

@@ -772,6 +772,43 @@ class EventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exactDedupStream: per-arrival verdicts equal the batch incremental exact lane") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sq = spark.sqlContext
+    val base = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    // arrivals: 10 re-serves base content (group canonical 1, n_base 2);
+    // 11 is fresh content
+    val streamRows = Seq((10L, "alpha beta gamma"), (11L, "zeta eta"))
+    val idx = Dedup.exactHashIndexOf(base).cache()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.exactDedupStream(mem.toDF().toDF("doc_id", "text"), idx)
+      .writeStream.format("memory").queryName("exactq").outputMode("append").start()
+    try {
+      mem.addData(streamRows.take(1)); q.processAllAvailable()
+      mem.addData(streamRows.drop(1)); q.processAllAvailable()
+      val got = spark.table("exactq").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Boolean]("in_base"),
+            Option(r.get(3)).map(_.asInstanceOf[Long]), r.getAs[Long]("n_base"))).toMap
+      assert(got(10L) == ((true, Some(1L), 2L)))
+      assert(got(11L) == ((false, None, 0L)))
+      // agreement with the batch incremental path on the same carving:
+      // every in_base arrival is exactly a batch 'dup_of_base' verdict
+      // with the same canonical
+      val batch = Dedup.dedupExactDeltaFrom(idx, streamRows.toDF("doc_id", "text"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("status"), r.getAs[Long]("canonical_doc"))).toMap
+      Dedup.releaseIntermediates()
+      assert(batch(10L) == (("dup_of_base", 1L)))
+      assert(batch(11L) == (("new", 11L)))
+      got.foreach { case (id, (inBase, canon, _)) =>
+        if (inBase) assert(batch(id)._1 == "dup_of_base" && canon.contains(batch(id)._2))
+      }
+    } finally { q.stop(); idx.unpersist() }
+  }
+
   test("streaming lineDedupStream: sink rollup equals batch dedup_lines on the merged corpus") {
     import spark.implicits._
     import graft.operators.TextAnalysis

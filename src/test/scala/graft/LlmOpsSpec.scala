@@ -241,6 +241,100 @@ class LlmOpsSpec extends SparkSpec {
     info(s"measured mean recall@${Similarity.TopK}: $mean")
   }
 
+  test("ann_topk_bq: packed-word Hamming ≡ a from-scratch sign count; re-ranked scores are exact cosines; recall measured") {
+    // third implementation: signs + Hamming computed in plain Scala from
+    // the raw embeddings (the engine packs 32 bits/BIGINT and xor-popcounts;
+    // the oracle uses sum arithmetic — this is the independent check on both)
+    val embs = sources.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(x => if (x > 0) 1 else 0))
+      .toMap
+    val out = Similarity.annTopKBq(spark, sf).collect()
+    graft.operators.Dedup.releaseIntermediates()
+    assert(out.length == Similarity.NumQueries * Similarity.TopK)
+    out.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      val expect = embs(q).zip(embs(n)).count { case (a, b) => a != b }
+      assert(r.getAs[Long]("hamming") == expect.toLong,
+        s"packed Hamming disagrees with the sign count at ($q, $n)")
+    }
+    // re-ranked scores are the EXACT cosine path's scores for shared pairs
+    val floatScores = Similarity.annTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cos")).toMap
+    out.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      floatScores.get(k).foreach(f => assert(r.getAs[Double]("cos") == f,
+        s"re-ranked score must be the exact cosine at $k"))
+    }
+    // recall vs exact — measured and recorded in SURVEY §4
+    val truth = floatScores.keySet.groupBy(_._1).view.mapValues(_.map(_._2))
+    val got = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = truth.map { case (q, t) =>
+      (got.getOrElse(q, Set.empty) & t.toSet).size.toDouble / t.size }.toSeq
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean BQ recall@${Similarity.TopK} $mean, per-query $recalls")
+    info(s"measured mean BQ recall@${Similarity.TopK}: $mean")
+  }
+
+  test("dedup_exact_delta: incremental ≡ full-corpus grouping restricted to delta; survives the parquet round-trip; planted statuses land") {
+    import org.apache.spark.sql.functions._
+    val inc = Dedup.dedupExactDelta(spark, sf).collect().map(_.toSeq).toSeq
+    Dedup.releaseIntermediates()
+    // full-corpus formulation (the oracle's shape, in-engine): md5 groups
+    // over ALL docs, restricted to delta rows
+    val docs = sources.Tables.documents(spark, sf)
+    val all = Dedup.exactHashIndexOf(docs)
+    val g = all.groupBy("content_hash").agg(
+      count(lit(1)).as("group_size"),
+      min(when(col("doc_id") % Dedup.DeltaIdMod =!= 0, col("doc_id"))).as("bm"),
+      min(when(col("doc_id") % Dedup.DeltaIdMod === 0, col("doc_id"))).as("dm"))
+    val full = all.filter(col("doc_id") % Dedup.DeltaIdMod === 0)
+      .join(g, "content_hash")
+      .withColumn("canonical_doc",
+        when(col("bm").isNull, col("dm")).otherwise(least(col("bm"), col("dm"))))
+      .withColumn("status",
+        when(col("group_size") === 1, "new")
+          .when(col("canonical_doc") === col("doc_id"), "first_copy")
+          .when(col("bm").isNotNull && col("canonical_doc") === col("bm"), "dup_of_base")
+          .otherwise("dup_in_delta"))
+      .select("doc_id", "content_hash", "canonical_doc", "group_size", "status")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(inc.nonEmpty && inc == full)
+    // stored-index path: parquet round-trip must be bit-identical
+    val dir = java.nio.file.Files.createTempDirectory("graft-exidx").toString
+    val isDelta = col("doc_id") % Dedup.DeltaIdMod === 0
+    Dedup.exactHashIndexOf(docs.filter(!isDelta))
+      .write.mode("overwrite").parquet(s"$dir/exact_idx")
+    val stored = Dedup.dedupExactDeltaFrom(
+        spark.read.parquet(s"$dir/exact_idx"), docs.filter(isDelta))
+      .collect().map(_.toSeq).toSeq
+    Dedup.releaseIntermediates()
+    assert(stored == inc)
+    // planted statuses: base twin → dup_of_base; delta-only twin pair →
+    // first_copy + dup_in_delta; unique delta doc → new
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "alpha beta gamma"),      // base
+      (10L, "alpha beta gamma"),     // delta, dup of base 1
+      (20L, "delta epsilon zeta"),   // delta, first copy of a delta-only pair
+      (30L, "delta epsilon zeta"),   // delta, dup of 20
+      (40L, "eta theta iota"))       // delta, new content
+      .toDF("doc_id", "text")
+    val pd = planted.filter(col("doc_id") % Dedup.DeltaIdMod === 0)
+    val verdicts = Dedup.dedupExactDeltaFrom(
+        Dedup.exactHashIndexOf(planted.filter(col("doc_id") % Dedup.DeltaIdMod =!= 0)), pd)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_doc"), r.getAs[Long]("group_size"),
+          r.getAs[String]("status"))).toMap
+    Dedup.releaseIntermediates()
+    assert(verdicts(10L) == ((1L, 2L, "dup_of_base")))
+    assert(verdicts(20L) == ((20L, 2L, "first_copy")))
+    assert(verdicts(30L) == ((20L, 2L, "dup_in_delta")))
+    assert(verdicts(40L) == ((40L, 1L, "new")))
+  }
+
   test("ann_topk_pq: trained codebooks, valid codes, ≥ 0.7 recall@k vs the float path") {
     import org.apache.spark.sql.functions._
     val scaled = graft.operators.Clustering.scaledEmbOf(

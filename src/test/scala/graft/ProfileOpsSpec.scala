@@ -145,6 +145,72 @@ class ProfileOpsSpec extends SparkSpec {
     Dedup.releaseIntermediates()
   }
 
+  test("minhash_recall_report ≡ the truth/detection pair tables rolled up by hand; accounting holds") {
+    val rep = graft.operators.Dedup.minhashRecallReport(spark, sf).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_truth"), r.getAs[Long]("n_detected"),
+          r.getAs[Long]("recall_bp"))).toMap
+    Dedup.releaseIntermediates()
+    assert(rep.nonEmpty && rep.values.map(_._1).sum > 0,
+      "the shipped corpus must carry above-tau truth pairs")
+    rep.values.foreach { case (t, d, bp) =>
+      assert(d <= t, "detection can never exceed truth")
+      assert(bp == d * 10000 / t, "recall_bp is the pure integer formula")
+    }
+    // hand rollup from the two pair queries the report composes: truth =
+    // the shingle-join population at the MinHash tau (dedup_ngram_jaccard's
+    // core), detection = dedup_minhash_lsh's pair set
+    val tau = Dedup.MinHashTau
+    val truth = Dedup.dedupNgramJaccard(spark, sf).collect()
+      .filter(_.getAs[Double]("jaccard") >= tau)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("inter"), r.getAs[Long]("na"), r.getAs[Long]("nb")))
+    Dedup.releaseIntermediates()
+    val det = Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    Dedup.releaseIntermediates()
+    val expected = truth.groupBy { case (_, (i, a, b)) => 20 * i / (a + b - i) }
+      .map { case (bucket, rows) =>
+        bucket -> (rows.length.toLong, rows.count(p => det.contains(p._1)).toLong)
+      }
+    assert(rep.view.mapValues(v => (v._1, v._2)).toMap == expected,
+      s"report $rep vs hand rollup $expected")
+    // NOTE: this identity relies on dedup_ngram_jaccard's tau <= MinHashTau
+    // in the shipped conf, so the re-filter above loses nothing
+    assert(Dedup.JaccardTau <= tau)
+  }
+
+  test("topic_mix_report ≡ the cell assignment joined to sources, rolled up by hand; shares account per source") {
+    val rep = graft.operators.Clustering.topicMixReport(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("cell")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("src_docs"),
+          r.getAs[Long]("share_bp"))).toMap
+    Dedup.releaseIntermediates()
+    assert(rep.nonEmpty)
+    // per-source accounting: cell counts partition the source total; the
+    // integer shares obey the floor formula and sum into (10000 - cells,
+    // 10000]
+    rep.groupBy(_._1._1).foreach { case (src, cells) =>
+      val total = cells.values.head._2
+      assert(cells.values.map(_._1).sum == total, s"$src cells must partition")
+      cells.foreach { case ((_, _), (n, t, bp)) => assert(bp == n * 10000 / t) }
+      val bpSum = cells.values.map(_._3).sum
+      assert(bpSum <= 10000 && bpSum > 10000 - cells.size,
+        s"$src share_bp sum $bpSum out of floor-division range")
+    }
+    // hand rollup over the same seam the operator composes
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val cellsOf = graft.operators.Clustering.assignedCellsOf(
+      graft.sources.Tables.embeddings(spark, sf)).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Number]("cell").longValue)
+    Dedup.releaseIntermediates()
+    val joined = cellsOf.flatMap { case (id, cell) => docs.get(id).map(s => (s, cell)) }
+    val expected = joined.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rep.view.mapValues(_._1).toMap == expected)
+  }
+
   // ---- contamination_report -----------------------------------------------
 
   test("contamination_report: per-source totals agree with the per-doc sweeps it composes") {

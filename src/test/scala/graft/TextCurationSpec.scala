@@ -431,6 +431,35 @@ class TextCurationSpec extends SparkSpec {
     assert(out(1L)._3 < out(2L)._3)
   }
 
+  test("ngram_novelty: planted half-novel crawl doc prices exactly; short doc emits NULL bp, never drops") {
+    // seen corpus (ids not ≡ 0 mod noveltyMod) carries grams of 'a b c d e';
+    // the new doc re-serves 'a b c' / 'b c d' / 'c d e' and adds three
+    // novel grams → 3 of 6 distinct trigrams novel = 5000 bp exactly
+    val mod = graft.operators.GraftConf.noveltyMod
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (mod.toLong, "a b c d e x y z"),
+      (2L * mod, "a b"))                    // too short for one trigram
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.ngramNoveltyOf(docs).collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out.keySet == Set(mod.toLong, 2L * mod),
+      "every new-crawl doc is scored, nothing else")
+    assert(out(mod.toLong) == ((6L, 3L, Some(5000L))), s"got ${out(mod.toLong)}")
+    assert(out(2L * mod) == ((0L, 0L, None)), "gram-less doc stays with NULL bp")
+    // real corpus: population = every %mod doc, bp within [0, 10000]
+    val real = graft.operators.TextAnalysis.ngramNovelty(spark, sf).collect()
+    val expectIds = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % mod === 0).count()
+    assert(real.length == expectIds)
+    real.foreach { r =>
+      Option(r.get(3)).map(_.asInstanceOf[Long]).foreach(bp =>
+        assert(bp >= 0L && bp <= 10000L))
+    }
+  }
+
   test("dedup_lines: untouched docs round-trip their text exactly") {
     val orig = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
