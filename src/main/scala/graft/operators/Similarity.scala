@@ -910,7 +910,17 @@ object Similarity {
       terms.indices.map(i =>
         sum(when(col(s"tf_$i") > 0, 1).otherwise(0)).cast("long").as(s"df_$i"))
     val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
-    val scored = withTf.crossJoin(broadcast(stats))
+    bm25RankOf(withTf.crossJoin(broadcast(stats)), terms)
+  }
+
+  /** The Okapi scoring + top-k tail over a prepared (doc_id, dl, tf_i…,
+    * n_docs, sum_dl, df_i…) frame — ONE arithmetic path shared by the
+    * corpus-scan query and the stored-postings query
+    * ([[PostingsIndex.bm25From]]), so the two can never drift by a float
+    * (the values feeding it are exact integers on both sides).
+    */
+  private[graft] def bm25RankOf(scoredIn: DataFrame, terms: Seq[String]): DataFrame = {
+    val scored = scoredIn
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
     val termW = terms.indices.map { i =>
       val idf = round(log((col("n_docs") - col(s"df_$i") + lit(0.5)) /
@@ -1133,6 +1143,151 @@ object Similarity {
        |  doc_id, r_dense, r_lex, rrf_s,
        |  round(CAST(rrf_s AS DOUBLE) / $RrfScale, 6) AS score
        |FROM fused
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---- ann_mmr_rerank ------------------------------------------------------
+
+  def MmrLambdaPct: Int = GraftConf.mmrLambdaPct
+  def MmrDepth: Int = GraftConf.mmrDepth
+
+  /** `ann_mmr_rerank` (r11): MAXIMAL MARGINAL RELEVANCE diversification
+    * (Carbonell & Goldstein 1998 — the standard redundancy-aware re-rank;
+    * in a dedup-aware retrieval stack it is the query-time complement of
+    * SemDeDup's corpus-time pruning): greedily select topK of the
+    * [[MmrDepth]] relevance-ranked candidates, each step taking the
+    * argmax of `λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s)` — a result
+    * list of near-identical neighbors (exactly what a deduplicated-but-
+    * not-perfectly corpus returns) trades its redundant tail for
+    * coverage.
+    *
+    * Determinism (§5): rel and pairwise sims are the standard 4-dp
+    * cosines SCALED TO INTEGERS (`floor(round(cos,4)·10000 + 0.5)` —
+    * exact, never a float compare), λ is the integer
+    * [[MmrLambdaPct]], so the greedy score `lambdaPct·rel10k −
+    * (100−lambdaPct)·maxsim10k` is pure BIGINT and the argmax (ties to
+    * lower vec_id) can never float-flip. Step 1 has an empty selected
+    * set: maxsim ≡ 0, so the seed is the relevance argmax.
+    *
+    * Scale shape: the candidate pool and its pairwise sim matrix are
+    * queries × depth(²) rows — driver-bounded tiny frames; the k-step
+    * greedy loop is k joins of those frames (localCheckpoint per step,
+    * the BPE/CC discipline — never a growing expression tree). The
+    * corpus-scale work is only the candidate generation, which reuses
+    * the existing ANN ranking (brute force here as the oracle-checkable
+    * baseline; production feeds the stored IVF-PQ list through the same
+    * selector).
+    *
+    * Oracle: the greedy loop UNROLLED as one generated CTE block per
+    * step (the kmeans/BPE discipline — loops in the engine become
+    * generated SQL, keeping the two implementations independent).
+    */
+  def annMmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val (lp, depth, k) = (MmrLambdaPct, MmrDepth, TopK)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val scored = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(expr("graft_dot(qemb, emb)"), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    val cand = Intermediates.persist(scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= depth)
+      .withColumn("rel10k", expr("cast(floor(cos * 10000 + 0.5d) as bigint)"))
+      .select("query_id", "vec_id", "emb", "cos", "rel10k"))
+    // pairwise candidate sims per query: queries × depth² rows, tiny
+    val simm = Intermediates.persist(cand.as("a").join(cand.as("b"),
+        col("a.query_id") === col("b.query_id") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.query_id").as("query_id"), col("a.vec_id").as("ca"),
+        col("b.vec_id").as("cb"),
+        expr("cast(floor(round(graft_dot(a.emb, b.emb), 4) * 10000 + 0.5d) as bigint)")
+          .as("sim10k")))
+    val base = cand.select("query_id", "vec_id", "cos", "rel10k")
+    // greedy: step 1 seeds with the relevance argmax (maxsim = 0)
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel10k").desc, col("vec_id"))
+    var sel = base.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id"), col("cos"),
+        (lit(lp.toLong) * col("rel10k")).as("mmr10k"), lit(1L).as("rank"))
+      .localCheckpoint(true)
+    for (i <- 2 to k) {
+      val remaining = base.join(
+        sel.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"), "left_anti")
+      val ms = remaining
+        .join(simm.withColumnRenamed("ca", "vec_id"), Seq("query_id", "vec_id"))
+        .join(sel.select(col("query_id"), col("vec_id").as("cb")), Seq("query_id", "cb"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(max(col("sim10k")).as("maxsim10k"))
+      val mi = remaining.join(ms, Seq("query_id", "vec_id"))
+        .withColumn("mmr10k",
+          lit(lp.toLong) * col("rel10k") - lit((100 - lp).toLong) * col("maxsim10k"))
+      val wi = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr10k").desc, col("vec_id"))
+      val pick = mi.withColumn("rn", row_number().over(wi)).filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("cos"), col("mmr10k"),
+          lit(i.toLong).as("rank"))
+      sel = sel.unionByName(pick).localCheckpoint(true)
+    }
+    sel.select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"), col("mmr10k"))
+      .contractOrderBy("query_id", "rank")
+  }
+
+  def annMmrRerankSql: String = {
+    val (lp, depth, k) = (MmrLambdaPct, MmrDepth, TopK)
+    val l = lp.toLong
+    val m = (100 - lp).toLong
+    val steps = (2 to k).map { i =>
+      s"""mm$i AS (
+         |  SELECT c.query_id, c.vec_id, c.cos, c.rel10k, max(x.sim10k) AS maxsim10k
+         |  FROM mcand c
+         |  JOIN msel${i - 1} s ON s.query_id = c.query_id
+         |  JOIN msimm x ON x.query_id = c.query_id AND x.ca = c.vec_id AND x.cb = s.vec_id
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM msel${i - 1} z
+         |    WHERE z.query_id = c.query_id AND z.vec_id = c.vec_id)
+         |  GROUP BY c.query_id, c.vec_id, c.cos, c.rel10k
+         |), mp$i AS (
+         |  SELECT query_id, vec_id, cos, $l * rel10k - $m * maxsim10k AS mmr10k,
+         |    CAST($i AS BIGINT) AS rank
+         |  FROM (
+         |    SELECT query_id, vec_id, cos, rel10k, maxsim10k,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY $l * rel10k - $m * maxsim10k DESC, vec_id) AS rn
+         |    FROM mm$i) WHERE rn = 1
+         |), msel$i AS (
+         |  SELECT * FROM msel${i - 1} UNION ALL SELECT * FROM mp$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH mq AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qemb
+       |  FROM embeddings WHERE vec_id < $NumQueries
+       |), mscored AS (
+       |  SELECT q.query_id, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+       |    round(list_inner_product(q.qemb, CAST(e.embedding AS DOUBLE[])), 4) AS cos
+       |  FROM mq q JOIN embeddings e ON e.vec_id <> q.query_id
+       |), mcand AS (
+       |  SELECT query_id, vec_id, emb, cos,
+       |    CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS rel10k
+       |  FROM (
+       |    SELECT query_id, vec_id, emb, cos,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS crank
+       |    FROM mscored) WHERE crank <= $depth
+       |), msimm AS (
+       |  SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb,
+       |    CAST(floor(round(list_inner_product(a.emb, b.emb), 4) * 10000 + 0.5) AS BIGINT) AS sim10k
+       |  FROM mcand a JOIN mcand b
+       |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+       |), msel1 AS (
+       |  SELECT query_id, vec_id, cos, $l * rel10k AS mmr10k, CAST(1 AS BIGINT) AS rank
+       |  FROM (
+       |    SELECT query_id, vec_id, cos, rel10k,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY rel10k DESC, vec_id) AS rn
+       |    FROM mcand) WHERE rn = 1
+       |),
+       |$steps
+       |SELECT query_id, rank, vec_id AS neighbor_id, cos, mmr10k
+       |FROM msel$k
        |ORDER BY query_id, rank""".stripMargin
   }
 }

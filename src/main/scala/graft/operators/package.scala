@@ -427,6 +427,21 @@ package object operators {
       */
     def annBqRerank: Int = positive("spark.graft.ann.bqRerank", "64")
 
+    /** MMR trade-off in integer percent (`spark.graft.mmr.lambdaPct`):
+      * the selection score is `lambdaPct·rel − (100−lambdaPct)·maxsim`
+      * over 4-dp-scaled integer cosines — integer so the greedy argmax
+      * can never float-flip between engines.
+      */
+    def mmrLambdaPct: Int = {
+      val v = positive("spark.graft.mmr.lambdaPct", "70")
+      require(v <= 100, s"spark.graft.mmr.lambdaPct must be <= 100, got $v")
+      v
+    }
+    /** MMR candidate pool per query (`spark.graft.mmr.depth`): the greedy
+      * re-rank selects topK of these relevance-ranked candidates.
+      */
+    def mmrDepth: Int = positive("spark.graft.mmr.depth", "10")
+
     /** Novelty-audit n-gram width in words (`spark.graft.novelty.ngram`). */
     def noveltyNgram: Int = positive("spark.graft.novelty.ngram", "3")
     /** Novelty-audit crawl split (`spark.graft.novelty.mod`): docs with
