@@ -9,10 +9,13 @@ import graft.sources.Tables
   * `hybrid_search_rrf`'s Scaladoc already promises ("at 100 TB the lexical
   * side comes from a persisted postings table"). Three parquet tables:
   *
-  *   - `postings/`  (word, doc_id, tf) — one row per distinct (doc, word);
-  *     at scale written bucketed/sorted by `word` so a query's terms prune
-  *     to their row groups ([[bm25From]]'s `word IN (…)` filter pushes to
-  *     the parquet scan — spec-asserted)
+  *   - `postings/`  (word, doc_id, tf) — one row per distinct (doc, word),
+  *     REPARTITIONED BY `word` and sorted within each file so a term's
+  *     rows are contiguous and per-file/row-group min-max `word` ranges
+  *     are disjoint: [[bm25From]]'s `word IN (…)` filter pushes to the
+  *     parquet scan and prunes to the queried terms' row groups instead
+  *     of reading the whole index (PostingsIndexSpec asserts both the
+  *     pushed filter and the disjoint file ranges)
   *   - `doclens/`   (doc_id, dl) — the BM25 length normalizer
   *   - `stats/`     one row (n_docs, sum_dl)
   *
@@ -46,9 +49,16 @@ object PostingsIndex {
       .withColumn("dl", size(col("ws")).cast("long"))
     // tf counts EVERY ws entry (including the empty-split artifact) so the
     // stored tf of any queryable term equals the scan path's filter count
+    // RANGE-partition on word + sort within partitions: a term's postings
+    // land contiguous in ONE file, per-file (and per-row-group) min-max
+    // `word` ranges are disjoint, and the pushed term filter prunes to
+    // the queried terms' files/row groups — without this the stored
+    // artifact degenerates to a full index scan per query set
     d.select(col("doc_id"), explode(col("ws")).as("word"))
       .groupBy(col("word"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("word"), col("doc_id"))
+      .sortWithinPartitions("word", "doc_id")
       .write.mode("overwrite").parquet(s"$path/postings")
     d.select(col("doc_id"), col("dl"))
       .write.mode("overwrite").parquet(s"$path/doclens")
@@ -88,9 +98,13 @@ object PostingsIndex {
     * the driver's hash check every round (shares `bm25_search`'s oracle).
     */
   def bm25SearchStored(spark: SparkSession, dir: String): DataFrame = {
+    // salt the path with the Spark application id: two concurrent
+    // sessions on the same corpus must never race overwrite-vs-read on a
+    // shared index trio (a reader could see a half-rewritten store)
     val path = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft-postings-" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
+      "graft-postings-" + spark.sparkContext.applicationId + "-" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
     writePostings(spark, dir, path)
     bm25From(spark, path)
   }

@@ -1182,19 +1182,38 @@ object Similarity {
     * step (the kmeans/BPE discipline — loops in the engine become
     * generated SQL, keeping the two implementations independent).
     */
-  def annMmrRerank(spark: SparkSession, dir: String): DataFrame = {
-    val (lp, depth, k) = (MmrLambdaPct, MmrDepth, TopK)
-    val e = Tables.embeddings(spark, dir)
+  def annMmrRerank(spark: SparkSession, dir: String): DataFrame =
+    annMmrRerankFrom(Tables.embeddings(spark, dir))
+
+  /** [[annMmrRerank]] over an explicit (vec_id, embedding) frame — the
+    * planted-corpus spec seam.
+    */
+  def annMmrRerankFrom(embs: DataFrame): DataFrame = {
+    val depth = MmrDepth
+    val e = embs
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
     val scored = broadcast(q).join(e, col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(expr("graft_dot(qemb, emb)"), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    val cand = Intermediates.persist(scored.withColumn("crank", row_number().over(w))
+    val cand = scored.withColumn("crank", row_number().over(w))
       .filter(col("crank") <= depth)
       .withColumn("rel10k", expr("cast(floor(cos * 10000 + 0.5d) as bigint)"))
-      .select("query_id", "vec_id", "emb", "cos", "rel10k"))
+      .select("query_id", "vec_id", "emb", "cos", "rel10k")
+    mmrSelectFrom(cand, TopK)
+  }
+
+  /** The GREEDY MMR selector over an explicit candidate pool
+    * `(query_id, vec_id, emb, cos, rel10k)` — the seam both the
+    * brute-force baseline ([[annMmrRerank]]) and the stored-index
+    * production path ([[graft.operators.AnnIndex]]'s IVF-PQ candidates)
+    * feed. Candidates are queries × depth rows; everything here is
+    * driver-bounded tiny frames under localCheckpoint.
+    */
+  def mmrSelectFrom(candidates: DataFrame, k: Int): DataFrame = {
+    val lp = MmrLambdaPct
+    val cand = Intermediates.persist(candidates)
     // pairwise candidate sims per query: queries × depth² rows, tiny
     val simm = Intermediates.persist(cand.as("a").join(cand.as("b"),
         col("a.query_id") === col("b.query_id") && col("a.vec_id") =!= col("b.vec_id"))

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+
+/** `ann_mmr_rerank`: the greedy MMR diversification must (a) trade a
+  * redundant near-identical tail for a diverse runner-up on a planted
+  * corpus, and (b) agree step-for-step with a from-scratch in-memory MMR
+  * over the same scaled integers — the two checks the r11 verdict asked
+  * for before the operator counts as done.
+  */
+class MmrSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // planted pool: query 0; vecs 100/101/102 near-copies of the query
+  // (mutually ~identical); vec 200 relevant-but-diverse (negative second
+  // component, so its sim to the redundant block is well below its rel)
+  private val planted: Seq[(Long, Seq[Float])] = Seq(
+    0L   -> Seq(1.0f, 0.0f),
+    100L -> Seq(0.9999f, 0.0141f),
+    101L -> Seq(0.9998f, 0.0199f),
+    102L -> Seq(0.9997f, 0.0244f),
+    200L -> Seq(0.8f, -0.6f))
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally { pairs.foreach { case (k, _) => spark.conf.unset(k) }; Dedup.releaseIntermediates() }
+  }
+
+  /** From-scratch reference MMR on the planted doubles, using the same
+    * integer scaling the engine documents: `floor(round(cos,4)·10000+0.5)`
+    * (round = HALF_UP on the double, exactly Spark's `round(col, 4)`).
+    */
+  private def referenceMmr(lambdaPct: Long, depth: Int, k: Int): Seq[(Long, Long)] = {
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y.toDouble }
+    def scaled(c: Double): Long = {
+      val r = BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(r * 10000 + 0.5).toLong
+    }
+    val q = planted.head._2
+    val cand = planted.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, scaled(dot(q, v))) }
+      .sortBy { case (id, _, rel) => (-rel, id) }
+      .take(depth)
+    val sim = (for {
+      (ia, va, _) <- cand; (ib, vb, _) <- cand if ia != ib
+    } yield ((ia, ib), scaled(dot(va, vb)))).toMap
+    var selected = Vector.empty[Long]
+    val byId = cand.map { case (id, _, rel) => (id, rel) }.toMap
+    while (selected.size < k) {
+      val remaining = cand.filterNot { case (id, _, _) => selected.contains(id) }
+      val pick = remaining.map { case (id, _, rel) =>
+        val maxsim = if (selected.isEmpty) 0L else selected.map(s => sim((id, s))).max
+        (id, lambdaPct * rel - (100 - lambdaPct) * maxsim)
+      }.minBy { case (id, mmr) => (-mmr, id) }
+      selected = selected :+ pick._1
+    }
+    selected.zipWithIndex.map { case (id, i) => (i + 1L, id) }
+  }
+
+  test("planted redundancy: MMR swaps the redundant tail for the diverse runner-up; greedy ≡ in-memory reference") {
+    withConf("spark.graft.ann.queries" -> "1", "spark.graft.ann.topK" -> "3",
+        "spark.graft.mmr.depth" -> "4", "spark.graft.mmr.lambdaPct" -> "50") {
+      val embs = planted.toDF("vec_id", "embedding")
+      val got = Similarity.annMmrRerankFrom(embs)
+        .select("rank", "neighbor_id").collect()
+        .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"))).toSeq
+      val ref = referenceMmr(50L, depth = 4, k = 3)
+      assert(got == ref, s"engine $got vs reference $ref")
+      // pure relevance top-3 is the redundant block — MMR must differ
+      assert(got.map(_._2).toSet != Set(100L, 101L, 102L),
+        "MMR returned the un-diversified relevance list")
+      assert(got.head._2 == 100L, "step 1 must seed with the relevance argmax")
+      assert(got.map(_._2).contains(200L),
+        "the relevant-but-diverse candidate must enter the diversified list")
+    }
+  }
+
+  test("default-conf greedy on the real corpus ≡ in-engine reference invariants") {
+    val rows = Similarity.annMmrRerank(spark, sf).collect()
+    Dedup.releaseIntermediates()
+    val k = Similarity.TopK
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == k, s"query $q returned ${rs.length} of $k")
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to k.toLong),
+        s"query $q ranks not 1..$k")
+      // rank 1 is the relevance argmax: no later pick has a higher cosine
+      val first = rs.minBy(_.getAs[Long]("rank"))
+      val maxCos = rs.map(_.getAs[Double]("cos")).max
+      assert(first.getAs[Double]("cos") == maxCos,
+        s"query $q seed is not the relevance argmax")
+    }
+  }
+}

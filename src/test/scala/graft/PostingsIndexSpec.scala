@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, PostingsIndex, Similarity}
+import graft.sources.Tables
+
+/** The persisted BM25 postings index: stored-path results must be
+  * bit-equal to the corpus-scan `bm25_search` (the claim PostingsIndex's
+  * Scaladoc makes), the term filter must PUSH to the postings scan, and
+  * the range-partitioned/sorted layout must leave disjoint per-file word
+  * ranges — the property that makes the pushed filter actually prune at
+  * 100 TB instead of reading the whole index.
+  */
+class PostingsIndexSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("bm25_search_stored ≡ bm25_search bit-equal (shared bm25RankOf tail, same exact integers)") {
+    val stored = PostingsIndex.bm25SearchStored(spark, sf).collect().toSeq
+    Dedup.releaseIntermediates()
+    val scan = Similarity.bm25Search(spark, sf).collect().toSeq
+    assert(stored.nonEmpty, "stored path returned no hits")
+    assert(stored == scan,
+      s"stored-only: ${stored.diff(scan).take(3)}; scan-only: ${scan.diff(stored).take(3)}")
+  }
+
+  test("postings layout: disjoint per-file word ranges; term filter pushes to the parquet scan") {
+    val path = tmp("graft-postings-spec")
+    // at sf0.001 AQE rightly coalesces the range shuffle to one (tiny)
+    // file; pin the partition count here so the multi-file layout the
+    // 100 TB write produces is observable
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try PostingsIndex.writePostingsFrom(Tables.documents(spark, sf), path)
+    finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val post = spark.read.parquet(s"$path/postings")
+
+    // range-partitioned + sorted within files ⇒ per-file [min,max] word
+    // ranges may touch at a boundary word but never properly overlap
+    val ranges = post.groupBy(input_file_name().as("f"))
+      .agg(min("word").as("lo"), max("word").as("hi"))
+      .collect()
+      .map(r => (r.getAs[String]("lo"), r.getAs[String]("hi")))
+      .sortBy(_._1)
+    assert(ranges.length > 1, "need multiple files to observe the range layout")
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(hiA <= loB, s"file word ranges overlap: ..$hiA vs $loB..")
+      case _ =>
+    }
+
+    // the conf'd term filter lands on the scan as a pushed parquet filter
+    val filtered = post.filter(col("word").isin(Similarity.QueryTerms: _*))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(word"), plan.take(2000))
+
+    // and the pruned read touches fewer files than the index holds: every
+    // file whose [lo,hi] range excludes all query terms is skippable
+    val terms = Similarity.QueryTerms.toSet
+    val matching = ranges.count { case (lo, hi) => terms.exists(t => lo <= t && t <= hi) }
+    assert(matching < ranges.length,
+      s"every file's range covers a query term — sorted layout buys no file pruning " +
+        s"($matching of ${ranges.length})")
+  }
+}
