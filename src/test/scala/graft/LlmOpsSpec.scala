@@ -295,9 +295,12 @@ class LlmOpsSpec extends SparkSpec {
       .withColumn("canonical_doc",
         when(col("bm").isNull, col("dm")).otherwise(least(col("bm"), col("dm"))))
       .withColumn("status",
+        // dup_of_base whenever the base holds the content — BEFORE the
+        // canonical===doc_id branch (r12: a delta doc below base_min must
+        // not be labeled first_copy when its content already exists)
         when(col("group_size") === 1, "new")
+          .when(col("bm").isNotNull, "dup_of_base")
           .when(col("canonical_doc") === col("doc_id"), "first_copy")
-          .when(col("bm").isNotNull && col("canonical_doc") === col("bm"), "dup_of_base")
           .otherwise("dup_in_delta"))
       .select("doc_id", "content_hash", "canonical_doc", "group_size", "status")
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
@@ -320,7 +323,9 @@ class LlmOpsSpec extends SparkSpec {
       (10L, "alpha beta gamma"),     // delta, dup of base 1
       (20L, "delta epsilon zeta"),   // delta, first copy of a delta-only pair
       (30L, "delta epsilon zeta"),   // delta, dup of 20
-      (40L, "eta theta iota"))       // delta, new content
+      (40L, "eta theta iota"),       // delta, new content
+      (50L, "kappa lambda mu"),      // delta, canonical BY ID of base content…
+      (51L, "kappa lambda mu"))      // …held by this base doc → still dup_of_base
       .toDF("doc_id", "text")
     val pd = planted.filter(col("doc_id") % Dedup.DeltaIdMod === 0)
     val verdicts = Dedup.dedupExactDeltaFrom(
@@ -333,6 +338,10 @@ class LlmOpsSpec extends SparkSpec {
     assert(verdicts(20L) == ((20L, 2L, "first_copy")))
     assert(verdicts(30L) == ((20L, 2L, "dup_in_delta")))
     assert(verdicts(40L) == ((40L, 1L, "new")))
+    // the r11-advice leak case: delta doc 50 is the group canonical by id,
+    // but base doc 51 already holds the content — keep(new ∪ first_copy)
+    // must drop it, so the verdict is dup_of_base, never first_copy
+    assert(verdicts(50L) == ((50L, 2L, "dup_of_base")))
   }
 
   test("ann_topk_pq: trained codebooks, valid codes, ≥ 0.7 recall@k vs the float path") {

@@ -157,27 +157,35 @@ class ProfileOpsSpec extends SparkSpec {
       assert(d <= t, "detection can never exceed truth")
       assert(bp == d * 10000 / t, "recall_bp is the pure integer formula")
     }
-    // hand rollup from the two pair queries the report composes: truth =
-    // the shingle-join population at the MinHash tau (dedup_ngram_jaccard's
-    // core), detection = dedup_minhash_lsh's pair set
+    // hand rollup from the report's own composition: truth candidates =
+    // the rare-shingle-join population, gated and bucketed on the
+    // FULL-set intersection computed here from the collected shingle
+    // sets (r12: the same verify arithmetic detection uses); detection =
+    // dedup_minhash_lsh's pair set
     val tau = Dedup.MinHashTau
-    val truth = Dedup.dedupNgramJaccard(spark, sf).collect()
-      .filter(_.getAs[Double]("jaccard") >= tau)
-      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
-        (r.getAs[Long]("inter"), r.getAs[Long]("na"), r.getAs[Long]("nb")))
+    val (sets, _) = Dedup.lshCandidatesOf(graft.sources.Tables.documents(spark, sf))
+    val hs = sets.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Seq[Long]]("hs").toSet).toMap
+    val candIds = Dedup.shingleJoinPairsOf(sets)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
     Dedup.releaseIntermediates()
+    val truth = candIds.flatMap { case (a, b) =>
+      val inter = (hs(a) & hs(b)).size.toLong
+      val uni = hs(a).size.toLong + hs(b).size.toLong - inter
+      val jac = BigDecimal(inter.toDouble / uni)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (jac >= tau) Some(((a, b), (inter, uni))) else None
+    }
     val det = Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     Dedup.releaseIntermediates()
-    val expected = truth.groupBy { case (_, (i, a, b)) => 20 * i / (a + b - i) }
+    val expected = truth.groupBy { case (_, (i, u)) => 20 * i / u }
       .map { case (bucket, rows) =>
         bucket -> (rows.length.toLong, rows.count(p => det.contains(p._1)).toLong)
       }
     assert(rep.view.mapValues(v => (v._1, v._2)).toMap == expected,
       s"report $rep vs hand rollup $expected")
-    // NOTE: this identity relies on dedup_ngram_jaccard's tau <= MinHashTau
-    // in the shipped conf, so the re-filter above loses nothing
-    assert(Dedup.JaccardTau <= tau)
   }
 
   test("topic_mix_report ≡ the cell assignment joined to sources, rolled up by hand; shares account per source") {
