@@ -1414,9 +1414,10 @@ object TextAnalysis {
     * the SQL twin of [[winnowFpPosOf]]/[[winnowOccOf]], one string so the
     * two surfaces can't drift.
     */
-  private def winnowPosCtesSql(k: Int, w: Int, cap: Int): String = {
+  private def winnowPosCtesSql(k: Int, w: Int, cap: Int,
+      rel: String = "documents"): String = {
     val grams = s"list_transform(generate_series(1, len(ws) - ${k - 1}), i -> array_to_string(ws[i:i+${k - 1}], ' '))"
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $rel),
        |h AS (
        |  SELECT doc_id,
        |    CASE WHEN len(ws) < $k THEN CAST([] AS BIGINT[])
@@ -1499,9 +1500,11 @@ object TextAnalysis {
         expr("(n_shared * 100) div nf_min").as("c_pct"))
   }
 
-  def dedupWinnowContainSql: String = {
+  def dedupWinnowContainSql: String = dedupWinnowContainSqlFor("documents")
+
+  private[graft] def dedupWinnowContainSqlFor(rel: String): String = {
     val tau = GraftConf.winnowTauPct
-    s"""${winnowPosCtesSql(GraftConf.winnowK, GraftConf.winnowW, GraftConf.winnowFpCap)},
+    s"""${winnowPosCtesSql(GraftConf.winnowK, GraftConf.winnowW, GraftConf.winnowFpCap, rel)},
        |fpd AS (
        |  SELECT DISTINCT doc_id, fp FROM fppos
        |), nf AS (
