@@ -207,7 +207,8 @@ object AnnIndex {
     * filter, so the scan prunes directories, not rows), and the exact
     * re-rank reads raw vectors from the live embeddings relation.
     */
-  def ivfPqTopKFrom(spark: SparkSession, indexPath: String, embs: DataFrame): DataFrame = {
+  def ivfPqTopKFrom(spark: SparkSession, indexPath: String, embs: DataFrame,
+      topK: Int = Similarity.TopK): DataFrame = {
     val codes = spark.read.parquet(s"$indexPath/codes")
     validateConf(codes, "codes", "stored IVF-PQ code table")
     val cb = spark.read.parquet(s"$indexPath/codebooks")
@@ -225,11 +226,11 @@ object AnnIndex {
     // queries × nprobe cell ids — a bounded driver-side collect that buys
     // STATIC partition pruning on the stored code table
     val cells = probe.select("pcell").distinct().collect().map(_.getLong(0))
-    val pruned = codes.filter(col("cell").isin(cells: _*))
+    val pruned = codes.filter(col("cell").isin(cells.toIndexedSeq: _*))
     val pairs = broadcast(probe).join(pruned, col("pcell") === col("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(dq), "query_id")
-    Similarity.pqAdcRerank(pairs, scaled, "cos_ivfpq")
+    Similarity.pqAdcRerank(pairs, scaled, "cos_ivfpq", topK = topK)
   }
 
   /** Answer top-k from the stored RESIDUAL index — identical results to
@@ -262,7 +263,7 @@ object AnnIndex {
           | transform(pcemb, x -> cast(x as double))) as bigint)"""
           .stripMargin.replace("\n", "")).as("qc"))
     val cells = probe.select("pcell").distinct().collect().map(_.getLong(0))
-    val pruned = codes.filter(col("cell").isin(cells: _*))
+    val pruned = codes.filter(col("cell").isin(cells.toIndexedSeq: _*))
     val pairs = broadcast(probe).join(pruned, col("pcell") === col("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(dq), "query_id")

@@ -672,7 +672,7 @@ object Curation {
       .select(explode(col("ngs")).as("ng"))
       .agg(call_function("graft_bloom_agg", xxhash64(col("ng")),
         lit(expectedItems), lit(numBits)).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf")
     docs.filter(!col("is_eval"))
       .select(col("doc_id"), explode_outer(col("ngs")).as("ng"))
       .groupBy(col("doc_id"))
@@ -1415,7 +1415,7 @@ object Curation {
     val ranked = docsTok
       .select(col("doc_id").cast("long"), col("n_tokens").cast("long"))
       .orderBy(col("n_tokens").desc, col("doc_id"))
-      .rdd.zipWithIndex
+      .rdd.zipWithIndex()
       .map { case (r, i) => (r.getLong(0), r.getLong(1), i) }
       .toDF("doc_id", "n_tokens", "rk")
     ranked

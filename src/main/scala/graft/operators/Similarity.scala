@@ -551,7 +551,8 @@ object Similarity {
     * IVF-restricted variants differ ONLY in which pairs reach ADC.
     */
   private[operators] def pqAdcRerank(pairs: DataFrame, scaled: DataFrame,
-      scoreName: String, adcOffset: Column = lit(0L)): DataFrame = {
+      scoreName: String, adcOffset: Column = lit(0L),
+      topK: Int = TopK): DataFrame = {
     val m = Clustering.PqSubs
     // ADC score: per-row array-lookup sum — dt[sub * K + code]; K recovered
     // as size(dt)/M so a sample smaller than pqK still indexes correctly.
@@ -576,7 +577,7 @@ object Similarity {
           | transform(se, x -> cast(x as double))) as bigint)"""
           .stripMargin.replace("\n", "")))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("dot").cast("double") /
           lit(Clustering.Scale.toDouble * Clustering.Scale), 4).as(scoreName))
@@ -638,7 +639,22 @@ object Similarity {
   }
 
   def annTopKIvfPqSql: String =
-    s"""WITH ${Clustering.kmeansCtesSql},
+    s"""WITH $ivfPqChainCtes
+       |SELECT query_id, rank, neighbor_id, cos_ivfpq FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS BIGINT) AS rank,
+       |    round(CAST(dot AS DOUBLE) / ${Clustering.Scale.toDouble * Clustering.Scale}, 4) AS cos_ivfpq
+       |  FROM pqrr)
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** The full IVFADC CTE chain through the exact re-rank (`pqrr`:
+    * query_id, vec_id, exact integer dot) — shared verbatim by
+    * `ann_topk_ivfpq` and the stored-index MMR oracle, so the candidate
+    * generators can never drift.
+    */
+  private[graft] def ivfPqChainCtes: String =
+    s"""${Clustering.kmeansCtesSql},
        |${Clustering.pqCtesSql},
        |ivfassign AS (
        |  SELECT vec_id, cid AS cluster FROM (
@@ -682,14 +698,7 @@ object Similarity {
        |  JOIN pqsv e ON c.vec_id = e.vec_id
        |  JOIN pqsv qv ON qv.vec_id = c.query_id AND qv.sub = e.sub AND qv.spos = e.spos
        |  GROUP BY c.query_id, c.vec_id
-       |)
-       |SELECT query_id, rank, neighbor_id, cos_ivfpq FROM (
-       |  SELECT query_id, vec_id AS neighbor_id,
-       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS BIGINT) AS rank,
-       |    round(CAST(dot AS DOUBLE) / ${Clustering.Scale.toDouble * Clustering.Scale}, 4) AS cos_ivfpq
-       |  FROM pqrr)
-       |WHERE rank <= $TopK
-       |ORDER BY query_id, rank""".stripMargin
+       |)""".stripMargin
 
   def annTopKPqSql: String =
     s"""WITH ${Clustering.pqCtesSql},
@@ -1252,8 +1261,14 @@ object Similarity {
       .contractOrderBy("query_id", "rank")
   }
 
-  def annMmrRerankSql: String = {
-    val (lp, depth, k) = (MmrLambdaPct, MmrDepth, TopK)
+  /** The greedy-selection CTE block + final select, reading a `mcand`
+    * CTE of shape (query_id, vec_id, emb DOUBLE[], cos, rel10k) — ONE
+    * string shared by the brute-force and stored-index MMR oracles, so
+    * the two selectors can never drift (the `bm25RankOf` discipline
+    * applied to the oracle side).
+    */
+  private def mmrSelectSqlTail: String = {
+    val (lp, k) = (MmrLambdaPct, TopK)
     val l = lp.toLong
     val m = (100 - lp).toLong
     val steps = (2 to k).map { i =>
@@ -1278,21 +1293,7 @@ object Similarity {
          |  SELECT * FROM msel${i - 1} UNION ALL SELECT * FROM mp$i
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH mq AS (
-       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qemb
-       |  FROM embeddings WHERE vec_id < $NumQueries
-       |), mscored AS (
-       |  SELECT q.query_id, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
-       |    round(list_inner_product(q.qemb, CAST(e.embedding AS DOUBLE[])), 4) AS cos
-       |  FROM mq q JOIN embeddings e ON e.vec_id <> q.query_id
-       |), mcand AS (
-       |  SELECT query_id, vec_id, emb, cos,
-       |    CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS rel10k
-       |  FROM (
-       |    SELECT query_id, vec_id, emb, cos,
-       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS crank
-       |    FROM mscored) WHERE crank <= $depth
-       |), msimm AS (
+    s"""msimm AS (
        |  SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb,
        |    CAST(floor(round(list_inner_product(a.emb, b.emb), 4) * 10000 + 0.5) AS BIGINT) AS sim10k
        |  FROM mcand a JOIN mcand b
@@ -1308,5 +1309,81 @@ object Similarity {
        |SELECT query_id, rank, vec_id AS neighbor_id, cos, mmr10k
        |FROM msel$k
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** `ann_mmr_rerank_stored` (r12): the production retrieval stack
+    * END-TO-END — stored IVF-PQ index → static-partition-pruned ADC →
+    * exact re-rank cut at [[MmrDepth]] → the IDENTICAL greedy
+    * [[mmrSelectFrom]] diversifier the brute baseline feeds. The corpus-
+    * scale work is the stored-index probe (the `ann_topk_ivfpq_stored`
+    * read path, cells pruned to queries × nprobe); the selector sees the
+    * same (query_id, vec_id, emb, cos, rel10k) shape, so swapping the
+    * candidate generator is exactly the one-line production story the
+    * brute operator's Scaladoc promises. Oracle shares [[ivfPqChainCtes]]
+    * (candidates) and [[mmrSelectSqlTail]] (selection) verbatim with
+    * `ann_topk_ivfpq` and `ann_mmr_rerank` — neither stage can drift.
+    * Index lands in a per-session tmp dir (applicationId-salted).
+    */
+  def annMmrRerankStored(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft-mmr-store-" + spark.sparkContext.applicationId + "-" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
+    AnnIndex.writeIvfPq(spark, dir, path)
+    annMmrRerankStoredFrom(spark, path, Tables.embeddings(spark, dir))
+  }
+
+  /** The stored-candidates MMR core over an ALREADY-written index — the
+    * recall-vs-brute spec seam.
+    */
+  def annMmrRerankStoredFrom(spark: SparkSession, indexPath: String,
+      embs: DataFrame): DataFrame = {
+    val depthList = AnnIndex.ivfPqTopKFrom(spark, indexPath, embs, topK = MmrDepth)
+    val e = embs.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val cand = depthList
+      .select(col("query_id"), col("neighbor_id").as("vec_id"),
+        col("cos_ivfpq").as("cos"))
+      .join(e, "vec_id")
+      .withColumn("rel10k", expr("cast(floor(cos * 10000 + 0.5d) as bigint)"))
+      .select("query_id", "vec_id", "emb", "cos", "rel10k")
+    mmrSelectFrom(cand, TopK)
+  }
+
+  def annMmrRerankStoredSql: String = {
+    val depth = MmrDepth
+    s"""WITH $ivfPqChainCtes,
+       |mcand AS (
+       |  SELECT r.query_id, r.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, r.cos,
+       |    CAST(floor(r.cos * 10000 + 0.5) AS BIGINT) AS rel10k
+       |  FROM (
+       |    SELECT query_id, vec_id,
+       |      round(CAST(dot AS DOUBLE) / ${Clustering.Scale.toDouble * Clustering.Scale}, 4) AS cos,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS crank
+       |    FROM pqrr) r
+       |  JOIN embeddings e ON e.vec_id = r.vec_id
+       |  WHERE r.crank <= $depth
+       |),
+       |$mmrSelectSqlTail""".stripMargin
+  }
+
+  def annMmrRerankSql: String = {
+    val depth = MmrDepth
+    s"""WITH mq AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qemb
+       |  FROM embeddings WHERE vec_id < $NumQueries
+       |), mscored AS (
+       |  SELECT q.query_id, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+       |    round(list_inner_product(q.qemb, CAST(e.embedding AS DOUBLE[])), 4) AS cos
+       |  FROM mq q JOIN embeddings e ON e.vec_id <> q.query_id
+       |), mcand AS (
+       |  SELECT query_id, vec_id, emb, cos,
+       |    CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS rel10k
+       |  FROM (
+       |    SELECT query_id, vec_id, emb, cos,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS crank
+       |    FROM mscored) WHERE crank <= $depth
+       |),
+       |$mmrSelectSqlTail""".stripMargin
   }
 }

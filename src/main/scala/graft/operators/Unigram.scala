@@ -108,7 +108,7 @@ object Unigram {
     // NULL — read nullable and fall to 0 levels, so the result is the
     // empty contract-shaped frame instead of an NPE.
     val maxLen = math.min(L,
-      Option(vw.agg(max(length(col("word")))).head.get(0))
+      Option(vw.agg(max(length(col("word")))).head().get(0))
         .map(_.asInstanceOf[Int]).getOrElse(0))
     // forward DP: bb holds (word, pos, best score, argmax last-piece len).
     // Each LEVEL's rows (one tiny vocab-grain frame, never the running

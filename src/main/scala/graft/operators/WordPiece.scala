@@ -89,7 +89,7 @@ object WordPiece {
     // Empty vocabulary aggregates to NULL — read nullable and fall to 0
     // so the walk degrades to the empty contract-shaped frame, not an NPE.
     val maxLen = math.min(L,
-      Option(vw.agg(max(length(col("word")))).head.get(0))
+      Option(vw.agg(max(length(col("word")))).head().get(0))
         .map(_.asInstanceOf[Int]).getOrElse(0))
     val rounds = 32 - Integer.numberOfLeadingZeros(math.max(maxLen - 1, 1))
     for (_ <- 1 to rounds) {

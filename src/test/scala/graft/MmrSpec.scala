@@ -77,6 +77,30 @@ class MmrSpec extends SparkSpec {
     }
   }
 
+  test("ann_mmr_rerank_stored: stored-index candidates through the same selector; recall vs brute") {
+    val stored = Similarity.annMmrRerankStored(spark, sf).collect()
+    Dedup.releaseIntermediates()
+    val brute = Similarity.annMmrRerank(spark, sf).collect()
+    Dedup.releaseIntermediates()
+    val k = Similarity.TopK
+    val sByQ = stored.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val bByQ = brute.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(sByQ.keySet == bByQ.keySet, "stored path must answer every query")
+    stored.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to k.toLong),
+        s"query $q ranks not 1..$k")
+    }
+    // recall of the diversified set vs the brute-candidate baseline: the
+    // IVF-PQ depth list loses a boundary candidate occasionally, so the
+    // selections overlap strongly but not bit-exactly
+    val recalls = sByQ.map { case (q, s) => (s & bByQ(q)).size.toDouble / k }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean stored-MMR overlap@$k $mean vs brute, per-query $recalls")
+    info(s"measured mean stored-vs-brute MMR overlap@$k: $mean")
+  }
+
   test("default-conf greedy on the real corpus ≡ in-engine reference invariants") {
     val rows = Similarity.annMmrRerank(spark, sf).collect()
     Dedup.releaseIntermediates()
