@@ -1041,21 +1041,40 @@ object Similarity {
     * — specs plant a corpus where the lexical and dense signals disagree.
     */
   private[graft] def hybridSearchRrfOf(docs: DataFrame, embs: DataFrame): DataFrame = {
-    val (k, depth) = (RrfK, RrfDepth)
+    val depth = RrfDepth
     val d = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
     val dl = d.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
     val tf = d.select(col("doc_id"), explode(col("ws")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qwords = d.filter(col("doc_id") < NumQueries)
+      .select(col("doc_id").as("query_id"), explode(col("ws")).as("word"))
+      .distinct()
+    val lex = rrfLexList(tf, dl, stats, qwords, depth)
+    val dense = denseTopKOf(embs, depth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("r_dense"))
+    rrfFuse(dense, lex)
+  }
+
+  /** The query-by-example LEXICAL ranking over explicit component tables
+    * — tf (doc_id, word, tf), dl (doc_id, dl), stats (n_docs, sum_dl),
+    * qwords (query_id, word) — ONE arithmetic path shared by the
+    * corpus-scan hybrid and the stored-postings hybrid, fed the same
+    * exact integers on both sides so the two lexical lists are bit-equal
+    * by construction (the `bm25RankOf` discipline). df per word is
+    * tf's row count for that word, so a tf table PRE-PRUNED to the query
+    * vocabulary (the stored path's pushed-filter read) yields identical
+    * idf on every word that can score.
+    */
+  private def rrfLexList(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+      qwords: DataFrame, depth: Int): DataFrame = {
     val dfT = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val idf = dfT.crossJoin(broadcast(stats))
       .select(col("word"),
         round(log((col("n_docs") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5)) + lit(1.0)), 6).cast("decimal(18,6)").as("idf"))
-    val qwords = d.filter(col("doc_id") < NumQueries)
-      .select(col("doc_id").as("query_id"), explode(col("ws")).as("word"))
-      .distinct()
     val comp = broadcast(qwords).join(tf, Seq("word"))
       .filter(col("doc_id") =!= col("query_id"))
       .join(dl, Seq("doc_id"))
@@ -1068,14 +1087,18 @@ object Similarity {
           .cast("decimal(18,6)"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    val lex = comp.groupBy(col("query_id"), col("doc_id"))
+    comp.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("wgt")).as("score"))
       .withColumn("r_lex", row_number().over(wq).cast("long"))
       .filter(col("r_lex") <= depth)
       .select(col("query_id"), col("doc_id"), col("r_lex"))
-    val dense = denseTopKOf(embs, depth)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"),
-        col("rank").as("r_dense"))
+  }
+
+  /** Pure-BIGINT reciprocal-rank fusion of two ranked lists — shared by
+    * both hybrids (the selection can't drift from the scan query).
+    */
+  private def rrfFuse(dense: DataFrame, lex: DataFrame): DataFrame = {
+    val k = RrfK
     val fused = dense.join(lex, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_s",
         coalesce(expr(s"${RrfScale}L div (${k}L + r_dense)"), lit(0L)) +
@@ -1089,9 +1112,97 @@ object Similarity {
       .contractOrderBy("query_id", "rank")
   }
 
+  /** `hybrid_search_rrf_stored` (r12): the FULL production retrieval
+    * stack the scan hybrid's Scaladoc promised — BOTH lists from stored
+    * artifacts: the dense list from the IVF-PQ store (probe →
+    * partition-pruned ADC → exact re-rank at [[RrfDepth]]) and the
+    * lexical list from the postings store (pushed `word IN (query
+    * vocabulary)` filter pruning the range-partitioned postings to the
+    * queried terms' row groups; tf/dl/stats are the SAME exact integers
+    * the scan derives, through the shared [[rrfLexList]] arithmetic, so
+    * the stored lexical list is bit-equal to the scan's). Fusion is the
+    * shared [[rrfFuse]] BIGINT tail. The corpus text and raw embeddings
+    * are touched only for query tokenization and the dense exact
+    * re-rank — at 100 TB a query set's IO is its probed cells + its
+    * terms' postings row groups, never a corpus scan. Oracle: dense
+    * from the shared [[ivfPqChainCtes]] at depth; lexical + fusion CTEs
+    * shared verbatim with `hybrid_search_rrf`.
+    */
+  def hybridSearchRrfStored(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft-hybrid-store-" + spark.sparkContext.applicationId + "-" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
+    AnnIndex.writeIvfPq(spark, dir, s"$path/ivfpq")
+    PostingsIndex.writePostings(spark, dir, s"$path/lex")
+    hybridSearchRrfStoredFrom(spark, path,
+      Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+  }
+
+  /** The stored-stack hybrid over ALREADY-written indexes — the spec
+    * seam (lexical bit-equality + dense recall are asserted separately).
+    */
+  def hybridSearchRrfStoredFrom(spark: SparkSession, path: String,
+      docs: DataFrame, embs: DataFrame): DataFrame = {
+    val depth = RrfDepth
+    val dense = AnnIndex.ivfPqTopKFrom(spark, s"$path/ivfpq", embs, topK = depth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("r_dense"))
+    val qwords = docs.filter(col("doc_id") < NumQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(split(col("text"), " ")).as("word"))
+      .distinct()
+    val qvocab = qwords.select("word").distinct()
+    // pushed-filter read: only the query vocabulary's postings rows leave
+    // the store (file/row-group pruned by the sorted layout)
+    val post = Intermediates.persist(
+      spark.read.parquet(s"$path/lex/postings").join(broadcast(qvocab), Seq("word")))
+    val dl = spark.read.parquet(s"$path/lex/doclens")
+    val stats = spark.read.parquet(s"$path/lex/stats")
+    rrfFuse(dense, rrfLexList(post, dl, stats, qwords, depth))
+  }
+
   def hybridSearchRrfSql: String = {
-    val (k, depth) = (RrfK, RrfDepth)
-    s"""WITH d AS (
+    val depth = RrfDepth
+    s"""WITH $rrfLexCtesSql,
+       |dense AS (
+       |  SELECT query_id, neighbor_id AS doc_id, rank AS r_dense FROM (
+       |    SELECT q.query_id, e.vec_id AS neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_inner_product(q.qemb, CAST(e.embedding AS DOUBLE[])), 4) DESC,
+       |          e.vec_id) AS BIGINT) AS rank
+       |    FROM (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qemb
+       |          FROM embeddings WHERE vec_id < $NumQueries) q
+       |    JOIN embeddings e ON e.vec_id <> q.query_id)
+       |  WHERE rank <= $depth
+       |),
+       |$rrfFusedTailSql""".stripMargin
+  }
+
+  /** `hybrid_search_rrf_stored`'s oracle: dense list from the shared
+    * IVFADC chain at [[RrfDepth]]; lexical chain and fusion tail shared
+    * verbatim with the scan hybrid (the stored lexical path is bit-equal
+    * by construction, so ONE oracle chain serves both).
+    */
+  def hybridSearchRrfStoredSql: String = {
+    val depth = RrfDepth
+    s"""WITH $ivfPqChainCtes,
+       |$rrfLexCtesSql,
+       |dense AS (
+       |  SELECT query_id, vec_id AS doc_id, rank AS r_dense FROM (
+       |    SELECT query_id, vec_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS BIGINT) AS rank
+       |    FROM pqrr) WHERE rank <= $depth
+       |),
+       |$rrfFusedTailSql""".stripMargin
+  }
+
+  /** The query-by-example lexical CTE chain (`d`..`lex`) — one string for
+    * both hybrid oracles.
+    */
+  private def rrfLexCtesSql: String = {
+    val depth = RrfDepth
+    s"""d AS (
        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
        |), dl AS (
        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM d
@@ -1128,17 +1239,15 @@ object Similarity {
        |    FROM (SELECT query_id, doc_id, sum(wgt) AS score
        |          FROM comp GROUP BY query_id, doc_id))
        |  WHERE r_lex <= $depth
-       |), dense AS (
-       |  SELECT query_id, neighbor_id AS doc_id, rank AS r_dense FROM (
-       |    SELECT q.query_id, e.vec_id AS neighbor_id,
-       |      CAST(row_number() OVER (PARTITION BY q.query_id
-       |        ORDER BY round(list_inner_product(q.qemb, CAST(e.embedding AS DOUBLE[])), 4) DESC,
-       |          e.vec_id) AS BIGINT) AS rank
-       |    FROM (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qemb
-       |          FROM embeddings WHERE vec_id < $NumQueries) q
-       |    JOIN embeddings e ON e.vec_id <> q.query_id)
-       |  WHERE rank <= $depth
-       |), fused AS (
+       |)""".stripMargin
+  }
+
+  /** The BIGINT RRF fusion tail (`fused` + final select) — one string for
+    * both hybrid oracles.
+    */
+  private def rrfFusedTailSql: String = {
+    val k = RrfK
+    s"""fused AS (
        |  SELECT coalesce(dn.query_id, lx.query_id) AS query_id,
        |    coalesce(dn.doc_id, lx.doc_id) AS doc_id,
        |    dn.r_dense, lx.r_lex,

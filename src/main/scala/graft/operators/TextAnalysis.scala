@@ -1996,6 +1996,52 @@ object TextAnalysis {
       .contractOrderBy("doc_id")
   }
 
+  /** `ngramNoveltyBloomFrom` (r12): the flag-only 100 TB form of
+    * [[ngramNoveltyOf]] — the seen-gram table replaced by its Bloom
+    * sketch (the [[Curation.decontaminateBloomFrom]] pattern applied to
+    * the novelty read). At 100 TB the exact seen-gram table is the
+    * persistable artifact when per-gram provenance matters; when only
+    * the novelty NUMBER matters, the sketch is corpus-scan → fixed-size
+    * bytes → broadcast-free stateless probe per crawl doc.
+    *
+    * Direction of error (why the sketch is safe here): Bloom membership
+    * has NO false negatives, so a gram the sketch misses is DEFINITELY
+    * novel — false positives only mark truly-novel grams as seen. The
+    * reported counts are therefore conservative LOWER bounds
+    * (`n_novel_min`, `novelty_bp_min` ≤ the exact values): the
+    * novelty-collapse alarm ("this crawl re-serves what we have") can
+    * only fire MORE eagerly, never be inflated by sketch noise.
+    * FPR is bounded by the spec against the exact operator.
+    */
+  def ngramNoveltyBloomFrom(rawDocs: DataFrame, isNew: org.apache.spark.sql.Column,
+      expectedItems: Long = 1000000L, numBits: Long = 1L << 23): DataFrame = {
+    val k = GraftConf.noveltyNgram
+    val parts = (1 to k).map(i => s"element_at(ws, i + $i)").mkString(", ")
+    val gramsExpr =
+      s"""CASE WHEN size(ws) >= $k
+         | THEN array_distinct(transform(sequence(0, size(ws) - $k),
+         |   i -> cast(conv(substr(md5(concat_ws(' ', $parts)), 1, 15), 16, 10) as bigint)))
+         | ELSE array() END""".stripMargin.replace("\n", "")
+    val g = rawDocs.withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), expr(gramsExpr).as("gs"))
+      .withColumn("is_new", isNew)
+    val bf = g.filter(!col("is_new"))
+      .select(explode(col("gs")).as("g"))
+      .agg(call_function("graft_bloom_agg", xxhash64(col("g")),
+        lit(expectedItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    g.filter(col("is_new"))
+      .select(col("doc_id"), explode_outer(col("gs")).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(col("g")).as("n_grams"),
+        sum(when(col("g").isNotNull &&
+            !call_function("graft_might_contain", lit(bf), xxhash64(col("g"))), 1L)
+          .otherwise(0L)).as("n_novel_min"))
+      .withColumn("novelty_bp_min",
+        when(col("n_grams") > 0, expr("n_novel_min * 10000 div n_grams")))
+      .select("doc_id", "n_grams", "n_novel_min", "novelty_bp_min")
+  }
+
   def ngramNoveltySql: String = {
     val k = GraftConf.noveltyNgram
     val mod = GraftConf.noveltyMod

@@ -227,6 +227,41 @@ object StreamOps {
     }
   }
 
+  /** Streaming SIMHASH incremental dedup — the foreachBatch runner closing
+    * the last lane without a streaming tap (exact/line/minhash/SRP/winnow
+    * each have one). Every micro-batch signs ONLY its own text, pairs
+    * against everything seen so far INCLUDING itself through the batch
+    * incremental core ([[graft.operators.Dedup.dedupSimhashDeltaFrom]]
+    * semantics: identical-signature lane + banded near lane with the cap
+    * counting index ∪ batch occupancy), then appends its signatures to the
+    * index it keeps. The (doc_id, simhash) index is CONF-FREE (the
+    * signature has no knobs), so unlike the MinHash runner there is no
+    * fingerprint to validate — SimHamMax/HotBandDocs stay query-time.
+    * Cross-batch pairs are covered exactly as in
+    * [[IncrementalDedupIndex]]: batch N's signatures are base by the time
+    * batch N+1 runs.
+    */
+  final class SimhashDedupIndex(init: DataFrame) {
+    import graft.operators.Dedup
+    private var sigs = init
+
+    /** Current signature index (what production would checkpoint). */
+    def indexSigs: DataFrame = sigs
+
+    /** Near-dup pairs of `batchDocs` (doc_id, text) against everything
+      * seen so far including the batch itself; appends the batch's
+      * signatures. Call from `writeStream.foreachBatch`.
+      */
+    def processBatch(batchDocs: DataFrame): DataFrame = {
+      // eager localCheckpoint cuts lineage from the micro-batch source:
+      // the index must stay readable after the batch's rows are gone
+      val batchSigs = Dedup.simhashIndexOf(batchDocs).localCheckpoint(true)
+      val pairs = Dedup.dedupSimhashDeltaPrepared(sigs, batchSigs)
+      sigs = sigs.unionByName(batchSigs)
+      pairs
+    }
+  }
+
   /** Stream-stream interval join: each purchase joined to the clicks of the
     * same user in the preceding hour. Both sides carry watermarks, so the
     * join state (buffered clicks awaiting purchases and vice versa) is

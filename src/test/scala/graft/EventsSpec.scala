@@ -297,6 +297,75 @@ class EventsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dedup.hotBandDocs")
   }
 
+  test("SimhashDedupIndex: streamed lane ≡ one-shot batch simhash delta, incl. cross-batch pair") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sq = spark.sqlContext
+    val docs = sources.Tables.documents(spark, sf).select("doc_id", "text")
+    // delta = the standard snapshot PLUS both ends of one known simhash
+    // pair, delivered in SEPARATE micro-batches (the cross-batch case)
+    val pair = Dedup.dedupSimhashPairs(spark, sf).orderBy("doc_a", "doc_b")
+      .limit(1).collect().head
+    Dedup.releaseIntermediates()
+    val (pa, pb) = (pair.getAs[Long]("doc_a"), pair.getAs[Long]("doc_b"))
+    val deltaIds = docs.filter(col("doc_id") % Dedup.DeltaIdMod === 0)
+      .select("doc_id").as[Long].collect().toSet + pa + pb
+    val base = docs.filter(!col("doc_id").isInCollection(deltaIds))
+    val delta = docs.filter(col("doc_id").isInCollection(deltaIds))
+    val baseSigs = Dedup.simhashIndexOf(base).cache()
+    def toSet(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming"))).toSet
+    val expected = toSet(Dedup.dedupSimhashDeltaFrom(baseSigs, delta).collect())
+    Dedup.releaseIntermediates()
+    assert(expected.exists(p => p._1 == pa && p._2 == pb),
+      "the chosen pair must be a delta-internal simhash pair")
+    val idx = new StreamOps.SimhashDedupIndex(baseSigs)
+    val collected = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        collected.synchronized { collected ++= toSet(idx.processBatch(batch).collect()) }
+        ()
+      }
+      .start()
+    try {
+      val rows = delta.as[(Long, String)].collect()
+      mem.addData(rows.filter(_._1 != pb).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(rows.filter(_._1 == pb).toIndexedSeq)
+      q.processAllAvailable()
+      assert(collected.toSet == expected,
+        s"stream-only: ${collected.toSet -- expected}; batch-only: ${expected -- collected}")
+    } finally { q.stop(); baseSigs.unpersist() }
+  }
+
+  test("simhash incremental core: a batch flooding one band bucket is capped on index ∪ batch occupancy") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // planted signatures one bit apart: each burst sig flips a distinct
+    // low bit of the base sig, so all six signatures share the three
+    // untouched 16-bit bands (bucket occupancy 6) and every pair is
+    // within hamming ≤ 3 of the base — the near lane finds them at the
+    // default cap and must drop them once index ∪ batch occupancy
+    // exceeds a tight cap (the [[SimhashDedupIndex]] stream tap runs
+    // exactly this prepared core per micro-batch)
+    val sig0 = 0x0f0f0f0f0f0f0f0fL
+    val index = Seq((1L, sig0)).toDF("doc_id", "simhash")
+    val batch = (0 until 5).map(i => (100L + i, sig0 ^ (1L << i)))
+      .toDF("doc_id", "simhash")
+    val open = Dedup.dedupSimhashDeltaPrepared(index, batch).collect()
+    Dedup.releaseIntermediates()
+    assert(open.exists(_.getAs[Long]("hamming") > 0),
+      "the planted burst must produce near-lane pairs at the default cap")
+    try {
+      spark.conf.set("spark.graft.dedup.hotBandDocs", "1")
+      val capped = Dedup.dedupSimhashDeltaPrepared(index, batch).collect()
+      Dedup.releaseIntermediates()
+      assert(!capped.exists(_.getAs[Long]("hamming") > 0),
+        "near-lane pairs must be dropped when index+batch bucket occupancy exceeds the cap")
+    } finally spark.conf.unset("spark.graft.dedup.hotBandDocs")
+  }
+
   test("deltaDedupStream: hot-bucket cap on the stored index drops oversized buckets") {
     import spark.implicits._
     import graft.operators.Dedup

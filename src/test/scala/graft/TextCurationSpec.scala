@@ -460,6 +460,33 @@ class TextCurationSpec extends SparkSpec {
     }
   }
 
+  test("ngramNoveltyBloomFrom: conservative lower bound on exact novelty, zero false novelty, bounded FPR loss") {
+    import graft.operators.{GraftConf, TextAnalysis}
+    val mod = GraftConf.noveltyMod
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val isNew = col("doc_id") % mod === 0
+    val exact = TextAnalysis.ngramNoveltyOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"))).toMap
+    val bloom = TextAnalysis.ngramNoveltyBloomFrom(docs, isNew).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel_min"))).toMap
+    assert(bloom.keySet == exact.keySet, "sketch sweep must cover the same crawl docs")
+    var lostNovel = 0L; var totalNovel = 0L
+    for ((id, (ng, novel)) <- exact) {
+      val (bg, bnovel) = bloom(id)
+      assert(bg == ng, s"doc $id: gram universe must not depend on the membership structure")
+      // no false NOVELTY: a sketch-missed gram is definitely novel, so the
+      // sketch count can undercount (false positives) but never exceed
+      assert(bnovel <= novel, s"doc $id: sketch reported novelty above exact")
+      lostNovel += novel - bnovel; totalNovel += novel
+    }
+    assert(totalNovel > 0, "corpus must exercise the novel path")
+    // 2^23 bits vs this corpus's gram count: FPR-driven undercount is tiny
+    assert(lostNovel <= math.max(1L, totalNovel / 100),
+      s"$lostNovel/$totalNovel novel grams lost to sketch noise — too lossy at default sizing")
+  }
+
   test("dedup_lines: untouched docs round-trip their text exactly") {
     val orig = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
