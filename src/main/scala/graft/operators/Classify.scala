@@ -141,7 +141,12 @@ object Classify {
     * gets `''`. The production scoring pass: one token-grain vocab join,
     * one sparse join, one C-row broadcast; no training work.
     */
-  private[graft] def nbScoreAllOf(docs: DataFrame,
+  /** Per-(doc, class) NB scores — (doc_id, lang, score, n_iv) for every
+    * doc with ≥ 1 in-vocab token. Extracted from the argmax path so the
+    * calibration report reads the IDENTICAL score table the classifier
+    * argmaxes over.
+    */
+  private[graft] def nbScoresOf(docs: DataFrame,
       tokArr: org.apache.spark.sql.Column, m: NbModel): DataFrame = {
     val tokE = docs.select(col("doc_id"), explode(tokArr).as("word"))
     // persisted: the in-vocab token table feeds BOTH the n_iv count and
@@ -153,12 +158,18 @@ object Classify {
     // with the class — the sparse join; decimal sum is exact
     val hits = tokIv.join(m.sparse, Seq("word"))
       .groupBy(col("doc_id"), col("lang")).agg(sum(col("bonus")).as("bonus"))
-    val scored = nIv
+    nIv
       .crossJoin(broadcast(m.classes))
       .join(hits, Seq("doc_id", "lang"), "left")
       .select(col("doc_id"), col("lang"),
         (col("prior") + col("n_iv") * col("dflt") +
-          coalesce(col("bonus"), lit(0).cast("decimal(19,6)"))).as("score"))
+          coalesce(col("bonus"), lit(0).cast("decimal(19,6)"))).as("score"),
+        col("n_iv"))
+  }
+
+  private[graft] def nbScoreAllOf(docs: DataFrame,
+      tokArr: org.apache.spark.sql.Column, m: NbModel): DataFrame = {
+    val scored = nbScoresOf(docs, tokArr, m)
     // argmax per doc: score desc, class asc on ties — exact decimals, so
     // both engines pick the same row; the window partitions on doc_id
     // (key-parallel, never a global sort)
@@ -330,6 +341,96 @@ object Classify {
        |  CASE WHEN e.lang = COALESCE(b.pred_lang, '') THEN 1 ELSE 0 END AS correct
        |FROM ev e LEFT JOIN (SELECT doc_id, pred_lang FROM best WHERE rn = 1) b USING (doc_id)
        |ORDER BY e.doc_id""".stripMargin
+  }
+
+  def QnbCalBucketMicro: Long = GraftConf.qnbCalBucketMicro
+
+  /** `qnb_calibration_report` (r12): CALIBRATION read for the trained
+    * quality classifier — the measure-before-trust discipline
+    * (`ann_recall_report`, `minhash_recall_report`, `lm_coverage_report`)
+    * applied to the model-based rung before it labels a 100 TB crawl:
+    * per CONFIDENCE bucket, how often is the student actually right?
+    * A well-calibrated distillation shows accuracy rising with margin;
+    * a flat curve means the margin carries no signal and the
+    * quarantine threshold built on it is noise.
+    *
+    * Confidence WITHOUT a float softmax (§5): the margin is the exact
+    * DECIMAL difference between the top and runner-up class scores,
+    * scaled to integer micro-log units, floor-divided by
+    * `n_iv × [[QnbCalBucketMicro]]` — per-token normalization and
+    * bucketing in ONE integer division ((a div b) div c = a div (b·c)),
+    * clamped at bucket 9; docs with no in-vocab token land in bucket −1
+    * (the model abstains — `pred ''` can never be correct). Accuracy is
+    * integer basis points. Scale: rides the existing NB chain + one
+    * doc-grain window over the (eval docs × C)-row score table + an
+    * O(buckets) rollup.
+    */
+  def qnbCalibrationReport(spark: SparkSession, dir: String): DataFrame =
+    qnbCalibrationReportOf(Tables.documents(spark, dir))
+
+  def qnbCalibrationReportOf(docs: DataFrame): DataFrame = {
+    val labeled = qualityLabeledOf(docs)
+    val m = QnbEvalMod
+    val width = QnbCalBucketMicro
+    val tokArr = split(col("text"), " ")
+    val train = labeled.filter(col("doc_id") % m =!= 0)
+    val evalDocs = labeled.filter(col("doc_id") % m === 0)
+    val scored = nbScoresOf(evalDocs, tokArr, nbTrainOf(train, tokArr))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang").asc)
+    val ranked = scored.withColumn("rn", row_number().over(w))
+    val margins = ranked.groupBy(col("doc_id"))
+      .agg(max(when(col("rn") === 1, col("lang"))).as("pred"),
+        max(when(col("rn") === 1, col("score"))).as("s1"),
+        max(when(col("rn") === 2, col("score"))).as("s2"),
+        max(col("n_iv")).as("n_iv"))
+      .withColumn("margin_micro",
+        expr("cast((s1 - s2) * 1000000 as bigint)"))
+    evalDocs.select(col("doc_id"), col("lang").as("label"))
+      .join(margins, Seq("doc_id"), "left")
+      .withColumn("bucket",
+        when(col("margin_micro").isNull, lit(-1L))
+          .otherwise(least(expr(s"margin_micro div (n_iv * ${width}L)"), lit(9L))))
+      .withColumn("correct",
+        when(col("pred").isNotNull && col("label") === col("pred"), 1L).otherwise(0L))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("correct")).as("n_correct"))
+      .withColumn("accuracy_bp", expr("n_correct * 10000 div n_docs"))
+      .contractOrderBy("bucket")
+  }
+
+  def qnbCalibrationReportSql: String = {
+    val m = QnbEvalMod
+    val width = QnbCalBucketMicro
+    s"""WITH ${TextAnalysis.qualityIntCtesSql},
+       |qsrc AS (
+       |  SELECT d.doc_id, d.text,
+       |    CASE WHEN q.qint >= $QnbTauQint THEN 'hi' ELSE 'lo' END AS lang
+       |  FROM documents d JOIN qscore q USING (doc_id)
+       |), ${nbChainSql(m, "string_split(text, ' ')", "qsrc")},
+       |cal1 AS (
+       |  SELECT doc_id, lang, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+       |  FROM scored
+       |), calm AS (
+       |  SELECT s1.doc_id, s1.lang AS pred,
+       |    CAST((s1.score - s2.score) * 1000000 AS BIGINT) AS margin_micro
+       |  FROM (SELECT * FROM cal1 WHERE rn = 1) s1
+       |  JOIN (SELECT * FROM cal1 WHERE rn = 2) s2 USING (doc_id)
+       |), calb AS (
+       |  SELECT e.doc_id,
+       |    CASE WHEN cm.margin_micro IS NULL THEN CAST(-1 AS BIGINT)
+       |         ELSE least(cm.margin_micro // (n.n_iv * $width), 9) END AS bucket,
+       |    CASE WHEN cm.pred IS NOT NULL AND e.lang = cm.pred THEN 1 ELSE 0 END AS correct
+       |  FROM ev e
+       |  LEFT JOIN calm cm USING (doc_id)
+       |  LEFT JOIN n_iv n USING (doc_id)
+       |)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(correct) AS BIGINT) AS n_correct,
+       |  CAST(sum(correct) * 10000 // count(*) AS BIGINT) AS accuracy_bp
+       |FROM calb GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
   }
 
   /** Oracle: the same sparse identity, CTE for CTE. */

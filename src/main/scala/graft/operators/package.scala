@@ -377,6 +377,14 @@ package object operators {
       * set's chosen bar (the teacher the classifier distills).
       */
     def qnbTauQint: Int = positive("spark.graft.qnb.tauQint", "64000")
+    /** Calibration-report bucket width for `qnb_calibration_report`
+      * (`spark.graft.qnb.calBucketMicro`): per-in-vocab-token NB score
+      * margin, in micro-log units, per bucket — 5000 = five milli-nats of
+      * log-odds per token per bucket (the shipped corpus's margins spread
+      * across the 0..9 range at this width); buckets clamp at 9.
+      */
+    def qnbCalBucketMicro: Long =
+      positive("spark.graft.qnb.calBucketMicro", "5000").toLong
 
     /** Longest candidate subword piece for the unigram-LM tokenizer
       * (`spark.graft.unigram.maxPiece`).

@@ -129,6 +129,48 @@ class ClassifySpec extends SparkSpec {
     }
   }
 
+  test("qnb_calibration_report: confident planted corpus lands high-bucket at 10000 bp; accounting holds") {
+    // the separable plant: disjoint vocabularies, so every held-out doc's
+    // per-token margin is large and every prediction matches the teacher —
+    // a calibrated student shows full accuracy in its (high) buckets
+    val rep = Classify.qnbCalibrationReportOf(qualityPlanted).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_correct"),
+          r.getAs[Long]("accuracy_bp"))).toMap
+    graft.operators.Dedup.releaseIntermediates()
+    assert(rep.values.map(_._1).sum == 8L, s"8 held-out docs, got $rep")
+    rep.foreach { case (b, (n, c, bp)) =>
+      assert(b >= -1L && b <= 9L)
+      assert(bp == c * 10000 / n, "bp is the pure integer formula")
+      assert(c == n, s"separable plant must be fully correct in bucket $b: $rep")
+    }
+    assert(rep.keys.max >= 5L,
+      s"disjoint-vocabulary margins should land in high buckets: $rep")
+
+    // a held-out doc whose words the train slice never saw: the model
+    // abstains (pred ''), lands in bucket -1, and is counted incorrect
+    // 45 % 5 == 0 → held out; its vocabulary never appears in training
+    val withOov = qualityPlanted
+      .unionByName(Seq((45L, "zzz1 zzz2 zzz3")).toDF("doc_id", "text"))
+    val rep2 = Classify.qnbCalibrationReportOf(withOov).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_correct"))).toMap
+    graft.operators.Dedup.releaseIntermediates()
+    assert(rep2(-1L) == ((1L, 0L)),
+      s"the all-out-of-vocab doc must land in bucket -1 as incorrect: $rep2")
+
+    // real corpus: totals = held-out count, buckets in range, bp formula
+    val real = Classify.qnbCalibrationReport(spark, sf).collect()
+    graft.operators.Dedup.releaseIntermediates()
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % Classify.QnbEvalMod === 0).count()
+    assert(real.map(_.getAs[Long]("n_docs")).sum == expected)
+    real.foreach { r =>
+      assert(r.getAs[Long]("accuracy_bp") ==
+        r.getAs[Long]("n_correct") * 10000 / r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("quality_classifier_nb is total, deterministic, and non-vacuous on the real corpus") {
     val a = Classify.qualityClassifierNb(spark, sf).collect()
     val b = Classify.qualityClassifierNb(spark, sf).collect()
