@@ -42,27 +42,69 @@ object PostingsIndex {
   def writePostings(spark: SparkSession, dir: String, path: String): Unit =
     writePostingsFrom(Tables.documents(spark, dir), path)
 
-  /** [[writePostings]] over an explicit (doc_id, text) frame. */
-  def writePostingsFrom(docs: DataFrame, path: String): Unit = {
-    val d = docs
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("dl", size(col("ws")).cast("long"))
-    // tf counts EVERY ws entry (including the empty-split artifact) so the
-    // stored tf of any queryable term equals the scan path's filter count
-    // RANGE-partition on word + sort within partitions: a term's postings
-    // land contiguous in ONE file, per-file (and per-row-group) min-max
-    // `word` ranges are disjoint, and the pushed term filter prunes to
-    // the queried terms' files/row groups — without this the stored
-    // artifact degenerates to a full index scan per query set
+  /** Tokenized doc prep shared by build and append — ONE derivation of
+    * (ws, dl) so an appended crawl's rows can never be produced by
+    * different arithmetic than build-time ones (the
+    * [[AnnIndex.encodeWithArtifacts]] discipline). tf counts EVERY ws
+    * entry (including the empty-split artifact) so the stored tf of any
+    * queryable term equals the scan path's filter count.
+    */
+  private def prepDocs(docs: DataFrame): DataFrame = docs
+    .withColumn("ws", split(col("text"), " "))
+    .withColumn("dl", size(col("ws")).cast("long"))
+
+  /** The (word, doc_id, tf) rows in their pruning layout: RANGE-partition
+    * on word + sort within partitions — a term's postings land contiguous
+    * in ONE file, per-file (and per-row-group) min-max `word` ranges are
+    * disjoint, and the pushed term filter prunes to the queried terms'
+    * files/row groups; without this the stored artifact degenerates to a
+    * full index scan per query set. Appends hold the property PER
+    * APPENDED CRAWL (each append's files are themselves range-disjoint —
+    * file skipping needs per-file tightness, not global disjointness).
+    */
+  private def postingRowsOf(d: DataFrame): DataFrame =
     d.select(col("doc_id"), explode(col("ws")).as("word"))
       .groupBy(col("word"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
       .repartitionByRange(col("word"), col("doc_id"))
       .sortWithinPartitions("word", "doc_id")
-      .write.mode("overwrite").parquet(s"$path/postings")
+
+  /** [[writePostings]] over an explicit (doc_id, text) frame. */
+  def writePostingsFrom(docs: DataFrame, path: String): Unit = {
+    val d = prepDocs(docs)
+    postingRowsOf(d).write.mode("overwrite").parquet(s"$path/postings")
     d.select(col("doc_id"), col("dl"))
       .write.mode("overwrite").parquet(s"$path/doclens")
     d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** APPEND a new crawl to a stored postings index — the per-crawl
+    * lifecycle step ("index once, append crawls, query many": the
+    * [[AnnIndex.appendToIvfPq]] discipline applied to the lexical
+    * artifact). Work is O(delta text): the crawl's postings and doc
+    * lengths land as new range-partitioned files and the 1-row stats
+    * table merges old + delta counts (read one row, overwrite one row).
+    * Caller contract, same as the ANN append: doc sets are disjoint
+    * across appends — re-appending a doc_id would double its tf rows.
+    * The index is CONF-FREE (whitespace tokenization has no knobs), so
+    * unlike the ANN append there is no fingerprint to validate.
+    */
+  def appendToPostings(spark: SparkSession, path: String, docs: DataFrame): Unit = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val d = prepDocs(docs)
+    postingRowsOf(d).write.mode("append").parquet(s"$path/postings")
+    d.select(col("doc_id"), col("dl"))
+      .write.mode("append").parquet(s"$path/doclens")
+    val old = spark.read.parquet(s"$path/stats").head()
+    val add = d.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+    spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          old.getAs[Long]("n_docs") + add.getAs[Long]("n"),
+          old.getAs[Long]("sum_dl") + add.getAs[Long]("s"))),
+        StructType(Seq(StructField("n_docs", LongType, nullable = false),
+          StructField("sum_dl", LongType, nullable = false))))
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 

@@ -1152,11 +1152,15 @@ object Similarity {
       .select(col("doc_id").as("query_id"),
         explode(split(col("text"), " ")).as("word"))
       .distinct()
-    val qvocab = qwords.select("word").distinct()
-    // pushed-filter read: only the query vocabulary's postings rows leave
-    // the store (file/row-group pruned by the sorted layout)
+    // the query vocabulary — queries × words-per-doc values, driver-
+    // bounded by construction — pushes as a LITERAL In filter, so the
+    // range-partitioned postings scan prunes to the queried terms'
+    // files/row groups (the ivfPqTopKFrom probed-cell discipline; a
+    // broadcast join would leave the scan unpruned)
+    val qvocab = qwords.select("word").distinct().collect().map(_.getString(0))
     val post = Intermediates.persist(
-      spark.read.parquet(s"$path/lex/postings").join(broadcast(qvocab), Seq("word")))
+      spark.read.parquet(s"$path/lex/postings")
+        .filter(col("word").isin(qvocab.toIndexedSeq: _*)))
     val dl = spark.read.parquet(s"$path/lex/doclens")
     val stats = spark.read.parquet(s"$path/lex/stats")
     rrfFuse(dense, rrfLexList(post, dl, stats, qwords, depth))

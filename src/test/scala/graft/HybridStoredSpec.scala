@@ -43,6 +43,12 @@ class HybridStoredSpec extends SparkSpec {
     assert(storedDense.nonEmpty && storedDense.forall { case (k, v) =>
       densePairs.get(k).contains(v) },
       "stored hybrid's dense ranks must be exactly the stored-index list")
+    // the postings read carries the query vocabulary as a PUSHED literal
+    // filter (static pruning over the range-partitioned layout)
+    val postPlan = Similarity.hybridSearchRrfStoredFrom(spark, path, docs, embs)
+      .queryExecution.executedPlan.toString
+    Dedup.releaseIntermediates()
+    assert(postPlan.contains("PushedFilters: [In(word"), postPlan.take(1500))
     // fusion arithmetic: rrf_s recomputed from the rank columns
     val k = graft.operators.GraftConf.rrfK.toLong
     val scale = 1000000000000000L

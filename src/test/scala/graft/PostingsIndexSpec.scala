@@ -25,6 +25,25 @@ class PostingsIndexSpec extends SparkSpec {
       s"stored-only: ${stored.diff(scan).take(3)}; scan-only: ${scan.diff(stored).take(3)}")
   }
 
+  test("appendToPostings: base + appended crawl answers bit-equal to the one-shot full index") {
+    val docs = Tables.documents(spark, sf)
+    val isDelta = org.apache.spark.sql.functions.col("doc_id") % 10 === 0
+    val incr = tmp("graft-postings-incr")
+    PostingsIndex.writePostingsFrom(docs.filter(!isDelta), incr)
+    PostingsIndex.appendToPostings(spark, incr, docs.filter(isDelta))
+    val full = tmp("graft-postings-full")
+    PostingsIndex.writePostingsFrom(docs, full)
+    val viaAppend = PostingsIndex.bm25From(spark, incr).collect().toSeq
+    Dedup.releaseIntermediates()
+    val oneShot = PostingsIndex.bm25From(spark, full).collect().toSeq
+    Dedup.releaseIntermediates()
+    assert(viaAppend.nonEmpty && viaAppend == oneShot,
+      s"append-only: ${viaAppend.diff(oneShot).take(3)}; full-only: ${oneShot.diff(viaAppend).take(3)}")
+    // the merged stats row is the exact sum of the two crawls'
+    val st = spark.read.parquet(s"$incr/stats").collect()
+    assert(st.length == 1 && st.head.getAs[Long]("n_docs") == docs.count())
+  }
+
   test("postings layout: disjoint per-file word ranges; term filter pushes to the parquet scan") {
     val path = tmp("graft-postings-spec")
     // at sf0.001 AQE rightly coalesces the range shuffle to one (tiny)
