@@ -636,6 +636,108 @@ object Curation {
     Dedup.unifiedClosureCtes + tail
   }
 
+  // ---- corpus_curate_delta --------------------------------------------------
+
+  /** `corpus_curate_delta` (r12): the PER-CRAWL ingest funnel — the
+    * incremental composition of everything a new crawl passes before any
+    * of it reaches training: per-doc quality rules (stateless — the
+    * crawl's own text decides), exact + fuzzy decontamination against
+    * the FIXED benchmark registry (eval n-grams/shingles derive from the
+    * registry only, so scanning registry ∪ crawl is O(crawl + registry)),
+    * and the INCREMENTAL unified dedup verdict
+    * ([[Dedup.dedupKeepUnifiedDeltaFrom]] — five delta lanes contracted
+    * onto the persisted base membership; a crawl doc keeps only if it is
+    * its merged component's canonical or untouched). Output: one funnel
+    * row per crawl doc with the same columns and stage-attribution rule
+    * as `corpus_curate` — this IS `corpus_curate` for the crawl, at
+    * per-crawl cost (quality/contamination are crawl-linear; dedup is
+    * touched-bucket-bounded), never an O(corpus) re-run.
+    *
+    * Oracle: quality/contamination verdicts are per-doc (full-corpus
+    * sub-selects joined on crawl ids are value-identical); the dedup
+    * column reads the shared [[Dedup.unifiedDeltaClosureCtes]] —
+    * base-only ∪ delta-touching closure, the incremental semantics — so
+    * the funnel's dedup verdict can never drift from
+    * `dedup_keep_unified_delta`'s.
+    */
+  def corpusCurateDelta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val embs = Tables.embeddings(spark, dir)
+    val isD = col("doc_id") % Dedup.DeltaIdMod === 0
+    val isDV = col("vec_id") % Dedup.DeltaIdMod === 0
+    val isEval = col("doc_id") % FuzzyEvalMod === 0
+    val baseDocs = docs.filter(!isD)
+    val deltaDocs = docs.filter(isD)
+    // stored artifacts (production persists these at base-index time)
+    val stored = Dedup.clustersFromPairs(
+      Dedup.unifiedPairsOf(baseDocs, embs.filter(!isDV)))
+    val verdicts = Dedup.dedupKeepUnifiedDeltaFrom(stored,
+        Dedup.unifiedDeltaPairsOf(baseDocs, embs.filter(!isDV),
+          deltaDocs, embs.filter(isDV)), deltaDocs)
+      .filter(col("origin") === "delta")
+      .select(col("doc_id"), (col("status") =!= "dup").as("dedup_keep"))
+    val crawl = deltaDocs.filter(!isEval)
+    // registry ∪ crawl: the eval side carves from the registry only, the
+    // per-doc train verdicts cover exactly the crawl
+    val sweepDocs = docs.filter(isEval).unionByName(crawl)
+    val q = qualityFilterOf(crawl).select(col("doc_id"), col("keep").as("q_keep"))
+    val ce = decontaminateFrom(sweepDocs, isEval)
+      .select(col("doc_id"), col("contaminated").as("contam_exact"))
+    val cf = decontaminateFuzzyFrom(sweepDocs, isEval)
+      .select(col("doc_id"), col("contaminated").as("contam_fuzzy"))
+    crawl.select("doc_id")
+      .join(q, "doc_id")
+      .join(ce, "doc_id")
+      .join(cf, "doc_id")
+      .join(verdicts, Seq("doc_id"), "left")
+      .withColumn("dedup_keep", coalesce(col("dedup_keep"), lit(true)))
+      .withColumn("kept",
+        col("q_keep") && !col("contam_exact") && !col("contam_fuzzy") &&
+          col("dedup_keep"))
+      .withColumn("stage",
+        when(!col("q_keep"), "quality")
+          .when(col("contam_exact"), "contam_exact")
+          .when(col("contam_fuzzy"), "contam_fuzzy")
+          .when(!col("dedup_keep"), "duplicate")
+          .otherwise("kept"))
+      .select("doc_id", "q_keep", "contam_exact", "contam_fuzzy",
+        "dedup_keep", "kept", "stage")
+      .contractOrderBy("doc_id")
+  }
+
+  def corpusCurateDeltaSql: String = {
+    val m = Dedup.DeltaIdMod
+    val tail =
+      s"""
+         |, dverdict AS (
+         |  -- a delta doc present in cc is in a delta-holding component by
+         |  -- definition (it contains itself); no touched-restriction needed
+         |  SELECT id, id = cluster_id AS is_canonical FROM cc
+         |)
+         |SELECT d.doc_id, q.keep AS q_keep,
+         |  ce.contaminated AS contam_exact,
+         |  cf.contaminated AS contam_fuzzy,
+         |  (v.id IS NULL OR v.is_canonical) AS dedup_keep,
+         |  (q.keep AND NOT ce.contaminated AND NOT cf.contaminated
+         |    AND (v.id IS NULL OR v.is_canonical)) AS kept,
+         |  CASE WHEN NOT q.keep THEN 'quality'
+         |       WHEN ce.contaminated THEN 'contam_exact'
+         |       WHEN cf.contaminated THEN 'contam_fuzzy'
+         |       WHEN NOT (v.id IS NULL OR v.is_canonical) THEN 'duplicate'
+         |       ELSE 'kept' END AS stage
+         |FROM documents d
+         |JOIN (%QF%) q ON d.doc_id = q.doc_id
+         |JOIN (%CE%) ce ON d.doc_id = ce.doc_id
+         |JOIN (%CF%) cf ON d.doc_id = cf.doc_id
+         |LEFT JOIN dverdict v ON d.doc_id = v.id
+         |WHERE d.doc_id % $m = 0 AND d.doc_id % $FuzzyEvalMod <> 0
+         |ORDER BY d.doc_id""".stripMargin
+        .replace("%QF%", qualityFilterSql)
+        .replace("%CE%", decontaminateSqlAt(FuzzyEvalMod))
+        .replace("%CF%", decontaminateFuzzySql)
+    Dedup.unifiedDeltaClosureCtes + tail
+  }
+
   // ---- decontaminate_bloom (scale variant, test-only) ---------------------
 
   /** The exact sweep's 100 TB-benchmark-suite variant: eval n-gram

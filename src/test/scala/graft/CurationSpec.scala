@@ -194,6 +194,51 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("corpus_curate_delta ≡ the per-column composition of its three rungs on the crawl slice") {
+    import graft.operators.{Curation, Dedup}
+    val out = Curation.corpusCurateDelta(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Dedup.releaseIntermediates()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val isD = col("doc_id") % Dedup.DeltaIdMod === 0
+    val isEval = col("doc_id") % Curation.FuzzyEvalMod === 0
+    val crawlIds = docs.filter(isD && !isEval).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.keySet == crawlIds, "one funnel row per crawl doc, nothing else")
+    // quality rung ≡ the stateless per-doc filter on the crawl slice
+    val q = Curation.qualityFilterOf(docs.filter(isD && !isEval)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    // contamination rungs ≡ the full-corpus sweeps restricted to crawl docs
+    val ce = Curation.decontaminateFrom(docs, isEval).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    val cf = Curation.decontaminateFuzzyFrom(docs, isEval).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    Dedup.releaseIntermediates()
+    // dedup rung ≡ dedup_keep_unified_delta's verdicts (keep = not 'dup')
+    val dv = Dedup.dedupKeepUnifiedDelta(spark, sf).collect()
+      .filter(_.getAs[String]("origin") == "delta")
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("status") != "dup")).toMap
+    Dedup.releaseIntermediates()
+    out.foreach { case (id, r) =>
+      assert(r.getAs[Boolean]("q_keep") == q(id), s"q_keep drift at $id")
+      assert(r.getAs[Boolean]("contam_exact") == ce(id), s"contam_exact drift at $id")
+      assert(r.getAs[Boolean]("contam_fuzzy") == cf(id), s"contam_fuzzy drift at $id")
+      assert(r.getAs[Boolean]("dedup_keep") == dv.getOrElse(id, true),
+        s"dedup_keep drift at $id")
+      val expectedStage =
+        if (!q(id)) "quality"
+        else if (ce(id)) "contam_exact"
+        else if (cf(id)) "contam_fuzzy"
+        else if (!dv.getOrElse(id, true)) "duplicate"
+        else "kept"
+      assert(r.getAs[String]("stage") == expectedStage, s"stage drift at $id")
+      assert(r.getAs[Boolean]("kept") == (expectedStage == "kept"))
+    }
+    // non-vacuity: the crawl slice must exercise a drop stage and a keep
+    val stages = out.values.map(_.getAs[String]("stage")).toSet
+    assert(stages.contains("kept") && stages.size >= 2, s"stages seen: $stages")
+  }
+
   test("pack_sequences matches an in-memory concat-and-chop reference") {
     val rows = Curation.packSequences(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, docs) =>
