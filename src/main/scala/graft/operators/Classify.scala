@@ -380,10 +380,16 @@ object Classify {
       .orderBy(col("score").desc, col("lang").asc)
     val ranked = scored.withColumn("rn", row_number().over(w))
     val margins = ranked.groupBy(col("doc_id"))
-      .agg(max(when(col("rn") === 1, col("lang"))).as("pred"),
+      .agg(max(when(col("rn") === 1, col("lang"))).as("pred0"),
         max(when(col("rn") === 1, col("score"))).as("s1"),
         max(when(col("rn") === 2, col("score"))).as("s2"),
         max(col("n_iv")).as("n_iv"))
+      // a margin needs TWO scored classes: on a degenerate single-class
+      // train slice only rn=1 exists — null the pred so the doc counts
+      // as an abstention (bucket −1, never correct), matching the
+      // oracle's rn=1 ⋈ rn=2 inner join which drops it from calm
+      .withColumn("pred",
+        when(col("s2").isNotNull, col("pred0")))
       .withColumn("margin_micro",
         expr("cast((s1 - s2) * 1000000 as bigint)"))
     evalDocs.select(col("doc_id"), col("lang").as("label"))

@@ -662,18 +662,13 @@ object Curation {
     */
   def corpusCurateDelta(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val embs = Tables.embeddings(spark, dir)
     val isD = col("doc_id") % Dedup.DeltaIdMod === 0
-    val isDV = col("vec_id") % Dedup.DeltaIdMod === 0
     val isEval = col("doc_id") % FuzzyEvalMod === 0
-    val baseDocs = docs.filter(!isD)
     val deltaDocs = docs.filter(isD)
-    // stored artifacts (production persists these at base-index time)
-    val stored = Dedup.clustersFromPairs(
-      Dedup.unifiedPairsOf(baseDocs, embs.filter(!isDV)))
-    val verdicts = Dedup.dedupKeepUnifiedDeltaFrom(stored,
-        Dedup.unifiedDeltaPairsOf(baseDocs, embs.filter(!isDV),
-          deltaDocs, embs.filter(isDV)), deltaDocs)
+    // stored artifacts (production persists these at base-index time; the
+    // bench's artifact-amortized mode reads the membership from parquet)
+    val (stored, deltaPairs, _) = Dedup.unifiedDeltaCarve(spark, dir)
+    val verdicts = Dedup.dedupKeepUnifiedDeltaFrom(stored, deltaPairs, deltaDocs)
       .filter(col("origin") === "delta")
       .select(col("doc_id"), (col("status") =!= "dup").as("dedup_keep"))
     val crawl = deltaDocs.filter(!isEval)

@@ -16,8 +16,14 @@ import graft.sources.Tables
   *     parquet scan and prunes to the queried terms' row groups instead
   *     of reading the whole index (PostingsIndexSpec asserts both the
   *     pushed filter and the disjoint file ranges)
-  *   - `doclens/`   (doc_id, dl) — the BM25 length normalizer
-  *   - `stats/`     one row (n_docs, sum_dl)
+  *   - `doclens/`   (doc_id, dl) — the BM25 length normalizer; the
+  *     corpus stats (n_docs, sum_dl) are DERIVED from it at read time
+  *     (one tiny agg) rather than stored — a separate 1-row stats table
+  *     would need a read-modify-overwrite on every append, and a crash
+  *     (or a concurrent reader) between the postings append and the
+  *     stats overwrite would leave BM25 idf/avgdl silently wrong.
+  *     Deriving makes the torn state unrepresentable: whatever doclens
+  *     files exist ARE the stats.
   *
   * Query-time cost is O(postings of the queried terms) + the doc-length
   * join — the corpus TEXT is never rescanned; df per term is the row count
@@ -75,37 +81,36 @@ object PostingsIndex {
     postingRowsOf(d).write.mode("overwrite").parquet(s"$path/postings")
     d.select(col("doc_id"), col("dl"))
       .write.mode("overwrite").parquet(s"$path/doclens")
-    d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
   }
+
+  /** The BM25 corpus stats, derived from the stored doclens table at
+    * read time — one map-side-combined agg over (doc_id, dl) rows, so
+    * stats can never desync from the postings they score: both append
+    * atomically (new parquet files) or not at all.
+    */
+  private[graft] def statsFromDoclens(doclens: DataFrame): DataFrame =
+    doclens.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
 
   /** APPEND a new crawl to a stored postings index — the per-crawl
     * lifecycle step ("index once, append crawls, query many": the
     * [[AnnIndex.appendToIvfPq]] discipline applied to the lexical
     * artifact). Work is O(delta text): the crawl's postings and doc
-    * lengths land as new range-partitioned files and the 1-row stats
-    * table merges old + delta counts (read one row, overwrite one row).
+    * lengths land as new range-partitioned files — APPEND-ONLY, no
+    * in-place mutation, so a crash leaves at worst a clean prefix of
+    * the crawl (Spark's commit protocol) and never a half-merged
+    * aggregate ([[statsFromDoclens]] derives n_docs/sum_dl from
+    * whatever doclens files committed).
     * Caller contract, same as the ANN append: doc sets are disjoint
     * across appends — re-appending a doc_id would double its tf rows.
     * The index is CONF-FREE (whitespace tokenization has no knobs), so
     * unlike the ANN append there is no fingerprint to validate.
     */
   def appendToPostings(spark: SparkSession, path: String, docs: DataFrame): Unit = {
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val d = prepDocs(docs)
     postingRowsOf(d).write.mode("append").parquet(s"$path/postings")
     d.select(col("doc_id"), col("dl"))
       .write.mode("append").parquet(s"$path/doclens")
-    val old = spark.read.parquet(s"$path/stats").head()
-    val add = d.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("dl")), lit(0L)).as("s")).head()
-    spark.createDataFrame(
-        java.util.List.of(org.apache.spark.sql.Row(
-          old.getAs[Long]("n_docs") + add.getAs[Long]("n"),
-          old.getAs[Long]("sum_dl") + add.getAs[Long]("s"))),
-        StructType(Seq(StructField("n_docs", LongType, nullable = false),
-          StructField("sum_dl", LongType, nullable = false))))
-      .write.mode("overwrite").parquet(s"$path/stats")
   }
 
   /** Answer the conf'd BM25 query FROM the stored index — bit-equal to
@@ -118,7 +123,7 @@ object PostingsIndex {
     val post = Intermediates.persist(
       spark.read.parquet(s"$path/postings").filter(col("word").isin(terms: _*)))
     val doclens = spark.read.parquet(s"$path/doclens")
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = statsFromDoclens(doclens)
     // pivot the term postings to the tf_i columns the shared tail scores
     val tfAggs = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("word") === t, col("tf")).otherwise(0L)).as(s"tf_$i")

@@ -1162,7 +1162,9 @@ object Similarity {
       spark.read.parquet(s"$path/lex/postings")
         .filter(col("word").isin(qvocab.toIndexedSeq: _*)))
     val dl = spark.read.parquet(s"$path/lex/doclens")
-    val stats = spark.read.parquet(s"$path/lex/stats")
+    // stats derived from doclens at read time (PostingsIndex discipline:
+    // no stored 1-row stats table to tear on append)
+    val stats = PostingsIndex.statsFromDoclens(dl)
     rrfFuse(dense, rrfLexList(post, dl, stats, qwords, depth))
   }
 

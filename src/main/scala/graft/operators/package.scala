@@ -385,6 +385,42 @@ package object operators {
       */
     def qnbCalBucketMicro: Long =
       positive("spark.graft.qnb.calBucketMicro", "5000").toLong
+    /** Quarantine threshold in calibration buckets for `qnb_quarantine`
+      * (`spark.graft.qnb.quarantineBucket`): crawl docs whose NB margin
+      * bucket (same integer bucketing as `qnb_calibration_report`) is
+      * BELOW this go to the quarantine split instead of train;
+      * abstentions (bucket −1, no in-vocab token or fewer than two
+      * scored classes) always quarantine. 0..9; a deployment reads the
+      * calibration report and sets the bar where accuracy clears its
+      * tolerance.
+      */
+    def qnbQuarantineBucket: Long = {
+      val v = get("spark.graft.qnb.quarantineBucket", "2")
+      val n = try v.toLong catch {
+        case e: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"spark.graft.qnb.quarantineBucket must be an integer 0..9, got '$v'", e)
+      }
+      require(n >= 0 && n <= 9,
+        s"spark.graft.qnb.quarantineBucket must be 0..9, got $n")
+      n
+    }
+
+    /** Bench-session artifact root (`spark.graft.bench.artifactDir`):
+      * when set, delta operators read their stored base artifacts
+      * (the unified cluster membership) from parquet pre-built ONCE
+      * under this directory instead of rebuilding them in-query, so the
+      * bench board measures the per-crawl cost model the incremental
+      * operators claim. PLAN-ONLY by construction: the artifact is the
+      * same membership table the in-query build produces (its parquet
+      * round-trip is spec-proven), so results are identical either way.
+      * Unset by default; Verify never sets it. Bench salts it per JVM so
+      * a stale artifact from an earlier session can never be read.
+      */
+    def benchArtifactDir: Option[String] = {
+      val v = get("spark.graft.bench.artifactDir", "")
+      if (v.isEmpty) None else Some(v)
+    }
 
     /** Longest candidate subword piece for the unigram-LM tokenizer
       * (`spark.graft.unigram.maxPiece`).

@@ -204,6 +204,7 @@ object StreamOps {
     import graft.operators.Dedup
     private var sets = initSets
     private var bands = initBands
+    private var batches = 0
 
     /** Current index tables (what production would checkpoint). */
     def indexSets: DataFrame = sets
@@ -223,9 +224,25 @@ object StreamOps {
       val pairs = Dedup.dedupDeltaPrepared(sets, bands, batchSets, batchBands)
       sets = sets.unionByName(batchSets)
       bands = bands.unionByName(batchBands)
+      batches += 1
+      // each batch nests one more Union node over the checkpointed
+      // leaves — over a long-running stream the unbounded plan depth
+      // inflates analysis time and eventually overflows the analyzer
+      // stack. Collapse to a single checkpointed leaf periodically so
+      // depth stays ≤ IndexCollapseEvery between collapses.
+      if (batches % IndexCollapseEvery == 0) {
+        sets = sets.localCheckpoint(true)
+        bands = bands.localCheckpoint(true)
+      }
       pairs
     }
   }
+
+  /** Micro-batches between plan-collapse checkpoints of a streaming
+    * dedup index's accumulated union — bounds analyzer plan depth on a
+    * long-running stream without paying a materialization per batch.
+    */
+  private[graft] val IndexCollapseEvery = 8
 
   /** Streaming SIMHASH incremental dedup — the foreachBatch runner closing
     * the last lane without a streaming tap (exact/line/minhash/SRP/winnow
@@ -244,6 +261,7 @@ object StreamOps {
   final class SimhashDedupIndex(init: DataFrame) {
     import graft.operators.Dedup
     private var sigs = init
+    private var batches = 0
 
     /** Current signature index (what production would checkpoint). */
     def indexSigs: DataFrame = sigs
@@ -258,6 +276,10 @@ object StreamOps {
       val batchSigs = Dedup.simhashIndexOf(batchDocs).localCheckpoint(true)
       val pairs = Dedup.dedupSimhashDeltaPrepared(sigs, batchSigs)
       sigs = sigs.unionByName(batchSigs)
+      batches += 1
+      // bound the accumulated union's plan depth (see
+      // [[IncrementalDedupIndex.processBatch]])
+      if (batches % IndexCollapseEvery == 0) sigs = sigs.localCheckpoint(true)
       pairs
     }
   }

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** `dedup_membership_apply` + `dedup_delta_keep_best`: the write-back that
+  * advances the stored membership parquet must COMPOSE — folding two
+  * successive crawls' verdicts must land on exactly the membership a full
+  * five-lane rebuild over base ∪ crawl1 ∪ crawl2 produces (the property
+  * that makes the incremental loop sound: after K crawls the store is
+  * never stale) — and the quality-canonical act step must let a delta doc
+  * DEMOTE a stored canonical, which min-id keep can never express.
+  */
+class DedupMembershipApplySpec extends SparkSpec {
+
+  private type MemberRow = (Long, Long, Long, Boolean)
+
+  private def toSet(df: DataFrame): Set[MemberRow] =
+    df.select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("is_canonical")))
+      .toSet
+
+  test("two-crawl associativity: apply(apply(base, c1), c2) ≡ full-corpus rebuild; store round-trips through parquet") {
+    val docs = Tables.documents(spark, sf)
+    val embs = Tables.embeddings(spark, sf)
+    // three generations: crawl1 = %10, crawl2 = %7 (minus crawl1), base = rest
+    val d = col("doc_id"); val v = col("vec_id")
+    val c1D = d % 10 === 0
+    val c2D = d % 7 === 0 && d % 10 =!= 0
+    val c1V = v % 10 === 0
+    val c2V = v % 7 === 0 && v % 10 =!= 0
+    val baseDocs = docs.filter(!c1D && !c2D)
+    val baseEmbs = embs.filter(!c1V && !c2V)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-mapply").toString
+    // crawl 0 (index build): persist the base membership
+    Dedup.clustersFromPairs(Dedup.unifiedPairsOf(baseDocs, baseEmbs))
+      .write.mode("overwrite").parquet(s"$dir/membership")
+    Dedup.releaseIntermediates()
+
+    // crawl 1: verdicts against the STORE, fold, write back
+    val m0 = spark.read.parquet(s"$dir/membership")
+    val v1 = Dedup.dedupKeepUnifiedDeltaFrom(m0,
+      Dedup.unifiedDeltaPairsOf(baseDocs, baseEmbs, docs.filter(c1D), embs.filter(c1V)),
+      docs.filter(c1D))
+    Dedup.membershipApply(m0, v1)
+      .write.mode("overwrite").parquet(s"$dir/membership2")
+    Dedup.releaseIntermediates()
+
+    // crawl 2: base is now base ∪ crawl1 — the lanes' stored indexes grew,
+    // the membership comes from the ADVANCED store
+    val m1 = spark.read.parquet(s"$dir/membership2")
+    val v2 = Dedup.dedupKeepUnifiedDeltaFrom(m1,
+      Dedup.unifiedDeltaPairsOf(docs.filter(!c2D), embs.filter(!c2V),
+        docs.filter(c2D), embs.filter(c2V)),
+      docs.filter(c2D))
+    val m2 = toSet(Dedup.membershipApply(m1, v2))
+    Dedup.releaseIntermediates()
+
+    val want = toSet(Dedup.clustersFromPairs(Dedup.unifiedPairsOf(docs, embs)))
+    Dedup.releaseIntermediates()
+    assert(m2.nonEmpty && want.exists(_._3 > 1), "corpus must carry real clusters")
+    assert(m2 == want,
+      s"applied-only: ${(m2 -- want).take(5)}; rebuild-only: ${(want -- m2).take(5)}")
+  }
+
+  test("membershipApply table algebra: touched rows replaced, untouched kept, singletons excluded") {
+    import spark.implicits._
+    // stored: {1,2} and {3,4}; verdicts merge {1,2} with delta 10 and
+    // leave {3,4} untouched; delta 20 is a unique singleton
+    val stored = Seq((1L, 1L, 2L, true), (2L, 1L, 2L, false),
+        (3L, 3L, 2L, true), (4L, 3L, 2L, false))
+      .toDF("doc_id", "cluster_id", "cluster_size", "is_canonical")
+    val verdicts = Seq(
+        (1L, 1L, 3L, "base", "canonical"), (2L, 1L, 3L, "base", "dup"),
+        (10L, 1L, 3L, "delta", "dup"), (20L, 20L, 1L, "delta", "unique"))
+      .toDF("doc_id", "cluster_id", "cluster_size", "origin", "status")
+    val got = toSet(Dedup.membershipApply(stored, verdicts))
+    val expected = Set[MemberRow](
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (10L, 1L, 3L, false),
+      (3L, 3L, 2L, true), (4L, 3L, 2L, false))
+    assert(got == expected, s"got $got")
+  }
+
+  test("dedup_delta_keep_best: a higher-quality delta doc demotes the stored canonical") {
+    import spark.implicits._
+    // stored clusters {1,2} and {3,4}; delta 10 joins {1,2} with the best
+    // qint in its merged cluster (the demotion case), delta 30 joins
+    // {3,4} where base doc 3 stays best (the control), delta 20 unique
+    val stored = Seq((1L, 1L, 2L, true), (2L, 1L, 2L, false),
+        (3L, 3L, 2L, true), (4L, 3L, 2L, false))
+      .toDF("doc_id", "cluster_id", "cluster_size", "is_canonical")
+    val deltaPairs = Seq((2L, 10L), (3L, 30L)).toDF("doc_a", "doc_b")
+    val deltaDocs = Seq((10L, "x"), (20L, "y"), (30L, "z")).toDF("doc_id", "text")
+    val scores = Seq((1L, 100L), (2L, 50L), (10L, 999L),
+        (3L, 999L), (4L, 10L), (30L, 10L), (20L, 5L))
+      .toDF("doc_id", "qint")
+    val verdicts = Dedup.dedupKeepUnifiedDeltaFrom(stored, deltaPairs, deltaDocs)
+    val got = Dedup.dedupDeltaKeepBestFrom(verdicts, scores)
+      .select("doc_id", "status").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    Dedup.releaseIntermediates()
+    assert(got(10L) == "best" && got(1L) == "dup" && got(2L) == "dup",
+      s"delta doc must demote the stored canonical: $got")
+    assert(got(3L) == "best" && got(30L) == "dup",
+      s"base doc must stay best when it outranks the crawl: $got")
+    assert(got(20L) == "unique", s"untouched delta doc must stay unique: $got")
+  }
+}

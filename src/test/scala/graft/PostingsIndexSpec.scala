@@ -39,9 +39,30 @@ class PostingsIndexSpec extends SparkSpec {
     Dedup.releaseIntermediates()
     assert(viaAppend.nonEmpty && viaAppend == oneShot,
       s"append-only: ${viaAppend.diff(oneShot).take(3)}; full-only: ${oneShot.diff(viaAppend).take(3)}")
-    // the merged stats row is the exact sum of the two crawls'
-    val st = spark.read.parquet(s"$incr/stats").collect()
+    // the read-time-derived stats are the exact sum of the two crawls'
+    val st = PostingsIndex.statsFromDoclens(
+      spark.read.parquet(s"$incr/doclens")).collect()
     assert(st.length == 1 && st.head.getAs[Long]("n_docs") == docs.count())
+  }
+
+  test("stats are derived, not stored: a planted torn stats table cannot mis-score BM25") {
+    // the legacy failure mode: postings/doclens appended but a 1-row
+    // stats table left stale (crash between appends and the stats
+    // overwrite, or a concurrent reader during it) — BM25 idf/avgdl
+    // silently wrong. Plant exactly that state and assert the read path
+    // never consults it.
+    val docs = Tables.documents(spark, sf)
+    val path = tmp("graft-postings-torn")
+    PostingsIndex.writePostingsFrom(docs, path)
+    // a wildly-wrong stats table at the legacy location
+    spark.range(1).selectExpr("CAST(1 AS BIGINT) AS n_docs",
+        "CAST(1 AS BIGINT) AS sum_dl")
+      .write.mode("overwrite").parquet(s"$path/stats")
+    val viaTorn = PostingsIndex.bm25From(spark, path).collect().toSeq
+    Dedup.releaseIntermediates()
+    val scan = Similarity.bm25Search(spark, sf).collect().toSeq
+    assert(viaTorn.nonEmpty && viaTorn == scan,
+      "bm25From consulted a stored stats table — torn-state regression")
   }
 
   test("postings layout: disjoint per-file word ranges; term filter pushes to the parquet scan") {
