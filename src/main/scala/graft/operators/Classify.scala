@@ -368,7 +368,12 @@ object Classify {
   def qnbCalibrationReport(spark: SparkSession, dir: String): DataFrame =
     qnbCalibrationReportOf(Tables.documents(spark, dir))
 
-  def qnbCalibrationReportOf(docs: DataFrame): DataFrame = {
+  /** The per-doc (doc_id, label, pred, bucket) frame shared by the
+    * calibration rollup and the quarantine router — one derivation of the
+    * NB margin bucketing so the read (`qnb_calibration_report`) and the
+    * act (`qnb_quarantine`) can never disagree on a doc's bucket.
+    */
+  private[graft] def qnbBucketedOf(docs: DataFrame): DataFrame = {
     val labeled = qualityLabeledOf(docs)
     val m = QnbEvalMod
     val width = QnbCalBucketMicro
@@ -397,15 +402,56 @@ object Classify {
       .withColumn("bucket",
         when(col("margin_micro").isNull, lit(-1L))
           .otherwise(least(expr(s"margin_micro div (n_iv * ${width}L)"), lit(9L))))
+      .select("doc_id", "label", "pred", "bucket")
+  }
+
+  def qnbCalibrationReportOf(docs: DataFrame): DataFrame =
+    qnbBucketedOf(docs)
       .withColumn("correct",
         when(col("pred").isNotNull && col("label") === col("pred"), 1L).otherwise(0L))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("correct")).as("n_correct"))
       .withColumn("accuracy_bp", expr("n_correct * 10000 div n_docs"))
       .contractOrderBy("bucket")
+
+  def QnbQuarantineBucket: Long = GraftConf.qnbQuarantineBucket
+
+  /** `qnb_quarantine` (r13): CALIBRATION-GATED labeling — the act step
+    * `qnb_calibration_report` is the read for. The NB student labels the
+    * crawl slice, but a prediction only reaches the train split when its
+    * margin bucket (the report's exact integer bucketing) clears
+    * [[QnbQuarantineBucket]]; everything below the bar — low-margin
+    * predictions AND abstentions (bucket −1: no in-vocab token, or a
+    * degenerate single-class model) — routes to a quarantine split for
+    * human/teacher review instead of silently entering training data.
+    * This is the FineWeb-Edu-style deployment discipline: a classifier
+    * labels 100 TB only inside the confidence region the calibration
+    * report proved out.
+    *
+    * Scale: rides [[qnbBucketedOf]] (the NB chain + one doc-grain window
+    * + one doc-grain aggregation); the routing itself is one stateless
+    * projection.
+    */
+  def qnbQuarantine(spark: SparkSession, dir: String): DataFrame =
+    qnbQuarantineOf(Tables.documents(spark, dir))
+
+  def qnbQuarantineOf(docs: DataFrame): DataFrame = {
+    val thr = QnbQuarantineBucket
+    qnbBucketedOf(docs)
+      .select(col("doc_id"),
+        coalesce(col("pred"), lit("")).as("pred"),
+        col("bucket"),
+        when(col("bucket") >= thr && col("pred").isNotNull, "train")
+          .otherwise("quarantine").as("split"))
+      .contractOrderBy("doc_id")
   }
 
-  def qnbCalibrationReportSql: String = {
+  /** The shared margin-bucketing CTE chain ending in
+    * `calb(doc_id, label, pred, bucket)` — the SQL twin of
+    * [[qnbBucketedOf]], consumed by both the calibration rollup and the
+    * quarantine router.
+    */
+  private def qnbCalCtes: String = {
     val m = QnbEvalMod
     val width = QnbCalBucketMicro
     s"""WITH ${TextAnalysis.qualityIntCtesSql},
@@ -424,19 +470,33 @@ object Classify {
        |  FROM (SELECT * FROM cal1 WHERE rn = 1) s1
        |  JOIN (SELECT * FROM cal1 WHERE rn = 2) s2 USING (doc_id)
        |), calb AS (
-       |  SELECT e.doc_id,
+       |  SELECT e.doc_id, e.lang AS label, cm.pred,
        |    CASE WHEN cm.margin_micro IS NULL THEN CAST(-1 AS BIGINT)
-       |         ELSE least(cm.margin_micro // (n.n_iv * $width), 9) END AS bucket,
-       |    CASE WHEN cm.pred IS NOT NULL AND e.lang = cm.pred THEN 1 ELSE 0 END AS correct
+       |         ELSE least(cm.margin_micro // (n.n_iv * $width), 9) END AS bucket
        |  FROM ev e
        |  LEFT JOIN calm cm USING (doc_id)
        |  LEFT JOIN n_iv n USING (doc_id)
-       |)
-       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
-       |  CAST(sum(correct) AS BIGINT) AS n_correct,
-       |  CAST(sum(correct) * 10000 // count(*) AS BIGINT) AS accuracy_bp
-       |FROM calb GROUP BY bucket
-       |ORDER BY bucket""".stripMargin
+       |)""".stripMargin
+  }
+
+  def qnbCalibrationReportSql: String =
+    qnbCalCtes +
+      s"""
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN pred IS NOT NULL AND label = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  CAST(sum(CASE WHEN pred IS NOT NULL AND label = pred THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS accuracy_bp
+         |FROM calb GROUP BY bucket
+         |ORDER BY bucket""".stripMargin
+
+  def qnbQuarantineSql: String = {
+    val thr = QnbQuarantineBucket
+    qnbCalCtes +
+      s"""
+         |SELECT doc_id, COALESCE(pred, '') AS pred, bucket,
+         |  CASE WHEN bucket >= $thr AND pred IS NOT NULL THEN 'train'
+         |       ELSE 'quarantine' END AS split
+         |FROM calb
+         |ORDER BY doc_id""".stripMargin
   }
 
   /** Oracle: the same sparse identity, CTE for CTE. */

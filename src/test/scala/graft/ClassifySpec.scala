@@ -183,6 +183,51 @@ class ClassifySpec extends SparkSpec {
       s"the 64000 bar must populate both classes on the shipped corpus, got $labels")
   }
 
+  test("qnb_quarantine: every quarantined doc is below the bar, train = high-margin preds, abstentions always quarantine") {
+    // separable plant → every real-vocab held-out doc clears the bar;
+    // one planted all-OOV doc abstains (bucket −1) and must quarantine
+    val withOov = qualityPlanted
+      .unionByName(Seq((40L, "zzz qqq vvv www uuu")).toDF("doc_id", "text"))
+    val out = Classify.qnbQuarantineOf(withOov).collect()
+    val thr = Classify.QnbQuarantineBucket
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      r.getAs[String]("split") match {
+        case "quarantine" => assert(b < thr, s"quarantined above the bar: $r")
+        case "train" =>
+          assert(b >= thr && r.getAs[String]("pred").nonEmpty,
+            s"trained below the bar or without a prediction: $r")
+        case other => fail(s"unknown split '$other': $r")
+      }
+    }
+    assert(out.exists(_.getAs[String]("split") == "train"),
+      "the separable plant must put confident docs in the train split")
+    val oov = out.find(_.getAs[Long]("doc_id") == 40L).get
+    assert(oov.getAs[Long]("bucket") == -1L &&
+      oov.getAs[String]("split") == "quarantine" &&
+      oov.getAs[String]("pred") == "",
+      s"the abstention must quarantine with an empty pred: $oov")
+  }
+
+  test("degenerate single-class train slice: pred nulls out (oracle's rn=1⋈rn=2 join), never correct, always quarantined") {
+    // every doc is junk → every teacher label is 'lo' → the NB model
+    // trains ONE class → only rn=1 exists → the margin (and pred) must
+    // null out so the doc abstains, matching the SQL oracle which drops
+    // it from calm via the inner join on the rn=2 row
+    val junk = Seq.fill(15)("the a").mkString(" ")
+    val allLo = (0L until 20L).map(i => (i, junk)).toDF("doc_id", "text")
+    val rep = Classify.qnbCalibrationReportOf(allLo).collect()
+    assert(rep.length == 1 && rep.head.getAs[Long]("bucket") == -1L,
+      s"single-class eval docs must all land in the abstention bucket: ${rep.mkString(",")}")
+    assert(rep.head.getAs[Long]("n_correct") == 0L,
+      "a single-class abstention must never count correct")
+    val q = Classify.qnbQuarantineOf(allLo).collect()
+    assert(q.nonEmpty && q.forall(r =>
+      r.getAs[String]("split") == "quarantine" && r.getAs[String]("pred") == ""),
+      s"single-class abstentions must all quarantine: ${q.mkString(",")}")
+  }
+
   test("lang_id_nb is total over the held-out slice and deterministic") {
     val a = Classify.langIdNb(spark, sf).collect()
     val b = Classify.langIdNb(spark, sf).collect()
