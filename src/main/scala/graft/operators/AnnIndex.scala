@@ -199,6 +199,28 @@ object AnnIndex {
       .partitionBy("cell").parquet(s"$indexPath/codes")
   }
 
+  /** COMPACT the code table to one file per cell directory. Every append
+    * lands its own file(s) in each touched `cell=` directory, so K crawls
+    * leave up to K small files per hot cell and the probe-time read pays
+    * K file opens (and K parquet footers) per probed cell instead of one.
+    * Compaction hash-repartitions on `cell` — each cell's rows land in
+    * exactly one task, hence exactly one parquet file per cell directory —
+    * and swaps the layout in via [[graft.sources.Sinks.compactSwap]]'s
+    * rename dance. The conf stamp rides the schema metadata through the
+    * read-rewrite-write cycle, so post-compaction reads still validate;
+    * answers are bit-equal (same rows, same ADC arithmetic;
+    * spec-asserted). Refuses foreign/drifted stores the same way the
+    * query path does.
+    */
+  def compactIvfPq(spark: SparkSession, indexPath: String): Unit = {
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val residual = storedStamp(codes, "codes").exists(_.contains("residual=true"))
+    validateConf(codes, "codes",
+      s"stored IVF-PQ code table at $indexPath", residual)
+    graft.sources.Sinks.compactSwap(spark, s"$indexPath/codes",
+      partitionCols = Seq("cell"))(_.repartition(col("cell")))
+  }
+
   /** Answer top-k from the stored index. Identical results to
     * `ann_topk_ivfpq` (AnnIndexSpec asserts bit-for-bit): probes rank
     * against the stored centroids, ADC runs over the stored codes of the

@@ -113,6 +113,33 @@ object PostingsIndex {
       .write.mode("append").parquet(s"$path/doclens")
   }
 
+  /** COMPACT the postings store back to ONE range layout. Each append's
+    * files are internally range-disjoint, but K crawls leave K
+    * OVERLAPPING layouts: a term's read then touches up to K files and
+    * the pushed filter's file pruning decays toward a full index scan as
+    * crawls accumulate. Compaction re-range-partitions the union into a
+    * single sorted layout — per-file word ranges globally disjoint again,
+    * file count bounded by the shuffle partitioning — and swaps it in via
+    * [[graft.sources.Sinks.compactSwap]]'s rename dance (the original
+    * directory is intact until a complete replacement exists). Answers
+    * are bit-equal by construction (same rows, same read arithmetic;
+    * spec-asserted), and doclens coalesces alongside so its file count
+    * doesn't grow unbounded either.
+    *
+    * At 100 TB this is the periodic maintenance job every LSM-shaped
+    * store runs: cost is one shuffle of the postings table, amortized
+    * across the K crawls since the last compaction.
+    */
+  def compactPostings(spark: SparkSession, path: String): Unit = {
+    graft.sources.Sinks.compactSwap(spark, s"$path/postings") { post =>
+      post.repartitionByRange(col("word"), col("doc_id"))
+        .sortWithinPartitions("word", "doc_id")
+    }
+    graft.sources.Sinks.compactSwap(spark, s"$path/doclens") { dl =>
+      dl.repartitionByRange(col("doc_id"))
+    }
+  }
+
   /** Answer the conf'd BM25 query FROM the stored index — bit-equal to
     * `bm25_search` (shared [[Similarity.bm25RankOf]] tail). The term
     * filter lands on the postings scan as a pushed parquet filter, so at

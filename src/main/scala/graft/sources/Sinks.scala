@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Output sinks (the reference writes extracted forms as JSON files;
   * main.py:216). At corpus scale the same outputs are partitioned
@@ -37,4 +37,34 @@ object Sinks {
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .option("path", s"/tmp/graft_warehouse/$table").saveAsTable(table)
+
+  /** Rewrite-and-swap for stored-index COMPACTION: materialize
+    * `rewrite(current contents)` NEXT TO the live directory, then swap
+    * via two directory renames and delete the moved-aside original.
+    * A crash never leaves a half-written table at the live path: before
+    * the first rename the original is untouched (the rewrite lands at
+    * `_compact_tmp`), and between the renames BOTH complete tables exist
+    * (`_compact_old`, `_compact_tmp`) — recovery is one rename. A writer
+    * (append) running concurrently with compaction is the caller's
+    * exclusion to provide, same as every stored-index overwrite here.
+    * Production on an object store swaps a metastore pointer instead;
+    * the write-new → swap → delete sequence is identical.
+    */
+  def compactSwap(spark: SparkSession, dir: String,
+      partitionCols: Seq[String] = Nil)
+      (rewrite: DataFrame => DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir + "_compact_tmp")
+    val old = new Path(dir + "_compact_old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    val w = rewrite(spark.read.parquet(dir)).write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    require(fs.rename(live, old), s"compaction swap failed: $live -> $old")
+    require(fs.rename(tmp, live), s"compaction swap failed: $tmp -> $live")
+    fs.delete(old, true)
+  }
 }

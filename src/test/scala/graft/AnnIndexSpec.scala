@@ -35,6 +35,32 @@ class AnnIndexSpec extends SparkSpec {
       s"stored ${stored.take(3)}... vs mem ${mem.take(3)}...")
   }
 
+  test("compactIvfPq: appends fragment cell dirs; compaction yields one file per cell, answers bit-equal, stamp survives") {
+    val path = java.nio.file.Files.createTempDirectory("graft-annindex-c").toString
+    val embs = Tables.embeddings(spark, sf)
+    AnnIndex.writeIvfPqFrom(embs.filter(col("vec_id") % 3 =!= 2), path)
+    AnnIndex.appendToIvfPq(spark, path, embs.filter(col("vec_id") % 3 === 2))
+    val before = AnnIndex.ivfPqTopKFrom(spark, path, embs).collect().map(_.toSeq).toSeq
+    Dedup.releaseIntermediates()
+    def filesPerCell(): Map[String, Int] = {
+      val dirs = Option(new java.io.File(s"$path/codes").listFiles()).getOrElse(Array.empty)
+      dirs.filter(d => d.isDirectory && d.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
+    }
+    val frag = filesPerCell()
+    assert(frag.values.exists(_ > 1),
+      s"an append should fragment at least one cell directory, got $frag")
+    AnnIndex.compactIvfPq(spark, path)
+    val compacted = filesPerCell()
+    assert(compacted.nonEmpty && compacted.values.forall(_ == 1),
+      s"compaction must leave exactly one file per cell: $compacted")
+    // the read path re-validates the stamp — a lost stamp would throw here
+    val after = AnnIndex.ivfPqTopKFrom(spark, path, embs).collect().map(_.toSeq).toSeq
+    Dedup.releaseIntermediates()
+    assert(after == before, "compaction changed stored-index answers")
+  }
+
   test("a residual store can never be read by the plain query path (or vice versa)") {
     val path = java.nio.file.Files.createTempDirectory("graft-annindex-x").toString
     AnnIndex.writeIvfPqR(spark, sf, path)

@@ -65,6 +65,43 @@ class PostingsIndexSpec extends SparkSpec {
       "bm25From consulted a stored stats table — torn-state regression")
   }
 
+  test("compactPostings: appends decay pruning; compaction restores globally disjoint ranges, bit-equal answers, bounded files") {
+    val docs = Tables.documents(spark, sf)
+    val path = tmp("graft-postings-c")
+    // pin the multi-file layout (see the layout spec below)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      PostingsIndex.writePostingsFrom(docs.filter(col("doc_id") % 3 === 0), path)
+      PostingsIndex.appendToPostings(spark, path, docs.filter(col("doc_id") % 3 === 1))
+      PostingsIndex.appendToPostings(spark, path, docs.filter(col("doc_id") % 3 === 2))
+      val before = PostingsIndex.bm25From(spark, path).collect().toSeq
+      Dedup.releaseIntermediates()
+      def ranges(): Array[(String, String)] = spark.read.parquet(s"$path/postings")
+        .groupBy(input_file_name().as("f"))
+        .agg(min("word").as("lo"), max("word").as("hi"))
+        .collect()
+        .map(r => (r.getAs[String]("lo"), r.getAs[String]("hi")))
+        .sortBy(_._1)
+      def properOverlap(rs: Array[(String, String)]): Boolean =
+        rs.sliding(2).exists {
+          case Array((_, hiA), (loB, _)) => hiA > loB
+          case _ => false
+        }
+      assert(properOverlap(ranges()),
+        "three appended layouts should overlap — otherwise compaction is vacuous here")
+      PostingsIndex.compactPostings(spark, path)
+      val rAfter = ranges()
+      assert(!properOverlap(rAfter),
+        s"post-compaction file ranges must be globally disjoint: ${rAfter.take(6).mkString(",")}")
+      val maxFiles = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      assert(rAfter.length <= maxFiles,
+        s"file count must be bounded by the shuffle partitioning: ${rAfter.length} > $maxFiles")
+      val after = PostingsIndex.bm25From(spark, path).collect().toSeq
+      Dedup.releaseIntermediates()
+      assert(after == before, "compaction changed BM25 answers")
+    } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+  }
+
   test("postings layout: disjoint per-file word ranges; term filter pushes to the parquet scan") {
     val path = tmp("graft-postings-spec")
     // at sf0.001 AQE rightly coalesces the range shuffle to one (tiny)
