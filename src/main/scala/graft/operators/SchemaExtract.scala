@@ -421,6 +421,75 @@ object SchemaExtract {
     * as a round-trip: format values to strings in several shapes, parse them
     * back with the date/number/boolean/currency rules.
     */
+  // ---- pluggable third rung (form_filler.py LLM fallback) -------------------
+
+  /** The THIRD extraction rung's seam — the reference's LLM fallback
+    * (form_filler.py runs it after regex/keyword;
+    * extraction/gemini_extractor.py:1-160 and llama_extractor.py:1-192
+    * call a vision model per document). A deterministic public-knowledge
+    * engine can't ship a model, so the rung is a CONTRACT:
+    * implementations receive EXACTLY the (doc_id, text, field) rows the
+    * pattern/keyword rungs missed — never a field the ladder already
+    * filled — and return (doc_id, field, value) proposals that compose
+    * into the form via the same coalesce, then flow through the same
+    * typed parse/validate tail as rung-1/2 captures. Production plugs a
+    * batched model client here; [[StubExternalExtractor]] is the
+    * deterministic in-repo implementation the specs drive end-to-end.
+    */
+  trait ExternalExtractor {
+    /** Propose values for the rung-1/2 miss set. Input: (doc_id, text,
+      * field). Output: (doc_id, field, value); absent/null rows stay
+      * missing in the composed form.
+      */
+    def extract(misses: DataFrame): DataFrame
+  }
+
+  /** Deterministic rung-3 stub: type-shaped constants (a parseable ISO
+    * date for `date` fields, a numeric literal for `number`, `true` for
+    * `boolean`, a doc-salted token otherwise) so specs can prove the
+    * composed form parses and validates through the standard tail.
+    */
+  final class StubExternalExtractor(schema: FormSchema) extends ExternalExtractor {
+    def extract(misses: DataFrame): DataFrame = {
+      val proposals = schema.fields.map { f =>
+        val v = f.fieldType match {
+          case "date"    => lit("2024-01-02")
+          case "number"  => lit("42")
+          case "boolean" => lit("true")
+          case _ => concat(lit("ext_"), col("doc_id").cast("string"))
+        }
+        when(col("field") === f.name, v)
+      }
+      misses.select(col("doc_id"), col("field"),
+        coalesce(proposals: _*).as("value"))
+    }
+  }
+
+  /** The FULL three-rung populate over any (doc_id, text) frame:
+    * pattern → keyword → external. Rung 3 is consulted ONLY on rung-1/2
+    * misses (the miss set derives from the very ladder columns the output
+    * carries), and its proposals fill via coalesce — a pattern/keyword
+    * capture always wins, exactly form_filler.py's precedence. Scale:
+    * the miss table is ≤ fields-per-schema rows per doc (explode of a
+    * field-count array — no corpus blowup), the proposal pivot is one
+    * doc-grain aggregation, and the compose is one key join.
+    */
+  def extractFieldsWithExternal(docs: DataFrame, schema: FormSchema,
+      ext: ExternalExtractor): DataFrame = {
+    val r12 = docs.select(
+      col("doc_id") +: col("text") +: schema.fields.map(f => fieldCol(f)): _*)
+    val missTags = schema.fields.map(f => when(col(f.name).isNull, lit(f.name)))
+    val misses = r12.select(col("doc_id"), col("text"),
+      explode(filter(array(missTags: _*), c => c.isNotNull)).as("field"))
+    val proposals = ext.extract(misses).select("doc_id", "field", "value")
+    val aggs = schema.fields.map(f =>
+      max(when(col("field") === f.name, col("value"))).as(s"ext_${f.name}"))
+    val byDoc = proposals.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    r12.join(byDoc, Seq("doc_id"), "left")
+      .select(col("doc_id") +: schema.fields.map(f =>
+        coalesce(col(f.name), col(s"ext_${f.name}")).as(f.name)): _*)
+  }
+
   def parseTyped(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     o.select(
