@@ -284,6 +284,72 @@ object StreamOps {
     }
   }
 
+  /** Streaming UNIFIED dedup — the composition of every lane's streaming
+    * tap into one per-micro-batch act step, the streaming twin of
+    * `dedup_membership_apply`'s per-crawl loop: each batch pairs against
+    * everything seen so far INCLUDING itself through the five prepared
+    * lane indexes ([[graft.operators.Dedup.unifiedDeltaPairsPrepared]] —
+    * the exact batch arithmetic), the pairs contract onto the CURRENT
+    * membership ([[graft.operators.Dedup.dedupKeepUnifiedDeltaFrom]],
+    * delta-sized CC), and the verdicts fold back via
+    * [[graft.operators.Dedup.membershipApply]] so the NEXT batch
+    * quotients against an up-to-date store. Spec-proven: the per-batch
+    * verdicts equal the batch operator run crawl-by-crawl, and the final
+    * membership equals a full-corpus rebuild (apply associativity).
+    * Production checkpoints `indexMembership` + the lane tables as
+    * parquet per batch; here they ride eager localCheckpoints with the
+    * [[IndexCollapseEvery]] plan-depth collapse.
+    */
+  final class UnifiedDedupIndex(initDocs: DataFrame, initEmbs: DataFrame) {
+    import graft.operators.Dedup
+
+    private def ckpt(ix: Dedup.UnifiedIndexes): Dedup.UnifiedIndexes =
+      Dedup.UnifiedIndexes(ix.exact.localCheckpoint(true),
+        ix.media.localCheckpoint(true), ix.sets.localCheckpoint(true),
+        ix.bands.localCheckpoint(true), ix.embs.localCheckpoint(true),
+        ix.srpBands.localCheckpoint(true), ix.winnowFps.localCheckpoint(true))
+
+    private var ix = ckpt(Dedup.unifiedIndexesOf(initDocs, initEmbs))
+    private var membership = Dedup
+      .clustersFromPairs(Dedup.unifiedPairsOf(initDocs, initEmbs))
+      .localCheckpoint(true)
+    private var batches = 0
+
+    /** The advanced membership store (what production writes back). */
+    def indexMembership: DataFrame = membership
+
+    /** Verdicts for one micro-batch — (doc_id, cluster_id, cluster_size,
+      * origin, status) over the batch docs and every touched base doc —
+      * and the state advance. Call from `writeStream.foreachBatch` with
+      * the batch's (doc_id, text) and (vec_id, embedding) projections.
+      */
+    def processBatch(batchDocs0: DataFrame, batchEmbs0: DataFrame): DataFrame = {
+      Dedup.validateBandingConf(ix.bands, "unified dedup index")
+      // eager localCheckpoint cuts lineage from the micro-batch source
+      val batchDocs = batchDocs0.localCheckpoint(true)
+      val batchEmbs = batchEmbs0.localCheckpoint(true)
+      val pairs = Dedup.unifiedDeltaPairsPrepared(ix, batchDocs, batchEmbs)
+      // verdicts materialize BEFORE the state advances: the returned frame
+      // must stay valid after membership/indexes mutate under it
+      val verdicts = Dedup
+        .dedupKeepUnifiedDeltaFrom(membership, pairs, batchDocs)
+        .localCheckpoint(true)
+      membership = Dedup.membershipApply(membership, verdicts)
+        .localCheckpoint(true)
+      val bIx = Dedup.unifiedIndexesOf(batchDocs, batchEmbs)
+      ix = Dedup.UnifiedIndexes(
+        ix.exact.unionByName(bIx.exact), ix.media.unionByName(bIx.media),
+        ix.sets.unionByName(bIx.sets), ix.bands.unionByName(bIx.bands),
+        ix.embs.unionByName(bIx.embs), ix.srpBands.unionByName(bIx.srpBands),
+        ix.winnowFps.unionByName(bIx.winnowFps))
+      batches += 1
+      // bound the accumulated unions' plan depth (see
+      // [[IncrementalDedupIndex.processBatch]])
+      if (batches % IndexCollapseEvery == 0) ix = ckpt(ix)
+      verdicts
+    }
+  }
+
   /** Stream-stream interval join: each purchase joined to the clicks of the
     * same user in the preceding hour. Both sides carry watermarks, so the
     * join state (buffered clicks awaiting purchases and vice versa) is
