@@ -86,6 +86,23 @@ class DedupMembershipApplySpec extends SparkSpec {
     assert(got == expected, s"got $got")
   }
 
+  test("artifact-amortized carve is plan-only: verdicts identical with and without the bench artifact dir") {
+    val plain = Dedup.dedupKeepUnifiedDelta(spark, sf).collect().map(_.toSeq).toSeq
+    Dedup.releaseIntermediates()
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-art").toString
+    spark.conf.set("spark.graft.bench.artifactDir", root)
+    try {
+      // twice: first build-and-read, then pure read-back — both must match
+      val viaArtifacts = Dedup.dedupKeepUnifiedDelta(spark, sf).collect().map(_.toSeq).toSeq
+      Dedup.releaseIntermediates()
+      val rereadTwice = Dedup.dedupKeepUnifiedDelta(spark, sf).collect().map(_.toSeq).toSeq
+      Dedup.releaseIntermediates()
+      assert(viaArtifacts == plain,
+        "the bench artifact path must be result-identical to the in-query build")
+      assert(rereadTwice == plain, "the cached-artifact re-read must be result-identical")
+    } finally spark.conf.unset("spark.graft.bench.artifactDir")
+  }
+
   test("dedup_delta_keep_best: a higher-quality delta doc demotes the stored canonical") {
     import spark.implicits._
     // stored clusters {1,2} and {3,4}; delta 10 joins {1,2} with the best
