@@ -993,6 +993,7 @@ object Similarity {
 
   def RrfK: Int = GraftConf.rrfK
   def RrfDepth: Int = GraftConf.rrfDepth
+  def RrfVocabPushdownMax: Int = GraftConf.rrfVocabPushdownMax
 
   /** Scaled-integer reciprocal rank: 10^15 div (k + rank). Exact bigint in
     * both engines (truncating division on positive operands); two fused
@@ -1156,11 +1157,20 @@ object Similarity {
     // bounded by construction — pushes as a LITERAL In filter, so the
     // range-partitioned postings scan prunes to the queried terms'
     // files/row groups (the ivfPqTopKFrom probed-cell discipline; a
-    // broadcast join would leave the scan unpruned)
-    val qvocab = qwords.select("word").distinct().collect().map(_.getString(0))
+    // broadcast join would leave the scan unpruned). BOUNDED: a
+    // production batch of 10⁵ queries would inline a multi-MB IN-list
+    // into the plan, so vocabularies above rrfVocabPushdownMax fall back
+    // to a broadcast LEFT SEMI join — no file pruning, but no plan
+    // blowup either; results are identical either way (spec-asserted)
+    val qvocab = qwords.select("word").distinct()
+      .limit(RrfVocabPushdownMax + 1).collect().map(_.getString(0))
+    val postRaw = spark.read.parquet(s"$path/lex/postings")
     val post = Intermediates.persist(
-      spark.read.parquet(s"$path/lex/postings")
-        .filter(col("word").isin(qvocab.toIndexedSeq: _*)))
+      if (qvocab.length <= RrfVocabPushdownMax)
+        postRaw.filter(col("word").isin(qvocab.toIndexedSeq: _*))
+      else
+        postRaw.join(broadcast(qwords.select("word").distinct()),
+          Seq("word"), "left_semi"))
     val dl = spark.read.parquet(s"$path/lex/doclens")
     // stats derived from doclens at read time (PostingsIndex discipline:
     // no stored 1-row stats table to tear on append)

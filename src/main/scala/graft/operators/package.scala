@@ -273,6 +273,17 @@ package object operators {
       * each retrieval list (dense ANN, lexical BM25) enter the fusion.
       */
     def rrfDepth: Int = positive("spark.graft.rrf.depth", "10")
+    /** Stored-hybrid vocabulary pushdown cap
+      * (`spark.graft.rrf.vocabPushdownMax`): the largest query vocabulary
+      * still pushed as a literal `IN` filter into the postings scan
+      * (static file/row-group pruning). A bigger batch of queries falls
+      * back to a broadcast semi-join — row-level filtering without
+      * file pruning, but the plan no longer carries a multi-MB literal
+      * list. PLAN-ONLY: results identical at any value (spec-asserted),
+      * so the oracle SQL never sees it.
+      */
+    def rrfVocabPushdownMax: Int =
+      positive("spark.graft.rrf.vocabPushdownMax", "65536")
     /** Stupid-backoff train-slice modulus (`spark.graft.ppl.sboTrainMod`):
       * the trigram LM's counts come from the doc_id % mod == 0 slice only,
       * so scoring the rest exercises real backoff (mod = 1 trains on the

@@ -61,6 +61,30 @@ class HybridStoredSpec extends SparkSpec {
     }
   }
 
+  test("vocab pushdown cap: above the cap the postings read falls back to a broadcast semi-join, results identical") {
+    val docs = Tables.documents(spark, sf)
+    val embs = Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("graft-hybrid-cap").toString
+    AnnIndex.writeIvfPq(spark, sf, s"$path/ivfpq")
+    PostingsIndex.writePostingsFrom(docs, s"$path/lex")
+    val pushed = Similarity.hybridSearchRrfStoredFrom(spark, path, docs, embs)
+      .collect().map(_.toSeq).toSeq
+    Dedup.releaseIntermediates()
+    spark.conf.set("spark.graft.rrf.vocabPushdownMax", "1")
+    try {
+      val fb = Similarity.hybridSearchRrfStoredFrom(spark, path, docs, embs)
+      val plan = fb.queryExecution.executedPlan.toString
+      assert(!plan.contains("PushedFilters: [In(word"),
+        "above the cap no literal IN-list may reach the postings scan")
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+        s"the fallback must be a broadcast left-semi join: ${plan.take(1500)}")
+      val viaFallback = fb.collect().map(_.toSeq).toSeq
+      Dedup.releaseIntermediates()
+      assert(viaFallback == pushed,
+        "the broadcast fallback must be result-identical to the pushed IN-list")
+    } finally spark.conf.unset("spark.graft.rrf.vocabPushdownMax")
+  }
+
   test("dedup_media_delta ≡ full-corpus (modality, hash) grouping restricted to delta; modality partitions byte-twins") {
     import spark.implicits._
     val inc = Dedup.dedupMediaDelta(spark, sf).collect().map(_.toSeq).toSeq

@@ -66,6 +66,9 @@ CONF+=";spark.graft.ppl.knDiscountPct=60"
 CONF+=";spark.graft.tfidf.topK=2"
 CONF+=";spark.graft.rrf.k=40"
 CONF+=";spark.graft.rrf.depth=7"
+# plan-only: forces the stored-hybrid vocab pushdown onto its broadcast
+# semi-join fallback — results must be identical (like verifySalts)
+CONF+=";spark.graft.rrf.vocabPushdownMax=1"
 CONF+=";spark.graft.mix.tempSqrts=2"
 CONF+=";spark.graft.winnow.k=3"
 CONF+=";spark.graft.winnow.w=8"
