@@ -52,7 +52,19 @@ object Sinks {
     */
   def compactSwap(spark: SparkSession, dir: String,
       partitionCols: Seq[String] = Nil)
-      (rewrite: DataFrame => DataFrame): Unit = {
+      (rewrite: DataFrame => DataFrame): Unit =
+    swapIn(spark, dir, partitionCols)(rewrite(spark.read.parquet(dir)))
+
+  /** Materialize `df` NEXT TO the live directory it may itself read from
+    * (lazy evaluation: the live files are scanned while the replacement
+    * writes to `_tmp`), then swap via two renames and delete the
+    * moved-aside original — the write-new → swap → delete sequence
+    * shared by index compaction and the membership write-back. Crash
+    * between the renames leaves both complete tables on disk; recovery
+    * is one rename.
+    */
+  def swapIn(spark: SparkSession, dir: String,
+      partitionCols: Seq[String] = Nil)(df: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(dir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -60,11 +72,11 @@ object Sinks {
     val old = new Path(dir + "_compact_old")
     fs.delete(tmp, true)
     fs.delete(old, true)
-    val w = rewrite(spark.read.parquet(dir)).write.mode("overwrite")
+    val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
-    require(fs.rename(live, old), s"compaction swap failed: $live -> $old")
-    require(fs.rename(tmp, live), s"compaction swap failed: $tmp -> $live")
+    require(fs.rename(live, old), s"table swap failed: $live -> $old")
+    require(fs.rename(tmp, live), s"table swap failed: $tmp -> $live")
     fs.delete(old, true)
   }
 }
