@@ -73,4 +73,41 @@ object ArtifactCatalog {
     }
     rows.toDF("path", "column", "kind", "stored_conf", "live_conf", "drifted")
   }
+
+  /** FRAGMENTATION dashboard over the artifacts under `root` — the
+    * measure-before-act read for the compaction lifecycle
+    * ([[PostingsIndex.compactPostings]], [[AnnIndex.compactIvfPq]],
+    * [[UnifiedDedupStore.compact]]): K crawl appends leave K file sets
+    * per store (and K small files per hot partition of a
+    * Hive-partitioned one), and an operator schedules compaction off
+    * exactly these numbers rather than tripping over decayed pruning in
+    * production. One row per artifact:
+    * (path, n_files, bytes, n_partitions, max_files_per_partition) —
+    * `n_partitions` counts `key=`-style partition directories (0 for a
+    * flat table), `max_files_per_partition` is the per-partition file
+    * count ceiling (for a flat table, the whole dir's count). Driver-side
+    * directory walk, bounded by artifact + file counts — on an object
+    * store this is one LIST per artifact, the same bounded driver work
+    * as [[scan]]'s footer reads.
+    */
+  def health(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    def parquetsUnder(d: java.io.File): List[java.io.File] = {
+      val children = Option(d.listFiles).map(_.toList).getOrElse(Nil)
+      children.filter(f => f.isFile && f.getName.endsWith(".parquet")) :::
+        children.filter(_.isDirectory).flatMap(parquetsUnder)
+    }
+    val rows = artifactDirs(new java.io.File(root)).sortBy(_.getPath).map { dir =>
+      val parts = Option(dir.listFiles).map(_.toList).getOrElse(Nil)
+        .filter(d => d.isDirectory && d.getName.contains("="))
+      val files = parquetsUnder(dir)
+      val maxPerPart =
+        if (parts.isEmpty) files.size
+        else parts.map(p => parquetsUnder(p).size).max
+      (dir.getPath, files.size.toLong, files.map(_.length).sum,
+        parts.size.toLong, maxPerPart.toLong)
+    }
+    rows.toDF("path", "n_files", "bytes", "n_partitions",
+      "max_files_per_partition")
+  }
 }

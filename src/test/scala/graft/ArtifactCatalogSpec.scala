@@ -9,6 +9,30 @@ import graft.operators.{ArtifactCatalog, Bpe, TextAnalysis}
   */
 class ArtifactCatalogSpec extends SparkSpec {
 
+  test("health reports fragmentation: appends raise per-partition file counts, compaction restores them") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_health").toString
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+    graft.operators.AnnIndex.writeIvfPqFrom(
+      embs.filter(col("vec_id") % 3 =!= 2), s"$root/ivfpq")
+    graft.operators.AnnIndex.appendToIvfPq(spark, s"$root/ivfpq",
+      embs.filter(col("vec_id") % 3 === 2))
+    graft.operators.Dedup.releaseIntermediates()
+    def codesRow() = ArtifactCatalog.health(spark, root).collect()
+      .find(_.getAs[String]("path").endsWith("codes")).get
+    val frag = codesRow()
+    assert(frag.getAs[Long]("n_partitions") > 0,
+      s"the code table is cell-partitioned: $frag")
+    assert(frag.getAs[Long]("max_files_per_partition") > 1,
+      s"an append must fragment at least one cell: $frag")
+    graft.operators.AnnIndex.compactIvfPq(spark, s"$root/ivfpq")
+    val compacted = codesRow()
+    assert(compacted.getAs[Long]("max_files_per_partition") == 1,
+      s"post-compaction each cell holds one file: $compacted")
+    assert(compacted.getAs[Long]("bytes") > 0 && compacted.getAs[Long]("n_files") ==
+      compacted.getAs[Long]("n_partitions"), s"file accounting drifted: $compacted")
+  }
+
   test("scan inventories stamped artifacts and flags conf drift per kind") {
     val root = java.nio.file.Files.createTempDirectory("graft_artifacts").toString
     Bpe.writeMerges(spark, sf, s"$root/bpe_merges")
