@@ -661,17 +661,54 @@ object Curation {
     * `dedup_keep_unified_delta`'s.
     */
   def corpusCurateDelta(spark: SparkSession, dir: String): DataFrame = {
+    val (verdicts, _) = deltaDedupVerdictsOf(spark, dir)
+    curateDeltaFunnel(spark, dir,
+      verdicts.filter(col("origin") === "delta")
+        .select(col("doc_id"), (col("status") =!= "dup").as("dedup_keep")))
+  }
+
+  /** `corpus_curate_delta_best` (r13): the per-crawl funnel ACTING on the
+    * quality-argmax verdict — `corpus_curate_delta` keeps by min-id
+    * status; production keeps each merged component's BEST member
+    * (`dedup_delta_keep_best`: exact-integer qint argmax across
+    * base ∪ delta), so a crawl doc that outranks the stored canonical
+    * passes the funnel while the demoted copy would not. Same funnel
+    * columns, same stage precedence; only the dedup rung's keep rule
+    * changes. Oracle: the funnel tail shared with `corpus_curate_delta`,
+    * the dedup column reading the shared `kbranked` quality-rank CTE.
+    */
+  def corpusCurateDeltaBest(spark: SparkSession, dir: String): DataFrame = {
+    val (verdicts, docs) = deltaDedupVerdictsOf(spark, dir)
+    val best = Dedup.dedupDeltaKeepBestFrom(verdicts,
+      TextAnalysis.qualityIntScoreOf(docs))
+    curateDeltaFunnel(spark, dir,
+      best.filter(col("origin") === "delta")
+        .select(col("doc_id"), (col("status") =!= "dup").as("dedup_keep")))
+  }
+
+  /** The crawl's incremental unified verdicts (all rows — base and
+    * delta) + the corpus frame, shared by the two funnel variants.
+    */
+  private def deltaDedupVerdictsOf(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
-    val isD = col("doc_id") % Dedup.DeltaIdMod === 0
-    val isEval = col("doc_id") % FuzzyEvalMod === 0
-    val deltaDocs = docs.filter(isD)
+    val deltaDocs = docs.filter(col("doc_id") % Dedup.DeltaIdMod === 0)
     // stored artifacts (production persists these at base-index time; the
     // bench's artifact-amortized mode reads the membership from parquet)
     val (stored, deltaPairs, _) = Dedup.unifiedDeltaCarve(spark, dir)
-    val verdicts = Dedup.dedupKeepUnifiedDeltaFrom(stored, deltaPairs, deltaDocs)
-      .filter(col("origin") === "delta")
-      .select(col("doc_id"), (col("status") =!= "dup").as("dedup_keep"))
-    val crawl = deltaDocs.filter(!isEval)
+    (Dedup.dedupKeepUnifiedDeltaFrom(stored, deltaPairs, deltaDocs), docs)
+  }
+
+  /** The funnel tail over a (doc_id, dedup_keep) rung — quality +
+    * decontamination are rule-identical across the keep variants.
+    */
+  private def curateDeltaFunnel(spark: SparkSession, dir: String,
+      dedupKeep: DataFrame): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isD = col("doc_id") % Dedup.DeltaIdMod === 0
+    val isEval = col("doc_id") % FuzzyEvalMod === 0
+    val verdicts = dedupKeep
+    val crawl = docs.filter(isD).filter(!isEval)
     // registry ∪ crawl: the eval side carves from the registry only, the
     // per-doc train verdicts cover exactly the crawl
     val sweepDocs = docs.filter(isEval).unionByName(crawl)
@@ -700,38 +737,50 @@ object Curation {
       .contractOrderBy("doc_id")
   }
 
-  def corpusCurateDeltaSql: String = {
+  /** The funnel's SQL tail over any `dverdict(id, is_canonical)` CTE —
+    * one formulation serving both keep variants.
+    */
+  private def curateDeltaFunnelTailSql: String = {
     val m = Dedup.DeltaIdMod
-    val tail =
+    s"""
+       |SELECT d.doc_id, q.keep AS q_keep,
+       |  ce.contaminated AS contam_exact,
+       |  cf.contaminated AS contam_fuzzy,
+       |  (v.id IS NULL OR v.is_canonical) AS dedup_keep,
+       |  (q.keep AND NOT ce.contaminated AND NOT cf.contaminated
+       |    AND (v.id IS NULL OR v.is_canonical)) AS kept,
+       |  CASE WHEN NOT q.keep THEN 'quality'
+       |       WHEN ce.contaminated THEN 'contam_exact'
+       |       WHEN cf.contaminated THEN 'contam_fuzzy'
+       |       WHEN NOT (v.id IS NULL OR v.is_canonical) THEN 'duplicate'
+       |       ELSE 'kept' END AS stage
+       |FROM documents d
+       |JOIN (%QF%) q ON d.doc_id = q.doc_id
+       |JOIN (%CE%) ce ON d.doc_id = ce.doc_id
+       |JOIN (%CF%) cf ON d.doc_id = cf.doc_id
+       |LEFT JOIN dverdict v ON d.doc_id = v.id
+       |WHERE d.doc_id % $m = 0 AND d.doc_id % $FuzzyEvalMod <> 0
+       |ORDER BY d.doc_id""".stripMargin
+      .replace("%QF%", qualityFilterSql)
+      .replace("%CE%", decontaminateSqlAt(FuzzyEvalMod))
+      .replace("%CF%", decontaminateFuzzySql)
+  }
+
+  def corpusCurateDeltaSql: String =
+    Dedup.unifiedDeltaClosureCtes +
       s"""
          |, dverdict AS (
          |  -- a delta doc present in cc is in a delta-holding component by
          |  -- definition (it contains itself); no touched-restriction needed
          |  SELECT id, id = cluster_id AS is_canonical FROM cc
-         |)
-         |SELECT d.doc_id, q.keep AS q_keep,
-         |  ce.contaminated AS contam_exact,
-         |  cf.contaminated AS contam_fuzzy,
-         |  (v.id IS NULL OR v.is_canonical) AS dedup_keep,
-         |  (q.keep AND NOT ce.contaminated AND NOT cf.contaminated
-         |    AND (v.id IS NULL OR v.is_canonical)) AS kept,
-         |  CASE WHEN NOT q.keep THEN 'quality'
-         |       WHEN ce.contaminated THEN 'contam_exact'
-         |       WHEN cf.contaminated THEN 'contam_fuzzy'
-         |       WHEN NOT (v.id IS NULL OR v.is_canonical) THEN 'duplicate'
-         |       ELSE 'kept' END AS stage
-         |FROM documents d
-         |JOIN (%QF%) q ON d.doc_id = q.doc_id
-         |JOIN (%CE%) ce ON d.doc_id = ce.doc_id
-         |JOIN (%CF%) cf ON d.doc_id = cf.doc_id
-         |LEFT JOIN dverdict v ON d.doc_id = v.id
-         |WHERE d.doc_id % $m = 0 AND d.doc_id % $FuzzyEvalMod <> 0
-         |ORDER BY d.doc_id""".stripMargin
-        .replace("%QF%", qualityFilterSql)
-        .replace("%CE%", decontaminateSqlAt(FuzzyEvalMod))
-        .replace("%CF%", decontaminateFuzzySql)
-    Dedup.unifiedDeltaClosureCtes + tail
-  }
+         |)""".stripMargin + curateDeltaFunnelTailSql
+
+  def corpusCurateDeltaBestSql: String =
+    Dedup.unifiedDeltaVerdictCtes + Dedup.kbrankedCtesSql +
+      s"""
+         |, dverdict AS (
+         |  SELECT id, (cluster_size = 1 OR rn = 1) AS is_canonical FROM kbranked
+         |)""".stripMargin + curateDeltaFunnelTailSql
 
   // ---- decontaminate_bloom (scale variant, test-only) ---------------------
 

@@ -239,6 +239,35 @@ class CurationSpec extends SparkSpec {
     assert(stages.contains("kept") && stages.size >= 2, s"stages seen: $stages")
   }
 
+  test("corpus_curate_delta_best: dedup rung ≡ the quality-argmax verdict; other rungs identical to the min-id funnel") {
+    import graft.operators.{Curation, Dedup}
+    val best = Curation.corpusCurateDeltaBest(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Dedup.releaseIntermediates()
+    val minId = Curation.corpusCurateDelta(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Dedup.releaseIntermediates()
+    val bv = Dedup.dedupDeltaKeepBest(spark, sf).collect()
+      .filter(_.getAs[String]("origin") == "delta")
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("status") != "dup")).toMap
+    Dedup.releaseIntermediates()
+    assert(best.keySet == minId.keySet, "same crawl slice in both funnels")
+    best.foreach { case (id, r) =>
+      val m = minId(id)
+      assert(r.getAs[Boolean]("q_keep") == m.getAs[Boolean]("q_keep") &&
+        r.getAs[Boolean]("contam_exact") == m.getAs[Boolean]("contam_exact") &&
+        r.getAs[Boolean]("contam_fuzzy") == m.getAs[Boolean]("contam_fuzzy"),
+        s"non-dedup rungs must be identical across keep variants at $id")
+      assert(r.getAs[Boolean]("dedup_keep") == bv.getOrElse(id, true),
+        s"dedup rung must follow the quality-argmax verdict at $id")
+    }
+    // the two keep rules genuinely disagree somewhere on the shipped corpus
+    // (a cluster whose best member is not its min id)
+    assert(best.exists { case (id, r) =>
+      r.getAs[Boolean]("dedup_keep") != minId(id).getAs[Boolean]("dedup_keep") },
+      "the corpus must carry a cluster where argmax-quality and min-id pick different survivors")
+  }
+
   test("pack_sequences matches an in-memory concat-and-chop reference") {
     val rows = Curation.packSequences(spark, sf).collect()
     rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, docs) =>
