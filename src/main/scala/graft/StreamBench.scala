@@ -130,6 +130,34 @@ object StreamBench {
       } finally q.stop()
     }
 
+    // ---- lane 5: the UNIFIED runner (five lanes + contracted CC + apply) ----
+    locally {
+      val emb = sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      val isDeltaV = col("vec_id") % operators.Dedup.DeltaIdMod === 0
+      val idx = new StreamOps.UnifiedDedupIndex(
+        docs.filter(!isDelta), emb.filter(!isDeltaV))
+      val joined = docs.filter(isDelta)
+        .join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .as[(Long, String, Seq[Float])].collect()
+      val uchunks = joined.grouped(math.max(1, joined.length / batches)).toSeq
+      val mem = MemoryStream[(Long, String, Seq[Float])]
+      val q = mem.toDF().toDF("doc_id", "text", "embedding").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          idx.processBatch(batch.select("doc_id", "text"),
+              batch.select(col("doc_id").as("vec_id"), col("embedding")))
+            .write.format("noop").mode("overwrite").save()
+        }
+        .start()
+      try {
+        mem.addData(uchunks.head.toIndexedSeq); q.processAllAvailable() // warm-up
+        val t0 = System.nanoTime()
+        uchunks.tail.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+        val sec = (System.nanoTime() - t0) / 1e9
+        report("unified_dedup_index", joined.length - uchunks.head.length,
+          uchunks.length - 1, sec)
+      } finally q.stop()
+    }
+
     spark.stop()
   }
 }
