@@ -166,4 +166,172 @@ object Ingestion {
        |  CAST(floor(y1 * 1000.0 / $PageH) AS BIGINT) AS ny1
        |FROM g
        |ORDER BY doc_id, block_id""".stripMargin
+
+  // ---- real PDF container parse (ingestion.py's fitz rung) -----------------
+
+  /** One extracted PDF text block: page = content-stream index, (x, y) =
+    * the BT..ET text object's first positioning operator — the
+    * `DocumentBlock{page, text, bbox}` shape (ingestion.py:30) off a real
+    * container.
+    */
+  final case class PdfBlock(page: Int, text: String, x: Double, y: Double)
+
+  /** REAL PDF text extraction over raw bytes — pure JVM, zero external
+    * dependencies, the container-parse rung of the reference's ingestion
+    * (ingestion.py parses PDFs via fitz, falling back to OCR at
+    * ingestion.py:90 when extracted text volume is low; this decoder
+    * proves the same rung on the actual PDF wire format, the
+    * [[Multimodal.ImageIoDecoder]] discipline applied to documents):
+    *
+    *   - content streams are taken in document order (page order for the
+    *     linear PDFs a generator writes; real-world /Pages-tree
+    *     resolution is a library's job and out of scope),
+    *   - `/FlateDecode` streams inflate via `java.util.zip` (what real
+    *     word-processor PDFs ship); raw streams parse as-is,
+    *   - inside each BT..ET text object, show operators `Tj`/`'`/`"` and
+    *     `TJ` arrays contribute text (parenthesis escapes `\(`/`\)`/`\\`
+    *     and octal `\ddd` unescaped); the object's first `Td`/`TD`/`Tm`
+    *     supplies the block origin,
+    *   - ANY malformed stream contributes zero blocks (quarantine
+    *     policy, never a throw) — a scanned/image-only PDF extracts no
+    *     text and `ocr_route`'s text-volume threshold then routes it to
+    *     OCR exactly as the reference does.
+    */
+  object PdfTextDecoder {
+    private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+    def blocks(bytes: Array[Byte]): Seq[PdfBlock] =
+      try blocksUnsafe(bytes)
+      catch { case scala.util.control.NonFatal(_) => Nil }
+
+    private def blocksUnsafe(bytes: Array[Byte]): Seq[PdfBlock] = {
+      val s = new String(bytes, Latin1) // 1:1 byte↔char, offsets stay valid
+      if (!s.startsWith("%PDF-")) return Nil
+      val out = scala.collection.mutable.ArrayBuffer.empty[PdfBlock]
+      var from = 0
+      var page = 0
+      while (from < s.length) {
+        val kw = s.indexOf("stream", from)
+        if (kw < 0) return out.toSeq
+        // skip the "endstream" keyword's own "stream" suffix
+        if (kw >= 3 && s.regionMatches(kw - 3, "end", 0, 3)) { from = kw + 6 }
+        else {
+          var start = kw + 6
+          if (start < s.length && s.charAt(start) == '\r') start += 1
+          if (start < s.length && s.charAt(start) == '\n') start += 1
+          val end = s.indexOf("endstream", start)
+          if (end < 0) return out.toSeq
+          // the owning object's dict sits between the previous "obj" and
+          // the stream keyword — enough context to read the filter
+          val dictFrom = math.max(math.max(s.lastIndexOf("obj", kw) + 3, 0), from)
+          val dict = s.substring(dictFrom, kw)
+          val raw = bytes.slice(start, end)
+          val content: Option[String] =
+            if (dict.contains("/FlateDecode")) inflate(raw).map(new String(_, Latin1))
+            else Some(new String(raw, Latin1))
+          content.foreach { c =>
+            val before = out.length
+            parseContent(c, page, out)
+            if (out.length > before) page += 1 // only text-bearing streams count as pages
+          }
+          from = end + 9
+        }
+      }
+      out.toSeq
+    }
+
+    private def inflate(raw: Array[Byte]): Option[Array[Byte]] =
+      try {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(raw)
+        val buf = new java.io.ByteArrayOutputStream(raw.length * 4)
+        val chunk = new Array[Byte](8192)
+        var n = inf.inflate(chunk)
+        while (n > 0 || (!inf.finished() && !inf.needsInput())) {
+          buf.write(chunk, 0, n)
+          n = inf.inflate(chunk)
+        }
+        inf.end()
+        if (buf.size() == 0) None else Some(buf.toByteArray)
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    private val TdRe = """(-?[0-9.]+)\s+(-?[0-9.]+)\s+(?:Td|TD)""".r
+    private val TmRe = ("""(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+""" +
+      """(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+Tm""").r
+    // a literal string: parens with \-escapes honored
+    private val StrRe = """\(((?:\\.|[^\\()])*)\)""".r
+
+    private def unescape(v: String): String = {
+      val b = new StringBuilder
+      var i = 0
+      while (i < v.length) {
+        val c = v.charAt(i)
+        if (c == '\\' && i + 1 < v.length) {
+          val n = v.charAt(i + 1)
+          if (n >= '0' && n <= '7') {
+            val oct = v.substring(i + 1, math.min(i + 4, v.length)).takeWhile(d => d >= '0' && d <= '7')
+            b.append(Integer.parseInt(oct, 8).toChar); i += 1 + oct.length
+          } else {
+            b.append(n match {
+              case 'n' => '\n'; case 'r' => '\r'; case 't' => '\t'; case o => o
+            }); i += 2
+          }
+        } else { b.append(c); i += 1 }
+      }
+      b.toString
+    }
+
+    private def parseContent(c: String, page: Int,
+        out: scala.collection.mutable.ArrayBuffer[PdfBlock]): Unit = {
+      var i = c.indexOf("BT")
+      while (i >= 0) {
+        val e = c.indexOf("ET", i + 2)
+        val body = if (e < 0) c.substring(i + 2) else c.substring(i + 2, e)
+        val (x, y) = TdRe.findFirstMatchIn(body)
+          .map(m => (m.group(1).toDouble, m.group(2).toDouble))
+          .orElse(TmRe.findFirstMatchIn(body)
+            .map(m => (m.group(5).toDouble, m.group(6).toDouble)))
+          .getOrElse((0.0, 0.0))
+        // shows in order: every literal string followed by a show operator
+        // (Tj / ' / ") or sitting inside a [...] TJ array
+        val shows = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (m <- StrRe.findAllMatchIn(body)) {
+          val after = body.substring(m.end).dropWhile(_.isWhitespace)
+          val inTjArray = {
+            val nextClose = body.indexOf(']', m.end)
+            nextClose >= 0 && body.substring(nextClose + 1).dropWhile(_.isWhitespace).startsWith("TJ") &&
+              body.lastIndexOf('[', m.start) > body.lastIndexOf(']', m.start)
+          }
+          if (after.startsWith("Tj") || after.startsWith("'") || after.startsWith("\"") || inTjArray)
+            shows += unescape(m.group(1))
+        }
+        if (shows.nonEmpty) out += PdfBlock(page, shows.mkString(" "), x, y)
+        i = if (e < 0) -1 else c.indexOf("BT", e + 2)
+      }
+    }
+  }
+
+  /** Per-partition batch PDF decode over any (doc_id, payload binary)
+    * relation — the [[Multimodal.decodeMedia]] plumbing applied to
+    * documents: one decoder per partition, iterator in / iterator out,
+    * one output row per extracted block (docs with no extractable text
+    * emit nothing — downstream `ocr_route` sees zero text volume and
+    * routes them to OCR).
+    */
+  def decodePdfBlocks(pdfs: DataFrame): DataFrame = {
+    import pdfs.sparkSession.implicits._
+    pdfs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          PdfTextDecoder.blocks(payload).zipWithIndex.map { case (b, i) =>
+            (id, i.toLong, b.page.toLong, b.text,
+              b.text.split(" ").count(_.nonEmpty).toLong,
+              b.text.length.toLong, b.x, b.y)
+          }
+        }
+      }
+      .toDF("doc_id", "block_id", "page", "block_text", "n_words", "n_chars",
+        "x", "y")
+  }
 }
