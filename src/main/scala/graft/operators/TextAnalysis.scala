@@ -1565,7 +1565,10 @@ object TextAnalysis {
   def dedupWinnowContainDelta(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isDelta = col("doc_id") % Dedup.DeltaIdMod === 0
-    winnowContainDeltaFrom(winnowFpIndexOf(docs.filter(!isDelta)), docs.filter(isDelta))
+    winnowContainDeltaFrom(
+      Dedup.storedIndex(spark, "winnowfps", dir)(
+        winnowFpIndexOf(docs.filter(!isDelta))),
+      docs.filter(isDelta))
       .contractOrderBy("doc_a", "doc_b")
   }
 

@@ -86,20 +86,35 @@ class DedupMembershipApplySpec extends SparkSpec {
     assert(got == expected, s"got $got")
   }
 
-  test("artifact-amortized carve is plan-only: verdicts identical with and without the bench artifact dir") {
-    val plain = Dedup.dedupKeepUnifiedDelta(spark, sf).collect().map(_.toSeq).toSeq
-    Dedup.releaseIntermediates()
+  test("artifact-amortized mode is plan-only: unified carve AND every per-lane delta identical with and without it") {
+    import org.apache.spark.sql.SparkSession
+    val lanes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "dedup_keep_unified_delta" -> (Dedup.dedupKeepUnifiedDelta _),
+      "dedup_delta" -> (Dedup.dedupDelta _),
+      "dedup_exact_delta" -> (Dedup.dedupExactDelta _),
+      "dedup_media_delta" -> (Dedup.dedupMediaDelta _),
+      "dedup_simhash_delta" -> (Dedup.dedupSimhashDelta _),
+      "dedup_embedding_srp_delta" -> (Dedup.dedupEmbeddingSrpDelta _),
+      "dedup_winnow_contain_delta" ->
+        (graft.operators.TextAnalysis.dedupWinnowContainDelta _))
+    def runAll(): Map[String, Seq[Seq[Any]]] = lanes.map { case (name, fn) =>
+      val rows = fn(spark, sf).collect().map(_.toSeq).toSeq
+      Dedup.releaseIntermediates()
+      name -> rows
+    }.toMap
+    val plain = runAll()
     val root = java.nio.file.Files.createTempDirectory("graft-bench-art").toString
     spark.conf.set("spark.graft.bench.artifactDir", root)
     try {
       // twice: first build-and-read, then pure read-back — both must match
-      val viaArtifacts = Dedup.dedupKeepUnifiedDelta(spark, sf).collect().map(_.toSeq).toSeq
-      Dedup.releaseIntermediates()
-      val rereadTwice = Dedup.dedupKeepUnifiedDelta(spark, sf).collect().map(_.toSeq).toSeq
-      Dedup.releaseIntermediates()
-      assert(viaArtifacts == plain,
-        "the bench artifact path must be result-identical to the in-query build")
-      assert(rereadTwice == plain, "the cached-artifact re-read must be result-identical")
+      val viaArtifacts = runAll()
+      val rereadTwice = runAll()
+      lanes.foreach { case (name, _) =>
+        assert(viaArtifacts(name) == plain(name),
+          s"$name: artifact path must be result-identical to the in-query build")
+        assert(rereadTwice(name) == plain(name),
+          s"$name: cached-artifact re-read must be result-identical")
+      }
     } finally spark.conf.unset("spark.graft.bench.artifactDir")
   }
 
