@@ -240,19 +240,34 @@ object Ingestion {
       out.toSeq
     }
 
+    // Untrusted input: a stream needing a preset dictionary (FDICT) makes
+    // Inflater return 0 forever without being finished, and a deflate bomb
+    // can expand a few KB into GBs — both must quarantine, not hang/OOM.
+    private val MaxInflateRatio = 64L
+    private val MinInflateCap = 1L << 20
+
     private def inflate(raw: Array[Byte]): Option[Array[Byte]] =
       try {
+        val cap = math.max(raw.length.toLong * MaxInflateRatio, MinInflateCap)
         val inf = new java.util.zip.Inflater()
         inf.setInput(raw)
         val buf = new java.io.ByteArrayOutputStream(raw.length * 4)
         val chunk = new Array[Byte](8192)
-        var n = inf.inflate(chunk)
-        while (n > 0 || (!inf.finished() && !inf.needsInput())) {
-          buf.write(chunk, 0, n)
-          n = inf.inflate(chunk)
+        var stalled = false
+        var bombed = false
+        while (!inf.finished() && !stalled && !bombed) {
+          val n = inf.inflate(chunk)
+          if (n > 0) {
+            buf.write(chunk, 0, n)
+            if (buf.size().toLong > cap) bombed = true
+          } else if (inf.needsDictionary() || inf.needsInput() || n == 0) {
+            // FDICT streams and truncated input both report "no progress";
+            // either way there is nothing more we can decode.
+            stalled = true
+          }
         }
         inf.end()
-        if (buf.size() == 0) None else Some(buf.toByteArray)
+        if (bombed || buf.size() == 0) None else Some(buf.toByteArray)
       } catch { case scala.util.control.NonFatal(_) => None }
 
     private val TdRe = """(-?[0-9.]+)\s+(-?[0-9.]+)\s+(?:Td|TD)""".r

@@ -67,23 +67,127 @@ object UnifiedDedupStore {
     * verdicts materialize (eager localCheckpoint) BEFORE any store
     * mutation, so the returned frame stays valid and the write-back can
     * never read a half-advanced store.
+    *
+    * The advance itself is JOURNALED — it is two logical mutations (lane
+    * appends + membership swap) and a crash between them would otherwise
+    * leave membership claiming the crawl while lane indexes lack its rows
+    * (later crawls silently under-pair) or, on a blind re-run, double
+    * lane rows. Protocol, recovered by [[recover]] (auto-run first):
+    *
+    *   1. the crawl's lane rows STAGE under `_staging/<crawlId>/<lane>`,
+    *   2. journal marker `_journal/<crawlId>.staged` commits the intent,
+    *   3. staged part files MOVE (rename) into the lane dirs under a
+    *      `crawl-<crawlId>-` name prefix — identifiable without any
+    *      directory diff,
+    *   4. the membership swap carries a `_crawl_<crawlId>` marker file
+    *      inside the replacement directory (rides [[Sinks.swapIn]]'s
+    *      atomic rename, so marker-present ⟺ swap-completed),
+    *   5. the journal renames to `.done`; staging is deleted.
+    *
+    * Crash before 4 → [[recover]] rolls BACK (deletes the crawl's
+    * prefixed lane files + staging; membership untouched; re-run the
+    * crawl). Crash after 4 → rolls FORWARD (finishes the moves, marks
+    * done). Either way the store is never silently half-advanced.
     */
   def processCrawl(spark: SparkSession, path: String,
-      crawlDocs: DataFrame, crawlEmbs: DataFrame): DataFrame = {
+      crawlDocs: DataFrame, crawlEmbs: DataFrame,
+      crawlId: String = java.util.UUID.randomUUID().toString): DataFrame = {
+    recover(spark, path)
     val (ix, membership) = read(spark, path)
     val pairs = Dedup.unifiedDeltaPairsPrepared(ix, crawlDocs, crawlEmbs)
     val verdicts = Dedup.dedupKeepUnifiedDeltaFrom(membership, pairs, crawlDocs)
       .localCheckpoint(true)
-    // membership write-back: the replacement scans the live table lazily
-    // while writing next to it, then swaps in atomically
-    Sinks.swapIn(spark, s"$path/membership")(
-      Dedup.membershipApply(membership, verdicts))
-    // lane appends: the crawl's rows land as new parquet files, same
-    // derivations as the base build (unifiedIndexesOf is the ONE source)
+    val fs = fsOf(spark, path)
+    val id = sanitizeId(crawlId)
+    // 1. stage the crawl's lane rows (same derivations as the base build —
+    //    unifiedIndexesOf is the ONE source)
     laneFrames(Dedup.unifiedIndexesOf(crawlDocs, crawlEmbs)).foreach {
-      case (name, df) => df.write.mode("append").parquet(s"$path/$name")
+      case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$path/_staging/$id/$name")
     }
+    // 2. intent marker
+    fs.mkdirs(journalDir(path))
+    fs.create(journalFile(path, id, "staged"), true).close()
+    // 3. move staged files into the live lanes under the crawl prefix
+    moveStagedIn(fs, path, id)
+    // 4. membership write-back, stamped with the crawl marker
+    Sinks.swapIn(spark, s"$path/membership", markers = Seq(s"_crawl_$id"))(
+      Dedup.membershipApply(membership, verdicts))
+    // 5. done
+    fs.rename(journalFile(path, id, "staged"), journalFile(path, id, "done"))
+    fs.delete(stagingDir(path, id), true)
     verdicts
+  }
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // crawl ids land in file names; keep them path-safe
+  private def sanitizeId(id: String): String =
+    id.replaceAll("[^A-Za-z0-9_-]", "_")
+
+  private def journalDir(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_journal")
+
+  private def journalFile(path: String, id: String, state: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_journal/$id.$state")
+
+  private def stagingDir(path: String, id: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_staging/$id")
+
+  /** Move every staged data file of crawl `id` into its live lane dir as
+    * `crawl-<id>-<origName>` — rename is atomic per file, so a re-run
+    * after a crash mid-move just finishes the remainder (a file is either
+    * still staged or already live, never both).
+    */
+  private def moveStagedIn(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, id: String): Unit =
+    Lanes.foreach { lane =>
+      val staged = new org.apache.hadoop.fs.Path(s"$path/_staging/$id/$lane")
+      if (fs.exists(staged))
+        fs.listStatus(staged).filter(st => st.isFile &&
+            st.getPath.getName.startsWith("part-")).foreach { st =>
+          val dst = new org.apache.hadoop.fs.Path(
+            s"$path/$lane/crawl-$id-${st.getPath.getName}")
+          if (fs.exists(dst)) fs.delete(st.getPath, false)
+          else require(fs.rename(st.getPath, dst),
+            s"staged lane move failed: ${st.getPath} -> $dst")
+        }
+    }
+
+  /** Heal a store whose last [[processCrawl]] crashed mid-advance. For
+    * each journaled crawl not marked done: if the membership carries the
+    * crawl's swap marker the advance reached step 4 — roll FORWARD
+    * (finish the staged moves, mark done); otherwise roll BACK (delete
+    * the crawl's prefixed lane files + staging), leaving the store at its
+    * pre-crawl state so the crawl can simply re-run. Idempotent; no-op on
+    * a healthy store.
+    */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val jd = journalDir(path)
+    if (!fs.exists(jd)) return
+    fs.listStatus(jd).map(_.getPath).filter(_.getName.endsWith(".staged"))
+      .foreach { j =>
+        val id = j.getName.stripSuffix(".staged")
+        val swapped = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$path/membership/_crawl_$id"))
+        if (swapped) {
+          moveStagedIn(fs, path, id)
+          fs.rename(j, journalFile(path, id, "done"))
+        } else {
+          Lanes.foreach { lane =>
+            val ld = new org.apache.hadoop.fs.Path(s"$path/$lane")
+            if (fs.exists(ld))
+              fs.listStatus(ld).map(_.getPath)
+                .filter(_.getName.startsWith(s"crawl-$id-"))
+                .foreach(fs.delete(_, false))
+          }
+          fs.delete(j, false)
+        }
+        fs.delete(stagingDir(path, id), true)
+      }
   }
 
   /** COMPACT every lane of the store (K crawl appends → K file sets per

@@ -64,7 +64,7 @@ object Sinks {
     * is one rename.
     */
   def swapIn(spark: SparkSession, dir: String,
-      partitionCols: Seq[String] = Nil)(df: DataFrame): Unit = {
+      partitionCols: Seq[String] = Nil, markers: Seq[String] = Nil)(df: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(dir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -75,6 +75,11 @@ object Sinks {
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp.toString)
+    // provenance markers (underscore-prefixed → invisible to readers) land
+    // INSIDE the replacement before the rename, so "marker present at the
+    // live path" is exactly "this swap completed" — the signal a journaled
+    // multi-step store advance (UnifiedDedupStore.processCrawl) recovers on
+    markers.foreach(m => fs.create(new Path(tmp, m), true).close())
     require(fs.rename(live, old), s"table swap failed: $live -> $old")
     require(fs.rename(tmp, live), s"table swap failed: $tmp -> $live")
     fs.delete(old, true)

@@ -118,6 +118,32 @@ class DedupMembershipApplySpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.bench.artifactDir")
   }
 
+  test("artifact cache keys on the dedup conf: a knob change within a session rebuilds instead of serving stale stores") {
+    def run(): Seq[Seq[Any]] = {
+      val rows = Dedup.dedupKeepUnifiedDelta(spark, sf).collect().map(_.toSeq).toSeq
+      Dedup.releaseIntermediates()
+      rows
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-drift").toString
+    spark.conf.set("spark.graft.bench.artifactDir", root)
+    try {
+      val defaultConf = run() // warms the membership + lane artifacts
+      spark.conf.set("spark.graft.dedup.minhashTau", "0.99")
+      spark.conf.set("spark.graft.dedup.cosineTau", "0.99")
+      val viaArtifacts = run() // must NOT read the default-conf membership
+      spark.conf.unset("spark.graft.bench.artifactDir")
+      val fresh = run() // in-query build under the same strict knobs
+      assert(viaArtifacts == fresh,
+        "knob change within a session must rebuild the cached artifacts, not serve stale ones")
+      assert(viaArtifacts != defaultConf,
+        "vacuous: the knob change must actually alter the verdicts for this test to prove anything")
+    } finally {
+      spark.conf.unset("spark.graft.bench.artifactDir")
+      spark.conf.unset("spark.graft.dedup.minhashTau")
+      spark.conf.unset("spark.graft.dedup.cosineTau")
+    }
+  }
+
   test("dedup_delta_keep_best: a higher-quality delta doc demotes the stored canonical") {
     import spark.implicits._
     // stored clusters {1,2} and {3,4}; delta 10 joins {1,2} with the best

@@ -70,6 +70,32 @@ class PdfIngestSpec extends SparkSpec {
     assert(PdfTextDecoder.blocks(imageOnly).isEmpty)
   }
 
+  test("adversarial flate: FDICT stream terminates (no hang) and a deflate bomb caps out — both quarantine") {
+    // zlib header with the FDICT (preset dictionary) bit set: Inflater
+    // reports needsDictionary and makes no progress forever — the decoder
+    // must bail, not spin the executor
+    val fdictBody = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0, 0, 0, 0, 0, 0)
+    val fdictPdf =
+      (s"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length ${fdictBody.length} >>\nstream\n"
+        .getBytes(Latin1)) ++ fdictBody ++ "\nendstream\nendobj\n%%EOF\n".getBytes(Latin1)
+    assert(PdfTextDecoder.blocks(fdictPdf).isEmpty)
+    // deflate bomb: ~32 MB of repeated text compresses ~1000:1; the
+    // inflated size blows the 64×input cap → quarantined, never an OOM
+    val bombText = ("BT 72 720 Td (boom) Tj ET " * (32 * 1024 * 1024 / 26)).getBytes(Latin1)
+    val d = new java.util.zip.Deflater()
+    d.setInput(bombText); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](65536)
+    while (!d.finished()) out.write(chunk, 0, d.deflate(chunk))
+    d.end()
+    val bombBody = out.toByteArray
+    assert(bombBody.length.toLong * 64 < bombText.length, "bomb must exceed the cap")
+    val bombPdf =
+      (s"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length ${bombBody.length} >>\nstream\n"
+        .getBytes(Latin1)) ++ bombBody ++ "\nendstream\nendobj\n%%EOF\n".getBytes(Latin1)
+    assert(PdfTextDecoder.blocks(bombPdf).isEmpty)
+  }
+
   test("decodePdfBlocks: per-partition decode carries blocks per doc; extractless docs emit nothing") {
     import spark.implicits._
     val pdfs = Seq(

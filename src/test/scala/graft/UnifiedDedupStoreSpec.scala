@@ -89,6 +89,63 @@ class UnifiedDedupStoreSpec extends SparkSpec {
     assert(afterCompact == beforeCompact, "compaction changed store answers")
   }
 
+  test("journaled advance: crash before the membership swap rolls back, after it rolls forward — never half-advanced") {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val isC = col("doc_id") % 4 === 0
+    val isCV = col("vec_id") % 4 === 0
+    val base = docs.filter(!isC); val baseE = embs.filter(!isCV)
+    val crawl = docs.filter(isC); val crawlE = embs.filter(isCV)
+
+    val path = java.nio.file.Files.createTempDirectory("graft-udstore-journal").toString
+    UnifiedDedupStore.write(base, baseE, path)
+    Dedup.releaseIntermediates()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val memBefore = memberSet(spark.read.parquet(s"$path/membership"))
+    def exactFiles(): Set[String] =
+      fs.listStatus(new Path(s"$path/exact")).map(_.getPath.getName)
+        .filterNot(_.startsWith("_")).toSet
+    val lanesBefore = exactFiles()
+
+    // crash window A: journal committed + some lane files moved in, but the
+    // membership swap never ran (no _crawl_ marker) → recover must roll BACK
+    val id = "crashcrawl"
+    fs.mkdirs(new Path(s"$path/_journal"))
+    fs.mkdirs(new Path(s"$path/_staging/$id/exact"))
+    fs.create(new Path(s"$path/exact/crawl-$id-part-00000.parquet"), true).close()
+    fs.create(new Path(s"$path/_journal/$id.staged"), true).close()
+    UnifiedDedupStore.recover(spark, path)
+    assert(exactFiles() == lanesBefore, "roll-back must delete the crawl's moved lane files")
+    assert(!fs.exists(new Path(s"$path/_journal/$id.staged")), "roll-back must clear the journal")
+    assert(!fs.exists(new Path(s"$path/_staging/$id")), "roll-back must clear staging")
+    assert(memberSet(spark.read.parquet(s"$path/membership")) == memBefore,
+      "roll-back must leave membership at its pre-crawl state")
+
+    // the crawl then re-runs cleanly (processCrawl auto-recovers first)
+    UnifiedDedupStore.processCrawl(spark, path, crawl, crawlE, "crawlA")
+    Dedup.releaseIntermediates()
+    val memAfter = memberSet(spark.read.parquet(s"$path/membership"))
+    assert(fs.exists(new Path(s"$path/_journal/crawlA.done")), "a completed advance must journal done")
+    assert(fs.exists(new Path(s"$path/membership/_crawl_crawlA")), "the swap must stamp its crawl marker")
+    val lanesAfter = exactFiles()
+
+    // crash window B: swap completed but the journal never flipped to done
+    // → recover must roll FORWARD (finish + mark done), changing nothing
+    fs.rename(new Path(s"$path/_journal/crawlA.done"), new Path(s"$path/_journal/crawlA.staged"))
+    UnifiedDedupStore.recover(spark, path)
+    assert(fs.exists(new Path(s"$path/_journal/crawlA.done")), "roll-forward must mark the journal done")
+    assert(exactFiles() == lanesAfter, "roll-forward must not touch completed lane files")
+    assert(memberSet(spark.read.parquet(s"$path/membership")) == memAfter,
+      "roll-forward must not touch the swapped membership")
+
+    // the recovered, advanced store answers exactly as a full rebuild
+    val rebuild = memberSet(Dedup.clustersFromPairs(Dedup.unifiedPairsOf(docs, embs)))
+    Dedup.releaseIntermediates()
+    assert(memAfter == rebuild,
+      s"store-only: ${(memAfter -- rebuild).take(5)}; rebuild-only: ${(rebuild -- memAfter).take(5)}")
+  }
+
   test("conf drift between store build and crawl fails fast (SRP band stamp)") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
