@@ -1622,6 +1622,41 @@ object TextAnalysis {
         expr("(n_shared * 100) div nf_min").as("c_pct"))
   }
 
+  /** Containment pairs restricted to `ids`, from the stored fingerprint
+    * index alone — the winnow lane of [[Dedup.unifiedPairsAmong]]
+    * (retract's survivor re-pairing). Fingerprint df eligibility is
+    * INDEX-TIME: counted over the FULL stored index within id-carried
+    * fps (the eligibility the store was built with — a takedown must not
+    * re-tune the df window and conjure pairs among unrelated docs), so
+    * the result is exactly [[dedupWinnowContainOf]]'s base-time pair set
+    * restricted to ids×ids. Per-call cost: id-carried fps only.
+    */
+  private[graft] def winnowContainAmong(baseFpd0: DataFrame,
+      ids: DataFrame): DataFrame = {
+    val tau = GraftConf.winnowTauPct
+    validateWinnowConf(baseFpd0, "stored winnow fingerprint index (retract)")
+    val baseFpd = baseFpd0.select(col("doc_id"), col("fp"))
+    val idFpd = Intermediates.persist(baseFpd.join(ids, Seq("doc_id")))
+    val touched = idFpd.select("fp").distinct()
+    val occ = baseFpd.join(touched, Seq("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= GraftConf.winnowFpCap)
+      .select("fp")
+    val e = idFpd.join(occ, Seq("fp"))
+    val shared = e.as("a").join(e.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val nf = idFpd.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+    shared
+      .join(nf.select(col("doc_id").as("doc_a"), col("n_fps").as("nfa")), "doc_a")
+      .join(nf.select(col("doc_id").as("doc_b"), col("n_fps").as("nfb")), "doc_b")
+      .withColumn("nf_min", least(col("nfa"), col("nfb")))
+      .filter(col("n_shared") * 100 >= col("nf_min") * tau)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("nf_min"),
+        expr("(n_shared * 100) div nf_min").as("c_pct"))
+  }
+
   /** Oracle: the FULL containment pipeline restricted to delta-touching
     * pairs — the equivalence the incremental path must reproduce.
     */

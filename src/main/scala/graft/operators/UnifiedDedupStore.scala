@@ -156,13 +156,16 @@ object UnifiedDedupStore {
         }
     }
 
-  /** Heal a store whose last [[processCrawl]] crashed mid-advance. For
-    * each journaled crawl not marked done: if the membership carries the
-    * crawl's swap marker the advance reached step 4 — roll FORWARD
-    * (finish the staged moves, mark done); otherwise roll BACK (delete
-    * the crawl's prefixed lane files + staging), leaving the store at its
-    * pre-crawl state so the crawl can simply re-run. Idempotent; no-op on
-    * a healthy store.
+  /** Heal a store whose last [[processCrawl]] or [[retract]] crashed
+    * mid-advance. Crawls: if the membership carries the crawl's swap
+    * marker the advance reached its commit point — roll FORWARD (finish
+    * the staged moves, mark done); otherwise roll BACK (delete the
+    * crawl's prefixed lane files + staging), leaving the store at its
+    * pre-crawl state so the crawl can simply re-run. Retractions: always
+    * roll FORWARD — everything the commit needs (the replacement
+    * membership and the id set) was staged before the journal was
+    * written, and the lane drops are idempotent anti-joins. Idempotent;
+    * no-op on a healthy store.
     */
   def recover(spark: SparkSession, path: String): Unit = {
     val fs = fsOf(spark, path)
@@ -188,6 +191,61 @@ object UnifiedDedupStore {
         }
         fs.delete(stagingDir(path, id), true)
       }
+    fs.listStatus(jd).map(_.getPath).filter(_.getName.endsWith(".retract"))
+      .foreach { j =>
+        completeRetract(spark, path, j.getName.stripSuffix(".retract"))
+      }
+  }
+
+  /** Takedown / right-to-be-forgotten: remove `retractIds` from the store
+    * — drop their rows from every lane index AND relabel the touched
+    * clusters ([[Dedup.membershipRetractFrom]] — survivors re-pair from
+    * the stored indexes under index-time occupancy; removing a cut
+    * vertex splits its component, removing a canonical re-elects).
+    * Without this one erasure request forces a full five-lane rebuild.
+    *
+    * Crash-safe by STAGE-THEN-COMMIT: the replacement membership and the
+    * id set are fully staged BEFORE the `.retract` journal is written;
+    * after the journal exists the commit (idempotent anti-join lane
+    * drops, then the membership swap) can re-run from staging at any
+    * point — [[recover]] always rolls a journaled retraction FORWARD.
+    * The new membership is computed from the PRE-drop indexes (vertex
+    * deletion keeps index-time occupancy; see
+    * [[Dedup.dedupMembershipRetract]]).
+    */
+  def retract(spark: SparkSession, path: String, retractIds: DataFrame,
+      retractId: String = java.util.UUID.randomUUID().toString): Unit = {
+    recover(spark, path)
+    val (ix, membership) = read(spark, path)
+    val id = sanitizeId(retractId)
+    val ids = retractIds.select("doc_id")
+    // stage the full commit payload, then journal the intent
+    Dedup.membershipRetractFrom(membership, ix, ids)
+      .write.mode("overwrite").parquet(s"$path/_staging/$id/membership")
+    ids.write.mode("overwrite").parquet(s"$path/_staging/$id/retract_ids")
+    val fs = fsOf(spark, path)
+    fs.mkdirs(journalDir(path))
+    fs.create(journalFile(path, id, "retract"), true).close()
+    completeRetract(spark, path, id)
+  }
+
+  /** The committed half of [[retract]] — idempotent, so [[recover]] can
+    * re-run it after a crash anywhere past the journal write.
+    */
+  private def completeRetract(spark: SparkSession, path: String,
+      id: String): Unit = {
+    val fs = fsOf(spark, path)
+    val ids = spark.read.parquet(s"$path/_staging/$id/retract_ids")
+    Lanes.foreach { lane =>
+      val key = if (lane == "embs" || lane == "srpbands") "vec_id" else "doc_id"
+      Sinks.swapIn(spark, s"$path/$lane")(
+        spark.read.parquet(s"$path/$lane")
+          .join(ids.withColumnRenamed("doc_id", key), Seq(key), "left_anti"))
+    }
+    Sinks.swapIn(spark, s"$path/membership", markers = Seq(s"_retract_$id"))(
+      spark.read.parquet(s"$path/_staging/$id/membership"))
+    fs.rename(journalFile(path, id, "retract"), journalFile(path, id, "done"))
+    fs.delete(stagingDir(path, id), true)
   }
 
   /** COMPACT every lane of the store (K crawl appends → K file sets per
