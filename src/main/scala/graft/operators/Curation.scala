@@ -573,17 +573,22 @@ object Curation {
     * doc_id — corpus-grain rows never shuffle on anything else.
     */
   def corpusCurate(spark: SparkSession, dir: String): DataFrame =
-    corpusCurateFrom(Tables.documents(spark, dir),
-      Tables.embeddings(spark, dir), col("doc_id") % FuzzyEvalMod === 0)
+    corpusCurateFromPairs(Tables.documents(spark, dir),
+      Dedup.storedTaggedPairs(spark, dir).select("doc_a", "doc_b").distinct(),
+      col("doc_id") % FuzzyEvalMod === 0)
 
   def corpusCurateFrom(docs: DataFrame, embs: DataFrame,
+      isEval: Column): DataFrame =
+    corpusCurateFromPairs(docs, Dedup.unifiedPairsOf(docs, embs), isEval)
+
+  private[graft] def corpusCurateFromPairs(docs: DataFrame, pairs: DataFrame,
       isEval: Column): DataFrame = {
     val q = qualityFilterOf(docs).select(col("doc_id"), col("keep").as("q_keep"))
     val ce = decontaminateFrom(docs, isEval)
       .select(col("doc_id"), col("contaminated").as("contam_exact"))
     val cf = decontaminateFuzzyFrom(docs, isEval)
       .select(col("doc_id"), col("contaminated").as("contam_fuzzy"))
-    val clusters = Dedup.clustersFromPairs(Dedup.unifiedPairsOf(docs, embs))
+    val clusters = Dedup.clustersFromPairs(pairs)
       .select(col("doc_id"), col("is_canonical"))
     docs.filter(!isEval).select("doc_id")
       .join(q, "doc_id")
@@ -857,13 +862,17 @@ object Curation {
     * `dedup_keep_unified` membership, lane tags ≡ the report's edge set.
     */
   def pipelineCurate(spark: SparkSession, dir: String): DataFrame =
-    pipelineCurateFrom(Tables.documents(spark, dir),
-      Tables.embeddings(spark, dir), col("doc_id") % FuzzyEvalMod === 0)
+    pipelineCurateFromTagged(Tables.documents(spark, dir),
+      Dedup.storedTaggedPairs(spark, dir), col("doc_id") % FuzzyEvalMod === 0)
 
   def pipelineCurateFrom(docs: DataFrame, embs: DataFrame,
+      isEval: Column): DataFrame =
+    pipelineCurateFromTagged(docs, Dedup.taggedPairsOf(docs, embs), isEval)
+
+  private[graft] def pipelineCurateFromTagged(docs: DataFrame, tagged0: DataFrame,
       isEval: Column): DataFrame = {
     // the one pair-table computation every downstream consumer shares
-    val tagged = Intermediates.persist(Dedup.taggedPairsOf(docs, embs))
+    val tagged = Intermediates.persist(tagged0)
     val clusters = Dedup.clustersFromPairs(
         tagged.select("doc_a", "doc_b").distinct())
       .select(col("doc_id"), col("is_canonical"), col("cluster_size"))

@@ -96,7 +96,16 @@ class DedupMembershipApplySpec extends SparkSpec {
       "dedup_simhash_delta" -> (Dedup.dedupSimhashDelta _),
       "dedup_embedding_srp_delta" -> (Dedup.dedupEmbeddingSrpDelta _),
       "dedup_winnow_contain_delta" ->
-        (graft.operators.TextAnalysis.dedupWinnowContainDelta _))
+        (graft.operators.TextAnalysis.dedupWinnowContainDelta _),
+      "dedup_membership_retract" -> (Dedup.dedupMembershipRetract _),
+      // the six ONE-SHOT unified rows share the session-cached tagged
+      // pair table (r14) — amortized mode must stay plan-only for them too
+      "dedup_keep_unified" -> (Dedup.dedupKeepUnified _),
+      "dedup_keep_best_unified" -> (Dedup.dedupKeepBestUnified _),
+      "dedup_cluster_stats" -> (Dedup.dedupClusterStats _),
+      "dedup_lanes_report" -> (Dedup.dedupLanesReport _),
+      "corpus_curate" -> (graft.operators.Curation.corpusCurate _),
+      "pipeline_curate" -> (graft.operators.Curation.pipelineCurate _))
     def runAll(): Map[String, Seq[Seq[Any]]] = lanes.map { case (name, fn) =>
       val rows = fn(spark, sf).collect().map(_.toSeq).toSeq
       Dedup.releaseIntermediates()
