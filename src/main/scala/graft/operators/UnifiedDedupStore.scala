@@ -119,6 +119,14 @@ object UnifiedDedupStore {
     verdicts
   }
 
+  /** Has a crawl/batch with this id already advanced the store? The
+    * replay guard streaming restarts key on: `foreachBatch` re-delivers
+    * the in-flight batch with its original batchId after a crash, and a
+    * done journal means its advance (and verdict delivery) completed.
+    */
+  def isApplied(spark: SparkSession, path: String, crawlId: String): Boolean =
+    fsOf(spark, path).exists(journalFile(path, sanitizeId(crawlId), "done"))
+
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

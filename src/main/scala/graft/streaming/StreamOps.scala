@@ -350,6 +350,52 @@ object StreamOps {
     }
   }
 
+  /** STORE-BACKED streaming unified dedup — the RESTARTABLE twin of
+    * [[UnifiedDedupIndex]]: the runner holds NO state in memory; lanes and
+    * membership live in a [[graft.operators.UnifiedDedupStore]] directory,
+    * so a process restart constructs a fresh runner over the same path and
+    * resumes exactly where the dead one stopped (production taps die —
+    * the in-memory runner's indexes die with them).
+    *
+    * Replay-safe: `foreachBatch` re-delivers the in-flight micro-batch
+    * after a crash WITH ITS ORIGINAL batchId (checkpointed offsets), so
+    * the runner keys each advance by batchId through the store's
+    * per-crawl journal — a batch already journaled `done` advances
+    * nothing and returns an empty verdict frame (the idempotent-sink
+    * convention: its verdicts were already delivered). A batch that
+    * crashed MID-advance is healed by the store's own journal recovery
+    * ([[graft.operators.UnifiedDedupStore.recover]], auto-run by
+    * `processCrawl`) and then re-runs cleanly.
+    */
+  final class StoredUnifiedDedupIndex(path: String) {
+    import graft.operators.UnifiedDedupStore
+
+    /** Verdicts for one micro-batch, advancing the store on disk — call
+      * from `writeStream.foreachBatch((batch, batchId) => ...)` with the
+      * batch's (doc_id, text) and (vec_id, embedding) projections and the
+      * delivered batchId.
+      */
+    def processBatch(batchDocs: DataFrame, batchEmbs: DataFrame,
+        batchId: Long): DataFrame = {
+      val spark = batchDocs.sparkSession
+      val id = s"batch-$batchId"
+      if (UnifiedDedupStore.isApplied(spark, path, id)) {
+        // crash replay: this batch already advanced the store and its
+        // verdicts were delivered before the crash — re-advancing would
+        // double the lane rows, so the re-delivery is a no-op
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("cluster_id", LongType),
+            StructField("cluster_size", LongType),
+            StructField("origin", StringType),
+            StructField("status", StringType))))
+      } else
+        UnifiedDedupStore.processCrawl(spark, path, batchDocs, batchEmbs, id)
+    }
+  }
+
   /** Stream-stream interval join: each purchase joined to the clicks of the
     * same user in the preceding hour. Both sides carry watermarks, so the
     * join state (buffered clicks awaiting purchases and vice versa) is

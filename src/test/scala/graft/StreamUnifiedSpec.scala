@@ -24,6 +24,74 @@ class StreamUnifiedSpec extends SparkSpec {
     df.select("doc_id", "cluster_id", "cluster_size", "is_canonical").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
 
+  test("StoredUnifiedDedupIndex: restart resumes from the persisted store; replayed batchIds are no-ops") {
+    val docs = sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val embs = sources.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val m = Dedup.DeltaIdMod
+    val isD = col("doc_id") % m === 0
+    val isDV = col("vec_id") % m === 0
+    val b1d = col("doc_id") % (2 * m) === 0
+    val b1v = col("vec_id") % (2 * m) === 0
+    val base = docs.filter(!isD)
+    val baseE = embs.filter(!isDV)
+
+    // arbiter: the uninterrupted batch chain
+    val m0 = Dedup.clustersFromPairs(Dedup.unifiedPairsOf(base, baseE))
+      .localCheckpoint(true)
+    val v1 = Dedup.dedupKeepUnifiedDeltaFrom(m0,
+        Dedup.unifiedDeltaPairsOf(base, baseE,
+          docs.filter(b1d), embs.filter(b1v)), docs.filter(b1d))
+      .localCheckpoint(true)
+    val m1 = Dedup.membershipApply(m0, v1).localCheckpoint(true)
+    val v2 = Dedup.dedupKeepUnifiedDeltaFrom(m1,
+        Dedup.unifiedDeltaPairsOf(docs.filter(!isD || b1d), embs.filter(!isDV || b1v),
+          docs.filter(isD && !b1d), embs.filter(isDV && !b1v)),
+        docs.filter(isD && !b1d))
+      .localCheckpoint(true)
+    val want1 = verdictSet(v1.collect())
+    val want2 = verdictSet(v2.collect())
+    Dedup.releaseIntermediates()
+
+    val path = java.nio.file.Files.createTempDirectory("graft-stored-stream").toString
+    graft.operators.UnifiedDedupStore.write(base, baseE, path)
+    Dedup.releaseIntermediates()
+
+    // runner A processes micro-batch 0, then "dies"
+    val runnerA = new StreamOps.StoredUnifiedDedupIndex(path)
+    val got1 = verdictSet(runnerA.processBatch(
+      docs.filter(b1d), embs.filter(b1v), 0L).collect())
+    Dedup.releaseIntermediates()
+    assert(got1 == want1,
+      s"batch0 store-only: ${(got1 -- want1).take(5)}; chain-only: ${(want1 -- got1).take(5)}")
+
+    // restart: a FRESH session state and a FRESH runner over the same path
+    val spark2 = spark.newSession()
+    val docs2 = sources.Tables.documents(spark2, sf).select("doc_id", "text")
+    val embs2 = sources.Tables.embeddings(spark2, sf).select("vec_id", "embedding")
+    val runnerB = new StreamOps.StoredUnifiedDedupIndex(path)
+    // crash replay: foreachBatch re-delivers batch 0 with its original id —
+    // the journaled advance makes it a no-op (no double lane rows)
+    val memBefore = memberSet(spark2.read.parquet(s"$path/membership"))
+    val replay = runnerB.processBatch(
+      docs2.filter(b1d), embs2.filter(b1v), 0L)
+    assert(replay.isEmpty, "replayed batchId must deliver no verdicts")
+    assert(memberSet(spark2.read.parquet(s"$path/membership")) == memBefore,
+      "replayed batchId must not advance the store")
+    // then the NEXT batch resumes exactly where the dead runner stopped
+    val got2 = verdictSet(runnerB.processBatch(
+      docs2.filter(isD && !b1d), embs2.filter(isDV && !b1v), 1L).collect())
+    Dedup.releaseIntermediates()
+    assert(got2 == want2,
+      s"batch1 store-only: ${(got2 -- want2).take(5)}; chain-only: ${(want2 -- got2).take(5)}")
+
+    // the resumed store lands on the full-corpus rebuild
+    val stored = memberSet(spark2.read.parquet(s"$path/membership"))
+    val rebuild = memberSet(Dedup.clustersFromPairs(Dedup.unifiedPairsOf(docs, embs)))
+    Dedup.releaseIntermediates()
+    assert(stored == rebuild,
+      s"store-only: ${(stored -- rebuild).take(5)}; rebuild-only: ${(rebuild -- stored).take(5)}")
+  }
+
   test("UnifiedDedupIndex: streamed batches ≡ batch delta+apply chain; final membership ≡ full rebuild") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
