@@ -311,6 +311,47 @@ object AnnIndex {
     ivfPqTopK(spark, path, dir)
   }
 
+  /** Per-query recall@K of a STORED IVF-PQ index against the exact
+    * brute-force ranking over `embs` — (query_id, n_hits, recall). The
+    * measure-before-trust read applied to a LIVE store (the recall report
+    * the training path has, pointed at an artifact on disk).
+    */
+  def storedRecallReportFrom(spark: SparkSession, indexPath: String,
+      embs: DataFrame): DataFrame = {
+    val truth = Similarity.denseTopKOf(embs, Similarity.TopK)
+      .select(col("query_id"), col("neighbor_id"))
+    val got = ivfPqTopKFrom(spark, indexPath, embs)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(got, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    truth.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / Similarity.TopK, 4)
+          .as("recall"))
+  }
+
+  /** `ann_append_recall_report` core: recall of an APPENDED store vs a
+    * FRESH REBUILD over the same corpus, per query. [[appendToIvfPq]]
+    * encodes every crawl against the ORIGINAL centroids/codebooks, so K
+    * crawls of drifting embeddings silently degrade recall — the append
+    * path needs the same measure-before-trust read the training path has
+    * (`ann_recall_report`), and this is the signal that schedules
+    * re-training, exactly as [[ArtifactCatalog.health]] schedules
+    * compaction. Output: (query_id, recall_appended, recall_rebuilt,
+    * recall_drop ≥ 0 means the rebuild would win).
+    */
+  def appendRecallReport(spark: SparkSession, appendedPath: String,
+      rebuiltPath: String, embs: DataFrame): DataFrame =
+    storedRecallReportFrom(spark, appendedPath, embs)
+      .select(col("query_id"), col("recall").as("recall_appended"))
+      .join(storedRecallReportFrom(spark, rebuiltPath, embs)
+        .select(col("query_id"), col("recall").as("recall_rebuilt")),
+        Seq("query_id"))
+      .withColumn("recall_drop",
+        round(col("recall_rebuilt") - col("recall_appended"), 4))
+
   /** Convenience: query the stored index against the corpus at `dir`. */
   def ivfPqTopK(spark: SparkSession, indexPath: String, dir: String): DataFrame =
     ivfPqTopKFrom(spark, indexPath, Tables.embeddings(spark, dir))

@@ -38,7 +38,7 @@ object Similarity {
   private def annTopKAt(spark: SparkSession, dir: String, k: Int): DataFrame =
     denseTopKOf(Tables.embeddings(spark, dir), k)
 
-  private def denseTopKOf(embs: DataFrame, k: Int): DataFrame = {
+  private[graft] def denseTopKOf(embs: DataFrame, k: Int): DataFrame = {
     // label-free projection: planted spec frames carry only (vec_id,
     // embedding), and this ranking never reads the label column
     val e = embs.select(col("vec_id"),
