@@ -1859,20 +1859,52 @@ object TextAnalysis {
       .withMetadata("h", new org.apache.spark.sql.types.MetadataBuilder()
         .putString(LineMetaKey, lineFingerprintConf).build())
 
-  def dedupLinesOf(docs: DataFrame): DataFrame = {
-    val units = lineUnitsOf(docs)
+  def dedupLinesOf(docs: DataFrame): DataFrame =
+    keepFirstUnits(lineUnitsOf(docs), " ").contractOrderBy("doc_id")
+
+  /** The keep-first act step over ANY unit table — corpus-wide first
+    * occurrence of each unit hash survives, later occurrences cut,
+    * per-doc reassembly joins the kept units in order with `sep` (the
+    * unit grammar's own separator, so an uncut doc reassembles
+    * byte-identically).
+    */
+  private def keepFirstUnits(units: DataFrame, sep: String): DataFrame = {
     val firstKeys = units.groupBy(col("h"))
       .agg(min(col("doc_id") * OccKey + col("idx")).as("first_key"))
+    val sepLit = sep.flatMap {
+      case '\n' => "\\n"; case '\\' => "\\\\"; case '\'' => "\\'"
+      case c => c.toString
+    }
     units.join(firstKeys, Seq("h"))
       .withColumn("keep", col("doc_id") * OccKey + col("idx") === col("first_key"))
       .groupBy(col("doc_id"))
       .agg(
-        expr("array_join(transform(array_sort(collect_list(CASE WHEN keep THEN struct(idx, chunk) END)), x -> x.chunk), ' ')")
+        expr("array_join(transform(array_sort(collect_list(CASE WHEN keep THEN struct(idx, chunk) END)), " +
+          s"x -> x.chunk), '$sepLit')")
           .as("clean_text"),
         count(lit(1)).as("n_chunks"),
         sum(when(!col("keep"), 1L).otherwise(0L)).as("n_chunks_cut"))
-      .contractOrderBy("doc_id")
   }
+
+  /** PARAGRAPH dedup units — the actual CCNet unit: one unit per
+    * newline-delimited paragraph, for corpora whose raw front door
+    * preserves newlines ([[graft.sources.RawSources.readJsonl]] carries
+    * real multiline text). The synthetic parquet corpus has no newlines
+    * (SURVEY §2 states it), so `dedup_lines` keeps its tumbling word
+    * windows there; a real crawl routes through THIS unit grammar with
+    * everything downstream unchanged.
+    */
+  private[graft] def paragraphUnitsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("idx", "chunk")))
+      .withColumn("h", md5(col("chunk")))
+
+  /** [[dedupLinesOf]] at paragraph grain: corpus-wide keep-first over
+    * paragraph hashes, reassembly joins kept paragraphs with `\n` — an
+    * uncut doc round-trips byte-identically.
+    */
+  def dedupParagraphsOf(docs: DataFrame): DataFrame =
+    keepFirstUnits(paragraphUnitsOf(docs), "\n").contractOrderBy("doc_id")
 
   /** `dedup_lines_report`: per-source duplicated-unit rates — the curation
     * dashboard over [[dedupLines]]' unit table (which crawl sources carry

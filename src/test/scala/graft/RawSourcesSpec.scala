@@ -45,6 +45,48 @@ class RawSourcesSpec extends SparkSpec {
     assert(q.exists(_.contains("truncated")) && q.exists(_.contains("not json")))
   }
 
+  test("multiline JSONL → paragraph-unit dedup: keep-first per paragraph hash, uncut docs reassemble byte-identically") {
+    val dir = Files.createTempDirectory("graft_jsonl_para").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/docs.jsonl"
+    // real multiline text riding the raw front door: \n inside JSON strings
+    Files.write(Paths.get(path), java.util.Arrays.asList(
+      """{"doc_id":1,"text":"para A\npara B\npara C"}""",
+      """{"doc_id":2,"text":"para B\npara D"}""",
+      """{"doc_id":3,"text":"para E\n\npara F"}"""),
+      StandardOpenOption.CREATE)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (good, bad) = RawSources.readJsonl(spark, path, schema)
+    assert(bad.isEmpty, "no quarantine expected")
+    val original = good.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(original(3L) == "para E\n\npara F", "newlines must survive ingestion")
+
+    val got = graft.operators.TextAnalysis.dedupParagraphsOf(good).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_chunks"),
+          r.getAs[Long]("n_chunks_cut"))).toMap
+    graft.operators.Dedup.releaseIntermediates()
+    // hand-computed keep-first: "para B" first occurs in doc 1, so doc 2
+    // loses it; everything else is a corpus-wide first occurrence
+    assert(got == Map(
+      1L -> ("para A\npara B\npara C", 3L, 0L),
+      2L -> ("para D", 2L, 1L),
+      3L -> ("para E\n\npara F", 3L, 0L)), got.toString)
+    // byte-identical reassembly for the uncut docs — including the empty
+    // paragraph doc 3 carries
+    assert(got(1L)._1 == original(1L) && got(3L)._1 == original(3L))
+    // the tumbling-window unit grammar is untouched: the same corpus
+    // through dedup_lines still chunks by word windows (newlines are just
+    // characters to it), so the two unit grammars stay independent
+    val tumbling = graft.operators.TextAnalysis.dedupLinesOf(good).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chunks")).toMap
+    graft.operators.Dedup.releaseIntermediates()
+    assert(tumbling.values.forall(_ == 1L),
+      s"word-window path must see each short doc as one chunk: $tumbling")
+  }
+
   test("readCsv: explicit schema, type-garbage row quarantined") {
     val dir = Files.createTempDirectory("graft_csv").toFile
     dir.deleteOnExit()
