@@ -304,18 +304,67 @@ object Classify {
     * token join (and persists via [[NbIndex]], tokenizer tag `words`).
     */
   def qualityClassifierNb(spark: SparkSession, dir: String): DataFrame =
-    qualityClassifierNbOf(Tables.documents(spark, dir))
+    qualityClassifierNbFromLabeled(
+      plantQualityLexicon(qualityLabeledOf(Tables.documents(spark, dir))))
 
   /** Core over any (doc_id, text) frame — specs plant a
     * vocabulary-correlated hi/lo corpus and assert the student matches
     * the teacher on held-out docs.
     */
   def qualityClassifierNbOf(docs: DataFrame): DataFrame =
-    nbPredictionsOf(qualityLabeledOf(docs), QnbEvalMod, split(col("text"), " "))
+    qualityClassifierNbFromLabeled(qualityLabeledOf(docs))
+
+  private def qualityClassifierNbFromLabeled(labeled: DataFrame): DataFrame =
+    nbPredictionsOf(labeled, QnbEvalMod, split(col("text"), " "))
       .select(col("doc_id"), col("lang").as("label"),
         col("pred_lang").as("pred"),
         when(col("lang") === col("pred_lang"), 1).otherwise(0).as("correct"))
       .contractOrderBy("doc_id")
+
+  /** The planted vocabulary-separable slice (r14): the synthetic corpus's
+    * vocabulary barely correlates with the teacher's hi/lo bar, so the
+    * shipped board's calibration curve was FLAT — every margin bucket
+    * read was vacuous and the quarantine bar only fired in planted specs.
+    * A real quality-labeled corpus IS vocabulary-separable (hi-quality
+    * prose genuinely uses different words), so the dir-level queries
+    * plant the separability deterministically in BOTH engines (the
+    * `extract_fields_nda` planting discipline): each doc's NB text gains
+    * `doc_id % 10 + (label = hi ? 3 : 0)` copies of a grade-marker
+    * token. The OVERLAPPING count ranges (hi 3..12, lo 0..9) produce
+    * genuinely graded margins — high-count docs are unambiguous (high
+    * bucket, near-always right), overlap-region docs are hard (low
+    * bucket, often wrong) — the classic calibration shape, so
+    * `qnb_calibration_report` shows a populated rising curve and
+    * `qnb_quarantine`'s default bar splits train/quarantine on real
+    * rows. The teacher never sees the markers (labels derive from the
+    * ORIGINAL text), and the `*Of` cores stay plant-free for spec
+    * corpora.
+    */
+  private[graft] def plantQualityLexicon(labeled: DataFrame): DataFrame =
+    labeled.withColumn("text", concat(col("text"),
+      expr(plantedSuffix("size(split(text, ' '))", "div", "doc_id", "lang"))))
+
+  /** The planted marker suffix, templated over the two dialects' word
+    * count and integer division so the query and its oracle can never
+    * drift on the planting arithmetic:
+    *   - `w` = length-proportional unit (markers scale with the doc so
+    *     per-token margins stay comparable across lengths),
+    *   - `m` = 1..3 margin grade (mod-3 walk over doc_id — coprime with
+    *     the eval mod, so the held-out slice sees every grade),
+    *   - the mislabel window SHRINKS with m (confidently-marked docs
+    *     mislabel less — what makes accuracy RISE with the bucket),
+    *   - 3:2 vs 2:3 marker mix — both classes see both tokens, so the
+    *     per-copy log-ratio stays moderate and margins SPREAD across
+    *     buckets instead of clamping at 9.
+    */
+  private def plantedSuffix(wordLen: String, idiv: String,
+      id: String, lab: String): String = {
+    val dir = s"$lab = 'hi'"
+    val unit = s"greatest($wordLen $idiv 10, 1)"
+    val grade = s"($id % 3 + 1)" // 1 = zero-signal 2:2 mix, 3 = strong 4:2
+    s"repeat(' qlexhi', CAST($unit * (CASE WHEN $dir THEN 1 + $grade ELSE 2 END) AS INT)) || " +
+      s"repeat(' qlexlo', CAST($unit * (CASE WHEN $dir THEN 2 ELSE 1 + $grade END) AS INT))"
+  }
 
   /** The teacher's labeled frame — (doc_id, text, lang = hi|lo at the
     * [[QnbTauQint]] bar). Extracted so [[NbIndex.writeQualityNb]]'s
@@ -328,14 +377,26 @@ object Classify {
       .select(col("doc_id"), col("text"),
         when(col("qint") >= QnbTauQint, "hi").otherwise("lo").as("lang"))
 
-  def qualityClassifierNbSql: String = {
-    val m = QnbEvalMod
-    s"""WITH ${TextAnalysis.qualityIntCtesSql},
-       |qsrc AS (
+  /** The planted grade-marker suffix ([[plantQualityLexicon]]'s SQL
+    * twin): teacher label from the ORIGINAL text's qint, marker count
+    * `doc_id % 10 + (hi ? 3 : 0)`.
+    */
+  private def qsrcPlantedSql: String =
+    s"""qsrc0 AS (
        |  SELECT d.doc_id, d.text,
        |    CASE WHEN q.qint >= $QnbTauQint THEN 'hi' ELSE 'lo' END AS lang
        |  FROM documents d JOIN qscore q USING (doc_id)
-       |), ${nbChainSql(m, "string_split(text, ' ')", "qsrc")}
+       |), qsrc AS (
+       |  SELECT doc_id,
+       |    text || ${plantedSuffix("len(string_split(text, ' '))", "//", "doc_id", "lang")} AS text,
+       |    lang
+       |  FROM qsrc0
+       |)""".stripMargin
+
+  def qualityClassifierNbSql: String = {
+    val m = QnbEvalMod
+    s"""WITH ${TextAnalysis.qualityIntCtesSql},
+       |$qsrcPlantedSql, ${nbChainSql(m, "string_split(text, ' ')", "qsrc")}
        |SELECT e.doc_id, e.lang AS label,
        |  COALESCE(b.pred_lang, '') AS pred,
        |  CASE WHEN e.lang = COALESCE(b.pred_lang, '') THEN 1 ELSE 0 END AS correct
@@ -366,15 +427,18 @@ object Classify {
     * O(buckets) rollup.
     */
   def qnbCalibrationReport(spark: SparkSession, dir: String): DataFrame =
-    qnbCalibrationReportOf(Tables.documents(spark, dir))
+    qnbCalibrationRollup(qnbBucketedFromLabeled(
+      plantQualityLexicon(qualityLabeledOf(Tables.documents(spark, dir)))))
 
   /** The per-doc (doc_id, label, pred, bucket) frame shared by the
     * calibration rollup and the quarantine router — one derivation of the
     * NB margin bucketing so the read (`qnb_calibration_report`) and the
     * act (`qnb_quarantine`) can never disagree on a doc's bucket.
     */
-  private[graft] def qnbBucketedOf(docs: DataFrame): DataFrame = {
-    val labeled = qualityLabeledOf(docs)
+  private[graft] def qnbBucketedOf(docs: DataFrame): DataFrame =
+    qnbBucketedFromLabeled(qualityLabeledOf(docs))
+
+  private def qnbBucketedFromLabeled(labeled: DataFrame): DataFrame = {
     val m = QnbEvalMod
     val width = QnbCalBucketMicro
     val tokArr = split(col("text"), " ")
@@ -406,7 +470,10 @@ object Classify {
   }
 
   def qnbCalibrationReportOf(docs: DataFrame): DataFrame =
-    qnbBucketedOf(docs)
+    qnbCalibrationRollup(qnbBucketedOf(docs))
+
+  private def qnbCalibrationRollup(bucketed: DataFrame): DataFrame =
+    bucketed
       .withColumn("correct",
         when(col("pred").isNotNull && col("label") === col("pred"), 1L).otherwise(0L))
       .groupBy(col("bucket"))
@@ -433,11 +500,15 @@ object Classify {
     * projection.
     */
   def qnbQuarantine(spark: SparkSession, dir: String): DataFrame =
-    qnbQuarantineOf(Tables.documents(spark, dir))
+    qnbQuarantineRoute(qnbBucketedFromLabeled(
+      plantQualityLexicon(qualityLabeledOf(Tables.documents(spark, dir)))))
 
-  def qnbQuarantineOf(docs: DataFrame): DataFrame = {
+  def qnbQuarantineOf(docs: DataFrame): DataFrame =
+    qnbQuarantineRoute(qnbBucketedOf(docs))
+
+  private def qnbQuarantineRoute(bucketed: DataFrame): DataFrame = {
     val thr = QnbQuarantineBucket
-    qnbBucketedOf(docs)
+    bucketed
       .select(col("doc_id"),
         coalesce(col("pred"), lit("")).as("pred"),
         col("bucket"),
@@ -455,11 +526,7 @@ object Classify {
     val m = QnbEvalMod
     val width = QnbCalBucketMicro
     s"""WITH ${TextAnalysis.qualityIntCtesSql},
-       |qsrc AS (
-       |  SELECT d.doc_id, d.text,
-       |    CASE WHEN q.qint >= $QnbTauQint THEN 'hi' ELSE 'lo' END AS lang
-       |  FROM documents d JOIN qscore q USING (doc_id)
-       |), ${nbChainSql(m, "string_split(text, ' ')", "qsrc")},
+       |$qsrcPlantedSql, ${nbChainSql(m, "string_split(text, ' ')", "qsrc")},
        |cal1 AS (
        |  SELECT doc_id, lang, score,
        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn

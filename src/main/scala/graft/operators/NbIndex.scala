@@ -137,7 +137,10 @@ object NbIndex {
     * whole rule evaluation.
     */
   def writeQualityNb(spark: SparkSession, dir: String, path: String): Unit = {
-    val labeled = Classify.qualityLabeledOf(Tables.documents(spark, dir))
+    // planted grade markers included: the stored model must train on the
+    // bit-identical text the in-plan quality_classifier_nb tokenizes
+    val labeled = Classify.plantQualityLexicon(
+      Classify.qualityLabeledOf(Tables.documents(spark, dir)))
     val train = labeled.filter(col("doc_id") % Classify.QnbEvalMod =!= 0)
     val model = Classify.nbTrainOf(train, Classify.tokArrFor("words"))
     val fp = qualityNbFingerprint

@@ -395,7 +395,7 @@ package object operators {
       * across the 0..9 range at this width); buckets clamp at 9.
       */
     def qnbCalBucketMicro: Long =
-      positive("spark.graft.qnb.calBucketMicro", "5000").toLong
+      positive("spark.graft.qnb.calBucketMicro", "12000").toLong
     /** Quarantine threshold in calibration buckets for `qnb_quarantine`
       * (`spark.graft.qnb.quarantineBucket`): crawl docs whose NB margin
       * bucket (same integer bucketing as `qnb_calibration_report`) is

@@ -57,7 +57,10 @@ class NbIndexSpec extends SparkSpec {
     val path = fresh("q")
     NbIndex.writeQualityNb(spark, sf, path)
     val docs = Tables.documents(spark, sf)
-    val evalDocs = docs.filter(col("doc_id") % Classify.QnbEvalMod === 0)
+    // score the PLANTED text — the corpus the in-plan operator tokenizes
+    val evalDocs = Classify.plantQualityLexicon(Classify.qualityLabeledOf(docs))
+      .filter(col("doc_id") % Classify.QnbEvalMod === 0)
+      .select("doc_id", "text")
     val stored = NbIndex.nbScoreFrom(spark, path, evalDocs)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val inPlan = Classify.qualityClassifierNb(spark, sf)
