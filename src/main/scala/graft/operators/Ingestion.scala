@@ -183,19 +183,31 @@ object Ingestion {
     * proves the same rung on the actual PDF wire format, the
     * [[Multimodal.ImageIoDecoder]] discipline applied to documents):
     *
-    *   - content streams are taken in document order (page order for the
-    *     linear PDFs a generator writes; real-world /Pages-tree
-    *     resolution is a library's job and out of scope),
-    *   - `/FlateDecode` streams inflate via `java.util.zip` (what real
-    *     word-processor PDFs ship); raw streams parse as-is,
+    *   - a PDF carrying `startxref` takes the STRUCTURED path (r14): the
+    *     cross-reference chain resolves (classic `xref` tables AND
+    *     binary xref STREAMS with /W columns, /Index sections and PNG
+    *     predictors; `/Prev` walks incremental updates, newest
+    *     definition wins), objects load lazily by number — including
+    *     objects packed inside `/ObjStm` object streams (type-2
+    *     entries) — and pages come from the `/Pages` tree walk
+    *     (trailer /Root → catalog → /Kids recursion), so `page` is the
+    *     TRUE page index and each page's `/Contents` (ref or array of
+    *     refs, concatenated) parses under it, regardless of where the
+    *     writer put the objects in the file;
+    *   - a PDF with no `startxref` (generator-style linear output) falls
+    *     back to document-order content-stream scanning, `page` = the
+    *     text-bearing stream ordinal;
+    *   - `/FlateDecode` streams inflate via `java.util.zip`; raw streams
+    *     parse as-is,
     *   - inside each BT..ET text object, show operators `Tj`/`'`/`"` and
     *     `TJ` arrays contribute text (parenthesis escapes `\(`/`\)`/`\\`
     *     and octal `\ddd` unescaped); the object's first `Td`/`TD`/`Tm`
     *     supplies the block origin,
-    *   - ANY malformed stream contributes zero blocks (quarantine
-    *     policy, never a throw) — a scanned/image-only PDF extracts no
-    *     text and `ocr_route`'s text-volume threshold then routes it to
-    *     OCR exactly as the reference does.
+    *   - ANY malformed stream, xref chain or Pages tree contributes zero
+    *     blocks (quarantine policy, never a throw and never a hang) — a
+    *     scanned/image-only PDF extracts no text and `ocr_route`'s
+    *     text-volume threshold then routes it to OCR exactly as the
+    *     reference does.
     */
   object PdfTextDecoder {
     private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
@@ -207,6 +219,11 @@ object Ingestion {
     private def blocksUnsafe(bytes: Array[Byte]): Seq[PdfBlock] = {
       val s = new String(bytes, Latin1) // 1:1 byte↔char, offsets stay valid
       if (!s.startsWith("%PDF-")) return Nil
+      // the structured path is authoritative when the container claims a
+      // cross-reference (every conforming writer emits startxref); a
+      // broken claim quarantines rather than degrading to a linear scan
+      // that could mis-number pages
+      if (s.lastIndexOf("startxref") >= 0) return structuredBlocks(s, bytes)
       val out = scala.collection.mutable.ArrayBuffer.empty[PdfBlock]
       var from = 0
       var page = 0
@@ -269,6 +286,440 @@ object Ingestion {
         inf.end()
         if (bombed || buf.size() == 0) None else Some(buf.toByteArray)
       } catch { case scala.util.control.NonFatal(_) => None }
+
+    // ---- structured container parse: xref chain + /ObjStm + /Pages tree ----
+
+    private sealed trait PObj
+    private final case class PNum(v: Double) extends PObj
+    private final case class PName(v: String) extends PObj
+    private final case class PStr(v: String) extends PObj
+    private final case class PArr(items: Vector[PObj]) extends PObj
+    private final case class PDict(m: Map[String, PObj]) extends PObj
+    private final case class PRef(num: Int) extends PObj
+    private final case class PStream(dict: PDict, data: Array[Byte]) extends PObj
+    private case object PNull extends PObj
+
+    /** Minimal PDF object lexer/parser over the Latin1 view (1:1
+      * byte↔char, so string offsets index `bytes` directly).
+      */
+    private final class Lex(val s: String, var p: Int) {
+      private def isWs(c: Char) =
+        c == ' ' || c == '\r' || c == '\n' || c == '\t' || c == '\f' || c == 0
+      private def isDelim(c: Char) =
+        isWs(c) || c == '(' || c == ')' || c == '<' || c == '>' ||
+          c == '[' || c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
+      def ws(): Unit = {
+        var go = true
+        while (go && p < s.length) {
+          val c = s.charAt(p)
+          if (isWs(c)) p += 1
+          else if (c == '%') {
+            while (p < s.length && s.charAt(p) != '\n' && s.charAt(p) != '\r') p += 1
+          } else go = false
+        }
+      }
+      def keyword(k: String): Boolean = {
+        ws()
+        if (s.regionMatches(p, k, 0, k.length) &&
+            (p + k.length >= s.length || isDelim(s.charAt(p + k.length)) ||
+              !k.last.isLetterOrDigit)) { p += k.length; true }
+        else false
+      }
+      def int(): Int = {
+        ws()
+        val st = p
+        if (p < s.length && (s.charAt(p) == '+' || s.charAt(p) == '-')) p += 1
+        while (p < s.length && s.charAt(p).isDigit) p += 1
+        require(p > st, s"expected integer at $st")
+        s.substring(st, p).toInt
+      }
+      def obj(): PObj = {
+        ws()
+        require(p < s.length, "unexpected end of PDF object data")
+        val c = s.charAt(p)
+        if (s.regionMatches(p, "<<", 0, 2)) dict()
+        else if (c == '<') hexStr()
+        else if (c == '/') PName(name())
+        else if (c == '(') litStr()
+        else if (c == '[') arr()
+        else if (c.isDigit || c == '+' || c == '-' || c == '.') numOrRef()
+        else if (keyword("true")) PName("true")
+        else if (keyword("false")) PName("false")
+        else if (keyword("null")) PNull
+        else throw new IllegalStateException(s"unparseable PDF object at $p: '$c'")
+      }
+      private def name(): String = {
+        p += 1 // '/'
+        val st = p
+        while (p < s.length && !isDelim(s.charAt(p))) p += 1
+        s.substring(st, p)
+      }
+      private def dict(): PObj = {
+        p += 2
+        val m = Map.newBuilder[String, PObj]
+        ws()
+        while (!s.regionMatches(p, ">>", 0, 2)) {
+          require(p < s.length && s.charAt(p) == '/', s"dict key expected at $p")
+          val k = name()
+          m += k -> obj()
+          ws()
+        }
+        p += 2
+        PDict(m.result())
+      }
+      private def arr(): PObj = {
+        p += 1
+        val b = Vector.newBuilder[PObj]
+        ws()
+        while (p < s.length && s.charAt(p) != ']') { b += obj(); ws() }
+        require(p < s.length, "unterminated PDF array")
+        p += 1
+        PArr(b.result())
+      }
+      private def hexStr(): PObj = {
+        p += 1
+        val st = p
+        while (p < s.length && s.charAt(p) != '>') p += 1
+        val hex = s.substring(st, p).filterNot(isWs)
+        p += 1
+        val padded = if (hex.length % 2 == 0) hex else hex + "0"
+        PStr(padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString)
+      }
+      private def litStr(): PObj = {
+        p += 1
+        val st = p
+        var depth = 1
+        while (p < s.length && depth > 0) {
+          s.charAt(p) match {
+            case '\\' => p += 1
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          p += 1
+        }
+        PStr(unescape(s.substring(st, p - 1)))
+      }
+      private def numOrRef(): PObj = {
+        val st = p
+        if (s.charAt(p) == '+' || s.charAt(p) == '-') p += 1
+        while (p < s.length && (s.charAt(p).isDigit || s.charAt(p) == '.')) p += 1
+        val tok = s.substring(st, p)
+        val v = tok.toDouble
+        // "n g R" lookahead: an integer followed by an integer and R is a ref
+        if (!tok.contains('.') && v >= 0) {
+          val save = p
+          try {
+            int()
+            ws()
+            if (p < s.length && s.charAt(p) == 'R' &&
+                (p + 1 >= s.length || isDelim(s.charAt(p + 1)))) {
+              p += 1
+              return PRef(v.toInt)
+            }
+          } catch { case _: Exception => }
+          p = save
+        }
+        PNum(v)
+      }
+    }
+
+    /** Object location: a byte offset, or (object-stream number, index). */
+    private sealed trait Loc
+    private final case class AtOffset(off: Int) extends Loc
+    private final case class InStm(stm: Int, idx: Int) extends Loc
+
+    /** Lazily-resolved PDF document: xref chain loaded up front (newest
+      * section wins per object), objects parsed on demand — including
+      * type-2 entries packed in /ObjStm streams.
+      */
+    private final class PdfDoc(s: String, bytes: Array[Byte]) {
+      private val xref = scala.collection.mutable.Map.empty[Int, Loc]
+      private var trailer = Map.empty[String, PObj]
+      private val cache = scala.collection.mutable.Map.empty[Int, PObj]
+      private val inFlight = scala.collection.mutable.Set.empty[Int]
+
+      loadChain()
+
+      private def mergeTrailer(d: Map[String, PObj]): Unit =
+        // newest-first walk: a key already merged came from a NEWER
+        // section and wins (except Prev, which is per-section chain state)
+        trailer = d.filterNot { case (k, _) => k == "Prev" } ++ trailer
+
+      private def loadChain(): Unit = {
+        val sx = s.lastIndexOf("startxref")
+        require(sx >= 0, "no startxref")
+        var next: Option[Int] = Some(new Lex(s, sx + 9).int())
+        val seen = scala.collection.mutable.Set.empty[Int]
+        var sections = 0
+        while (next.isDefined) {
+          val off = next.get
+          require(off >= 0 && off < s.length && seen.add(off), s"bad xref offset $off")
+          sections += 1
+          require(sections <= 64, "xref chain too long")
+          next = loadSection(off)
+        }
+      }
+
+      /** One xref section (classic table or xref stream) → its /Prev. */
+      private def loadSection(off: Int): Option[Int] = {
+        val lex = new Lex(s, off)
+        if (lex.keyword("xref")) {
+          // classic table: "start count" sections of 20-byte entries
+          lex.ws()
+          while (!lex.s.regionMatches(lex.p, "trailer", 0, 7)) {
+            val start = lex.int()
+            val count = lex.int()
+            require(count >= 0 && count <= (1 << 20), "xref section too large")
+            for (i <- 0 until count) {
+              val o = lex.int()
+              lex.int() // generation
+              lex.ws()
+              val kind = lex.s.charAt(lex.p); lex.p += 1
+              if (kind == 'n' && !xref.contains(start + i))
+                xref.update(start + i, AtOffset(o))
+            }
+            lex.ws()
+          }
+          lex.p += 7
+          val t = lex.obj() match {
+            case PDict(m) => m
+            case _ => throw new IllegalStateException("trailer is not a dict")
+          }
+          // hybrid-reference file: the table's trailer points at an xref
+          // STREAM carrying the ObjStm entries — absent-only merge too
+          t.get("XRefStm").collect { case PNum(v) => loadSection(v.toInt) }
+          mergeTrailer(t)
+          t.get("Prev").collect { case PNum(v) => v.toInt }
+        } else {
+          // xref STREAM: "n g obj << /Type /XRef ... >> stream"
+          val (_, o) = indirectAt(off)
+          val ps = o match {
+            case ps: PStream => ps
+            case _ => throw new IllegalStateException(s"xref stream expected at $off")
+          }
+          val d = ps.dict.m
+          require(d.get("Type").contains(PName("XRef")), "not an XRef stream")
+          val data = decodeStream(ps)
+          val w = d.get("W") match {
+            case Some(PArr(ws)) => ws.map { case PNum(v) => v.toInt; case _ => 0 }
+            case _ => throw new IllegalStateException("XRef stream missing /W")
+          }
+          require(w.length >= 3 && w.forall(x => x >= 0 && x <= 8), s"bad /W $w")
+          val size = d.get("Size") match {
+            case Some(PNum(v)) => v.toInt
+            case _ => throw new IllegalStateException("XRef stream missing /Size")
+          }
+          val index: Seq[(Int, Int)] = d.get("Index") match {
+            case Some(PArr(ix)) =>
+              ix.map { case PNum(v) => v.toInt; case _ => 0 }
+                .grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq
+            case _ => Seq((0, size))
+          }
+          val rowLen = w.sum
+          var pos = 0
+          def field(width: Int, dflt: Long): Long =
+            if (width == 0) dflt
+            else {
+              var v = 0L
+              for (k <- 0 until width) { v = (v << 8) | (data(pos + k) & 0xffL) }
+              v
+            }
+          index.foreach { case (start, count) =>
+            require(count >= 0 && count <= (1 << 20), "XRef index too large")
+            for (i <- 0 until count) {
+              require(pos + rowLen <= data.length, "truncated XRef stream")
+              val t = field(w(0), 1L); pos += w(0)
+              val f2 = field(w(1), 0L); pos += w(1)
+              val f3 = field(w(2), 0L); pos += w(2)
+              if (!xref.contains(start + i)) t match {
+                case 1L => xref.update(start + i, AtOffset(f2.toInt))
+                case 2L => xref.update(start + i, InStm(f2.toInt, f3.toInt))
+                case _ => // type 0: free
+              }
+            }
+          }
+          mergeTrailer(d)
+          d.get("Prev").collect { case PNum(v) => v.toInt }
+        }
+      }
+
+      /** Parse the indirect object at a byte offset: "n g obj <body>"
+        * with an optional stream payload (whose /Length may itself be a
+        * reference).
+        */
+      private def indirectAt(off: Int): (Int, PObj) = {
+        val lex = new Lex(s, off)
+        val num = lex.int()
+        lex.int() // generation
+        require(lex.keyword("obj"), s"obj keyword expected at $off")
+        val v = lex.obj()
+        lex.ws()
+        v match {
+          case PDict(m) if lex.s.regionMatches(lex.p, "stream", 0, 6) =>
+            var st = lex.p + 6
+            if (st < s.length && s.charAt(st) == '\r') st += 1
+            if (st < s.length && s.charAt(st) == '\n') st += 1
+            val end = m.get("Length").map(resolve) match {
+              case Some(PNum(n)) if n >= 0 && st + n.toInt <= s.length => st + n.toInt
+              case _ => s.indexOf("endstream", st) match {
+                case -1 => throw new IllegalStateException("unterminated stream")
+                case e => e
+              }
+            }
+            (num, PStream(PDict(m), bytes.slice(st, end)))
+          case other => (num, other)
+        }
+      }
+
+      def getObj(num: Int): PObj = cache.getOrElseUpdate(num, {
+        require(inFlight.add(num), s"cyclic object reference $num")
+        try xref.get(num) match {
+          case Some(AtOffset(off)) => indirectAt(off)._2
+          case Some(InStm(stm, idx)) =>
+            val container = getObj(stm) match {
+              case ps: PStream => ps
+              case _ => throw new IllegalStateException(s"object stream $stm is not a stream")
+            }
+            val d = container.dict.m
+            require(d.get("Type").contains(PName("ObjStm")), s"$stm is not /ObjStm")
+            val n = d.get("N") match { case Some(PNum(v)) => v.toInt; case _ => 0 }
+            val first = d.get("First") match { case Some(PNum(v)) => v.toInt; case _ => 0 }
+            require(idx >= 0 && idx < n, s"ObjStm index $idx out of range")
+            val text = new String(decodeStream(container), Latin1)
+            val hdr = new Lex(text, 0)
+            val pairs = (0 until n).map(_ => (hdr.int(), hdr.int()))
+            val (onum, ooff) = pairs(idx)
+            require(onum == num, s"ObjStm slot $idx holds $onum, xref says $num")
+            new Lex(text, first + ooff).obj()
+          case None => PNull
+        } finally inFlight.remove(num)
+      })
+
+      def resolve(o: PObj): PObj = o match {
+        case PRef(n) => resolve(getObj(n))
+        case x => x
+      }
+
+      /** Apply /Filter (+ /DecodeParms PNG predictors) to a stream. */
+      def decodeStream(ps: PStream): Array[Byte] = {
+        val filters = ps.dict.m.get("Filter").map(resolve) match {
+          case Some(PName(f)) => Seq(f)
+          case Some(PArr(fs)) => fs.map { case PName(f) => f; case _ => "?" }
+          case _ => Nil
+        }
+        val parms: Seq[Option[PDict]] = ps.dict.m.get("DecodeParms").map(resolve) match {
+          case Some(d: PDict) => Seq(Some(d))
+          case Some(PArr(ds)) => ds.map { case d: PDict => Some(d); case _ => None }
+          case _ => Seq.fill(filters.length)(None)
+        }
+        var data = ps.data
+        filters.zipAll(parms, "?", None).foreach {
+          case ("FlateDecode", pm) =>
+            data = inflate(data).getOrElse(
+              throw new IllegalStateException("corrupt FlateDecode stream"))
+            pm.foreach { d =>
+              val pred = d.m.get("Predictor") match { case Some(PNum(v)) => v.toInt; case _ => 1 }
+              val cols = d.m.get("Columns") match { case Some(PNum(v)) => v.toInt; case _ => 1 }
+              if (pred >= 10) data = pngPredict(data, cols)
+            }
+          case (f, _) => throw new IllegalStateException(s"unsupported PDF filter /$f")
+        }
+        data
+      }
+
+      /** Reverse PNG row filters (predictor ≥ 10, 8-bit single component —
+        * the xref-stream case).
+        */
+      private def pngPredict(data: Array[Byte], cols: Int): Array[Byte] = {
+        require(cols > 0 && cols <= (1 << 20), s"bad predictor columns $cols")
+        val rowLen = cols
+        val rows = data.length / (rowLen + 1)
+        val out = new Array[Byte](rows * rowLen)
+        for (r <- 0 until rows) {
+          val ft = data(r * (rowLen + 1)) & 0xff
+          for (i <- 0 until rowLen) {
+            val x = data(r * (rowLen + 1) + 1 + i) & 0xff
+            val a = if (i > 0) out(r * rowLen + i - 1) & 0xff else 0
+            val b = if (r > 0) out((r - 1) * rowLen + i) & 0xff else 0
+            val c = if (i > 0 && r > 0) out((r - 1) * rowLen + i - 1) & 0xff else 0
+            val v = ft match {
+              case 0 => x
+              case 1 => x + a
+              case 2 => x + b
+              case 3 => x + (a + b) / 2
+              case 4 =>
+                val pp = a + b - c
+                val (pa, pb, pc) = (math.abs(pp - a), math.abs(pp - b), math.abs(pp - c))
+                x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+              case other => throw new IllegalStateException(s"bad PNG filter $other")
+            }
+            out(r * rowLen + i) = (v & 0xff).toByte
+          }
+        }
+        out
+      }
+
+      /** The /Pages tree in reading order: trailer /Root → catalog →
+        * /Kids recursion; leaves are the page dicts.
+        */
+      def pages(): Seq[PDict] = {
+        val root = resolve(trailer.getOrElse("Root",
+          throw new IllegalStateException("trailer has no /Root"))) match {
+          case d: PDict => d
+          case _ => throw new IllegalStateException("/Root is not a dict")
+        }
+        val out = Vector.newBuilder[PDict]
+        val visited = scala.collection.mutable.Set.empty[PObj]
+        var n = 0
+        def walk(node: PObj): Unit = {
+          require(visited.add(node), "cycle in /Pages tree")
+          n += 1
+          require(n <= (1 << 16), "/Pages tree too large")
+          resolve(node) match {
+            case d: PDict if d.m.contains("Kids") =>
+              resolve(d.m("Kids")) match {
+                case PArr(kids) => kids.foreach(walk)
+                case _ => throw new IllegalStateException("/Kids is not an array")
+              }
+            case d: PDict => out += d
+            case _ => throw new IllegalStateException("non-dict /Pages node")
+          }
+        }
+        walk(root.m.getOrElse("Pages",
+          throw new IllegalStateException("catalog has no /Pages")))
+        out.result()
+      }
+
+      /** A page's decoded content: /Contents ref, or array of refs,
+        * concatenated in order (the spec's whitespace-join semantics).
+        */
+      def pageContent(page: PDict): String = {
+        def one(o: PObj): String = resolve(o) match {
+          case ps: PStream => new String(decodeStream(ps), Latin1)
+          case PNull => ""
+          case _ => throw new IllegalStateException("/Contents is not a stream")
+        }
+        page.m.get("Contents").map(resolve) match {
+          case Some(PArr(cs)) => cs.map(one).mkString("\n")
+          case Some(o) => one(o)
+          case None => ""
+        }
+      }
+    }
+
+    /** The structured path: xref chain → /Pages walk → per-page content
+      * decode, `page` = the TRUE page index. Any structural damage throws
+      * (caught by [[blocks]] → zero blocks → OCR route).
+      */
+    private def structuredBlocks(s: String, bytes: Array[Byte]): Seq[PdfBlock] = {
+      val doc = new PdfDoc(s, bytes)
+      val out = scala.collection.mutable.ArrayBuffer.empty[PdfBlock]
+      doc.pages().zipWithIndex.foreach { case (pg, i) =>
+        parseContent(doc.pageContent(pg), i, out)
+      }
+      out.toSeq
+    }
 
     private val TdRe = """(-?[0-9.]+)\s+(-?[0-9.]+)\s+(?:Td|TD)""".r
     private val TmRe = ("""(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+""" +
