@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local oracle-parity harness (mimics the driver's t2 check).
 
-Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir> [json_out]
+
+With json_out (e.g. target/correctness.json) also writes a per-query
+pass/fail JSON artifact — the belt-and-braces copy committed at round end
+so a missing driver artifact never leaves a round unadjudicated.
 
 Reads each <out>/<name> parquet written by graft.Verify, runs the matching
 oracle SQL from <out>/oracle_sql.json in DuckDB over the sf parquet tables,
@@ -34,10 +38,14 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     n_pass = n_fail = 0
+    results = {}
+    def record(name, ok, detail):
+        results[name] = {"status": "pass" if ok else "fail", "detail": detail}
     for name, sql in sorted(oracle.items()):
         spark_dir = out_dir / name
         if not spark_dir.exists():
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark output"); n_fail += 1
+            record(name, False, "no spark output"); continue
         try:
             spark_tbl = pq.read_table(spark_dir)
             duck_tbl = con.sql(sql).fetch_arrow_table()
@@ -45,8 +53,10 @@ def main():
             dn, dc, dh, drows = canon(duck_tbl)
             if sc != dc:
                 print(f"FAIL {name}: schema {sc} vs {dc}"); n_fail += 1
+                record(name, False, f"schema {sc} vs {dc}")
             elif sn != dn:
                 print(f"FAIL {name}: rows {sn} vs {dn}"); n_fail += 1
+                record(name, False, f"rows {sn} vs {dn}")
             elif sh != dh:
                 diff = next((i for i, (a, b) in enumerate(zip(srows, drows)) if a != b), -1)
                 print(f"FAIL {name}: hash mismatch; first diff row {diff}:")
@@ -54,11 +64,21 @@ def main():
                     print(f"  spark: {srows[diff][:300]}")
                     print(f"  duck : {drows[diff][:300]}")
                 n_fail += 1
+                record(name, False, "hash mismatch")
             else:
                 print(f"PASS {name} ({sn} rows)"); n_pass += 1
+                record(name, True, f"{sn} rows")
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1
+            record(name, False, f"{type(e).__name__}: {e}")
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if len(sys.argv) > 3:
+        out = Path(sys.argv[3])
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(
+            {"n_pass": n_pass, "n_fail": n_fail, "queries": results},
+            indent=0, sort_keys=True))
+        print(f"wrote {out}")
     sys.exit(1 if n_fail else 0)
 
 
