@@ -311,6 +311,29 @@ object AnnIndex {
     ivfPqTopK(spark, path, dir)
   }
 
+  /** RETRACT vectors from a stored IVF-PQ index — takedown/erasure for
+    * the ANN artifact: one anti-join rewrite of the code table through
+    * the cell-partitioned [[graft.sources.Sinks.compactSwap]] rename
+    * dance (centroids/codebooks are corpus STATISTICS, not per-doc data —
+    * they stay, exactly as after [[appendToIvfPq]]; re-training is
+    * [[appendRecallReport]]'s scheduling call). Codes are per-vector
+    * independent rows, so retraction is EXACT: append ∘ retract =
+    * identity (spec asserts bit-equal stored answers), and a retracted
+    * vector can never be returned. Refuses foreign/drifted stores like
+    * every other store op.
+    */
+  def retractFromIvfPq(spark: SparkSession, indexPath: String,
+      retractIds: DataFrame): Unit = {
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val residual = storedStamp(codes, "codes").exists(_.contains("residual=true"))
+    validateConf(codes, "codes",
+      s"stored IVF-PQ code table at $indexPath", residual)
+    val ids = retractIds.select(col("doc_id").as("vec_id")).localCheckpoint(true)
+    graft.sources.Sinks.compactSwap(spark, s"$indexPath/codes",
+      partitionCols = Seq("cell"))(
+      _.join(ids, Seq("vec_id"), "left_anti").repartition(col("cell")))
+  }
+
   /** Per-query recall@K of a STORED IVF-PQ index against the exact
     * brute-force ranking over `embs` — (query_id, n_hits, recall). The
     * measure-before-trust read applied to a LIVE store (the recall report

@@ -140,6 +140,33 @@ object PostingsIndex {
     }
   }
 
+  /** RETRACT docs from the stored postings index — takedown/erasure for
+    * the lexical artifact (the [[UnifiedDedupStore.retract]] lifecycle
+    * applied here): one anti-join rewrite per table through the
+    * [[graft.sources.Sinks.compactSwap]] rename dance, re-range-
+    * partitioned so the pruning layout survives. Postings are per-doc
+    * independent rows, so the result is EXACTLY the index a fresh build
+    * over the remaining corpus writes (spec-asserted bit-equal, and
+    * append ∘ retract = identity); BM25 stats need no separate fix —
+    * they derive from whatever doclens rows remain. The postings table
+    * scrubs FIRST: a crash between the two swaps leaves the retracted
+    * docs unreturnable (no postings rows) with only transient avgdl/idf
+    * drift, healed by re-running the idempotent retract.
+    */
+  def retractFromPostings(spark: SparkSession, path: String,
+      retractIds: DataFrame): Unit = {
+    val ids = retractIds.select("doc_id").localCheckpoint(true)
+    graft.sources.Sinks.compactSwap(spark, s"$path/postings") { post =>
+      post.join(ids, Seq("doc_id"), "left_anti")
+        .repartitionByRange(col("word"), col("doc_id"))
+        .sortWithinPartitions("word", "doc_id")
+    }
+    graft.sources.Sinks.compactSwap(spark, s"$path/doclens") { dl =>
+      dl.join(ids, Seq("doc_id"), "left_anti")
+        .repartitionByRange(col("doc_id"))
+    }
+  }
+
   /** Answer the conf'd BM25 query FROM the stored index — bit-equal to
     * `bm25_search` (shared [[Similarity.bm25RankOf]] tail). The term
     * filter lands on the postings scan as a pushed parquet filter, so at

@@ -61,6 +61,35 @@ class AnnIndexSpec extends SparkSpec {
     assert(after == before, "compaction changed stored-index answers")
   }
 
+  test("retractFromIvfPq: append ∘ retract = identity; retracted vectors never return") {
+    val embs = Tables.embeddings(spark, sf)
+    val isD = col("vec_id") % 3 === 2
+    val path = java.nio.file.Files.createTempDirectory("graft-annindex-retract").toString
+    AnnIndex.writeIvfPqFrom(embs.filter(!isD), path)
+    val baseline = AnnIndex.ivfPqTopKFrom(spark, path, embs.filter(!isD))
+      .collect().map(_.toSeq).toSeq
+    Dedup.releaseIntermediates()
+    // a crawl appended then taken down leaves the store's answers bit-equal
+    AnnIndex.appendToIvfPq(spark, path, embs.filter(isD))
+    val withCrawl = AnnIndex.ivfPqTopKFrom(spark, path, embs)
+      .collect().map(_.toSeq).toSeq
+    Dedup.releaseIntermediates()
+    AnnIndex.retractFromIvfPq(spark, path,
+      embs.filter(isD).select(col("vec_id").as("doc_id")))
+    val roundTrip = AnnIndex.ivfPqTopKFrom(spark, path, embs.filter(!isD))
+      .collect().map(_.toSeq).toSeq
+    Dedup.releaseIntermediates()
+    assert(roundTrip.nonEmpty && roundTrip == baseline,
+      "append then retract must be the identity")
+    assert(withCrawl != baseline,
+      "vacuous: the appended crawl must have changed some answer for the identity to mean anything")
+    // the stamp survives the rewrite and retracted ids are unreturnable
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.filter(col("vec_id") % 3 === 2).count() == 0,
+      "retracted vectors must leave the code table")
+    assert(!roundTrip.exists(r => r(2).asInstanceOf[Long] % 3 == 2))
+  }
+
   test("a residual store can never be read by the plain query path (or vice versa)") {
     val path = java.nio.file.Files.createTempDirectory("graft-annindex-x").toString
     AnnIndex.writeIvfPqR(spark, sf, path)

@@ -45,6 +45,38 @@ class PostingsIndexSpec extends SparkSpec {
     assert(st.length == 1 && st.head.getAs[Long]("n_docs") == docs.count())
   }
 
+  test("retractFromPostings: append ∘ retract = identity; retract ≡ fresh rebuild over the remaining corpus") {
+    val docs = Tables.documents(spark, sf)
+    val isS = col("doc_id") % 10 === 0
+    val path = tmp("graft-postings-retract")
+    PostingsIndex.writePostingsFrom(docs.filter(!isS), path)
+    val baseline = PostingsIndex.bm25From(spark, path).collect().toSeq
+    Dedup.releaseIntermediates()
+    // a crawl appended then taken down leaves the store bit-identical
+    PostingsIndex.appendToPostings(spark, path, docs.filter(isS))
+    PostingsIndex.retractFromPostings(spark, path, docs.filter(isS).select("doc_id"))
+    val roundTrip = PostingsIndex.bm25From(spark, path).collect().toSeq
+    Dedup.releaseIntermediates()
+    assert(roundTrip == baseline, "append then retract must be the identity")
+    // retracting a slice of the ORIGINAL corpus ≡ a fresh rebuild without it
+    val isT = col("doc_id") % 7 === 0
+    PostingsIndex.retractFromPostings(spark, path, docs.filter(isT).select("doc_id"))
+    val got = PostingsIndex.bm25From(spark, path).collect().toSeq
+    Dedup.releaseIntermediates()
+    val fresh = tmp("graft-postings-fresh-rebuild")
+    PostingsIndex.writePostingsFrom(docs.filter(!isS && !isT), fresh)
+    val want = PostingsIndex.bm25From(spark, fresh).collect().toSeq
+    Dedup.releaseIntermediates()
+    assert(got.nonEmpty && got == want,
+      s"retract-only: ${got.diff(want).take(3)}; rebuild-only: ${want.diff(got).take(3)}")
+    assert(!got.exists(r => r.getAs[Long]("doc_id") % 7 == 0),
+      "a retracted doc must never be returned")
+    // derived stats track the scrub exactly
+    val st = PostingsIndex.statsFromDoclens(
+      spark.read.parquet(s"$path/doclens")).collect().head
+    assert(st.getAs[Long]("n_docs") == docs.filter(!isS && !isT).count())
+  }
+
   test("stats are derived, not stored: a planted torn stats table cannot mis-score BM25") {
     // the legacy failure mode: postings/doclens appended but a 1-row
     // stats table left stale (crash between appends and the stats
