@@ -63,6 +63,7 @@ object ScaleProbe {
       if (want("bpe")) bpeProbe(spark, docs)
       if (want("annappend")) annAppendProbe(spark)
       if (want("semdecon")) semDecontamProbe(spark)
+      if (want("retract")) retractProbes(spark, dir)
       spark.stop()
       return
     }
@@ -99,7 +100,71 @@ object ScaleProbe {
     if (want("bpe")) bpeProbe(spark, docs)
     if (want("annappend")) annAppendProbe(spark)
     if (want("semdecon")) semDecontamProbe(spark)
+    if (want("retract")) retractProbes(spark, dir)
     spark.stop()
+  }
+
+  /** Retract probe (round 14): takedown cost must track the ERASED set
+    * (S + its touched clusters), never the corpus — the O(S + touched)
+    * claim `dedup_membership_retract` makes, measured. Stored membership
+    * + the five lane indexes built once (untimed — index time, as
+    * production amortizes it); retract sets of ×1/×4/×16 size run
+    * through the retract core; then a base ×16 control (salted text
+    * replicas + cyclically-shifted embedding replicas, so dup DENSITY
+    * stays flat while volume grows) re-times the ×1 set — flat iff the
+    * survivor re-pairing really reads only survivor-carried index keys.
+    */
+  private def retractProbes(spark: SparkSession, dir: String): Unit = {
+    val docs = sources.Tables.documents(spark, dir).select("doc_id", "text")
+      .localCheckpoint(true)
+    val embs = sources.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .localCheckpoint(true)
+    def ckpt(ix: Dedup.UnifiedIndexes): Dedup.UnifiedIndexes =
+      Dedup.UnifiedIndexes(ix.exact.localCheckpoint(true),
+        ix.media.localCheckpoint(true), ix.sets.localCheckpoint(true),
+        ix.bands.localCheckpoint(true), ix.embs.localCheckpoint(true),
+        ix.srpBands.localCheckpoint(true), ix.winnowFps.localCheckpoint(true))
+    def build(d: DataFrame, e: DataFrame): (DataFrame, Dedup.UnifiedIndexes) = {
+      val ix = ckpt(Dedup.unifiedIndexesOf(d, e))
+      val stored = Dedup.clustersFromPairs(Dedup.unifiedPairsOf(d, e))
+        .localCheckpoint(true)
+      Dedup.releaseIntermediates()
+      (stored, ix)
+    }
+    def timeRetract(stored: DataFrame, ix: Dedup.UnifiedIndexes,
+        ids: DataFrame): Double = {
+      Dedup.releaseIntermediates()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      Dedup.membershipRetractFrom(stored, ix, ids)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (stored, ix) = build(docs, embs)
+    val s1 = docs.filter(col("doc_id") % 400 === 0).select("doc_id")
+      .localCheckpoint(true)
+    timeRetract(stored, ix, s1) // warm-up, not billed
+    for ((k, m) <- Seq((1, 400), (4, 100), (16, 25))) {
+      val sk = docs.filter(col("doc_id") % m === 0).select("doc_id")
+        .localCheckpoint(true)
+      val times = (1 to 3).map(_ => timeRetract(stored, ix, sk))
+      println(s"""{"probe":"retract_x$k","retract_docs":${sk.count()},"sec_min":${times.min},"runs":[${times.mkString(",")}]}""")
+    }
+    // base ×16 control: salted text replicas (not near-dups of anything),
+    // cyclically-shifted embedding replicas (direction changes, so no
+    // cosine dups) — volume grows 16×, dup density stays flat, the ×1
+    // retract set keeps its original touched clusters
+    val bigDocs = docs.unionByName(
+      replicate(docs, 16).filter(col("doc_id") >= 2000000L))
+    val bigEmbs = embs.unionByName(
+      (1 to 15).map { j =>
+        embs.select((lit(1000000L) * j + col("vec_id")).as("vec_id"),
+          expr(s"concat(slice(embedding, ${j + 1}, ${64 - j}), slice(embedding, 1, $j))")
+            .as("embedding"))
+      }.reduce(_ unionByName _))
+    val (stored16, ix16) = build(bigDocs, bigEmbs)
+    val times = (1 to 3).map(_ => timeRetract(stored16, ix16, s1))
+    println(s"""{"probe":"retract_base_x16_s_x1","base_docs":${bigDocs.count()},"sec_min":${times.min},"runs":[${times.mkString(",")}]}""")
   }
 
   /** ANN append probe (round 10): the encode-only append path must cost
