@@ -329,11 +329,16 @@ object Classify {
     * prose genuinely uses different words), so the dir-level queries
     * plant the separability deterministically in BOTH engines (the
     * `extract_fields_nda` planting discipline): each doc's NB text gains
-    * `doc_id % 10 + (label = hi ? 3 : 0)` copies of a grade-marker
-    * token. The OVERLAPPING count ranges (hi 3..12, lo 0..9) produce
-    * genuinely graded margins — high-count docs are unambiguous (high
-    * bucket, near-always right), overlap-region docs are hard (low
-    * bucket, often wrong) — the classic calibration shape, so
+    * a suffix of BOTH marker tokens in a class-dependent mix — see
+    * [[plantedSuffix]] (whose own doc is authoritative): a
+    * length-proportional unit count, a `doc_id % 3 + 1` margin grade,
+    * and a mix that pits `1 + grade` copies of the own-class marker
+    * against a fixed 2 of the other (hi = qlexhi-heavy, lo =
+    * qlexlo-heavy). Grade 1 is a zero-signal 2:2 mix, grade 3 a strong
+    * 4:2 — genuinely graded margins: strongly-marked docs are
+    * unambiguous (high bucket, near-always right), weakly-marked docs
+    * are hard (low bucket, often wrong) — the classic calibration
+    * shape, so
     * `qnb_calibration_report` shows a populated rising curve and
     * `qnb_quarantine`'s default bar splits train/quarantine on real
     * rows. The teacher never sees the markers (labels derive from the
@@ -378,8 +383,9 @@ object Classify {
         when(col("qint") >= QnbTauQint, "hi").otherwise("lo").as("lang"))
 
   /** The planted grade-marker suffix ([[plantQualityLexicon]]'s SQL
-    * twin): teacher label from the ORIGINAL text's qint, marker count
-    * `doc_id % 10 + (hi ? 3 : 0)`.
+    * twin): teacher label from the ORIGINAL text's qint, then the same
+    * [[plantedSuffix]] template (unit × grade × class mix) rendered in
+    * the DuckDB dialect — one template, two dialects, zero drift.
     */
   private def qsrcPlantedSql: String =
     s"""qsrc0 AS (

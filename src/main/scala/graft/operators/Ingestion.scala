@@ -214,7 +214,13 @@ object Ingestion {
 
     def blocks(bytes: Array[Byte]): Seq[PdfBlock] =
       try blocksUnsafe(bytes)
-      catch { case scala.util.control.NonFatal(_) => Nil }
+      catch {
+        case scala.util.control.NonFatal(_) => Nil
+        // defense in depth for untrusted containers: any residual
+        // unbounded recursion must quarantine the document, not kill the
+        // executor task (NonFatal deliberately excludes this)
+        case _: StackOverflowError => Nil
+      }
 
     private def blocksUnsafe(bytes: Array[Byte]): Seq[PdfBlock] = {
       val s = new String(bytes, Latin1) // 1:1 byte↔char, offsets stay valid
@@ -438,6 +444,14 @@ object Ingestion {
       private var trailer = Map.empty[String, PObj]
       private val cache = scala.collection.mutable.Map.empty[Int, PObj]
       private val inFlight = scala.collection.mutable.Set.empty[Int]
+      // chain-walk state shared with the /XRefStm hop inside loadSection,
+      // so EVERY section load — /Prev successor or hybrid-file XRefStm —
+      // passes the same seen-offset and section-count guards (a
+      // self-referencing XRefStm would otherwise recurse unboundedly:
+      // StackOverflowError, which NonFatal does not catch). Initialized
+      // BEFORE the constructor-time loadChain() call below.
+      private val seenXref = scala.collection.mutable.Set.empty[Int]
+      private var xrefSections = 0
 
       loadChain()
 
@@ -450,15 +464,21 @@ object Ingestion {
         val sx = s.lastIndexOf("startxref")
         require(sx >= 0, "no startxref")
         var next: Option[Int] = Some(new Lex(s, sx + 9).int())
-        val seen = scala.collection.mutable.Set.empty[Int]
-        var sections = 0
         while (next.isDefined) {
-          val off = next.get
-          require(off >= 0 && off < s.length && seen.add(off), s"bad xref offset $off")
-          sections += 1
-          require(sections <= 64, "xref chain too long")
-          next = loadSection(off)
+          next = loadGuarded(next.get)
         }
+      }
+
+      /** One guarded section load: offset sanity + never-revisit + chain
+        * length cap, then [[loadSection]]. The cap also bounds the
+        * XRefStm recursion depth (≤ 64 frames).
+        */
+      private def loadGuarded(off: Int): Option[Int] = {
+        require(off >= 0 && off < s.length && seenXref.add(off),
+          s"bad xref offset $off")
+        xrefSections += 1
+        require(xrefSections <= 64, "xref chain too long")
+        loadSection(off)
       }
 
       /** One xref section (classic table or xref stream) → its /Prev. */
@@ -487,8 +507,9 @@ object Ingestion {
             case _ => throw new IllegalStateException("trailer is not a dict")
           }
           // hybrid-reference file: the table's trailer points at an xref
-          // STREAM carrying the ObjStm entries — absent-only merge too
-          t.get("XRefStm").collect { case PNum(v) => loadSection(v.toInt) }
+          // STREAM carrying the ObjStm entries — absent-only merge too;
+          // guarded like any other section (self-reference = malformed)
+          t.get("XRefStm").collect { case PNum(v) => loadGuarded(v.toInt) }
           mergeTrailer(t)
           t.get("Prev").collect { case PNum(v) => v.toInt }
         } else {
@@ -596,9 +617,23 @@ object Ingestion {
         } finally inFlight.remove(num)
       })
 
-      def resolve(o: PObj): PObj = o match {
-        case PRef(n) => resolve(getObj(n))
-        case x => x
+      /** Follow indirect references to a direct object, BOUNDED: getObj's
+        * inFlight guard only covers references hit while an object is
+        * still parsing — once `1 0 obj 2 0 R` and `2 0 obj 1 0 R` are
+        * each cached, an unbounded chase here would loop forever on the
+        * cycle (wedging the executor task on untrusted input). Real
+        * documents chain a handful of hops at most; 64 is generous.
+        */
+      def resolve(o: PObj): PObj = {
+        var cur = o
+        var hops = 0
+        while (cur.isInstanceOf[PRef]) {
+          hops += 1
+          if (hops > 64)
+            throw new IllegalStateException("cyclic indirect reference chain")
+          cur = getObj(cur.asInstanceOf[PRef].num)
+        }
+        cur
       }
 
       /** Apply /Filter (+ /DecodeParms PNG predictors) to a stream. */

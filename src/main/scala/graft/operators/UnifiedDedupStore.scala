@@ -93,6 +93,14 @@ object UnifiedDedupStore {
       crawlDocs: DataFrame, crawlEmbs: DataFrame,
       crawlId: String = java.util.UUID.randomUUID().toString): DataFrame = {
     recover(spark, path)
+    // Replay through the one crash window the journal can only roll
+    // FORWARD: a prior run that died between the membership swap (step 4)
+    // and the journal-done rename (step 5) is completed by recover()
+    // above, so this crawl's advance is already in the store and its
+    // verdicts were already delivered — re-applying would double every
+    // lane's rows. Same idempotent-sink convention as the streaming
+    // runner's batchId guard (StreamOps.StoredUnifiedDedupIndex).
+    if (isApplied(spark, path, crawlId)) return emptyVerdicts(spark)
     val (ix, membership) = read(spark, path)
     val pairs = Dedup.unifiedDeltaPairsPrepared(ix, crawlDocs, crawlEmbs)
     val verdicts = Dedup.dedupKeepUnifiedDeltaFrom(membership, pairs, crawlDocs)
@@ -114,9 +122,38 @@ object UnifiedDedupStore {
     Sinks.swapIn(spark, s"$path/membership", markers = Seq(s"_crawl_$id"))(
       Dedup.membershipApply(membership, verdicts))
     // 5. done
-    fs.rename(journalFile(path, id, "staged"), journalFile(path, id, "done"))
+    journalAdvance(fs, path, id, "staged")
     fs.delete(stagingDir(path, id), true)
     verdicts
+  }
+
+  /** The zero-row verdict frame (the idempotent-sink convention for a
+    * replayed, already-applied crawl/batch) — same schema as
+    * [[Dedup.dedupKeepUnifiedDeltaFrom]]'s output.
+    */
+  def emptyVerdicts(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("cluster_id", LongType),
+        StructField("cluster_size", LongType),
+        StructField("origin", StringType),
+        StructField("status", StringType))))
+  }
+
+  /** Journal transition `<id>.<from>` → `<id>.done`, CHECKED: on local
+    * filesystems rename-onto-existing returns false rather than
+    * replacing, so a stale `.done` left by a partial recovery would
+    * otherwise silently pin the journal at `<from>` and every later
+    * store op would re-run recovery for this crawl forever.
+    */
+  private def journalAdvance(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, id: String, from: String): Unit = {
+    val src = journalFile(path, id, from)
+    val dst = journalFile(path, id, "done")
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(src, dst), s"journal advance failed: $src -> $dst")
   }
 
   /** Has a crawl/batch with this id already advanced the store? The
@@ -177,6 +214,12 @@ object UnifiedDedupStore {
     */
   def recover(spark: SparkSession, path: String): Unit = {
     val fs = fsOf(spark, path)
+    // heal any table whose swap crashed between its two renames FIRST —
+    // the membership marker check below reads the live path, and compact()
+    // swaps without a journal entry of its own
+    (Lanes :+ "membership").foreach { name =>
+      Sinks.healSwap(spark, s"$path/$name")
+    }
     val jd = journalDir(path)
     if (!fs.exists(jd)) return
     fs.listStatus(jd).map(_.getPath).filter(_.getName.endsWith(".staged"))
@@ -186,7 +229,7 @@ object UnifiedDedupStore {
           new org.apache.hadoop.fs.Path(s"$path/membership/_crawl_$id"))
         if (swapped) {
           moveStagedIn(fs, path, id)
-          fs.rename(j, journalFile(path, id, "done"))
+          journalAdvance(fs, path, id, "staged")
         } else {
           Lanes.foreach { lane =>
             val ld = new org.apache.hadoop.fs.Path(s"$path/$lane")
@@ -252,7 +295,7 @@ object UnifiedDedupStore {
     }
     Sinks.swapIn(spark, s"$path/membership", markers = Seq(s"_retract_$id"))(
       spark.read.parquet(s"$path/_staging/$id/membership"))
-    fs.rename(journalFile(path, id, "retract"), journalFile(path, id, "done"))
+    journalAdvance(fs, path, id, "retract")
     fs.delete(stagingDir(path, id), true)
   }
 

@@ -52,8 +52,12 @@ object Sinks {
     */
   def compactSwap(spark: SparkSession, dir: String,
       partitionCols: Seq[String] = Nil)
-      (rewrite: DataFrame => DataFrame): Unit =
+      (rewrite: DataFrame => DataFrame): Unit = {
+    // heal BEFORE reading: after a crash between a prior swap's renames
+    // the live path is absent until healSwap reinstates it
+    healSwap(spark, dir)
     swapIn(spark, dir, partitionCols)(rewrite(spark.read.parquet(dir)))
+  }
 
   /** Materialize `df` NEXT TO the live directory it may itself read from
     * (lazy evaluation: the live files are scanned while the replacement
@@ -66,6 +70,7 @@ object Sinks {
   def swapIn(spark: SparkSession, dir: String,
       partitionCols: Seq[String] = Nil, markers: Seq[String] = Nil)(df: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
+    healSwap(spark, dir) // a prior swap may have crashed between its renames
     val live = new Path(dir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir + "_compact_tmp")
@@ -83,5 +88,34 @@ object Sinks {
     require(fs.rename(live, old), s"table swap failed: $live -> $old")
     require(fs.rename(tmp, live), s"table swap failed: $tmp -> $live")
     fs.delete(old, true)
+  }
+
+  /** Heal a directory whose last [[swapIn]] crashed BETWEEN its two
+    * renames — the one window where no live table exists (the
+    * replacement still at `_compact_tmp`, the original moved aside to
+    * `_compact_old`, both complete). Rolls FORWARD to the replacement:
+    * it was fully written — provenance markers included — before the
+    * first rename, so marker-present ⟺ swap-completed stays exact for
+    * journaled recoveries keyed on it. If only the `_compact_old`
+    * remnant survives (a half-cleaned earlier heal), the original is
+    * restored instead. No-op on a healthy directory; [[swapIn]] runs it
+    * first so a crashed dir never loses its replacement to the tmp
+    * cleanup, and store-level recovery (UnifiedDedupStore.recover) runs
+    * it on every table before reading markers.
+    */
+  def healSwap(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) {
+      val tmp = new Path(dir + "_compact_tmp")
+      val old = new Path(dir + "_compact_old")
+      if (fs.exists(tmp)) {
+        require(fs.rename(tmp, live), s"swap heal failed: $tmp -> $live")
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, live), s"swap heal failed: $old -> $live")
+      }
+    }
   }
 }

@@ -383,14 +383,7 @@ object StreamOps {
         // crash replay: this batch already advanced the store and its
         // verdicts were delivered before the crash — re-advancing would
         // double the lane rows, so the re-delivery is a no-op
-        import org.apache.spark.sql.types._
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("doc_id", LongType),
-            StructField("cluster_id", LongType),
-            StructField("cluster_size", LongType),
-            StructField("origin", StringType),
-            StructField("status", StringType))))
+        UnifiedDedupStore.emptyVerdicts(spark)
       } else
         UnifiedDedupStore.processCrawl(spark, path, batchDocs, batchEmbs, id)
     }

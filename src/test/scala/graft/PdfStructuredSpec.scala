@@ -166,4 +166,50 @@ class PdfStructuredSpec extends SparkSpec {
       "BT 72 720 Td (Linear) Tj ET\nendstream\nendobj\n%%EOF\n").getBytes(Latin1)
     assert(PdfTextDecoder.blocks(linear) == Seq(PdfBlock(0, "Linear", 72.0, 720.0)))
   }
+
+  test("two-object reference cycle quarantines (no executor hang): resolve is hop-bounded") {
+    // 2 0 R → 3 0 R → 2 0 R: each object parses fine in isolation (so
+    // getObj's inFlight guard clears), but chasing the chain through the
+    // CACHE used to loop forever — the untrusted-input DoS shape
+    val b = new Builder
+    b.raw("%PDF-1.4\n")
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, "3 0 R")
+    b.obj(3, "2 0 R")
+    b.classicXref(Seq(1, 2, 3), "<< /Size 4 /Root 1 0 R >>")
+    val t0 = System.nanoTime()
+    assert(PdfTextDecoder.blocks(b.bytes).isEmpty)
+    assert((System.nanoTime() - t0) < 10_000_000_000L, "cycle must bail fast")
+  }
+
+  test("self-referencing /XRefStm quarantines (no stack overflow): every section load is guarded") {
+    // a hybrid-file trailer whose /XRefStm points back at its OWN classic
+    // table: unguarded recursion ran until StackOverflowError (fatal —
+    // killed the task instead of quarantining the document)
+    val b = new Builder
+    b.raw("%PDF-1.4\n")
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, "<< /Type /Pages /Kids [] /Count 0 >>")
+    val xrefOff = b.len
+    b.classicXref(Seq(1, 2), s"<< /Size 3 /Root 1 0 R /XRefStm $xrefOff >>")
+    assert(PdfTextDecoder.blocks(b.bytes).isEmpty)
+
+    // and an A→B→A ping-pong between a classic table and a second section
+    val c = new Builder
+    c.raw("%PDF-1.4\n")
+    c.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    c.obj(2, "<< /Type /Pages /Kids [] /Count 0 >>")
+    val offA = c.len
+    // hand-rolled so the /XRefStm target (a second classic section B) can
+    // point back at A — the 6-char placeholder is patched with a 6-digit
+    // offset, so no byte offsets shift
+    c.raw(s"xref\n0 1\n0000000000 65535 f \ntrailer\n" +
+      s"<< /Size 3 /Root 1 0 R /XRefStm @XREF@ >>\nstartxref\n$offA\n%%EOF\n")
+    val withB = new String(c.bytes, Latin1)
+    val offB = withB.length
+    val full = (withB.replace("@XREF@", f"$offB%06d") +
+      s"xref\n0 1\n0000000000 65535 f \ntrailer\n<< /Size 3 /XRefStm $offA >>\n")
+      .getBytes(Latin1)
+    assert(PdfTextDecoder.blocks(full).isEmpty)
+  }
 }

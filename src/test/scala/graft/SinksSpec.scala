@@ -41,6 +41,46 @@ class SinksSpec extends SparkSpec {
     assert(oneStatus.count() == kept.filter(col("status") === "unique").count())
   }
 
+  test("swapIn crash window (between its two renames) heals: live table restored, markers intact") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft-swapheal").toString
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // the window: replacement fully written at _compact_tmp (markers
+    // included), original moved aside to _compact_old, live path ABSENT —
+    // exactly the state a crash between swapIn's two renames leaves
+    val dir = s"$root/t"
+    Seq((1L, "old")).toDF("id", "v").write.parquet(dir)
+    Seq((1L, "new"), (2L, "new")).toDF("id", "v").write.parquet(dir + "_compact_tmp")
+    fs.create(new Path(dir + "_compact_tmp", "_marker"), true).close()
+    assert(fs.rename(new Path(dir), new Path(dir + "_compact_old")))
+    Sinks.healSwap(spark, dir)
+    // rolls FORWARD: the replacement was complete before the first rename
+    assert(spark.read.parquet(dir).count() == 2, "heal must install the replacement")
+    assert(fs.exists(new Path(dir, "_marker")),
+      "markers ride the heal — marker-present ⟺ swap-completed stays exact")
+    assert(!fs.exists(new Path(dir + "_compact_old")) &&
+      !fs.exists(new Path(dir + "_compact_tmp")), "heal must clean the remnants")
+
+    // old-remnant-only variant (no replacement survived): restore the original
+    val dir2 = s"$root/t2"
+    Seq((7L, "orig")).toDF("id", "v").write.parquet(dir2)
+    assert(fs.rename(new Path(dir2), new Path(dir2 + "_compact_old")))
+    Sinks.healSwap(spark, dir2)
+    assert(spark.read.parquet(dir2).select("v").head.getString(0) == "orig")
+
+    // a NEW compactSwap on a crashed dir heals first — its read of the
+    // live path and the tmp/old cleanup must not trip over the window
+    val dir3 = s"$root/t3"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir3)
+    Seq((1L, "b")).toDF("id", "v").write.parquet(dir3 + "_compact_tmp")
+    assert(fs.rename(new Path(dir3), new Path(dir3 + "_compact_old")))
+    Sinks.compactSwap(spark, dir3)(_.withColumn("v", lit("c")))
+    assert(spark.read.parquet(dir3).select("v").head.getString(0) == "c",
+      "compactSwap after a crash must heal (installing the replacement) then rewrite")
+  }
+
   test("bucketed band index: the stored-index side of the delta join needs no Exchange; same pairs") {
     import graft.sources.Tables
     val docs = Tables.documents(spark, sf)

@@ -69,9 +69,30 @@ class StreamUnifiedSpec extends SparkSpec {
     val docs2 = sources.Tables.documents(spark2, sf).select("doc_id", "text")
     val embs2 = sources.Tables.embeddings(spark2, sf).select("vec_id", "embedding")
     val runnerB = new StreamOps.StoredUnifiedDedupIndex(path)
-    // crash replay: foreachBatch re-delivers batch 0 with its original id —
-    // the journaled advance makes it a no-op (no double lane rows)
+    // THE crash window the journal can only roll FORWARD: the membership
+    // swap completed (its _crawl_ marker is present) but the crash hit
+    // before the journal's .staged → .done rename. A replayed batch 0 sees
+    // isApplied = false, recover() rolls the journal forward — and the
+    // replay must STILL be a no-op (the store already holds the crawl;
+    // re-applying would double every lane's rows)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark2.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(s"$path/_journal/batch-0.done"),
+      new Path(s"$path/_journal/batch-0.staged")), "window setup rename")
+    assert(fs.exists(new Path(s"$path/membership/_crawl_batch-0")),
+      "window precondition: the swap's marker is present")
+    val laneBefore = spark2.read.parquet(s"$path/exact").count()
     val memBefore = memberSet(spark2.read.parquet(s"$path/membership"))
+    val replayW = runnerB.processBatch(
+      docs2.filter(b1d), embs2.filter(b1v), 0L)
+    assert(replayW.isEmpty,
+      "replay through the swap→journal crash window must deliver no verdicts")
+    assert(spark2.read.parquet(s"$path/exact").count() == laneBefore,
+      "crash-window replay must not double lane rows")
+    assert(fs.exists(new Path(s"$path/_journal/batch-0.done")),
+      "recover must roll the window forward to done")
+    // crash replay AFTER a completed advance: foreachBatch re-delivers
+    // batch 0 with its original id — the journaled advance makes it a no-op
     val replay = runnerB.processBatch(
       docs2.filter(b1d), embs2.filter(b1v), 0L)
     assert(replay.isEmpty, "replayed batchId must deliver no verdicts")
