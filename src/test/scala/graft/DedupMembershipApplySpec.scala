@@ -90,6 +90,14 @@ class DedupMembershipApplySpec extends SparkSpec {
     import org.apache.spark.sql.SparkSession
     val lanes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_keep_unified_delta" -> (Dedup.dedupKeepUnifiedDelta _),
+      // the other four consumers of the session-cached crawl-verdict
+      // artifact (r15) — the amortized verdict table must stay plan-only
+      // for every act step that reads it
+      "dedup_membership_apply" -> (Dedup.dedupMembershipApply _),
+      "dedup_delta_keep_best" -> (Dedup.dedupDeltaKeepBest _),
+      "corpus_curate_delta" -> (graft.operators.Curation.corpusCurateDelta _),
+      "corpus_curate_delta_best" ->
+        (graft.operators.Curation.corpusCurateDeltaBest _),
       "dedup_delta" -> (Dedup.dedupDelta _),
       "dedup_exact_delta" -> (Dedup.dedupExactDelta _),
       "dedup_media_delta" -> (Dedup.dedupMediaDelta _),
@@ -105,7 +113,11 @@ class DedupMembershipApplySpec extends SparkSpec {
       "dedup_cluster_stats" -> (Dedup.dedupClusterStats _),
       "dedup_lanes_report" -> (Dedup.dedupLanesReport _),
       "corpus_curate" -> (graft.operators.Curation.corpusCurate _),
-      "pipeline_curate" -> (graft.operators.Curation.pipelineCurate _))
+      "pipeline_curate" -> (graft.operators.Curation.pipelineCurate _),
+      // tokenizer pricing rows ride the stored vocab-grain segmentation
+      // artifacts (r15) — read-back must price identically to in-query
+      "unigram_fertility" -> (graft.operators.Unigram.unigramFertility _),
+      "tokenizer_compare" -> (graft.operators.WordPiece.tokenizerCompare _))
     def runAll(): Map[String, Seq[Seq[Any]]] = lanes.map { case (name, fn) =>
       val rows = fn(spark, sf).collect().map(_.toSeq).toSeq
       Dedup.releaseIntermediates()
