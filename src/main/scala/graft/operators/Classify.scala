@@ -100,25 +100,49 @@ object Classify {
     */
   private[graft] def nbTrainOf(train: DataFrame,
       tokArr: org.apache.spark.sql.Column): NbModel = {
+    val (cw, cdc) = nbCountsOf(train, tokArr)
+    nbModelFromCounts(cw, cdc)
+  }
+
+  /** The raw NB COUNT tables — `cw` (class, word, c) token counts and
+    * `cdc` (class, dc) doc counts. The store's PRIMARY artifact
+    * ([[graft.operators.NbIndex]]): counts are sums of per-doc
+    * contributions, so append/takedown are increments/decrements on
+    * these, which the derived log tables can never absorb (one erased
+    * doc shifts d_total, V and a class total — and with them prior,
+    * dflt and every bonus of that class).
+    */
+  private[graft] def nbCountsOf(train: DataFrame,
+      tokArr: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
     val tokT = train.select(col("lang"), explode(tokArr).as("word"))
-    // observed (class, word) counts — the sparse table; map-side combined.
-    // Persisted: vocab, per-class totals, the v scalar, and the bonus
-    // table ALL derive from it (r10 — the token-grain explode used to run
-    // three times; now it runs once and everything else reads this small
-    // aggregated table)
-    val cw = Intermediates.persist(
-      tokT.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c")))
+    (tokT.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c")),
+      train.groupBy(col("lang")).agg(count(lit(1)).as("dc")))
+  }
+
+  /** Derive the frozen model tables from the count tables — each ln
+    * rounded once then frozen as DECIMAL, so the model is bit-equal
+    * whether the counts were just aggregated or read back from parquet
+    * after any number of append/retract cycles.
+    */
+  private[graft] def nbModelFromCounts(cwIn: DataFrame, cdc: DataFrame): NbModel = {
+    // persisted: vocab, per-class totals, the v scalar, and the bonus
+    // table ALL derive from the sparse count table (r10 — the token-grain
+    // explode used to run three times; now it runs once and everything
+    // else reads this small aggregated table)
+    val cw = Intermediates.persist(cwIn)
     // per-class token totals from the sparse table (C rows)
     val ctot = cw.groupBy(col("lang")).agg(sum(col("c")).as("t"))
     // train vocabulary = words observed in ANY class — identical to
     // distinct(tokT.word), derived from cw so the corpus isn't re-exploded
     val vocab = cw.select(col("word")).distinct()
-    // vocab size + train doc total: 1-row broadcast scalars
+    // vocab size + train doc total: 1-row broadcast scalars. d_total =
+    // Σ dc — every train doc lands in exactly one class group (a NULL
+    // lang is its own group), so the sum IS the train doc count
     val scalars = vocab.agg(count(lit(1)).as("v"))
-      .crossJoin(train.agg(count(lit(1)).as("d_total")))
+      .crossJoin(cdc.agg(sum(col("dc")).cast("long").as("d_total")))
     // C-row class table: doc-count prior and the class-unseen default
     // log-prob, each ln rounded ONCE then frozen as DECIMAL(18,6)
-    val classes = train.groupBy(col("lang")).agg(count(lit(1)).as("dc"))
+    val classes = cdc
       .join(ctot, "lang")
       .crossJoin(broadcast(scalars))
       .select(col("lang"),

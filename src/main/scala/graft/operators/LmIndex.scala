@@ -11,10 +11,12 @@ import graft.sources.Tables
   * — and now the LM). `doc_perplexity_sbo` retrains its count-ratio tables
   * every invocation (correct for the oracle, wasteful in production: the
   * Brants 2007 point is precisely that the count tables ARE the model and
-  * scoring is joins). [[writeSbo]] persists the four tables; [[sboNllFrom]]
-  * scores any corpus from the store through the SAME
-  * [[TextAnalysis.sboScoreOf]] the in-plan operator uses, so stored-path
-  * results are bit-equal by construction (spec-asserted).
+  * scoring is joins). [[writeSbo]] persists the three COUNT tables;
+  * [[appendToSbo]] / [[retractFromSbo]] advance them per crawl and per
+  * takedown; [[sboNllFrom]] derives the frozen log tables from the counts
+  * and scores any corpus through the SAME [[TextAnalysis.sboScoreOf]] the
+  * in-plan operator uses, so stored-path results are bit-equal by
+  * construction (spec-asserted).
   *
   * Same safety contract as the other stores: artifacts are stamped with
   * the train-time conf fingerprint (survives the parquet round-trip in
@@ -60,21 +62,87 @@ object LmIndex {
             "retrain the model or align the conf")
     }
 
-  /** Train + persist the SBO model under `path`: `lt1/` (train-vocab
-    * unigram log-probs, +1-smoothed), `lt2/`, `lt3/` (backoff ratio
-    * tables), `oov/` (the 1-row OOV constant). Each table is one
-    * map-side-combined aggregation's output — writing the model costs the
-    * same as one in-plan training pass, and every later scoring pass
-    * skips it.
+  /** Train + persist the SBO model under `path`: `c1/` (train unigram
+    * counts), `c2/`, `c3/` (bigram/trigram counts). The store holds the
+    * COUNT tables, not the derived log-ratios — the Brants 2007 point
+    * taken to its lifecycle conclusion: counts are sums of per-doc
+    * contributions, so a crawl appends as an increment
+    * ([[appendToSbo]]) and a takedown retracts as a decrement
+    * ([[retractFromSbo]]), neither of which the frozen `lt*` tables
+    * could absorb (removing one doc shifts N+V and with it EVERY lt1
+    * value). The log tables derive at score time via
+    * [[TextAnalysis.sboModelFromCounts]] — vocab-grain maps and joins,
+    * corpus-independent, bit-equal to the in-plan derivation.
     */
   def writeSbo(spark: SparkSession, dir: String, path: String): Unit = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val m = TextAnalysis.sboModelOf(d)
-    stamp(m.lt1, "word").write.mode("overwrite").parquet(s"$path/lt1")
-    stamp(m.lt2, "w1").write.mode("overwrite").parquet(s"$path/lt2")
-    stamp(m.lt3, "w1").write.mode("overwrite").parquet(s"$path/lt3")
-    stamp(m.oov, "lp_oov").write.mode("overwrite").parquet(s"$path/oov")
+    val (c1, c2, c3) = TextAnalysis.sboCountsOf(d)
+    stamp(c1, "word").write.mode("overwrite").parquet(s"$path/c1")
+    stamp(c2, "w1").write.mode("overwrite").parquet(s"$path/c2")
+    stamp(c3, "w1").write.mode("overwrite").parquet(s"$path/c3")
+  }
+
+  /** APPEND a crawl's contribution to the stored count tables — the
+    * per-crawl lifecycle step ([[graft.operators.PostingsIndex.appendToPostings]]
+    * discipline for the LM): the crawl's train-slice n-gram counts merge
+    * into the stored tables by key (full-outer sum). Work is O(crawl
+    * grams + touched stored keys); scoring afterwards is bit-equal to a
+    * fresh train over base ∪ crawl (counts are sums — spec-asserted).
+    * Unlike the postings append, a count merge is NOT idempotent, so all
+    * three tables advance in ONE [[graft.sources.Sinks.swapRoot]] — the
+    * op fully applies or leaves the store untouched; exactly-once across
+    * caller retries is the caller's contract (key ops by crawl id, the
+    * UnifiedDedupStore journal discipline). Fails fast on stamp drift —
+    * appending under a different trainMod would merge counts from two
+    * different questions.
+    */
+  def appendToSbo(spark: SparkSession, path: String, docs: DataFrame): Unit =
+    mergeCounts(spark, path, docs, add = true)
+
+  /** RETRACT docs from the stored count tables — takedown /
+    * right-to-be-forgotten for the LM store (the
+    * [[graft.operators.PostingsIndex.retractFromPostings]] lifecycle):
+    * the erased docs' train-slice contributions DECREMENT the stored
+    * counts, rows hitting zero are deleted, all three tables advancing
+    * in one atomic [[graft.sources.Sinks.swapRoot]] (decrements are not
+    * idempotent — a mixed-version store after a mid-sequence crash
+    * would double-subtract on re-run). The result is exactly the store
+    * a fresh train over corpus ∖ S writes, and append ∘ retract =
+    * identity (spec-asserted bit-equal). Caller passes the docs'
+    * (doc_id, text) rows — the store holds no per-doc state, so erasure
+    * needs the erased text once more to know what to subtract; a doc
+    * never appended simply subtracts nothing it finds.
+    */
+  def retractFromSbo(spark: SparkSession, path: String, docs: DataFrame): Unit =
+    mergeCounts(spark, path, docs, add = false)
+
+  private def mergeCounts(spark: SparkSession, path: String, docs: DataFrame,
+      add: Boolean): Unit = {
+    // heal BEFORE reading: a prior advance may have crashed between the
+    // root renames, leaving the live store absent until rolled forward
+    graft.sources.Sinks.healSwap(spark, path)
+    val d = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val (d1, d2, d3) = TextAnalysis.sboCountsOf(d)
+    def merged(sub: String, keyCol: String, delta: DataFrame, keys: Seq[String],
+        cnt: String): DataFrame = {
+      val stored = spark.read.parquet(s"$path/$sub")
+      validateConf(stored, keyCol, s"stored SBO count table at $path/$sub")
+      val dl = delta.withColumnRenamed(cnt, "graft_delta_c")
+      val joined =
+        if (add) stored.join(dl, keys, "full_outer")
+          .select(keys.map(col) :+
+            (coalesce(col(cnt), lit(0L)) + coalesce(col("graft_delta_c"), lit(0L))).as(cnt): _*)
+        else stored.join(dl, keys, "left")
+          .select(keys.map(col) :+
+            (col(cnt) - coalesce(col("graft_delta_c"), lit(0L))).as(cnt): _*)
+          .filter(col(cnt) > 0)
+      stamp(joined, keyCol)
+    }
+    graft.sources.Sinks.swapRoot(spark, path)(Seq(
+      "c1" -> merged("c1", "word", d1, Seq("word"), "c"),
+      "c2" -> merged("c2", "w1", d2, Seq("w1", "w2"), "c2"),
+      "c3" -> merged("c3", "w1", d3, Seq("w1", "w2", "w3"), "c3")))
   }
 
   /** Score a corpus against the stored model — fails fast if the live
@@ -106,15 +174,13 @@ object LmIndex {
   }
 
   def sboNllFrom(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
-    val lt1 = spark.read.parquet(s"$path/lt1")
-    val lt2 = spark.read.parquet(s"$path/lt2")
-    val lt3 = spark.read.parquet(s"$path/lt3")
-    val oov = spark.read.parquet(s"$path/oov")
-    validateConf(lt1, "word", s"stored SBO unigram table at $path/lt1")
-    validateConf(lt2, "w1", s"stored SBO bigram table at $path/lt2")
-    validateConf(lt3, "w1", s"stored SBO trigram table at $path/lt3")
-    validateConf(oov, "lp_oov", s"stored SBO OOV row at $path/oov")
+    val c1 = spark.read.parquet(s"$path/c1")
+    val c2 = spark.read.parquet(s"$path/c2")
+    val c3 = spark.read.parquet(s"$path/c3")
+    validateConf(c1, "word", s"stored SBO unigram count table at $path/c1")
+    validateConf(c2, "w1", s"stored SBO bigram count table at $path/c2")
+    validateConf(c3, "w1", s"stored SBO trigram count table at $path/c3")
     val d = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-    TextAnalysis.sboScoreOf(d, TextAnalysis.SboModel(lt1, lt2, lt3, oov))
+    TextAnalysis.sboScoreOf(d, TextAnalysis.sboModelFromCounts(c1, c2, c3))
   }
 }

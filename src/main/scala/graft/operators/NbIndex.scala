@@ -12,12 +12,16 @@ import graft.sources.Tables
   * `nb_classify` / `lang_id_nb` retrain their count tables every
   * invocation (correct for the oracle; wasteful in production — a
   * fastText-shaped labeler is trained on one curated slice and then
-  * scores every crawl forever). [[writeNb]] persists the three model
-  * tables — classes (C rows), the sparse observed-(class, token) bonus
-  * table, and the train vocabulary — and [[nbScoreFrom]] scores ANY
-  * corpus from the store through the SAME [[Classify.nbScoreAllOf]] the
-  * in-plan operators use, so stored-path predictions are bit-equal by
-  * construction (NbIndexSpec asserts it).
+  * scores every crawl forever). [[writeNb]] persists the two COUNT
+  * tables — the sparse observed-(class, token) counts and the per-class
+  * doc counts; [[appendToNb]] / [[retractFromNb]] advance them per crawl
+  * and per takedown (counts are sums of per-doc contributions — the
+  * [[LmIndex]] lifecycle argument) — and [[nbScoreFrom]] derives the
+  * frozen model tables from the counts
+  * ([[Classify.nbModelFromCounts]]) and scores ANY corpus through the
+  * SAME [[Classify.nbScoreAllOf]] the in-plan operators use, so
+  * stored-path predictions are bit-equal by construction (NbIndexSpec
+  * asserts it).
   *
   * Same safety contract as the other stores: artifacts are stamped with
   * the train-time conf fingerprint (survives the parquet round-trip in
@@ -106,10 +110,15 @@ object NbIndex {
           s"$what was trained with NB conf [$stored] but the live spark.graft.* conf is " +
             s"[${fingerprintFor(stored)}]; stored log-probabilities would silently mis-score — " +
             "retrain the model or align the conf")
-        stored.split(";").collectFirst {
-          case kv if kv.startsWith("tok=") => kv.stripPrefix("tok=")
-        }.getOrElse("words")
+        stored
     }
+
+  private def tagsOf(fp: String): Map[String, String] =
+    fp.split(";").flatMap(_.split("=", 2) match {
+      case Array(k, v) => Some(k -> v); case _ => None
+    }).toMap
+
+  private def tokOf(fp: String): String = tagsOf(fp).getOrElse("tok", "words")
 
   /** Train on the labeled `doc_id % evalMod != 0` slice of the corpus at
     * `dir` under tokenizer `tok` ("words" | "chartri") and persist the
@@ -120,10 +129,9 @@ object NbIndex {
   def writeNb(spark: SparkSession, dir: String, path: String, tok: String): Unit = {
     val m = evalModFor(tok)
     val train = Tables.documents(spark, dir).filter(col("doc_id") % m =!= 0)
-    val model = Classify.nbTrainOf(train, Classify.tokArrFor(tok))
-    stamp(model.classes, "lang", tok).write.mode("overwrite").parquet(s"$path/classes")
-    stamp(model.sparse, "lang", tok).write.mode("overwrite").parquet(s"$path/sparse")
-    stamp(model.vocab, "word", tok).write.mode("overwrite").parquet(s"$path/vocab")
+    val (cw, cdc) = Classify.nbCountsOf(train, Classify.tokArrFor(tok))
+    stamp(cw, "lang", tok).write.mode("overwrite").parquet(s"$path/cw")
+    stamp(cdc, "lang", tok).write.mode("overwrite").parquet(s"$path/cdc")
   }
 
   /** Train + persist the QUALITY-distillation model (r10): the
@@ -142,11 +150,71 @@ object NbIndex {
     val labeled = Classify.plantQualityLexicon(
       Classify.qualityLabeledOf(Tables.documents(spark, dir)))
     val train = labeled.filter(col("doc_id") % Classify.QnbEvalMod =!= 0)
-    val model = Classify.nbTrainOf(train, Classify.tokArrFor("words"))
+    val (cw, cdc) = Classify.nbCountsOf(train, Classify.tokArrFor("words"))
     val fp = qualityNbFingerprint
-    stampWith(model.classes, "lang", fp).write.mode("overwrite").parquet(s"$path/classes")
-    stampWith(model.sparse, "lang", fp).write.mode("overwrite").parquet(s"$path/sparse")
-    stampWith(model.vocab, "word", fp).write.mode("overwrite").parquet(s"$path/vocab")
+    stampWith(cw, "lang", fp).write.mode("overwrite").parquet(s"$path/cw")
+    stampWith(cdc, "lang", fp).write.mode("overwrite").parquet(s"$path/cdc")
+  }
+
+  /** APPEND labeled docs' contributions to the stored count tables — the
+    * per-crawl lifecycle step ([[LmIndex.appendToSbo]]'s NB twin). The
+    * tokenizer AND the train-slice modulus come from the STORED stamp
+    * (the score-path discipline: the model's identity decides, never a
+    * caller argument), the docs' train-slice (class, word) counts and
+    * class doc counts merge in by key, both tables advancing in ONE
+    * atomic [[graft.sources.Sinks.swapRoot]] (count merges are not
+    * idempotent — the [[LmIndex.appendToSbo]] argument). Scoring
+    * afterwards is bit-equal to a fresh train over base ∪ crawl
+    * (spec-asserted). Caller contract: doc sets disjoint across appends,
+    * and `labeled` carries the SAME (lang, text) the train path saw —
+    * for quality models that is the teacher-labeled planted frame.
+    */
+  def appendToNb(spark: SparkSession, path: String, labeled: DataFrame): Unit =
+    mergeCounts(spark, path, labeled, add = true)
+
+  /** RETRACT labeled docs from the stored count tables — takedown /
+    * right-to-be-forgotten for the NB store
+    * ([[LmIndex.retractFromSbo]]'s twin): decrement by key, delete rows
+    * hitting zero (a class whose last doc leaves disappears entirely),
+    * one atomic root swap. Result is exactly the store a fresh train
+    * over corpus ∖ S writes, and append ∘ retract = identity
+    * (spec-asserted bit-equal). The store holds no per-doc state, so
+    * erasure re-derives the erased docs' contributions from the rows
+    * the caller passes.
+    */
+  def retractFromNb(spark: SparkSession, path: String, labeled: DataFrame): Unit =
+    mergeCounts(spark, path, labeled, add = false)
+
+  private def mergeCounts(spark: SparkSession, path: String, labeled: DataFrame,
+      add: Boolean): Unit = {
+    // heal BEFORE reading: a prior advance may have crashed between the
+    // root renames, leaving the live store absent until rolled forward
+    graft.sources.Sinks.healSwap(spark, path)
+    val fp = validateConf(spark.read.parquet(s"$path/cw"), "lang",
+      s"stored NB count table at $path/cw")
+    val tags = tagsOf(fp)
+    val m = tags.getOrElse("evalMod", throw new IllegalStateException(
+      s"stored NB stamp [$fp] carries no evalMod tag")).toInt
+    val train = labeled.filter(col("doc_id") % m =!= 0)
+    val (dcw, dcdc) = Classify.nbCountsOf(train, Classify.tokArrFor(tokOf(fp)))
+    def merged(sub: String, delta: DataFrame, keys: Seq[String], cnt: String): DataFrame = {
+      val stored = spark.read.parquet(s"$path/$sub")
+      validateConf(stored, "lang", s"stored NB count table at $path/$sub")
+      val dl = delta.withColumnRenamed(cnt, "graft_delta_c")
+      val j =
+        if (add) stored.join(dl, keys, "full_outer")
+          .select(keys.map(col) :+
+            (coalesce(col(cnt), lit(0L)) +
+              coalesce(col("graft_delta_c"), lit(0L))).as(cnt): _*)
+        else stored.join(dl, keys, "left")
+          .select(keys.map(col) :+
+            (col(cnt) - coalesce(col("graft_delta_c"), lit(0L))).as(cnt): _*)
+          .filter(col(cnt) > 0)
+      stampWith(j, "lang", fp)
+    }
+    graft.sources.Sinks.swapRoot(spark, path)(Seq(
+      "cw" -> merged("cw", dcw, Seq("lang", "word"), "c"),
+      "cdc" -> merged("cdc", dcdc, Seq("lang"), "dc")))
   }
 
   /** Score any (doc_id, text) corpus against the stored model →
@@ -156,13 +224,11 @@ object NbIndex {
     * one C-row broadcast — no training work, no corpus-sized state.
     */
   def nbScoreFrom(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
-    val classes = spark.read.parquet(s"$path/classes")
-    val sparse = spark.read.parquet(s"$path/sparse")
-    val vocab = spark.read.parquet(s"$path/vocab")
-    val tok = validateConf(classes, "lang", s"stored NB class table at $path/classes")
-    validateConf(sparse, "lang", s"stored NB sparse table at $path/sparse")
-    validateConf(vocab, "word", s"stored NB vocabulary at $path/vocab")
-    Classify.nbScoreAllOf(docs, Classify.tokArrFor(tok),
-      Classify.NbModel(classes, sparse, vocab))
+    val cw = spark.read.parquet(s"$path/cw")
+    val cdc = spark.read.parquet(s"$path/cdc")
+    val fp = validateConf(cw, "lang", s"stored NB count table at $path/cw")
+    validateConf(cdc, "lang", s"stored NB class-count table at $path/cdc")
+    Classify.nbScoreAllOf(docs, Classify.tokArrFor(tokOf(fp)),
+      Classify.nbModelFromCounts(cw, cdc))
   }
 }

@@ -719,16 +719,39 @@ object TextAnalysis {
     * model (Brants 2007's point), so this is the write path's whole cost.
     */
   private[graft] def sboModelOf(d: DataFrame): SboModel = {
+    val (c1, c2, c3) = sboCountsOf(d)
+    sboModelFromCounts(c1, c2, c3)
+  }
+
+  /** The raw train-slice n-gram COUNT tables — (c1, c2, c3) at unigram/
+    * bigram/trigram grain. These are the store's PRIMARY artifact
+    * ([[LmIndex]]): counts are sums of per-doc contributions, so the
+    * store lifecycle (append a crawl = increment, takedown = decrement)
+    * is table algebra on them, which the derived log-ratio tables can
+    * never support (every `lt1` row's value shifts when N+V shifts).
+    */
+  private[graft] def sboCountsOf(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val mod = GraftConf.pplSboTrainMod
     val train = d.filter(col("doc_id") % mod === 0)
     val tok = train.select(explode(col("ws")).as("word"))
-    val c1 = tok.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    (tok.groupBy(col("word")).agg(count(lit(1)).as("c")),
+      sboGrams(train, 2, Seq("w1", "w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")),
+      sboGrams(train, 3, Seq("w1", "w2", "w3"))
+        .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3")))
+  }
+
+  /** Derive the frozen log-ratio tables from the count tables — pure
+    * deterministic arithmetic (each ln rounded once to 6 dp, frozen as
+    * DECIMAL), so the model is bit-equal whether the counts were just
+    * aggregated in-plan or read back from [[LmIndex]]'s parquet store
+    * after any number of append/retract cycles.
+    */
+  private[graft] def sboModelFromCounts(c1in: DataFrame, c2: DataFrame,
+      c3: DataFrame): SboModel = {
+    val c1 = Intermediates.persist(c1in)
     // (N + V) as one broadcast row: train token count + train vocab size
     val tot = c1.agg((sum(col("c")) + count(lit(1))).cast("double").as("nv"))
-    val c2 = sboGrams(train, 2, Seq("w1", "w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c3 = sboGrams(train, 3, Seq("w1", "w2", "w3"))
-      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
     // frozen log tables, one row per distinct TRAIN n-gram
     val lt1 = c1.crossJoin(broadcast(tot))
       .select(col("word"),

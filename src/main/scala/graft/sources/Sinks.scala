@@ -88,6 +88,47 @@ object Sinks {
     require(fs.rename(live, old), s"table swap failed: $live -> $old")
     require(fs.rename(tmp, live), s"table swap failed: $tmp -> $live")
     fs.delete(old, true)
+    // drop cached plans/file listings over the replaced path (see
+    // swapRoot) — refresh AFTER the swap so post-swap readers re-list
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** MULTI-TABLE store advance: materialize replacement versions of
+    * every table (name → frame, each free to READ the live store — the
+    * live files stay in place until the renames) under
+    * `<root>_compact_tmp/<name>`, then advance the whole ROOT via the
+    * same two-rename dance as [[swapIn]]. A store of several tables
+    * moves atomically: a crash before the renames leaves the live store
+    * untouched, between them both complete stores exist and
+    * [[healSwap]] on the root rolls forward. This is the advance a
+    * NON-IDEMPOTENT rewrite needs (count increments/decrements —
+    * [[graft.operators.LmIndex]] / [[graft.operators.NbIndex]]): a
+    * per-table [[compactSwap]] sequence could crash between tables and
+    * leave a mixed-version store that a blind re-run would corrupt
+    * further, whereas here the op either fully applied or did not apply
+    * at all — exactly-once across retries stays the caller's contract
+    * (key ops by crawl id, the UnifiedDedupStore journal discipline).
+    */
+  def swapRoot(spark: SparkSession, root: String)
+      (tables: Seq[(String, DataFrame)]): Unit = {
+    import org.apache.hadoop.fs.Path
+    healSwap(spark, root)
+    val live = new Path(root)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(root + "_compact_tmp")
+    val old = new Path(root + "_compact_old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(new Path(tmp, name).toString)
+    }
+    require(fs.rename(live, old), s"store swap failed: $live -> $old")
+    require(fs.rename(tmp, live), s"store swap failed: $tmp -> $live")
+    fs.delete(old, true)
+    // drop cached plans/file listings over the replaced path — a reader
+    // who persisted a scan of the OLD table would otherwise keep being
+    // served the pre-swap rows from the in-memory relation
+    spark.catalog.refreshByPath(root)
   }
 
   /** Heal a directory whose last [[swapIn]] crashed BETWEEN its two

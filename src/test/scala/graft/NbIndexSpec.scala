@@ -91,7 +91,7 @@ class NbIndexSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.nb.evalMod")
     // unstamped copy → refused
     val foreign = fresh("f")
-    for (t <- Seq("classes", "sparse", "vocab")) {
+    for (t <- Seq("cw", "cdc")) {
       val df = spark.read.parquet(s"$path/$t")
       df.select(df.columns.map(c =>
           col(c).as(c, org.apache.spark.sql.types.Metadata.empty)): _*)
@@ -101,6 +101,45 @@ class NbIndexSpec extends SparkSpec {
       NbIndex.nbScoreFrom(spark, foreign, probe)
     }
     assert(e2.getMessage.contains("no graft.nb conf stamp"), e2.getMessage)
+  }
+
+  test("retract ≡ rebuild over corpus ∖ S, and append ∘ retract = identity") {
+    val path = fresh("r")
+    NbIndex.writeNb(spark, sf, path, "words")
+    val docs = Tables.documents(spark, sf)
+    // S spans the eval slice too — eval members contribute nothing and a
+    // no-op retraction must be harmless
+    val s = docs.filter(col("doc_id") % 7 === 0)
+    val rest = docs.filter(col("doc_id") % 7 =!= 0)
+    def storedCounts(): Seq[Set[Seq[Any]]] =
+      Seq("cw", "cdc").map(t =>
+        spark.read.parquet(s"$path/$t").collect().map(_.toSeq).toSet)
+    def freshCounts(d: org.apache.spark.sql.DataFrame): Seq[Set[Seq[Any]]] = {
+      val (cw, cdc) = Classify.nbCountsOf(
+        d.filter(col("doc_id") % Classify.NbEvalMod =!= 0),
+        Classify.tokArrFor("words"))
+      Seq(cw, cdc).map(_.collect().map(_.toSeq).toSet)
+    }
+    val original = storedCounts()
+    NbIndex.retractFromNb(spark, path, s)
+    val retracted = storedCounts()
+    assert(retracted != original, "vacuous: S must actually change the counts")
+    assert(retracted == freshCounts(rest),
+      "retract must leave exactly the store a fresh train over corpus ∖ S writes")
+    // predictions from the retracted store ≡ predictions of a model
+    // trained fresh on corpus ∖ S
+    val evalDocs = docs.filter(col("doc_id") % Classify.NbEvalMod === 0)
+      .select("doc_id", "text")
+    val viaStore = NbIndex.nbScoreFrom(spark, path, evalDocs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaRebuild = Classify.nbScoreAllOf(evalDocs, Classify.tokArrFor("words"),
+        Classify.nbTrainOf(rest.filter(col("doc_id") % Classify.NbEvalMod =!= 0),
+          Classify.tokArrFor("words")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaStore.nonEmpty && viaStore == viaRebuild)
+    // append S back: bit-equal to the original full-corpus store
+    NbIndex.appendToNb(spark, path, s)
+    assert(storedCounts() == original, "append ∘ retract must be identity")
   }
 
   test("the artifact catalog sees the NB store and flags drift") {

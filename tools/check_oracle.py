@@ -75,8 +75,25 @@ def main():
     if len(sys.argv) > 3:
         out = Path(sys.argv[3])
         out.parent.mkdir(parents=True, exist_ok=True)
+        # provenance stamp: the SHA + timestamp this run adjudicated, so a
+        # committed self-artifact is provably from the code it sits next to
+        # (two consecutive empty driver artifacts made this the round's
+        # correctness record)
+        import subprocess, datetime
+        try:
+            sha = subprocess.run(["git", "rev-parse", "HEAD"],
+                capture_output=True, text=True, cwd=Path(__file__).parent.parent
+                ).stdout.strip()
+            dirty = subprocess.run(["git", "status", "--porcelain"],
+                capture_output=True, text=True, cwd=Path(__file__).parent.parent
+                ).stdout.strip() != ""
+        except Exception:
+            sha, dirty = "unknown", True
         out.write_text(json.dumps(
-            {"n_pass": n_pass, "n_fail": n_fail, "queries": results},
+            {"n_pass": n_pass, "n_fail": n_fail,
+             "sha": sha, "dirty_tree": dirty,
+             "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+             "queries": results},
             indent=0, sort_keys=True))
         print(f"wrote {out}")
     sys.exit(1 if n_fail else 0)
