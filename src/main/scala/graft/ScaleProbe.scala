@@ -140,16 +140,18 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // BOTH stores built upfront, untimed — then the probe matrix runs
+    // INTERLEAVED (r15; the r14 shape ran the control last, after the
+    // JVM had fully warmed across nine timed runs, and the control read
+    // FASTER than the ×1 probe — an inverted control that weakens the
+    // O(S) claim it exists to support): each rep times every probe once
+    // in sequence, so JIT/GC/codegen-cache drift lands on all probes
+    // equally, with the same cache-equalization every rep (intermediates
+    // released + catalog cache cleared inside timeRetract) and a
+    // warm-up pass over every store first. min-of-5 reported.
     val (stored, ix) = build(docs, embs)
     val s1 = docs.filter(col("doc_id") % 400 === 0).select("doc_id")
       .localCheckpoint(true)
-    timeRetract(stored, ix, s1) // warm-up, not billed
-    for ((k, m) <- Seq((1, 400), (4, 100), (16, 25))) {
-      val sk = docs.filter(col("doc_id") % m === 0).select("doc_id")
-        .localCheckpoint(true)
-      val times = (1 to 3).map(_ => timeRetract(stored, ix, sk))
-      println(s"""{"probe":"retract_x$k","retract_docs":${sk.count()},"sec_min":${times.min},"runs":[${times.mkString(",")}]}""")
-    }
     // base ×16 control: salted text replicas (not near-dups of anything),
     // cyclically-shifted embedding replicas (direction changes, so no
     // cosine dups) — volume grows 16×, dup density stays flat, the ×1
@@ -163,8 +165,26 @@ object ScaleProbe {
             .as("embedding"))
       }.reduce(_ unionByName _))
     val (stored16, ix16) = build(bigDocs, bigEmbs)
-    val times = (1 to 3).map(_ => timeRetract(stored16, ix16, s1))
-    println(s"""{"probe":"retract_base_x16_s_x1","base_docs":${bigDocs.count()},"sec_min":${times.min},"runs":[${times.mkString(",")}]}""")
+    val probes: Seq[(String, () => Double)] =
+      Seq((1, 400), (4, 100), (16, 25)).map { case (k, m) =>
+        val sk = docs.filter(col("doc_id") % m === 0).select("doc_id")
+          .localCheckpoint(true)
+        (s"retract_x$k", () => timeRetract(stored, ix, sk))
+      } :+ ("retract_base_x16_s_x1", () => timeRetract(stored16, ix16, s1))
+    probes.foreach { case (_, run) => run() } // warm-up lap, not billed
+    val reps = 5
+    val times: Map[String, Seq[Double]] =
+      (1 to reps).flatMap(_ => probes.map { case (name, run) => name -> run() })
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nDocs = Map(
+      "retract_x1" -> docs.filter(col("doc_id") % 400 === 0).count(),
+      "retract_x4" -> docs.filter(col("doc_id") % 100 === 0).count(),
+      "retract_x16" -> docs.filter(col("doc_id") % 25 === 0).count(),
+      "retract_base_x16_s_x1" -> bigDocs.count())
+    probes.foreach { case (name, _) =>
+      val ts = times(name)
+      println(s"""{"probe":"$name","docs":${nDocs(name)},"sec_min":${ts.min},"runs":[${ts.mkString(",")}]}""")
+    }
   }
 
   /** ANN append probe (round 10): the encode-only append path must cost

@@ -212,14 +212,34 @@ object Ingestion {
   object PdfTextDecoder {
     private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
 
+    /** A structurally-recognized document the decoder REFUSES with a
+      * reason (vs. generic damage): today `/Encrypt` — the strings and
+      * streams are cipher text, so "no blocks" is the only honest
+      * answer, but the OPERATOR should know it was crypto, not damage
+      * (an encrypted crawl segment wants a key/skip decision upstream,
+      * not an OCR retry).
+      */
+    private final case class PdfQuarantine(reason: String)
+      extends RuntimeException(reason)
+
     def blocks(bytes: Array[Byte]): Seq[PdfBlock] =
-      try blocksUnsafe(bytes)
+      decode(bytes).getOrElse(Nil)
+
+    /** Decode with the quarantine REASON surfaced: `Right(blocks)` or
+      * `Left(reason)` — `encrypted: …` for /Encrypt documents,
+      * `malformed: …` for structural damage. [[blocks]] collapses both
+      * to the zero-block OCR route.
+      */
+    def decode(bytes: Array[Byte]): Either[String, Seq[PdfBlock]] =
+      try Right(blocksUnsafe(bytes))
       catch {
-        case scala.util.control.NonFatal(_) => Nil
+        case PdfQuarantine(r) => Left(r)
+        case scala.util.control.NonFatal(e) =>
+          Left("malformed: " + String.valueOf(e.getMessage))
         // defense in depth for untrusted containers: any residual
         // unbounded recursion must quarantine the document, not kill the
         // executor task (NonFatal deliberately excludes this)
-        case _: StackOverflowError => Nil
+        case _: StackOverflowError => Left("malformed: unbounded recursion")
       }
 
     private def blocksUnsafe(bytes: Array[Byte]): Seq[PdfBlock] = {
@@ -454,6 +474,9 @@ object Ingestion {
       private var xrefSections = 0
 
       loadChain()
+
+      /** The merged trailer claims document-level encryption. */
+      def encrypted: Boolean = trailer.contains("Encrypt")
 
       private def mergeTrailer(d: Map[String, PObj]): Unit =
         // newest-first walk: a key already merged came from a NEWER
@@ -749,6 +772,12 @@ object Ingestion {
       */
     private def structuredBlocks(s: String, bytes: Array[Byte]): Seq[PdfBlock] = {
       val doc = new PdfDoc(s, bytes)
+      // real crawls carry encrypted PDFs: /Encrypt in the trailer means
+      // every string and stream is RC4/AES cipher text — extraction would
+      // emit garbage, so refuse with the tagged reason instead
+      if (doc.encrypted)
+        throw PdfQuarantine(
+          "encrypted: trailer carries /Encrypt — strings and streams are cipher text")
       val out = scala.collection.mutable.ArrayBuffer.empty[PdfBlock]
       doc.pages().zipWithIndex.foreach { case (pg, i) =>
         parseContent(doc.pageContent(pg), i, out)
@@ -779,8 +808,27 @@ object Ingestion {
           }
         } else { b.append(c); i += 1 }
       }
-      b.toString
+      utf16IfBom(b.toString)
     }
+
+    /** PDF text strings are byte strings; a 0xFE 0xFF BOM prefix marks
+      * UTF-16BE (ISO 32000-1 §7.9.2.2 — how real writers emit non-Latin
+      * text). Escape processing happens at the BYTE level first (done by
+      * the caller), THEN the BOM check: our chars are 1:1 bytes (Latin1),
+      * so pairs recombine as (hi << 8) | lo. A dangling odd byte is
+      * malformed padding and drops; BOM-less strings pass through as the
+      * byte string they are.
+      */
+    private def utf16IfBom(v: String): String =
+      if (v.length >= 2 && v.charAt(0) == 0xFE.toChar && v.charAt(1) == 0xFF.toChar) {
+        val b = new StringBuilder((v.length - 2) / 2)
+        var i = 2
+        while (i + 1 < v.length) {
+          b.append((((v.charAt(i) & 0xff) << 8) | (v.charAt(i + 1) & 0xff)).toChar)
+          i += 2
+        }
+        b.toString
+      } else v
 
     private def parseContent(c: String, page: Int,
         out: scala.collection.mutable.ArrayBuffer[PdfBlock]): Unit = {

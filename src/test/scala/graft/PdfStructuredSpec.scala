@@ -212,4 +212,63 @@ class PdfStructuredSpec extends SparkSpec {
       .getBytes(Latin1)
     assert(PdfTextDecoder.blocks(full).isEmpty)
   }
+
+  test("an encrypted PDF quarantines with the reason tagged, never garbled text") {
+    val b = new Builder
+    b.raw("%PDF-1.4\n")
+    // a realistic shape: content present (would be cipher text in a real
+    // file) and an /Encrypt dictionary referenced from the trailer
+    b.streamObj(5, "", content("cipher-text-here", 700).getBytes(Latin1))
+    b.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>")
+    b.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(7, "<< /Filter /Standard /V 2 /R 3 /O (x) /U (y) /P -44 >>")
+    b.classicXref(Seq(1, 2, 3, 5, 7),
+      "<< /Size 8 /Root 1 0 R /Encrypt 7 0 R >>")
+    val d = PdfTextDecoder.decode(b.bytes)
+    assert(d.isLeft && d.swap.exists(_.startsWith("encrypted:")), d.toString)
+    assert(PdfTextDecoder.blocks(b.bytes).isEmpty)
+    // the same document WITHOUT /Encrypt extracts — the refusal really is
+    // the trailer key, not an unrelated parse failure
+    val ok = new Builder
+    ok.raw("%PDF-1.4\n")
+    ok.streamObj(5, "", content("cipher-text-here", 700).getBytes(Latin1))
+    ok.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>")
+    ok.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    ok.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    ok.classicXref(Seq(1, 2, 3, 5), "<< /Size 6 /Root 1 0 R >>")
+    assert(PdfTextDecoder.blocks(ok.bytes).nonEmpty)
+  }
+
+  test("UTF-16BE text strings (BOM-prefixed) decode exactly; byte strings pass through") {
+    val utf = "Größe 42 — naïve"
+    val payload = Array[Byte](0xFE.toByte, 0xFF.toByte) ++
+      utf.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+    // escape the string-delimiter bytes a binary payload could contain
+    val lit = new String(payload, Latin1)
+      .replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    val b = new Builder
+    b.raw("%PDF-1.4\n")
+    b.streamObj(5, "",
+      (s"BT 72 700 Td ($lit) Tj (plain bytes) Tj ET").getBytes(Latin1))
+    b.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>")
+    b.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.classicXref(Seq(1, 2, 3, 5), "<< /Size 6 /Root 1 0 R >>")
+    val got = PdfTextDecoder.blocks(b.bytes)
+    assert(got == Seq(PdfBlock(0, s"$utf plain bytes", 72.0, 700.0)), got.toString)
+    // a dangling odd byte after the last UTF-16 pair is malformed padding
+    // and drops instead of corrupting the decoded tail
+    val odd = new String(payload :+ 0x41.toByte, Latin1)
+      .replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    val c = new Builder
+    c.raw("%PDF-1.4\n")
+    c.streamObj(5, "", s"BT 72 700 Td ($odd) Tj ET".getBytes(Latin1))
+    c.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>")
+    c.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    c.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    c.classicXref(Seq(1, 2, 3, 5), "<< /Size 6 /Root 1 0 R >>")
+    assert(PdfTextDecoder.blocks(c.bytes) ==
+      Seq(PdfBlock(0, utf, 72.0, 700.0)))
+  }
 }
