@@ -146,6 +146,24 @@ object GlyphOcr {
     if (ok) Some(out.result()) else None
   }
 
+  /** The composed two-rung front door (ingestion.py's native-then-OCR
+    * ladder as ONE relation): native PDF text extraction for every doc,
+    * then the OCR rung for exactly the docs the native path missed —
+    * a LEFT ANTI join on the native block stream's doc ids (the
+    * `ocr_route` routing decision, applied at block grain instead of a
+    * report), unioned into one block table. Block-schema-stable, so a
+    * downstream consumer never knows which rung fired. Scale shape: the
+    * anti join is doc-grain on the natively-extracted id set (small
+    * fraction of a scanned corpus), both rungs are per-partition batch
+    * decodes, no corpus-grain shuffle beyond the one key anti-join.
+    */
+  def frontDoorBlocks(pdfs: DataFrame, pageBitmaps: DataFrame): DataFrame = {
+    val native = Ingestion.decodePdfBlocks(pdfs)
+    val missed = pageBitmaps.join(
+      native.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    native.unionByName(ocrBlocks(missed))
+  }
+
   /** Per-partition batch OCR over a (doc_id, page, payload binary)
     * relation of page bitmaps — the Spark half of the rung, schema-equal
     * to [[Ingestion.decodePdfBlocks]] so the two front doors compose:

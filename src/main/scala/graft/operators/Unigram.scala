@@ -147,12 +147,15 @@ object Unigram {
           expr(s"s.word = b.word AND b.pos = ${i} - s.j"))
         .select(col("s.word").as("word"), col("s.j").as("j"),
           (col("b.score") + col("s.lp")).cast("decimal(18,6)").as("sc"))
-      val ms = cand.groupBy("word").agg(max(col("sc")).as("score"))
-      // tie at equal exact-decimal score → the LONGEST last piece
-      val bj = cand.join(ms, Seq("word")).filter(col("sc") === col("score"))
-        .groupBy("word").agg(max(col("j")).as("bj"))
-      val level = ms.join(bj, Seq("word"))
-        .select(col("word"), lit(i).as("pos"), col("score"), col("bj"))
+      // max + argmax as ONE aggregation (r15 — was max-agg, join-back,
+      // filtered second agg: three shuffles per level where one does):
+      // struct max compares fields in order, so max(struct(sc, j)) is
+      // EXACTLY "best exact-decimal score, ties to the LONGEST last
+      // piece" — the same tie rule, one shuffle
+      val level = cand
+        .groupBy("word").agg(max(struct(col("sc"), col("j"))).as("m"))
+        .select(col("word"), lit(i).as("pos"),
+          col("m.sc").as("score"), col("m.j").as("bj"))
         .localCheckpoint(true)
       bb = bb.unionByName(level)
     }

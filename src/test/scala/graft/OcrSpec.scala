@@ -46,6 +46,28 @@ class OcrSpec extends SparkSpec {
       "doc_id", "block_id", "page", "block_text", "n_words", "n_chars", "x", "y"))
   }
 
+  test("frontDoorBlocks: native text wins; only natively-missed docs route through OCR") {
+    import spark.implicits._
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    // doc 1: a real linear PDF WITH a text layer — must take the native
+    // rung, and its (decoy) bitmap must NOT also be OCR'd
+    val textPdf = ("%PDF-1.4\n1 0 obj\n<< /Length 30 >>\nstream\n" +
+      "BT 72 700 Td (NATIVE TEXT) Tj ET\nendstream\nendobj\n").getBytes(latin1)
+    // doc 2: image-only — zero native blocks, routes to OCR
+    val scanPdf = ("%PDF-1.4\n1 0 obj\n<< /Subtype /Image /Length 8 >>\n" +
+      "stream\n\nendstream\nendobj\n").getBytes(latin1)
+    val pdfs = Seq((1L, textPdf), (2L, scanPdf)).toDF("doc_id", "payload")
+    val bitmaps = Seq(
+      (1L, 0L, png(GlyphOcr.renderPage(Seq("DECOY")))),
+      (2L, 0L, png(GlyphOcr.renderPage(Seq("SCANNED ONLY")))))
+      .toDF("doc_id", "page", "payload")
+    val got = GlyphOcr.frontDoorBlocks(pdfs, bitmaps)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    assert(got.toSeq == Seq((1L, "NATIVE TEXT"), (2L, "SCANNED ONLY")),
+      got.mkString(", "))
+  }
+
   test("malformed bitmaps quarantine to zero rows, never garbage text") {
     import spark.implicits._
     val good = GlyphOcr.renderPage(Seq("OK"))
