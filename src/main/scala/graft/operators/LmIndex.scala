@@ -74,9 +74,14 @@ object LmIndex {
     * [[TextAnalysis.sboModelFromCounts]] — vocab-grain maps and joins,
     * corpus-independent, bit-equal to the in-plan derivation.
     */
-  def writeSbo(spark: SparkSession, dir: String, path: String): Unit = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+  def writeSbo(spark: SparkSession, dir: String, path: String): Unit =
+    writeSboDocs(Tables.documents(spark, dir), path)
+
+  /** [[writeSbo]] over an explicit (doc_id, text) frame — the seam the
+    * lifecycle oracle rows carve base/full stores through.
+    */
+  def writeSboDocs(docs: DataFrame, path: String): Unit = {
+    val d = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
     val (c1, c2, c3) = TextAnalysis.sboCountsOf(d)
     stamp(c1, "word").write.mode("overwrite").parquet(s"$path/c1")
     stamp(c2, "w1").write.mode("overwrite").parquet(s"$path/c2")
@@ -172,6 +177,51 @@ object LmIndex {
     // sboScoreOf already applies the contract ordering
     sboNllFrom(spark, path, Tables.documents(spark, dir))
   }
+
+  /** `doc_perplexity_sbo_incr` (r15): the APPEND lifecycle as an oracle
+    * row — write the store from the BASE carve (doc_id ≢ 0 mod
+    * [[graft.operators.Dedup.DeltaIdMod]]), [[appendToSbo]] the standard
+    * crawl, score the full corpus FROM the advanced store. Counts are
+    * sums, so the merged store is bit-equal to a full-corpus train and
+    * the row shares `doc_perplexity_sbo`'s oracle SQL VERBATIM — the
+    * driver's hash check stands guard over the count-merge + atomic
+    * root-swap machinery every round (the `dedup_delta` discipline
+    * applied to the LM lifecycle).
+    */
+  def docPerplexitySboIncr(spark: SparkSession, dir: String): DataFrame = {
+    val path = storePath("graft-sbo-incr-", dir)
+    val docs = Tables.documents(spark, dir)
+    val isD = col("doc_id") % graft.operators.Dedup.DeltaIdMod === 0
+    writeSboDocs(docs.filter(!isD), path)
+    appendToSbo(spark, path, docs.filter(isD))
+    sboNllFrom(spark, path, docs)
+  }
+
+  /** `doc_perplexity_sbo_retract` (r15): the TAKEDOWN lifecycle as an
+    * oracle row — write the full store, [[retractFromSbo]] the standard
+    * erasure carve (doc_id ≡ 0 mod [[graft.operators.Dedup.RetractIdMod]]),
+    * score the full corpus from what remains. Oracle: the same SBO chain
+    * trained on the slice MINUS the erased set — the independent
+    * cross-engine formulation of "retract ≡ fresh train over corpus ∖ S",
+    * hash-checked by the driver every round.
+    */
+  def docPerplexitySboRetract(spark: SparkSession, dir: String): DataFrame = {
+    val path = storePath("graft-sbo-rt-", dir)
+    val docs = Tables.documents(spark, dir)
+    writeSboDocs(docs, path)
+    retractFromSbo(spark, path,
+      docs.filter(col("doc_id") % graft.operators.Dedup.RetractIdMod === 0))
+    sboNllFrom(spark, path, docs)
+  }
+
+  def docPerplexitySboRetractSql: String =
+    TextAnalysis.docPerplexitySboSqlFor(
+      s" AND doc_id % ${graft.operators.Dedup.RetractIdMod} <> 0")
+
+  private def storePath(prefix: String, dir: String): String =
+    new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      prefix + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
 
   def sboNllFrom(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
     val c1 = spark.read.parquet(s"$path/c1")

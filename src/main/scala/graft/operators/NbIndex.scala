@@ -126,12 +126,42 @@ object NbIndex {
     * a counting aggregation's output — writing the model costs one
     * in-plan training pass, and every later scoring pass skips it.
     */
-  def writeNb(spark: SparkSession, dir: String, path: String, tok: String): Unit = {
+  def writeNb(spark: SparkSession, dir: String, path: String, tok: String): Unit =
+    writeNbDocs(Tables.documents(spark, dir), path, tok)
+
+  /** [[writeNb]] over an explicit labeled frame — the seam the
+    * incremental oracle row carves a base store through.
+    */
+  def writeNbDocs(labeled: DataFrame, path: String, tok: String): Unit = {
     val m = evalModFor(tok)
-    val train = Tables.documents(spark, dir).filter(col("doc_id") % m =!= 0)
+    val train = labeled.filter(col("doc_id") % m =!= 0)
     val (cw, cdc) = Classify.nbCountsOf(train, Classify.tokArrFor(tok))
     stamp(cw, "lang", tok).write.mode("overwrite").parquet(s"$path/cw")
     stamp(cdc, "lang", tok).write.mode("overwrite").parquet(s"$path/cdc")
+  }
+
+  /** `nb_classify_incr` (r15): the NB APPEND lifecycle as an oracle row —
+    * write the model from the BASE carve, [[appendToNb]] the standard
+    * crawl's labeled rows, score the held-out slice FROM the advanced
+    * store. Counts compose, so the merged model is bit-equal to the
+    * full-corpus train and the row shares `nb_classify`'s oracle SQL
+    * VERBATIM — the driver's hash check standing guard over the NB
+    * count-merge + atomic root swap every round.
+    */
+  def nbClassifyIncr(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft-nb-incr-" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
+    val docs = Tables.documents(spark, dir)
+    val isD = col("doc_id") % Dedup.DeltaIdMod === 0
+    writeNbDocs(docs.filter(!isD), path, "words")
+    appendToNb(spark, path, docs.filter(isD))
+    val evalDocs = docs.filter(col("doc_id") % Classify.NbEvalMod === 0)
+    nbScoreFrom(spark, path, evalDocs)
+      .join(evalDocs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        when(col("lang") === col("pred_lang"), 1).otherwise(0).as("correct"))
+      .contractOrderBy("doc_id")
   }
 
   /** Train + persist the QUALITY-distillation model (r10): the

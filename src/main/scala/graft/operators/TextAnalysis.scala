@@ -822,7 +822,15 @@ object TextAnalysis {
       .contractOrderBy("doc_id")
   }
 
-  def docPerplexitySboSql: String = {
+  def docPerplexitySboSql: String = docPerplexitySboSqlFor("")
+
+  /** The SBO oracle with an extra train-slice predicate — the takedown
+    * row's oracle trains on the slice MINUS the erased set (`AND doc_id
+    * % 7 <> 0`), the independent formulation of "retract = the store a
+    * fresh train over corpus ∖ S writes". Scoring always covers the
+    * full corpus; only the training relation shrinks.
+    */
+  private[graft] def docPerplexitySboSqlFor(extraTrainFilter: String): String = {
     val mod = GraftConf.pplSboTrainMod
     val lnA = java.math.BigDecimal.valueOf(
       math.log(GraftConf.pplSboAlphaPct / 100.0))
@@ -830,7 +838,7 @@ object TextAnalysis {
     s"""WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       |), tr AS (
-      |  SELECT * FROM d WHERE doc_id % $mod = 0
+      |  SELECT * FROM d WHERE doc_id % $mod = 0$extraTrainFilter
       |), c1 AS (
       |  SELECT word, count(*) AS c FROM (SELECT unnest(ws) AS word FROM tr)
       |  GROUP BY word
