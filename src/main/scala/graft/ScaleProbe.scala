@@ -179,14 +179,21 @@ object ScaleProbe {
       val times: Map[String, Seq[Double]] =
         (1 to reps).flatMap(_ => probes.map { case (name, run) => name -> run() })
           .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-      val nDocs = Map(
-        "retract_x1" -> docs.filter(col("doc_id") % 400 === 0).count(),
-        "retract_x4" -> docs.filter(col("doc_id") % 100 === 0).count(),
-        "retract_x16" -> docs.filter(col("doc_id") % 25 === 0).count(),
-        "retract_base_x16_s_x1" -> bigDocs.count())
+      // every row carries BOTH sizes explicitly (retract-set AND base
+      // corpus) — one ambiguous "docs" field whose meaning flips between
+      // probe rows and the control misleads any parser comparing rows
+      val nBase = docs.count()
+      val nBig = bigDocs.count()
+      val sizes: Map[String, (Long, Long)] = Map(
+        "retract_x1" -> (docs.filter(col("doc_id") % 400 === 0).count(), nBase),
+        "retract_x4" -> (docs.filter(col("doc_id") % 100 === 0).count(), nBase),
+        "retract_x16" -> (docs.filter(col("doc_id") % 25 === 0).count(), nBase),
+        "retract_base_x16_s_x1" ->
+          (docs.filter(col("doc_id") % 400 === 0).count(), nBig))
       probes.foreach { case (name, _) =>
         val ts = times(name)
-        println(s"""{"probe":"$name","docs":${nDocs(name)},"sec_min":${ts.min},"runs":[${ts.mkString(",")}]}""")
+        val (rd, bd) = sizes(name)
+        println(s"""{"probe":"$name","retract_docs":$rd,"base_docs":$bd,"sec_min":${ts.min},"runs":[${ts.mkString(",")}]}""")
       }
     }
     // structural diagnostics for the control-vs-×1 comparison: the ×16

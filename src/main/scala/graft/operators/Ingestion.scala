@@ -409,7 +409,10 @@ object Ingestion {
         val hex = s.substring(st, p).filterNot(isWs)
         p += 1
         val padded = if (hex.length % 2 == 0) hex else hex + "0"
-        PStr(padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString)
+        // §7.9.2.2 applies to ANY text string regardless of literal/hex
+        // spelling — real writers emit hex-encoded UTF-16BE routinely, so
+        // the BOM check runs on the decoded bytes here too (litStr's twin)
+        PStr(utf16IfBom(padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString))
       }
       private def litStr(): PObj = {
         p += 1

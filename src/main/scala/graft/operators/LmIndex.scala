@@ -189,7 +189,7 @@ object LmIndex {
     * applied to the LM lifecycle).
     */
   def docPerplexitySboIncr(spark: SparkSession, dir: String): DataFrame = {
-    val path = storePath("graft-sbo-incr-", dir)
+    val path = storePath(spark, "graft-sbo-incr-", dir)
     val docs = Tables.documents(spark, dir)
     val isD = col("doc_id") % graft.operators.Dedup.DeltaIdMod === 0
     writeSboDocs(docs.filter(!isD), path)
@@ -206,7 +206,7 @@ object LmIndex {
     * hash-checked by the driver every round.
     */
   def docPerplexitySboRetract(spark: SparkSession, dir: String): DataFrame = {
-    val path = storePath("graft-sbo-rt-", dir)
+    val path = storePath(spark, "graft-sbo-rt-", dir)
     val docs = Tables.documents(spark, dir)
     writeSboDocs(docs, path)
     retractFromSbo(spark, path,
@@ -218,10 +218,14 @@ object LmIndex {
     TextAnalysis.docPerplexitySboSqlFor(
       s" AND doc_id % ${graft.operators.Dedup.RetractIdMod} <> 0")
 
-  private def storePath(prefix: String, dir: String): String =
+  // salted with the Spark application id: two concurrent sessions over the
+  // same dataset dir (a bench run beside a test run) would otherwise race
+  // on one mutable store root through writeSboDocs overwrite + swapRoot
+  private def storePath(spark: SparkSession, prefix: String, dir: String): String =
     new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      prefix + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
+      prefix + spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+        "-" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
 
   def sboNllFrom(spark: SparkSession, path: String, docs: DataFrame): DataFrame = {
     val c1 = spark.read.parquet(s"$path/c1")

@@ -149,9 +149,14 @@ object NbIndex {
     * count-merge + atomic root swap every round.
     */
   def nbClassifyIncr(spark: SparkSession, dir: String): DataFrame = {
+    // app-id salt: same concurrent-session store-root race guard as
+    // [[LmIndex]]'s storePath — two sessions over one dir must not share
+    // a mutable store root
     val path = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft-nb-incr-" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
+      "graft-nb-incr-" +
+        spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
+        "-" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
     val docs = Tables.documents(spark, dir)
     val isD = col("doc_id") % Dedup.DeltaIdMod === 0
     writeNbDocs(docs.filter(!isD), path, "words")
@@ -230,13 +235,20 @@ object NbIndex {
     def merged(sub: String, delta: DataFrame, keys: Seq[String], cnt: String): DataFrame = {
       val stored = spark.read.parquet(s"$path/$sub")
       validateConf(stored, "lang", s"stored NB count table at $path/$sub")
+      // NULL is a real class key here ([[Classify.nbModelFromCounts]] keeps
+      // the NULL-lang group as its own class), but a USING join matches with
+      // null-unsafe equality — a NULL-labeled delta would duplicate NULL-key
+      // rows on append and skip their decrement on retract. Join with <=>
+      // and coalesce the key pair so the NULL class merges like any other.
       val dl = delta.withColumnRenamed(cnt, "graft_delta_c")
+        .select(keys.map(k => col(k).as(s"graft_d_$k")) :+ col("graft_delta_c"): _*)
+      val cond = keys.map(k => col(k) <=> col(s"graft_d_$k")).reduce(_ && _)
       val j =
-        if (add) stored.join(dl, keys, "full_outer")
-          .select(keys.map(col) :+
+        if (add) stored.join(dl, cond, "full_outer")
+          .select(keys.map(k => coalesce(col(k), col(s"graft_d_$k")).as(k)) :+
             (coalesce(col(cnt), lit(0L)) +
               coalesce(col("graft_delta_c"), lit(0L))).as(cnt): _*)
-        else stored.join(dl, keys, "left")
+        else stored.join(dl, cond, "left")
           .select(keys.map(col) :+
             (col(cnt) - coalesce(col("graft_delta_c"), lit(0L))).as(cnt): _*)
           .filter(col(cnt) > 0)

@@ -100,7 +100,10 @@ object Unigram {
     */
   private[graft] def storedSegmentTable(spark: SparkSession, dir: String): DataFrame =
     Dedup.storedIndex(spark,
-      "uniseg-" + unigramFingerprint.replaceAll("[^A-Za-z0-9]", ""), dir)(
+      // sanitizing can collide distinct knob-sets (1.2/12 vs 12/·) — append
+      // a hash of the RAW fingerprint, the benchArtifact dir-salt discipline
+      "uniseg-" + unigramFingerprint.replaceAll("[^A-Za-z0-9]", "") +
+        "-" + Dedup.md5Hex(unigramFingerprint).take(8), dir)(
       unigramSegmentOf(Tables.documents(spark, dir)))
 
   /** The DP over an EXPLICIT (piece, lp) model — the seam

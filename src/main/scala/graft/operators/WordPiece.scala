@@ -134,7 +134,10 @@ object WordPiece {
     */
   private[graft] def storedGreedyTable(spark: SparkSession, dir: String): DataFrame =
     Dedup.storedIndex(spark,
-      "wpseg-" + Unigram.unigramFingerprint.replaceAll("[^A-Za-z0-9]", ""), dir)(
+      // raw-fingerprint hash suffix: same sanitization-collision guard as
+      // [[Unigram.storedSegmentTable]]
+      "wpseg-" + Unigram.unigramFingerprint.replaceAll("[^A-Za-z0-9]", "") +
+        "-" + Dedup.md5Hex(Unigram.unigramFingerprint).take(8), dir)(
       wordpieceSegment(spark, dir))
 
   /** The wordpiece CTE blocks (candidates by start, greedy successor,

@@ -1,0 +1,269 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** WARC/WET ingestion (SURVEY §2B) — the wire format a 100 TB crawl
+  * actually arrives in (ISO 28500; Common Crawl publishes WARC and its
+  * text-extraction sibling WET in exactly this shape). A crawl segment is
+  * a MULTI-MEMBER gzip file: each record is its own gzip member
+  * (header block + payload), members concatenated back to back, so a
+  * reader can skip to any member boundary without decompressing the
+  * prefix. Plain uncompressed `.warc`/`.wet` files are the degenerate
+  * one-member case and read through the same path.
+  *
+  * Scale rules, inherited from [[RawSources]]:
+  *  - one file = one task (gzip members don't split mid-file; crawl
+  *    segments are ~1 GB each, so parallelism is across the fleet of
+  *    files — the layout Common Crawl ships);
+  *  - malformed members/records QUARANTINE with the byte offset and a
+  *    tagged reason, never throw and never vanish: a truncated member in
+  *    the middle of a segment must not cost the members after it, so the
+  *    decoder resyncs to the next gzip magic (member grain) or the next
+  *    `WARC/` version line (record grain) and keeps going;
+  *  - untrusted bytes ride the same inflate-bomb/stall guards as the PDF
+  *    stream decoder (graft.operators.Ingestion's FlateDecode seam): a
+  *    member claiming to expand past 64× its compressed size, or an
+  *    FDICT/truncated deflate stream that stops making progress, is
+  *    quarantined, not inflated to OOM.
+  *
+  * Decoding is per-member `java.util.zip.Inflater` arithmetic (nowrap
+  * after a hand-parsed RFC 1952 header) rather than `GZIPInputStream`
+  * because member BOUNDARIES are the unit of fault isolation:
+  * `Inflater.getBytesRead` pins exactly where a member's deflate stream
+  * ended, so one rotten member quarantines alone and the CRC32/ISIZE
+  * trailer check catches silent corruption the stream API would pass
+  * through.
+  */
+object Warc {
+
+  /** One decoded row per WARC record; `bad_reason` non-null marks a
+    * quarantined member/record (its text carries nothing). `offset` is
+    * the byte offset of the enclosing gzip member in the file (record
+    * resync offsets are member-relative and folded into the reason).
+    */
+  private[sources] final case class WarcRow(
+      path: String, offset: Long, warc_type: String, record_id: String,
+      target_uri: String, warc_date: String, content_type: String,
+      content_length: Long, text: String, bad_reason: String)
+
+  /** WARC segment(s) at `path` → (records, quarantined). Records carry
+    * (path, offset, warc_type, record_id, target_uri, warc_date,
+    * content_type, content_length, text); quarantine carries
+    * (path, offset, reason). Never throws on malformed input.
+    */
+  def readWarc(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val rows = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, bytes) => decodeFile(p, bytes) })
+      .toDF()
+    val r = graft.operators.Intermediates.persist(rows)
+    (r.filter(col("bad_reason").isNull).drop("bad_reason"),
+      r.filter(col("bad_reason").isNotNull)
+        .select(col("path"), col("offset"), col("bad_reason").as("reason")))
+  }
+
+  // same untrusted-input guards as Ingestion's FlateDecode seam
+  private val MaxInflateRatio = 64L
+  private val MinInflateCap = 1L << 20
+
+  /** Decode one file's bytes: split gzip members (or take the whole file
+    * as one uncompressed member), parse WARC records inside each.
+    */
+  private[sources] def decodeFile(path: String, bytes: Array[Byte]): Seq[WarcRow] = {
+    if (bytes.isEmpty) return Seq.empty
+    val out = Vector.newBuilder[WarcRow]
+    if (!isGzipMagic(bytes, 0)) {
+      // plain .warc/.wet: the degenerate single uncompressed member
+      parseRecords(path, 0L, bytes, out)
+    } else {
+      var off = 0
+      while (off < bytes.length) {
+        if (!isGzipMagic(bytes, off)) {
+          // inter-member garbage: quarantine once, resync to next magic
+          val next = nextGzipMagic(bytes, off + 1)
+          out += bad(path, off, "garbage between gzip members")
+          off = if (next < 0) bytes.length else next
+        } else inflateMember(bytes, off) match {
+          case Right((data, end)) =>
+            parseRecords(path, off.toLong, data, out)
+            off = end
+          case Left(reason) =>
+            out += bad(path, off, reason)
+            val next = nextGzipMagic(bytes, off + 2)
+            off = if (next < 0) bytes.length else next
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def bad(path: String, off: Long, reason: String): WarcRow =
+    WarcRow(path, off, null, null, null, null, null, -1L, null, reason)
+
+  private def isGzipMagic(b: Array[Byte], off: Int): Boolean =
+    off + 2 < b.length && b(off) == 0x1f.toByte && b(off + 1) == 0x8b.toByte &&
+      b(off + 2) == 8.toByte
+
+  private def nextGzipMagic(b: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i < b.length && !isGzipMagic(b, i)) i += 1
+    if (i < b.length) i else -1
+  }
+
+  /** Inflate ONE gzip member starting at `off`: hand-parsed RFC 1952
+    * header, nowrap Inflater with the bomb/stall caps, CRC32 + ISIZE
+    * trailer verification. Returns (decompressed, offset just past the
+    * member's 8-byte trailer) or a quarantine reason.
+    */
+  private[sources] def inflateMember(b: Array[Byte], off: Int): Either[String, (Array[Byte], Int)] =
+    try {
+      var p = off
+      if (p + 10 > b.length) return Left("truncated gzip header")
+      val flg = b(p + 3) & 0xff
+      p += 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (p + 2 > b.length) return Left("truncated gzip FEXTRA")
+        val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+      }
+      if ((flg & 8) != 0) { // FNAME, zero-terminated
+        while (p < b.length && b(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT, zero-terminated
+        while (p < b.length && b(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      if (p >= b.length) return Left("truncated gzip header")
+      val compLen = b.length - p
+      val cap = math.max(compLen.toLong * MaxInflateRatio, MinInflateCap)
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(b, p, compLen)
+      val buf = new java.io.ByteArrayOutputStream(math.min(cap, 1L << 16).toInt)
+      val chunk = new Array[Byte](8192)
+      var stalled = false
+      var bombed = false
+      while (!inf.finished() && !stalled && !bombed) {
+        val n = inf.inflate(chunk)
+        if (n > 0) {
+          buf.write(chunk, 0, n)
+          if (buf.size().toLong > cap) bombed = true
+        } else stalled = true // FDICT / truncated: no progress possible
+      }
+      val finished = inf.finished()
+      val consumed = inf.getBytesRead.toInt
+      inf.end()
+      if (bombed) return Left("inflate cap exceeded (gzip bomb guard)")
+      if (!finished || stalled) return Left("truncated or undecodable deflate stream")
+      val trailerAt = p + consumed
+      if (trailerAt + 8 > b.length) return Left("truncated gzip trailer")
+      val data = buf.toByteArray
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      if (crc.getValue != readLe32(b, trailerAt))
+        return Left("gzip CRC32 mismatch")
+      if ((data.length.toLong & 0xffffffffL) != readLe32(b, trailerAt + 4))
+        return Left("gzip ISIZE mismatch")
+      Right((data, trailerAt + 8))
+    } catch {
+      // Inflater surfaces corrupt input as DataFormatException mid-stream —
+      // same quarantine class as a silent stall
+      case scala.util.control.NonFatal(e) =>
+        Left(s"truncated or undecodable deflate stream: ${e.getMessage}")
+    }
+
+  private def readLe32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Parse the WARC records inside one decompressed member. Record grain
+    * fault isolation: a record missing its version line or Content-Length
+    * quarantines and the parser resyncs to the next `WARC/` version line
+    * in the same member.
+    */
+  private def parseRecords(path: String, memberOff: Long, data: Array[Byte],
+      out: scala.collection.mutable.Builder[WarcRow, Vector[WarcRow]]): Unit = {
+    // Latin1 view: 1:1 byte↔char so string offsets index `data` directly
+    // (the Ingestion.PdfTextDecoder discipline)
+    val s = new String(data, StandardCharsets.ISO_8859_1)
+    var p = 0
+    var emitted = false
+    while (p < s.length) {
+      while (p < s.length && (s.charAt(p) == '\r' || s.charAt(p) == '\n')) p += 1
+      if (p >= s.length) return
+      if (!s.regionMatches(p, "WARC/", 0, 5)) {
+        out += bad(path, memberOff,
+          s"no WARC/ version line at member byte $p")
+        val nxt = s.indexOf("\r\nWARC/", p)
+        if (nxt < 0) return
+        p = nxt + 2
+      } else {
+        val hdrEnd = s.indexOf("\r\n\r\n", p)
+        if (hdrEnd < 0) {
+          out += bad(path, memberOff, s"unterminated WARC header block at member byte $p")
+          return
+        }
+        val headers = parseHeaders(s.substring(p, hdrEnd))
+        val lenOk = headers.get("content-length").flatMap(v =>
+          scala.util.Try(v.trim.toLong).toOption).filter(_ >= 0)
+        lenOk match {
+          case None =>
+            out += bad(path, memberOff,
+              s"missing or invalid Content-Length at member byte $p")
+            val nxt = s.indexOf("\r\nWARC/", hdrEnd)
+            if (nxt < 0) return
+            p = nxt + 2
+          case Some(len) =>
+            val bodyStart = hdrEnd + 4
+            if (bodyStart + len > s.length) {
+              out += bad(path, memberOff,
+                s"truncated payload at member byte $bodyStart (wants $len bytes)")
+              return
+            }
+            val payload = java.util.Arrays.copyOfRange(data, bodyStart, bodyStart + len.toInt)
+            out += WarcRow(path, memberOff,
+              headers.getOrElse("warc-type", null),
+              headers.getOrElse("warc-record-id", null),
+              headers.getOrElse("warc-target-uri", null),
+              headers.getOrElse("warc-date", null),
+              headers.getOrElse("content-type", null),
+              len,
+              new String(payload, StandardCharsets.UTF_8),
+              null)
+            emitted = true
+            p = bodyStart + len.toInt
+        }
+      }
+    }
+    if (!emitted && data.nonEmpty && p == 0)
+      out += bad(path, memberOff, "member carries no WARC records")
+  }
+
+  /** Header block → lowercase-name map; RFC 822 continuation lines
+    * (leading SP/HT) fold into the previous value.
+    */
+  private def parseHeaders(block: String): Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var last: String = null
+    // first line is the version line ("WARC/1.0") — skip it
+    block.split("\r\n").iterator.drop(1).foreach { line =>
+      if (line.nonEmpty && (line.charAt(0) == ' ' || line.charAt(0) == '\t')) {
+        if (last != null) m(last) = m(last) + " " + line.trim
+      } else {
+        val i = line.indexOf(':')
+        if (i > 0) {
+          val k = line.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+          m(k) = line.substring(i + 1).trim
+          last = k
+        }
+      }
+    }
+    m.toMap
+  }
+}

@@ -142,6 +142,39 @@ class NbIndexSpec extends SparkSpec {
     assert(storedCounts() == original, "append ∘ retract must be identity")
   }
 
+  test("NULL lang is a mergeable class: append/retract with NULL labels ≡ rebuild") {
+    // Classify.nbModelFromCounts keeps the NULL-lang group as its own
+    // class; the count merge must treat it like any other key (a plain
+    // equality join silently duplicates NULL rows on append and skips
+    // their decrement on retract — regression for the <=> merge join)
+    import spark.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma", "en"), (2L, "delta epsilon", null),
+      (3L, "alpha delta", "fr"), (5L, "beta beta", null))
+      .toDF("doc_id", "text", "lang")
+    val delta = Seq(
+      (6L, "gamma gamma alpha", null), (7L, "epsilon beta", "en"))
+      .toDF("doc_id", "text", "lang")
+    val merged = fresh("nm")
+    NbIndex.writeNbDocs(base, merged, "words")
+    NbIndex.appendToNb(spark, merged, delta)
+    val rebuilt = fresh("nr")
+    NbIndex.writeNbDocs(base.unionByName(delta), rebuilt, "words")
+    def counts(p: String): Seq[Set[Seq[Any]]] =
+      Seq("cw", "cdc").map(t =>
+        spark.read.parquet(s"$p/$t").collect().map(_.toSeq).toSet)
+    val full = counts(rebuilt)
+    assert(counts(merged) == full,
+      "append with NULL-lang rows must merge the NULL class, not duplicate it")
+    assert(full.exists(_.exists(_.contains(null))),
+      "vacuous: the planted frame must actually produce NULL-key count rows")
+    NbIndex.retractFromNb(spark, merged, delta)
+    val baseOnly = fresh("nb")
+    NbIndex.writeNbDocs(base, baseOnly, "words")
+    assert(counts(merged) == counts(baseOnly),
+      "retract must decrement the NULL class back to the base store")
+  }
+
   test("the artifact catalog sees the NB store and flags drift") {
     val root = fresh("c")
     NbIndex.writeNb(spark, sf, s"$root/nb-words", "words")

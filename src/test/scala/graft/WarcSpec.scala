@@ -1,0 +1,152 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+import graft.sources.Warc
+
+/** WARC/WET front door: real multi-member gzip bytes round-trip exactly;
+  * rotten members/records quarantine at their grain without costing the
+  * rest of the file; bombs and trailer corruption are refused, never
+  * inflated or passed through.
+  */
+class WarcSpec extends SparkSpec {
+
+  private val Iso = StandardCharsets.ISO_8859_1
+  private val Utf8 = StandardCharsets.UTF_8
+
+  private def record(typ: String, uri: String, body: Array[Byte]): Array[Byte] = {
+    val hdr = s"WARC/1.0\r\n" +
+      s"WARC-Type: $typ\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$uri>\r\n" +
+      s"WARC-Target-URI: http://$uri/\r\n" +
+      s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      s"Content-Type: text/plain\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n"
+    hdr.getBytes(Iso) ++ body ++ "\r\n\r\n".getBytes(Iso)
+  }
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bo = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bo)
+    g.write(b); g.close()
+    bo.toByteArray
+  }
+
+  private def writeFile(name: String, bytes: Array[Byte]): String = {
+    val dir = Files.createTempDirectory("graft_warc")
+    val p = dir.resolve(name)
+    Files.write(p, bytes)
+    p.toString
+  }
+
+  test("multi-member warc.gz round-trips records, URIs and payload text exactly") {
+    // the Common Crawl shape: one gzip member per record, concatenated
+    val bodies = Seq(
+      "the quick brown fox",
+      "naïve café — déjà vu ☃", // multi-byte UTF-8 must survive bit-exact
+      "line one\nline two\n")
+    val bytes = bodies.zipWithIndex.map { case (b, i) =>
+      gz(record("conversion", s"example-$i.org", b.getBytes(Utf8)))
+    }.reduce(_ ++ _)
+    val path = writeFile("seg.warc.gz", bytes)
+    val (good, bad) = Warc.readWarc(spark, path)
+    assert(bad.isEmpty, bad.collect().mkString("|"))
+    val rows = good.orderBy("offset").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[String]("text")).toSeq == bodies)
+    assert(rows.map(_.getAs[String]("target_uri")).toSeq ==
+      bodies.indices.map(i => s"http://example-$i.org/"))
+    assert(rows.forall(_.getAs[String]("warc_type") == "conversion"))
+    assert(rows.zip(bodies).forall { case (r, b) =>
+      r.getAs[Long]("content_length") == b.getBytes(Utf8).length.toLong })
+    // member offsets strictly increase: each record pins its own member
+    val offs = rows.map(_.getAs[Long]("offset")).toSeq
+    assert(offs == offs.sorted && offs.distinct == offs)
+  }
+
+  test("a rotten middle member quarantines alone; members after it still parse") {
+    val m1 = gz(record("conversion", "a.org", "first".getBytes(Utf8)))
+    val m3 = gz(record("conversion", "c.org", "third".getBytes(Utf8)))
+    // member 2: valid gzip magic, then garbage (truncated deflate)
+    val m2 = gz(record("conversion", "b.org", "second".getBytes(Utf8))).take(20)
+    val path = writeFile("rot.warc.gz", m1 ++ m2 ++ m3)
+    val (good, bad) = Warc.readWarc(spark, path)
+    val texts = good.collect().map(_.getAs[String]("text")).toSet
+    assert(texts == Set("first", "third"))
+    val q = bad.collect()
+    assert(q.length == 1 && q.head.getAs[Long]("offset") == m1.length.toLong)
+    assert(q.head.getAs[String]("reason").contains("deflate"))
+  }
+
+  test("a flipped trailer CRC quarantines that member with the tagged reason") {
+    val m1 = gz(record("conversion", "a.org", "alpha".getBytes(Utf8)))
+    val m2 = gz(record("conversion", "b.org", "beta".getBytes(Utf8)))
+    // corrupt m1's CRC32 (first trailer byte, 8 from the end)
+    val m1bad = m1.clone()
+    m1bad(m1bad.length - 8) = (m1bad(m1bad.length - 8) ^ 0xff).toByte
+    val path = writeFile("crc.warc.gz", m1bad ++ m2)
+    val (good, bad) = Warc.readWarc(spark, path)
+    assert(good.collect().map(_.getAs[String]("text")).toSet == Set("beta"))
+    val q = bad.collect()
+    assert(q.length == 1 && q.head.getAs[String]("reason").contains("CRC32"))
+  }
+
+  test("record-grain resync: a record missing Content-Length quarantines, the next record parses") {
+    val goodRec = record("conversion", "ok.org", "kept".getBytes(Utf8))
+    val badRec = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: http://bad.org/\r\n\r\n").getBytes(Iso)
+    val path = writeFile("plain.wet", badRec ++ goodRec)
+    val (good, bad) = Warc.readWarc(spark, path)
+    assert(good.collect().map(_.getAs[String]("text")).toSeq == Seq("kept"))
+    val q = bad.collect()
+    assert(q.length == 1 && q.head.getAs[String]("reason").contains("Content-Length"))
+  }
+
+  test("plain uncompressed .wet parses through the same path") {
+    val bytes = record("warcinfo", "info.org", "robots: classic".getBytes(Utf8)) ++
+      record("conversion", "page.org", "page text body".getBytes(Utf8))
+    val path = writeFile("plain2.wet", bytes)
+    val (good, bad) = Warc.readWarc(spark, path)
+    assert(bad.isEmpty)
+    val byType = good.collect().map(r =>
+      r.getAs[String]("warc_type") -> r.getAs[String]("text")).toMap
+    assert(byType == Map(
+      "warcinfo" -> "robots: classic", "conversion" -> "page text body"))
+  }
+
+  test("empty and pure-garbage files contribute zero records and never throw") {
+    val empty = writeFile("empty.warc.gz", Array.emptyByteArray)
+    val (g1, b1) = Warc.readWarc(spark, empty)
+    assert(g1.isEmpty && b1.isEmpty)
+    val junk = writeFile("junk.warc", "this is not a warc at all".getBytes(Utf8))
+    val (g2, b2) = Warc.readWarc(spark, junk)
+    assert(g2.isEmpty)
+    assert(b2.collect().map(_.getAs[String]("reason"))
+      .exists(_.contains("version line")))
+  }
+
+  test("a gzip bomb member is refused at the inflate cap, not expanded") {
+    // 64 MB of zeros compresses to ~64 KB: the claimed expansion blows the
+    // 64× cap and must quarantine without materializing the payload
+    val big = new Array[Byte](64 << 20)
+    val bomb = gz(record("conversion", "bomb.org", big))
+    val tail = gz(record("conversion", "after.org", "survivor".getBytes(Utf8)))
+    val path = writeFile("bomb.warc.gz", bomb ++ tail)
+    val (good, bad) = Warc.readWarc(spark, path)
+    assert(good.collect().map(_.getAs[String]("text")).toSeq == Seq("survivor"))
+    assert(bad.collect().exists(_.getAs[String]("reason").contains("bomb")))
+  }
+
+  test("truncated payload at end of member quarantines with the offset in the reason") {
+    val full = record("conversion", "cut.org", "0123456789".getBytes(Utf8))
+    val cut = full.take(full.length - 8) // chop into the payload
+    val path = writeFile("cut.warc.gz", gz(cut))
+    val (good, bad) = Warc.readWarc(spark, path)
+    assert(good.isEmpty)
+    assert(bad.collect().exists(_.getAs[String]("reason").contains("truncated payload")))
+  }
+}
