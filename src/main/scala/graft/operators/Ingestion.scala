@@ -322,7 +322,11 @@ object Ingestion {
     private final case class PArr(items: Vector[PObj]) extends PObj
     private final case class PDict(m: Map[String, PObj]) extends PObj
     private final case class PRef(num: Int) extends PObj
-    private final case class PStream(dict: PDict, data: Array[Byte]) extends PObj
+    // num/gen identify the OWNING indirect object — the per-object
+    // decryption key salt (ISO 32000-1 §7.6.2 Algorithm 1); -1 marks a
+    // stream with no object identity (never decrypted)
+    private final case class PStream(dict: PDict, data: Array[Byte],
+        num: Int = -1, gen: Int = 0) extends PObj
     private case object PNull extends PObj
 
     /** Minimal PDF object lexer/parser over the Latin1 view (1:1
@@ -409,10 +413,11 @@ object Ingestion {
         val hex = s.substring(st, p).filterNot(isWs)
         p += 1
         val padded = if (hex.length % 2 == 0) hex else hex + "0"
-        // §7.9.2.2 applies to ANY text string regardless of literal/hex
-        // spelling — real writers emit hex-encoded UTF-16BE routinely, so
-        // the BOM check runs on the decoded bytes here too (litStr's twin)
-        PStr(utf16IfBom(padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString))
+        // RAW bytes by design: object-level strings are consumed as CRYPTO
+        // material (/O, /U, /ID — §7.6 needs them verbatim) and never as
+        // text; §7.9.2.2 BOM decoding happens at the show-string layer
+        // (parseContent), the only place string bytes become TEXT
+        PStr(padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString)
       }
       private def litStr(): PObj = {
         p += 1
@@ -458,6 +463,311 @@ object Ingestion {
     private final case class AtOffset(off: Int) extends Loc
     private final case class InStm(stm: Int, idx: Int) extends Loc
 
+    /** §9.10.3 /ToUnicode CMap: maps show-string char CODES to Unicode
+      * text — how most real-world non-Latin PDF text is encoded (a
+      * subset font's codes are font-internal glyph ids; the embedded
+      * CMap is the only bridge back to text). `widths` are the declared
+      * codespace ranges (nbytes, lo, hi) fixing how many bytes one code
+      * takes (Identity-H subset fonts: 2); `single` holds bfchar
+      * mappings, `ranges` bfrange entries whose destination is either a
+      * start string (last UTF-16 unit incremented per §9.10.3) or an
+      * explicit per-code array. A code with no mapping emits U+FFFD —
+      * deterministic, and honest about the lost glyph.
+      */
+    private final class ToUnicodeCMap(
+        widths: Vector[(Int, Long, Long)],
+        single: Map[Long, String],
+        ranges: Vector[(Long, Long, Either[String, Vector[String]])]) {
+
+      def decode(raw: String): String = {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < raw.length) {
+          var code = -1L
+          var w = 0
+          // first declared codespace whose range admits the next bytes
+          val it = widths.iterator
+          while (code < 0 && it.hasNext) {
+            val (nb, lo, hi) = it.next()
+            if (i + nb <= raw.length) {
+              var c = 0L
+              for (k <- 0 until nb) c = (c << 8) | (raw.charAt(i + k) & 0xff)
+              if (c >= lo && c <= hi) { code = c; w = nb }
+            }
+          }
+          if (code < 0) { // outside every codespace: consume default width
+            val nb = math.min(widths.head._1, raw.length - i)
+            var c = 0L
+            for (k <- 0 until nb) c = (c << 8) | (raw.charAt(i + k) & 0xff)
+            code = c; w = math.max(nb, 1)
+          }
+          sb.append(lookup(code))
+          i += w
+        }
+        sb.toString
+      }
+
+      private def lookup(code: Long): String =
+        single.get(code).orElse {
+          ranges.collectFirst {
+            case (lo, hi, dst) if code >= lo && code <= hi => dst match {
+              case Left(start) if start.nonEmpty =>
+                start.init + (start.last + (code - lo)).toChar
+              case Right(arr) if code - lo < arr.length => arr((code - lo).toInt)
+              case _ => "�"
+            }
+          }
+        }.getOrElse("�")
+    }
+
+    private object ToUnicodeCMap {
+      private val SpaceRe = """(?s)begincodespacerange(.*?)endcodespacerange""".r
+      private val BfCharRe = """(?s)beginbfchar(.*?)endbfchar""".r
+      private val BfRangeRe = """(?s)beginbfrange(.*?)endbfrange""".r
+      private val HexRe = """<([0-9A-Fa-f]+)>""".r
+      private val RangeEntryRe =
+        """(?s)<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]*)>|\[(.*?)\])""".r
+
+      private def codeOf(hex: String): Long =
+        java.lang.Long.parseLong(hex.takeRight(8), 16)
+
+      /** Destination hex → UTF-16 string (4 hex digits per code unit;
+        * a stray short prefix left-pads).
+        */
+      private def dstOf(hex: String): String = {
+        val padded = "0" * ((4 - hex.length % 4) % 4) + hex
+        padded.grouped(4).map(h => Integer.parseInt(h, 16).toChar).mkString
+      }
+
+      /** Parse an embedded CMap stream's text; None when it carries no
+        * usable mappings (the caller then keeps the byte path — a font
+        * without a working CMap must not change behavior).
+        */
+      def parse(text: String): Option[ToUnicodeCMap] = try {
+        val declared = SpaceRe.findAllMatchIn(text).flatMap { m =>
+          HexRe.findAllMatchIn(m.group(1)).map(_.group(1)).grouped(2).collect {
+            case Seq(lo, hi) =>
+              (math.min(math.max(lo.length / 2, 1), 4), codeOf(lo), codeOf(hi))
+          }
+        }.toVector
+        val single = BfCharRe.findAllMatchIn(text).flatMap { m =>
+          HexRe.findAllMatchIn(m.group(1)).map(_.group(1)).grouped(2).collect {
+            case Seq(src, dst) => codeOf(src) -> dstOf(dst)
+          }
+        }.toMap
+        val srcWidths = scala.collection.mutable.ArrayBuffer.empty[Int]
+        BfCharRe.findAllMatchIn(text).foreach { m =>
+          HexRe.findAllMatchIn(m.group(1)).map(_.group(1)).grouped(2).foreach {
+            case Seq(src, _) => srcWidths += math.max(src.length / 2, 1)
+            case _ =>
+          }
+        }
+        val ranges = BfRangeRe.findAllMatchIn(text).flatMap { m =>
+          RangeEntryRe.findAllMatchIn(m.group(1)).map { e =>
+            srcWidths += math.max(e.group(1).length / 2, 1)
+            val dst =
+              if (e.group(3) != null) Left(dstOf(e.group(3)))
+              else Right(HexRe.findAllMatchIn(e.group(4)).map(x => dstOf(x.group(1))).toVector)
+            (codeOf(e.group(1)), codeOf(e.group(2)), dst)
+          }
+        }.toVector
+        if (single.isEmpty && ranges.isEmpty) None
+        else {
+          // no codespacerange declared: infer one from the source widths
+          val widths =
+            if (declared.nonEmpty) declared
+            else {
+              val w = if (srcWidths.isEmpty) 2 else srcWidths.max
+              Vector((w, 0L, (1L << (8 * w)) - 1))
+            }
+          Some(new ToUnicodeCMap(widths, single, ranges))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Standard security handler decryption for the EMPTY-user-password
+      * case — the dominant class of encrypted crawl PDFs (ISO 32000-1
+      * §7.6.3: RC4-40/128 at /V 1-2 and /V 4 crypt filters /V2 | /AESV2;
+      * pure public arithmetic, no secret involved — "encryption" with an
+      * empty user password is an access-control formality the reader
+      * undoes deterministically). Built AFTER the xref chain loads, so
+      * xref/XRefStm streams — which §7.5.8.2 exempts from encryption —
+      * decode untouched by construction. Only STREAMS are decrypted:
+      * object-level strings are never consumed as text by this extractor
+      * (show strings live inside content streams and come decrypted with
+      * them; ObjStm-packed objects decrypt at the container grain, and
+      * §7.6.2 exempts their inner strings from separate encryption).
+      * A genuinely passworded document (/U verification fails against the
+      * empty padded password) still REFUSES with the tagged reason, as do
+      * unsupported handlers/revisions (AES-256 /R 5-6, custom filters).
+      */
+    private final class PdfCrypt(fileKey: Array[Byte], aes: Boolean) {
+      def decryptStream(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+        val key = PdfCrypt.objectKey(fileKey, num, gen, aes)
+        if (aes) PdfCrypt.aesCbcDecrypt(key, data) else PdfCrypt.rc4(key, data)
+      }
+    }
+
+    private object PdfCrypt {
+      /** §7.6.3.3 password pad — public constant bytes. */
+      private val Pad: Array[Byte] = Array(
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+      private def md5(parts: Array[Byte]*): Array[Byte] = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+        parts.foreach(d.update)
+        d.digest()
+      }
+
+      private def strBytes(o: PObj, what: String): Array[Byte] = o match {
+        case PStr(v) => v.toCharArray.map(c => (c & 0xff).toByte)
+        case _ => throw PdfQuarantine(s"encrypted: /Encrypt $what is not a string")
+      }
+
+      /** Build the handler from the resolved /Encrypt dict + file /ID,
+        * verifying the EMPTY user password; throws [[PdfQuarantine]] with
+        * an `encrypted:` reason for anything this path cannot honestly
+        * read (wrong password, unsupported scheme).
+        */
+      def build(enc: Map[String, PObj], resolve: PObj => PObj,
+          id0: Array[Byte]): PdfCrypt = {
+        resolve(enc.getOrElse("Filter", PNull)) match {
+          case PName("Standard") =>
+          case o => throw PdfQuarantine(
+            s"encrypted: non-standard security handler ($o)")
+        }
+        def num(k: String, dflt: Int): Int = resolve(enc.getOrElse(k, PNull)) match {
+          case PNum(v) => v.toInt
+          case _ => dflt
+        }
+        val v = num("V", 0)
+        val r = num("R", 0)
+        val o32 = strBytes(resolve(enc.getOrElse("O", PNull)), "/O")
+        val u32 = strBytes(resolve(enc.getOrElse("U", PNull)), "/U")
+        if (o32.length < 32 || u32.length < 32)
+          throw PdfQuarantine("encrypted: /O or /U shorter than 32 bytes")
+        val p = num("P", 0)
+        val encryptMetadata = resolve(enc.getOrElse("EncryptMetadata", PName("true"))) match {
+          case PName("false") => false
+          case _ => true
+        }
+        val (keyBits, aes) = v match {
+          case 1 => (40, false)
+          case 2 if r == 2 || r == 3 => (num("Length", 40), false)
+          case 4 if r == 4 =>
+            // crypt-filter indirection: the stream filter names a /CF entry
+            val stmF = resolve(enc.getOrElse("StmF", PName("Identity"))) match {
+              case PName(n) => n
+              case _ => "Identity"
+            }
+            if (stmF == "Identity") (0, false) // streams pass through
+            else {
+              val cfm = resolve(enc.getOrElse("CF", PNull)) match {
+                case PDict(cf) => resolve(cf.getOrElse(stmF, PNull)) match {
+                  case PDict(f) => resolve(f.getOrElse("CFM", PNull)) match {
+                    case PName(n) => n
+                    case _ => "?"
+                  }
+                  case _ => "?"
+                }
+                case _ => "?"
+              }
+              cfm match {
+                case "V2" => (num("Length", 128), false)
+                case "AESV2" => (128, true)
+                case other => throw PdfQuarantine(
+                  s"encrypted: unsupported crypt filter method /$other")
+              }
+            }
+          case _ => throw PdfQuarantine(
+            s"encrypted: unsupported standard handler /V $v /R $r " +
+              "(empty-password RC4/AES-128 only)")
+        }
+        require(keyBits % 8 == 0 && keyBits >= 0 && keyBits <= 128,
+          s"bad key length $keyBits")
+        val keyLen = math.max(keyBits / 8, 1) // 0-bit Identity still builds
+        // Algorithm 2 with the empty user password = the bare pad
+        val pLe = Array[Byte](
+          (p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+          ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
+        val extra =
+          if (r >= 4 && !encryptMetadata)
+            Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)
+          else Array.emptyByteArray
+        var h = md5(Pad, o32.take(32), pLe, id0, extra)
+        if (r >= 3) for (_ <- 0 until 50) h = md5(h.take(keyLen))
+        val key = h.take(keyLen)
+        // Algorithm 6: verify the empty USER password against /U
+        val uOk = r match {
+          case 2 => java.util.Arrays.equals(rc4(key, Pad), u32.take(32))
+          case _ =>
+            var x = rc4(key, md5(Pad, id0))
+            for (i <- 1 to 19)
+              x = rc4(key.map(b => (b ^ i).toByte), x)
+            java.util.Arrays.equals(x.take(16), u32.take(16))
+        }
+        if (!uOk) throw PdfQuarantine(
+          "encrypted: password required (empty user password fails /U verification)")
+        new PdfCrypt(key, aes)
+      }
+
+      /** §7.6.2 Algorithm 1: per-object key = MD5(file key ‖ objnum LE24
+        * ‖ gen LE16 [‖ sAlT for AES]), truncated to min(len+5, 16).
+        */
+      private def objectKey(fileKey: Array[Byte], num: Int, gen: Int,
+          aes: Boolean): Array[Byte] = {
+        val salt = Array[Byte](
+          (num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+          ((num >> 16) & 0xff).toByte,
+          (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
+        val aesSalt =
+          if (aes) Array[Byte](0x73, 0x41, 0x6c, 0x54) // "sAlT"
+          else Array.emptyByteArray
+        md5(fileKey, salt, aesSalt).take(math.min(fileKey.length + 5, 16))
+      }
+
+      /** Plain RC4 (KSA + PRGA) — §7.6.2's symmetric cipher, public. */
+      private def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+        val s = Array.tabulate(256)(_.toByte)
+        var j = 0
+        for (i <- 0 until 256) {
+          j = (j + s(i) + key(i % key.length)) & 0xff
+          val t = s(i); s(i) = s(j); s(j) = t
+        }
+        val out = new Array[Byte](data.length)
+        var a = 0
+        var b = 0
+        for (i <- data.indices) {
+          a = (a + 1) & 0xff
+          b = (b + s(a)) & 0xff
+          val t = s(a); s(a) = s(b); s(b) = t
+          out(i) = (data(i) ^ s((s(a) + s(b)) & 0xff)).toByte
+        }
+        out
+      }
+
+      /** AESV2 stream layout (§7.6.2): 16-byte IV prefix, CBC body,
+        * PKCS#7 padding. Malformed geometry/padding throws (→ the
+        * document quarantines as malformed, never emits garbage).
+        */
+      private def aesCbcDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+        require(data.length >= 32 && (data.length - 16) % 16 == 0,
+          s"malformed AES stream length ${data.length}")
+        val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(key, "AES"),
+          new javax.crypto.spec.IvParameterSpec(data.take(16)))
+        val plain = cipher.doFinal(data, 16, data.length - 16)
+        val padLen = plain.last & 0xff
+        require(padLen >= 1 && padLen <= 16 && padLen <= plain.length,
+          s"malformed AES padding $padLen")
+        java.util.Arrays.copyOf(plain, plain.length - padLen)
+      }
+    }
+
     /** Lazily-resolved PDF document: xref chain loaded up front (newest
       * section wins per object), objects parsed on demand — including
       * type-2 entries packed in /ObjStm streams.
@@ -478,8 +788,29 @@ object Ingestion {
 
       loadChain()
 
-      /** The merged trailer claims document-level encryption. */
-      def encrypted: Boolean = trailer.contains("Encrypt")
+      /** Decryption handler, built AFTER the chain loads so xref/XRefStm
+        * streams (exempt from encryption, §7.5.8.2) decoded during
+        * loadChain are untouched; empty-password verification / scheme
+        * support failures throw the tagged `encrypted:` quarantine here,
+        * at construction.
+        */
+      private val crypt: Option[PdfCrypt] = trailer.get("Encrypt").map { e =>
+        val encDict = resolve(e) match {
+          case PDict(m) => m
+          case _ => throw PdfQuarantine("encrypted: /Encrypt is not a dictionary")
+        }
+        // first element of the file /ID pair feeds key derivation; a
+        // missing ID contributes nothing (the same bytes a writer that
+        // omitted it hashed)
+        val id0 = resolve(trailer.getOrElse("ID", PNull)) match {
+          case PArr(items) if items.nonEmpty => resolve(items.head) match {
+            case PStr(v) => v.toCharArray.map(c => (c & 0xff).toByte)
+            case _ => Array.emptyByteArray
+          }
+          case _ => Array.emptyByteArray
+        }
+        PdfCrypt.build(encDict, resolve, id0)
+      }
 
       private def mergeTrailer(d: Map[String, PObj]): Unit =
         // newest-first walk: a key already merged came from a NEWER
@@ -598,7 +929,7 @@ object Ingestion {
       private def indirectAt(off: Int): (Int, PObj) = {
         val lex = new Lex(s, off)
         val num = lex.int()
-        lex.int() // generation
+        val gen = lex.int()
         require(lex.keyword("obj"), s"obj keyword expected at $off")
         val v = lex.obj()
         lex.ws()
@@ -614,7 +945,7 @@ object Ingestion {
                 case e => e
               }
             }
-            (num, PStream(PDict(m), bytes.slice(st, end)))
+            (num, PStream(PDict(m), bytes.slice(st, end), num, gen))
           case other => (num, other)
         }
       }
@@ -662,7 +993,13 @@ object Ingestion {
         cur
       }
 
-      /** Apply /Filter (+ /DecodeParms PNG predictors) to a stream. */
+      /** Apply decryption (per-object key, §7.6.2 Algorithm 1) then
+        * /Filter (+ /DecodeParms PNG predictors) to a stream. Cipher
+        * text decrypts BEFORE filters run — writers Flate-compress the
+        * plaintext and encrypt the compressed bytes. Streams decoded
+        * during loadChain predate `crypt` and pass through raw (exactly
+        * the xref-stream exemption).
+        */
       def decodeStream(ps: PStream): Array[Byte] = {
         val filters = ps.dict.m.get("Filter").map(resolve) match {
           case Some(PName(f)) => Seq(f)
@@ -674,7 +1011,13 @@ object Ingestion {
           case Some(PArr(ds)) => ds.map { case d: PDict => Some(d); case _ => None }
           case _ => Seq.fill(filters.length)(None)
         }
-        var data = ps.data
+        // `crypt` is still null for loadChain-time calls (constructor
+        // order) — the match's wildcard covers that deliberately: those
+        // are exactly the encryption-exempt xref/XRefStm streams
+        var data = crypt match {
+          case Some(c) if ps.num >= 0 => c.decryptStream(ps.num, ps.gen, ps.data)
+          case _ => ps.data
+        }
         filters.zipAll(parms, "?", None).foreach {
           case ("FlateDecode", pm) =>
             data = inflate(data).getOrElse(
@@ -752,6 +1095,45 @@ object Ingestion {
         out.result()
       }
 
+      /** The page's /Font resources → each font's parsed /ToUnicode CMap
+        * (only fonts carrying a usable one — the rest keep the byte
+        * path). /Resources is an INHERITABLE page attribute (§7.7.3.4):
+        * climb /Parent until found, hop-bounded like [[resolve]].
+        */
+      def pageFonts(page: PDict): Map[String, ToUnicodeCMap] = {
+        var cur: PObj = page
+        var res: Option[PDict] = None
+        var hops = 0
+        while (res.isEmpty && hops <= 64) {
+          resolve(cur) match {
+            case d: PDict =>
+              d.m.get("Resources").map(resolve) match {
+                case Some(r: PDict) => res = Some(r)
+                case _ => d.m.get("Parent") match {
+                  case Some(p) => cur = p; hops += 1
+                  case None => hops = 65
+                }
+              }
+            case _ => hops = 65
+          }
+        }
+        res.flatMap(r => r.m.get("Font").map(resolve)) match {
+          case Some(PDict(fm)) =>
+            fm.iterator.flatMap { case (name, fo) =>
+              resolve(fo) match {
+                case fd: PDict => fd.m.get("ToUnicode").map(resolve) match {
+                  case Some(ps: PStream) =>
+                    ToUnicodeCMap.parse(new String(decodeStream(ps), Latin1))
+                      .map(name -> _)
+                  case _ => None
+                }
+                case _ => None
+              }
+            }.toMap
+          case _ => Map.empty
+        }
+      }
+
       /** A page's decoded content: /Contents ref, or array of refs,
         * concatenated in order (the spec's whitespace-join semantics).
         */
@@ -774,16 +1156,14 @@ object Ingestion {
       * (caught by [[blocks]] → zero blocks → OCR route).
       */
     private def structuredBlocks(s: String, bytes: Array[Byte]): Seq[PdfBlock] = {
+      // /Encrypt handling happens inside PdfDoc construction: the
+      // empty-user-password standard handler (the dominant crawl case)
+      // DECRYPTS and extraction proceeds; genuinely passworded or
+      // unsupported schemes throw the tagged `encrypted:` quarantine there
       val doc = new PdfDoc(s, bytes)
-      // real crawls carry encrypted PDFs: /Encrypt in the trailer means
-      // every string and stream is RC4/AES cipher text — extraction would
-      // emit garbage, so refuse with the tagged reason instead
-      if (doc.encrypted)
-        throw PdfQuarantine(
-          "encrypted: trailer carries /Encrypt — strings and streams are cipher text")
       val out = scala.collection.mutable.ArrayBuffer.empty[PdfBlock]
       doc.pages().zipWithIndex.foreach { case (pg, i) =>
-        parseContent(doc.pageContent(pg), i, out)
+        parseContent(doc.pageContent(pg), i, out, doc.pageFonts(pg))
       }
       out.toSeq
     }
@@ -791,8 +1171,10 @@ object Ingestion {
     private val TdRe = """(-?[0-9.]+)\s+(-?[0-9.]+)\s+(?:Td|TD)""".r
     private val TmRe = ("""(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+""" +
       """(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+Tm""").r
-    // a literal string: parens with \-escapes honored
-    private val StrRe = """\(((?:\\.|[^\\()])*)\)""".r
+    // a show string: literal (parens with \-escapes honored) OR hex —
+    // §7.3.4 makes them interchangeable spellings of the same byte
+    // string, and real writers emit hex `<FEFF...> Tj` for non-Latin text
+    private val StrRe = """\(((?:\\.|[^\\()])*)\)|<([0-9A-Fa-f \t\r\n]*)>""".r
 
     private def unescape(v: String): String = {
       val b = new StringBuilder
@@ -811,7 +1193,10 @@ object Ingestion {
           }
         } else { b.append(c); i += 1 }
       }
-      utf16IfBom(b.toString)
+      // byte-level only — the BOM/Unicode step is the SHOW layer's job
+      // (utf16IfBom at the parseContent call sites): Lex.litStr shares
+      // this helper and its strings must stay raw for §7.6 crypto use
+      b.toString
     }
 
     /** PDF text strings are byte strings; a 0xFE 0xFF BOM prefix marks
@@ -833,8 +1218,22 @@ object Ingestion {
         b.toString
       } else v
 
+    // font selection: "/F1 12 Tf" — tracked positionally so each show
+    // string decodes through the font ACTIVE at its position
+    private val TfRe = """/([^\s/<>\[\]()]+)\s+-?[0-9.]+\s+Tf""".r
+
     private def parseContent(c: String, page: Int,
-        out: scala.collection.mutable.ArrayBuffer[PdfBlock]): Unit = {
+        out: scala.collection.mutable.ArrayBuffer[PdfBlock],
+        fonts: Map[String, ToUnicodeCMap] = Map.empty): Unit = {
+      val tfs =
+        if (fonts.isEmpty) Vector.empty
+        else TfRe.findAllMatchIn(c).map(m => (m.start, m.group(1))).toVector
+      def cmapAt(pos: Int): Option[ToUnicodeCMap] = {
+        var sel: String = null
+        var k = 0
+        while (k < tfs.length && tfs(k)._1 < pos) { sel = tfs(k)._2; k += 1 }
+        Option(sel).flatMap(fonts.get)
+      }
       var i = c.indexOf("BT")
       while (i >= 0) {
         val e = c.indexOf("ET", i + 2)
@@ -854,8 +1253,21 @@ object Ingestion {
             nextClose >= 0 && body.substring(nextClose + 1).dropWhile(_.isWhitespace).startsWith("TJ") &&
               body.lastIndexOf('[', m.start) > body.lastIndexOf(']', m.start)
           }
-          if (after.startsWith("Tj") || after.startsWith("'") || after.startsWith("\"") || inTjArray)
-            shows += unescape(m.group(1))
+          if (after.startsWith("Tj") || after.startsWith("'") || after.startsWith("\"") || inTjArray) {
+            // raw byte string first (escape / hex decode), then TEXT
+            // decoding: the active font's /ToUnicode CMap when it has
+            // one, else the §7.9.2.2 BOM check — the one place string
+            // bytes become text
+            val raw =
+              if (m.group(1) != null) unescape(m.group(1))
+              else {
+                val hex = m.group(2).filterNot(_.isWhitespace)
+                val padded = if (hex.length % 2 == 0) hex else hex + "0"
+                padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString
+              }
+            shows += cmapAt(i + 2 + m.start)
+              .map(_.decode(raw)).getOrElse(utf16IfBom(raw))
+          }
         }
         if (shows.nonEmpty) out += PdfBlock(page, shows.mkString(" "), x, y)
         i = if (e < 0) -1 else c.indexOf("BT", e + 2)
