@@ -64,6 +64,7 @@ object ScaleProbe {
       if (want("annappend")) annAppendProbe(spark)
       if (want("semdecon")) semDecontamProbe(spark)
       if (want("retract")) retractProbes(spark, dir)
+      if (want("lmstore")) lmStoreProbes(spark, dir)
       spark.stop()
       return
     }
@@ -101,6 +102,7 @@ object ScaleProbe {
     if (want("annappend")) annAppendProbe(spark)
     if (want("semdecon")) semDecontamProbe(spark)
     if (want("retract")) retractProbes(spark, dir)
+    if (want("lmstore")) lmStoreProbes(spark, dir)
     spark.stop()
   }
 
@@ -214,6 +216,133 @@ object ScaleProbe {
     }
     diag("base_x1", stored, ix)
     diag("base_x16", stored16, ix16)
+  }
+
+  /** LM/NB store lifecycle probe (round 16): [[graft.operators.LmIndex]]
+    * appendToSbo/retractFromSbo and [[graft.operators.NbIndex]]
+    * appendToNb claim merge work of O(crawl grams + touched stored keys)
+    * — crawl ×1/×4/×16 against a fixed base store must track CRAWL size.
+    * The base ×16 control re-times the ×1 crawl against a 16× store:
+    * the MERGE side must stay flat, but the measured wall time also
+    * carries [[graft.sources.Sinks.swapRoot]]'s full-table rewrite (the
+    * LSM trade the repo documents — production batches lifecycle ops),
+    * which IS O(stored keys); the `lmstore_diag` rows print each
+    * store's table sizes so the control's write share is explainable
+    * next to the timings instead of reading as a broken claim.
+    *
+    * Discipline follows [[retractProbes]]: stores built upfront
+    * (untimed), every timed run mutates a fresh COPY of its pristine
+    * store (copy untimed), probes run INTERLEAVED per rep with a
+    * warm-up lap, min-of-reps reported, both sizes explicit per row.
+    */
+  private def lmStoreProbes(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.{LmIndex, NbIndex}
+    val docs = sources.Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang").localCheckpoint(true)
+    val isD = col("doc_id") % Dedup.DeltaIdMod === 0
+    val base = docs.filter(!isD).localCheckpoint(true)
+    val crawl1 = docs.filter(isD).localCheckpoint(true)
+    // replicate keeping the NB label; salted copies carry NEW gram/word
+    // types, so touched-key volume genuinely scales with the crawl
+    def replicateL(df: DataFrame, k: Int): DataFrame =
+      (0 until k).map { j =>
+        val salted =
+          if (j == 0) col("text")
+          else expr(s"concat_ws(' ', transform(split(text, ' '), (w, i) -> " +
+            s"CASE WHEN i % 2 = 1 THEN concat(w, ' zsalt${j}q') ELSE w END))")
+        df.select((lit(1000000L) * (j + 1) + col("doc_id")).as("doc_id"),
+          salted.as("text"), col("lang"))
+      }.reduce(_ unionByName _)
+    def freshDir(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft-probe-$tag").toString
+    def copyDir(src: String, dst: String): Unit = {
+      val (s, d) = (java.nio.file.Paths.get(src), java.nio.file.Paths.get(dst))
+      val it = java.nio.file.Files.walk(s).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val t = d.resolve(s.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    // pristine stores, untimed (index time, as production amortizes it)
+    val sboBase = freshDir("sbobase")
+    LmIndex.writeSboDocs(base.select("doc_id", "text"), sboBase)
+    val sboFull = freshDir("sbofull")
+    LmIndex.writeSboDocs(docs.select("doc_id", "text"), sboFull)
+    val base16 = base.unionByName(
+      replicateL(base, 16).filter(col("doc_id") >= 2000000L))
+      .localCheckpoint(true)
+    val sboBase16 = freshDir("sbobase16")
+    LmIndex.writeSboDocs(base16.select("doc_id", "text"), sboBase16)
+    val full16 = docs.unionByName(
+      replicateL(docs, 16).filter(col("doc_id") >= 2000000L))
+      .localCheckpoint(true)
+    val sboFull16 = freshDir("sbofull16")
+    LmIndex.writeSboDocs(full16.select("doc_id", "text"), sboFull16)
+    val nbBase = freshDir("nbbase")
+    NbIndex.writeNbDocs(base, nbBase, "words")
+    val nbBase16 = freshDir("nbbase16")
+    NbIndex.writeNbDocs(base16, nbBase16, "words")
+    val crawls: Map[Int, DataFrame] = Seq(1, 4, 16).map(k =>
+      k -> replicateL(crawl1, k).localCheckpoint(true)).toMap
+    val retracts: Map[Int, DataFrame] = Seq((1, 400), (4, 100), (16, 25)).map {
+      case (k, m) =>
+        k -> docs.filter(col("doc_id") % m === 0).localCheckpoint(true)
+    }.toMap
+    def timedOnCopy(pristine: String, op: String => Unit): Double = {
+      val scratch = freshDir("scratch")
+      copyDir(pristine, scratch)
+      Dedup.releaseIntermediates()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      op(scratch)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val nBase = base.count(); val nBase16 = base16.count()
+    val nFull = docs.count(); val nFull16 = full16.count()
+    val probes: Seq[(String, Long, Long, () => Double)] =
+      Seq(1, 4, 16).map { k =>
+        (s"sbo_append_x$k", crawls(k).count(), nBase, () =>
+          timedOnCopy(sboBase, p =>
+            LmIndex.appendToSbo(spark, p, crawls(k).select("doc_id", "text"))))
+      } ++ Seq(
+        ("sbo_append_base_x16_crawl_x1", crawls(1).count(), nBase16, () =>
+          timedOnCopy(sboBase16, p =>
+            LmIndex.appendToSbo(spark, p, crawls(1).select("doc_id", "text"))))) ++
+      Seq(1, 4, 16).map { k =>
+        (s"sbo_retract_x$k", retracts(k).count(), nFull, () =>
+          timedOnCopy(sboFull, p =>
+            LmIndex.retractFromSbo(spark, p, retracts(k).select("doc_id", "text"))))
+      } ++ Seq(
+        ("sbo_retract_base_x16_s_x1", retracts(1).count(), nFull16, () =>
+          timedOnCopy(sboFull16, p =>
+            LmIndex.retractFromSbo(spark, p, retracts(1).select("doc_id", "text"))))) ++
+      Seq(1, 4, 16).map { k =>
+        (s"nb_append_x$k", crawls(k).count(), nBase, () =>
+          timedOnCopy(nbBase, p => NbIndex.appendToNb(spark, p, crawls(k))))
+      } ++ Seq(
+        ("nb_append_base_x16_crawl_x1", crawls(1).count(), nBase16, () =>
+          timedOnCopy(nbBase16, p => NbIndex.appendToNb(spark, p, crawls(1)))))
+    val reps = sys.env.getOrElse("SPARK_GRAFT_LIFECYCLE_REPS", "5").toInt
+    if (reps > 0) {
+      probes.foreach { case (_, _, _, run) => run() } // warm-up lap, unbilled
+      val times: Map[String, Seq[Double]] =
+        (1 to reps).flatMap(_ => probes.map { case (n, _, _, run) => n -> run() })
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      probes.foreach { case (name, deltaDocs, baseDocs, _) =>
+        val ts = times(name)
+        println(s"""{"probe":"$name","delta_docs":$deltaDocs,"base_docs":$baseDocs,"sec_min":${ts.min},"runs":[${ts.mkString(",")}]}""")
+      }
+    }
+    // structural diagnostics: stored key counts per store — the swapRoot
+    // rewrite share of the control rows scales with THESE, by design
+    def sboRows(p: String): Long =
+      Seq("c1", "c2", "c3").map(t => spark.read.parquet(s"$p/$t").count()).sum
+    def nbRows(p: String): Long =
+      Seq("cw", "cdc").map(t => spark.read.parquet(s"$p/$t").count()).sum
+    println(s"""{"probe":"lmstore_diag","sbo_base_rows":${sboRows(sboBase)},"sbo_base16_rows":${sboRows(sboBase16)},"sbo_full_rows":${sboRows(sboFull)},"sbo_full16_rows":${sboRows(sboFull16)},"nb_base_rows":${nbRows(nbBase)},"nb_base16_rows":${nbRows(nbBase16)}}""")
   }
 
   /** ANN append probe (round 10): the encode-only append path must cost

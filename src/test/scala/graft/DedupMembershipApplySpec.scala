@@ -117,7 +117,13 @@ class DedupMembershipApplySpec extends SparkSpec {
       // tokenizer pricing rows ride the stored vocab-grain segmentation
       // artifacts (r15) — read-back must price identically to in-query
       "unigram_fertility" -> (graft.operators.Unigram.unigramFertility _),
-      "tokenizer_compare" -> (graft.operators.WordPiece.tokenizerCompare _))
+      "tokenizer_compare" -> (graft.operators.WordPiece.tokenizerCompare _),
+      // r16 trained-in-query rows now ride stored model artifacts (NB
+      // trigram counts, kmeans cell assignment, seen-gram inventory) —
+      // read-back must score identically to in-query
+      "lang_id_nb" -> (graft.operators.Classify.langIdNb _),
+      "dedup_semantic" -> (Dedup.dedupSemantic _),
+      "ngram_novelty" -> (graft.operators.TextAnalysis.ngramNovelty _))
     def runAll(): Map[String, Seq[Seq[Any]]] = lanes.map { case (name, fn) =>
       val rows = fn(spark, sf).collect().map(_.toSeq).toSeq
       Dedup.releaseIntermediates()
