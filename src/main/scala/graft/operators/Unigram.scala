@@ -273,74 +273,83 @@ object Unigram {
     * [[WordPiece]]'s oracle so both tokenizers provably price the same
     * frozen inventory.
     */
-  private[graft] def modelCoreSql: String =
-    s"""uvw AS MATERIALIZED (
+  private[graft] def modelCoreSql: String = modelCoreSqlFor("u", "")
+
+  /** The model CTEs with a caller-chosen CTE-name prefix and an optional
+    * training-doc predicate — `("u", "")` reproduces the historical
+    * chain byte-for-byte; the drift report trains a SECOND model on the
+    * base carve under prefix `"s"`.
+    */
+  private[graft] def modelCoreSqlFor(q: String, docWhere: String): String =
+    s"""${q}vw AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS w FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents$docWhere
        |  ) WHERE word <> '' AND len(word) <= $L GROUP BY word
-       |), usub AS MATERIALIZED (
+       |), ${q}sub AS MATERIALIZED (
        |  SELECT piece, CAST(sum(w) AS BIGINT) AS cnt FROM (
        |    SELECT v.word, v.w, substr(v.word, e.e - j.j + 1, j.j) AS piece
-       |    FROM uvw v
+       |    FROM ${q}vw v
        |    CROSS JOIN (SELECT unnest(generate_series(1, $L)) AS e) e
        |    CROSS JOIN (SELECT unnest(generate_series(1, $P)) AS j) j
        |    WHERE e.e <= len(v.word) AND j.j <= least($P, e.e)
        |  ) GROUP BY piece
-       |), ukept AS MATERIALIZED (
-       |  SELECT piece, cnt FROM usub WHERE len(piece) = 1
+       |), ${q}kept AS MATERIALIZED (
+       |  SELECT piece, cnt FROM ${q}sub WHERE len(piece) = 1
        |  UNION ALL
        |  SELECT piece, cnt FROM (
        |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
-       |    FROM usub WHERE len(piece) >= 2
+       |    FROM ${q}sub WHERE len(piece) >= 2
        |  ) WHERE rn <= $K
-       |), utot AS MATERIALIZED (
-       |  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ukept
-       |), upc AS MATERIALIZED (
+       |), ${q}tot AS MATERIALIZED (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ${q}kept
+       |), ${q}pc AS MATERIALIZED (
        |  SELECT piece,
-       |    CAST(round(ln(CAST(cnt AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM utot)), 6) AS DECIMAL(18,6)) AS lp
-       |  FROM ukept
+       |    CAST(round(ln(CAST(cnt AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM ${q}tot)), 6) AS DECIMAL(18,6)) AS lp
+       |  FROM ${q}kept
        |)""".stripMargin
 
   /** The DP's candidate table + level-0 row, end-position keyed. */
-  private def segBlocksSql: String =
-    s"""usegs AS MATERIALIZED (
+  private def segBlocksSqlFor(q: String): String =
+    s"""${q}segs AS MATERIALIZED (
        |  SELECT v.word, e.e, j.j, p.lp
-       |  FROM uvw v
+       |  FROM ${q}vw v
        |  CROSS JOIN (SELECT unnest(generate_series(1, $L)) AS e) e
        |  CROSS JOIN (SELECT unnest(generate_series(1, $P)) AS j) j
-       |  JOIN upc p ON p.piece = substr(v.word, e.e - j.j + 1, j.j)
+       |  JOIN ${q}pc p ON p.piece = substr(v.word, e.e - j.j + 1, j.j)
        |  WHERE e.e <= len(v.word) AND j.j <= least($P, e.e)
-       |), ubb0 AS MATERIALIZED (
-       |  SELECT word, 0 AS pos, CAST(0 AS DECIMAL(18,6)) AS score, 0 AS bj FROM uvw
+       |), ${q}bb0 AS MATERIALIZED (
+       |  SELECT word, 0 AS pos, CAST(0 AS DECIMAL(18,6)) AS score, 0 AS bj FROM ${q}vw
        |)""".stripMargin
 
-  private[graft] def unigramChainSql: String = {
-    val model = modelCoreSql + ",\n" + segBlocksSql
+  private[graft] def unigramChainSql: String = unigramChainSqlFor("u", "")
+
+  private[graft] def unigramChainSqlFor(q: String, docWhere: String): String = {
+    val model = modelCoreSqlFor(q, docWhere) + ",\n" + segBlocksSqlFor(q)
     val fwd = (1 to L).map { i =>
-      s"""uc$i AS MATERIALIZED (
+      s"""${q}c$i AS MATERIALIZED (
          |  SELECT s.word, s.j, CAST(b.score + s.lp AS DECIMAL(18,6)) AS sc
-         |  FROM usegs s JOIN ubb${i - 1} b ON b.word = s.word AND b.pos = $i - s.j
+         |  FROM ${q}segs s JOIN ${q}bb${i - 1} b ON b.word = s.word AND b.pos = $i - s.j
          |  WHERE s.e = $i
-         |), um$i AS MATERIALIZED (
-         |  SELECT word, max(sc) AS score FROM uc$i GROUP BY word
-         |), uj$i AS MATERIALIZED (
+         |), ${q}m$i AS MATERIALIZED (
+         |  SELECT word, max(sc) AS score FROM ${q}c$i GROUP BY word
+         |), ${q}j$i AS MATERIALIZED (
          |  SELECT c.word, max(c.j) AS bj
-         |  FROM uc$i c JOIN um$i m ON c.word = m.word AND c.sc = m.score
+         |  FROM ${q}c$i c JOIN ${q}m$i m ON c.word = m.word AND c.sc = m.score
          |  GROUP BY c.word
-         |), ubb$i AS MATERIALIZED (
-         |  SELECT * FROM ubb${i - 1}
+         |), ${q}bb$i AS MATERIALIZED (
+         |  SELECT * FROM ${q}bb${i - 1}
          |  UNION ALL
          |  SELECT m.word, $i AS pos, m.score, j.bj
-         |  FROM um$i m JOIN uj$i j ON m.word = j.word
+         |  FROM ${q}m$i m JOIN ${q}j$i j ON m.word = j.word
          |)""".stripMargin
     }.mkString(",\n")
     val bt0 =
-      s"""ut0 AS MATERIALIZED (
+      s"""${q}t0 AS MATERIALIZED (
          |  SELECT word, CAST(len(word) AS INTEGER) AS pos, '' AS path,
-         |    CAST(0 AS BIGINT) AS np FROM uvw
+         |    CAST(0 AS BIGINT) AS np FROM ${q}vw
          |)""".stripMargin
     val bt = (1 to L).map { k =>
-      s"""ut$k AS MATERIALIZED (
+      s"""${q}t$k AS MATERIALIZED (
          |  SELECT t.word,
          |    CASE WHEN t.pos > 0 THEN t.pos - b.bj ELSE t.pos END AS pos,
          |    CASE WHEN t.pos > 0
@@ -348,7 +357,7 @@ object Unigram {
          |        || (CASE WHEN t.path = '' THEN '' ELSE '|' END) || t.path
          |      ELSE t.path END AS path,
          |    CASE WHEN t.pos > 0 THEN t.np + 1 ELSE t.np END AS np
-         |  FROM ut${k - 1} t JOIN ubb$L b ON b.word = t.word AND b.pos = t.pos
+         |  FROM ${q}t${k - 1} t JOIN ${q}bb$L b ON b.word = t.word AND b.pos = t.pos
          |)""".stripMargin
     }.mkString(",\n")
     // assembled by concatenation, not an outer stripMargin template: the
@@ -378,6 +387,121 @@ object Unigram {
       .withColumn("fertility",
         round(col("n_pieces").cast("double") / col("n_words"), 4))
       .contractOrderBy("lang")
+  }
+
+  /** The BASE-carve segmentation table (vocabulary trained and priced on
+    * `doc_id % DeltaIdMod != 0` — the deployed inventory a standard
+    * crawl arrives against), routed through the bench-session artifact
+    * cache like [[storedSegmentTable]]. Same conf-in-name +
+    * raw-fingerprint-hash salting.
+    */
+  private[graft] def storedBaseSegmentTable(spark: SparkSession, dir: String): DataFrame =
+    Dedup.storedIndex(spark,
+      "unisegbase-" + unigramFingerprint.replaceAll("[^A-Za-z0-9]", "") +
+        "-" + Dedup.md5Hex(unigramFingerprint).take(8), dir)(
+      unigramSegmentOf(Tables.documents(spark, dir)
+        .filter(col("doc_id") % Dedup.DeltaIdMod =!= 0)))
+
+  /** `tokenizer_drift_report` (r16): the vocab store's RETRAIN ALARM —
+    * the [[graft.operators.LmIndex]] store has `lm_coverage_report` and
+    * the ANN store has `appendRecallReport`; this is the segmentation
+    * store's equivalent. Per SOURCE of the standard crawl
+    * (`doc_id % DeltaIdMod == 0`), price the crawl's words against the
+    * STORED vocabulary (trained on the base carve — what production has
+    * deployed) vs a RETRAINED one (full corpus): `coverage_bp` = share
+    * of crawl words the stored inventory can price at all (an unseen
+    * word has no stored segmentation row), and `drift_bp` = how many
+    * extra basis points of pieces-per-word the stored inventory pays
+    * over the retrained one ON THE WORDS BOTH PRICE (same-population
+    * compare — coverage loss is reported separately, not smuggled into
+    * the fertility ratio). A source drifting ≥ τ bp on either axis
+    * flags `retrain` ([[GraftConf.unigramDriftTauBp]]) — the signal to
+    * pay for a vocabulary rebuild before fertility quietly inflates
+    * every downstream token budget.
+    *
+    * Scale: two vocab-grain segmentation tables (stored artifacts in
+    * amortized mode) + one crawl-grain word explode + two word-key
+    * joins + an O(sources) rollup — no corpus windows, no driver state.
+    * All ratios in pure integer basis points (hash-stable).
+    */
+  def tokenizerDriftReport(spark: SparkSession, dir: String): DataFrame =
+    tokenizerDriftReportFrom(Tables.documents(spark, dir),
+      storedBaseSegmentTable(spark, dir), storedSegmentTable(spark, dir))
+
+  /** The report over EXPLICIT (word, n_pieces) segmentation tables — the
+    * seam the spec drives with planted drifted/undrifted sources, and
+    * the artifact path feeds with the stored tables.
+    */
+  private[graft] def tokenizerDriftReportFrom(docs: DataFrame,
+      storedTbl: DataFrame, fullTbl: DataFrame): DataFrame = {
+    val tau = GraftConf.unigramDriftTauBp
+    val stored = storedTbl.select(col("word"), col("n_pieces").as("np_s"))
+    val full = fullTbl.select(col("word"), col("n_pieces").as("np_f"))
+    val tok = docs.filter(col("doc_id") % Dedup.DeltaIdMod === 0)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "" && length(col("word")) <= L)
+    tok.join(stored, Seq("word"), "left")
+      .join(full, Seq("word"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        count(col("np_s")).as("n_covered"),
+        sum(col("np_s")).as("pieces_stored"),
+        sum(when(col("np_s").isNotNull, col("np_f"))).as("pieces_current"))
+      .withColumn("coverage_bp", expr("n_covered * 10000 div n_words"))
+      .withColumn("fert_stored_bp",
+        when(col("n_covered") > 0, expr("pieces_stored * 10000 div n_covered")))
+      .withColumn("fert_current_bp",
+        when(col("n_covered") > 0, expr("pieces_current * 10000 div n_covered")))
+      .withColumn("drift_bp",
+        coalesce(col("fert_stored_bp") - col("fert_current_bp"), lit(0L)))
+      .withColumn("retrain",
+        col("drift_bp") >= tau || (lit(10000L) - col("coverage_bp")) >= tau)
+      .select("source", "n_words", "n_covered", "coverage_bp",
+        "fert_stored_bp", "fert_current_bp", "drift_bp", "retrain")
+      .contractOrderBy("source")
+  }
+
+  /** Oracle: the SAME chain generator instantiated twice — prefix `u`
+    * over the full corpus (byte-identical to every other unigram
+    * consumer's chain) and prefix `s` over the base carve.
+    */
+  def tokenizerDriftReportSql: String = {
+    val tau = GraftConf.unigramDriftTauBp
+    val mod = Dedup.DeltaIdMod
+    "WITH " + unigramChainSql + ",\n" +
+      unigramChainSqlFor("s", s" WHERE doc_id % $mod <> 0") + ",\n" +
+      s"""duwp AS (SELECT word, np FROM ut$L),
+         |dswp AS (SELECT word, np FROM st$L),
+         |dctok AS (
+         |  SELECT source, word FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS word
+         |    FROM documents WHERE doc_id % $mod = 0
+         |  ) WHERE word <> '' AND len(word) <= $L
+         |),
+         |dg AS (
+         |  SELECT c.source,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(count(s.np) AS BIGINT) AS n_covered,
+         |    CAST(sum(s.np) AS BIGINT) AS pieces_stored,
+         |    CAST(sum(CASE WHEN s.np IS NOT NULL THEN u.np END) AS BIGINT) AS pieces_current
+         |  FROM dctok c
+         |  LEFT JOIN dswp s ON c.word = s.word
+         |  LEFT JOIN duwp u ON c.word = u.word
+         |  GROUP BY c.source
+         |)
+         |SELECT source, n_words, n_covered,
+         |  CAST((n_covered * 10000) // n_words AS BIGINT) AS coverage_bp,
+         |  CASE WHEN n_covered > 0
+         |    THEN CAST((pieces_stored * 10000) // n_covered AS BIGINT) END AS fert_stored_bp,
+         |  CASE WHEN n_covered > 0
+         |    THEN CAST((pieces_current * 10000) // n_covered AS BIGINT) END AS fert_current_bp,
+         |  CAST(coalesce((pieces_stored * 10000) // nullif(n_covered, 0)
+         |    - (pieces_current * 10000) // nullif(n_covered, 0), 0) AS BIGINT) AS drift_bp,
+         |  (coalesce((pieces_stored * 10000) // nullif(n_covered, 0)
+         |      - (pieces_current * 10000) // nullif(n_covered, 0), 0) >= $tau
+         |    OR 10000 - ((n_covered * 10000) // n_words) >= $tau) AS retrain
+         |FROM dg
+         |ORDER BY source""".stripMargin
   }
 
   def unigramFertilitySql: String =

@@ -450,6 +450,13 @@ package object operators {
       * sizes it to its corpus's word-length ceiling.
       */
     def unigramMaxWordLen: Int = positive("spark.graft.unigram.maxWordLen", "12")
+    /** Retrain-alarm threshold in basis points for the tokenizer-store
+      * drift report (`spark.graft.unigram.driftTauBp`): a source whose
+      * crawl fertility under the STORED vocabulary exceeds the
+      * retrained-vocabulary fertility by ≥ τ bp — or whose stored-vocab
+      * coverage falls ≥ τ bp short of full — flags for retraining.
+      */
+    def unigramDriftTauBp: Int = positive("spark.graft.unigram.driftTauBp", "200")
 
     // -- DSIR data-selection knobs --
     /** Hashed-bigram feature buckets (`spark.graft.dsir.buckets`) — the

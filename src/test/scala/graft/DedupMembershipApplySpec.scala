@@ -123,7 +123,11 @@ class DedupMembershipApplySpec extends SparkSpec {
       // read-back must score identically to in-query
       "lang_id_nb" -> (graft.operators.Classify.langIdNb _),
       "dedup_semantic" -> (Dedup.dedupSemantic _),
-      "ngram_novelty" -> (graft.operators.TextAnalysis.ngramNovelty _))
+      "ngram_novelty" -> (graft.operators.TextAnalysis.ngramNovelty _),
+      // r16 drift report rides BOTH stored segmentation tables (full +
+      // base-carve)
+      "tokenizer_drift_report" ->
+        (graft.operators.Unigram.tokenizerDriftReport _))
     def runAll(): Map[String, Seq[Seq[Any]]] = lanes.map { case (name, fn) =>
       val rows = fn(spark, sf).collect().map(_.toSeq).toSeq
       Dedup.releaseIntermediates()

@@ -134,6 +134,38 @@ class UnigramSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.unigram.maxPiece")
   }
 
+  test("tokenizer_drift_report: a drifted-vocabulary crawl source flags retrain, a stable one does not") {
+    // base corpus (doc_id % 10 != 0): both sources speak the aa/bb/cc
+    // vocabulary; crawl (doc_id % 10 == 0): 'stable' re-serves it,
+    // 'shift' arrives with words whose CHARACTERS the stored inventory
+    // has never seen — zero stored coverage, the retrain alarm's job
+    val base = (1 to 9).filter(_ % 10 != 0).flatMap(i => Seq(
+      (i.toLong, "aa bb cc aa", "stable"),
+      (i.toLong + 100, "aa bb cc bb", "shift")))
+    val crawl = Seq(
+      (10L, "aa bb cc", "stable"), (20L, "aa aa bb", "stable"),
+      (110L, "zzz www qqq", "shift"), (120L, "zzz qqq", "shift"))
+    val docs = (base ++ crawl).toDF("doc_id", "text", "source")
+    val baseDocs = docs.filter(col("doc_id") % 10 =!= 0)
+    val stored = Unigram.unigramSegmentOf(baseDocs)
+    val full = Unigram.unigramSegmentOf(docs)
+    val got = Unigram.tokenizerDriftReportFrom(docs, stored, full)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    graft.operators.Dedup.releaseIntermediates()
+    val st = got("stable")
+    assert(!st.getAs[Boolean]("retrain"), st.toString)
+    assert(st.getAs[Long]("coverage_bp") == 10000L, st.toString)
+    assert(st.getAs[Long]("drift_bp") == 0L, st.toString)
+    val sh = got("shift")
+    assert(sh.getAs[Boolean]("retrain"), sh.toString)
+    assert(sh.getAs[Long]("n_covered") == 0L && sh.getAs[Long]("coverage_bp") == 0L,
+      sh.toString)
+    // the fertility compare is same-population: with nothing covered the
+    // fert columns are NULL and drift reports 0 — the flag came from the
+    // coverage axis, honestly
+    assert(sh.isNullAt(sh.fieldIndex("fert_stored_bp")), sh.toString)
+  }
+
   test("empty vocabulary degrades to the empty contract frame, not an NPE (r11 advice)") {
     // empty corpus AND every-word-over-the-length-bound both leave the
     // vocabulary empty; the DP's maxLen aggregate is NULL there
