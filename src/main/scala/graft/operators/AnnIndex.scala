@@ -304,10 +304,11 @@ object AnnIndex {
     * dir, mode overwrite.
     */
   def annTopKIvfPqStored(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft-ann-store-" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
-    writeIvfPq(spark, dir, path)
+    // build-half amortization + the applicationId salt the un-cached
+    // branch carries (two concurrent sessions must never race
+    // overwrite-vs-read on one store root) — [[Similarity.storedStoreRoot]]
+    val path = Similarity.storedStoreRoot(spark, "graft-ann-store", dir,
+      ivfPqFingerprint)(p => writeIvfPq(spark, dir, p))
     ivfPqTopK(spark, path, dir)
   }
 

@@ -127,7 +127,16 @@ class DedupMembershipApplySpec extends SparkSpec {
       // r16 drift report rides BOTH stored segmentation tables (full +
       // base-carve)
       "tokenizer_drift_report" ->
-        (graft.operators.Unigram.tokenizerDriftReport _))
+        (graft.operators.Unigram.tokenizerDriftReport _),
+      // r16 retrieval-store rows amortize the BUILD half into the cache
+      // (directory stores via storedStoreRoot) — query answers must be
+      // identical against a cached store and a fresh build
+      "hybrid_search_rrf_stored" ->
+        (graft.operators.Similarity.hybridSearchRrfStored _),
+      "ann_mmr_rerank_stored" ->
+        (graft.operators.Similarity.annMmrRerankStored _),
+      "ann_topk_ivfpq_stored" ->
+        (graft.operators.AnnIndex.annTopKIvfPqStored _))
     def runAll(): Map[String, Seq[Seq[Any]]] = lanes.map { case (name, fn) =>
       val rows = fn(spark, sf).collect().map(_.toSeq).toSeq
       Dedup.releaseIntermediates()
