@@ -1383,43 +1383,70 @@ object Similarity {
     * driver-bounded tiny frames under localCheckpoint.
     */
   def mmrSelectFrom(candidates: DataFrame, k: Int): DataFrame = {
-    val lp = MmrLambdaPct
-    val cand = Intermediates.persist(candidates)
-    // pairwise candidate sims per query: queries × depth² rows, tiny
-    val simm = Intermediates.persist(cand.as("a").join(cand.as("b"),
-        col("a.query_id") === col("b.query_id") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.query_id").as("query_id"), col("a.vec_id").as("ca"),
-        col("b.vec_id").as("cb"),
-        expr("cast(floor(round(graft_dot(a.emb, b.emb), 4) * 10000 + 0.5d) as bigint)")
-          .as("sim10k")))
-    val base = cand.select("query_id", "vec_id", "cos", "rel10k")
-    // greedy: step 1 seeds with the relevance argmax (maxsim = 0)
-    val w1 = Window.partitionBy(col("query_id"))
-      .orderBy(col("rel10k").desc, col("vec_id"))
-    var sel = base.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
-      .select(col("query_id"), col("vec_id"), col("cos"),
-        (lit(lp.toLong) * col("rel10k")).as("mmr10k"), lit(1L).as("rank"))
-      .localCheckpoint(true)
-    for (i <- 2 to k) {
-      val remaining = base.join(
-        sel.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"), "left_anti")
-      val ms = remaining
-        .join(simm.withColumnRenamed("ca", "vec_id"), Seq("query_id", "vec_id"))
-        .join(sel.select(col("query_id"), col("vec_id").as("cb")), Seq("query_id", "cb"))
-        .groupBy(col("query_id"), col("vec_id"))
-        .agg(max(col("sim10k")).as("maxsim10k"))
-      val mi = remaining.join(ms, Seq("query_id", "vec_id"))
-        .withColumn("mmr10k",
-          lit(lp.toLong) * col("rel10k") - lit((100 - lp).toLong) * col("maxsim10k"))
-      val wi = Window.partitionBy(col("query_id"))
-        .orderBy(col("mmr10k").desc, col("vec_id"))
-      val pick = mi.withColumn("rn", row_number().over(wi)).filter(col("rn") === 1)
-        .select(col("query_id"), col("vec_id"), col("cos"), col("mmr10k"),
-          lit(i.toLong).as("rank"))
-      sel = sel.unionByName(pick).localCheckpoint(true)
+    val lp = MmrLambdaPct.toLong
+    val mu = (100 - MmrLambdaPct).toLong
+    val ss = candidates.sparkSession
+    import ss.implicits._
+    // One per-query local pass instead of k-1 checkpointed join+window
+    // rounds (the r16 fusion): a query's pool is ≤ depth rows and the
+    // greedy is pure integer arithmetic — rel10k/sim10k BIGINTs with a
+    // deterministic vec_id-ascending tie rule — so a single
+    // flatMapGroups reproduces the iterative selection BIT-EQUAL (the
+    // oracle keeps the unrolled-CTE spelling; parity is the driver's
+    // hash check + MmrSpec's brute-force compare). sim10k replicates
+    // `floor(round(graft_dot(a,b), 4) * 10000 + 0.5)` exactly:
+    // graft_dot is a left-to-right double fold and Spark's round(d, 4)
+    // is BigDecimal.valueOf(d).setScale(4, HALF_UP).
+    val cand = candidates
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col("cos").cast("double"), col("rel10k").cast("long"), col("emb"))
+      .as[(Long, Long, Double, Long, Array[Double])]
+    def sim10k(a: Array[Double], b: Array[Double]): Long = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      val r = java.math.BigDecimal.valueOf(acc)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      math.floor(r * 10000 + 0.5d).toLong
     }
-    sel.select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        col("cos"), col("mmr10k"))
+    cand.groupByKey(_._1).flatMapGroups { (q, it) =>
+      val cs = it.toArray.sortBy(_._2) // vec_id asc = the tie-break order
+      val n = cs.length
+      val isSel = new Array[Boolean](n)
+      // max over SELECTED of sim10k — which can be NEGATIVE (anti-similar
+      // candidates), so the running max must start below any real sim,
+      // never at 0 (a zero floor would silently clamp negative maxima
+      // and inflate their MMR scores). Rank 1 never reads it.
+      val maxsim = Array.fill(n)(Long.MinValue)
+      val res = Vector.newBuilder[(Long, Long, Long, Double, Long)]
+      var rank = 1
+      while (rank <= math.min(k, n)) {
+        var best = -1
+        var bestScore = Long.MinValue
+        var i = 0
+        while (i < n) {
+          if (!isSel(i)) {
+            val sc =
+              if (rank == 1) lp * cs(i)._4
+              else lp * cs(i)._4 - mu * maxsim(i)
+            if (best < 0 || sc > bestScore) { best = i; bestScore = sc }
+          }
+          i += 1
+        }
+        isSel(best) = true
+        res += ((q, rank.toLong, cs(best)._2, cs(best)._3, bestScore))
+        var j = 0
+        while (j < n) {
+          if (!isSel(j)) {
+            val s = sim10k(cs(j)._5, cs(best)._5)
+            if (s > maxsim(j)) maxsim(j) = s
+          }
+          j += 1
+        }
+        rank += 1
+      }
+      res.result().iterator
+    }.toDF("query_id", "rank", "neighbor_id", "cos", "mmr10k")
       .contractOrderBy("query_id", "rank")
   }
 

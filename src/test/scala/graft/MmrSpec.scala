@@ -77,6 +77,28 @@ class MmrSpec extends SparkSpec {
     }
   }
 
+  test("negative max-sim is not clamped: an anti-similar candidate's diversity bonus survives") {
+    // regression for the r16 fused selector: max over selected of sim10k
+    // can be NEGATIVE (anti-similar candidates earn a diversity BONUS);
+    // a zero-floored running max silently demotes them. Planted so the
+    // true ranking (102 at rank 2) and the zero-clamped ranking (101 at
+    // rank 2) DIFFER: sim(102, seed) = -0.1196 → true mmr 309 800 vs
+    // clamped 250 000, while 101 scores 280 000 either way.
+    withConf("spark.graft.ann.queries" -> "1", "spark.graft.ann.topK" -> "2",
+        "spark.graft.mmr.depth" -> "3", "spark.graft.mmr.lambdaPct" -> "50") {
+      val pool: Seq[(Long, Seq[Float])] = Seq(
+        0L   -> Seq(1.0f, 0.0f),
+        100L -> Seq(0.8f, 0.6f),    // rel 8000 — the seed
+        101L -> Seq(0.7f, -0.7f),   // rel 7000, sim to seed +0.14
+        102L -> Seq(0.5f, -0.866f)) // rel 5000, sim to seed -0.1196
+      val got = Similarity.annMmrRerankFrom(pool.toDF("vec_id", "embedding"))
+        .select("rank", "neighbor_id").collect()
+        .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"))).toSeq
+      assert(got == Seq((1L, 100L), (2L, 102L)),
+        s"negative max-sim must make 102 the rank-2 pick, got $got")
+    }
+  }
+
   test("ann_mmr_rerank_stored: stored-index candidates through the same selector; recall vs brute") {
     val stored = Similarity.annMmrRerankStored(spark, sf).collect()
     Dedup.releaseIntermediates()
