@@ -149,17 +149,14 @@ object NbIndex {
     * count-merge + atomic root swap every round.
     */
   def nbClassifyIncr(spark: SparkSession, dir: String): DataFrame = {
-    // app-id salt: same concurrent-session store-root race guard as
-    // [[LmIndex]]'s storePath — two sessions over one dir must not share
-    // a mutable store root
-    val path = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft-nb-incr-" +
-        spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_") +
-        "-" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
     val docs = Tables.documents(spark, dir)
     val isD = col("doc_id") % Dedup.DeltaIdMod === 0
-    writeNbDocs(docs.filter(!isD), path, "words")
+    // base-carve store = index time; the measured op is the count merge
+    // + swap + scoring — amortized mode hands each run a fresh COPY of
+    // the pristine artifact ([[LmIndex.docPerplexitySboIncr]]'s shape);
+    // uncached, the app-id salt keeps concurrent sessions off one root
+    val path = Dedup.storedDirCopy(spark, "graft-nb-base", dir,
+      nbFingerprint("words"))(p => writeNbDocs(docs.filter(!isD), p, "words"))
     appendToNb(spark, path, docs.filter(isD))
     val evalDocs = docs.filter(col("doc_id") % Classify.NbEvalMod === 0)
     nbScoreFrom(spark, path, evalDocs)

@@ -1154,28 +1154,7 @@ object Similarity {
     */
   private[operators] def storedStoreRoot(spark: SparkSession, name: String, dir: String,
       fp: String)(build: String => Unit): String =
-    GraftConf.benchArtifactDir match {
-      case Some(root) =>
-        val path = new java.io.File(root,
-          name + "-" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-            "-" + Dedup.md5Hex(dir).take(8) +
-            "-" + Dedup.md5Hex(fp).take(12)).getPath
-        val marker = new java.io.File(path, "_GRAFT_STORE_OK")
-        this.synchronized {
-          if (!marker.exists()) {
-            build(path)
-            marker.createNewFile()
-          }
-        }
-        path
-      case None =>
-        val path = new java.io.File(
-          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-          name + "-" + spark.sparkContext.applicationId + "-" +
-            dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
-        build(path)
-        path
-    }
+    Dedup.storedDirRoot(spark, name, dir, fp)(build)
 
   /** The stored-stack hybrid over ALREADY-written indexes — the spec
     * seam (lexical bit-equality + dense recall are asserted separately).

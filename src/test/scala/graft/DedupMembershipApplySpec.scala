@@ -136,7 +136,17 @@ class DedupMembershipApplySpec extends SparkSpec {
       "ann_mmr_rerank_stored" ->
         (graft.operators.Similarity.annMmrRerankStored _),
       "ann_topk_ivfpq_stored" ->
-        (graft.operators.AnnIndex.annTopKIvfPqStored _))
+        (graft.operators.AnnIndex.annTopKIvfPqStored _),
+      // r16 LM/NB lifecycle rows: pristine stores amortize, the measured
+      // mutation runs on a fresh copy — answers must be identical with
+      // the cache on (copy path) and off (direct build)
+      "doc_perplexity_sbo_stored" ->
+        (graft.operators.LmIndex.docPerplexitySboStored _),
+      "doc_perplexity_sbo_incr" ->
+        (graft.operators.LmIndex.docPerplexitySboIncr _),
+      "doc_perplexity_sbo_retract" ->
+        (graft.operators.LmIndex.docPerplexitySboRetract _),
+      "nb_classify_incr" -> (graft.operators.NbIndex.nbClassifyIncr _))
     def runAll(): Map[String, Seq[Seq[Any]]] = lanes.map { case (name, fn) =>
       val rows = fn(spark, sf).collect().map(_.toSeq).toSeq
       Dedup.releaseIntermediates()
