@@ -47,7 +47,8 @@ object Warc {
   private[sources] final case class WarcRow(
       path: String, offset: Long, warc_type: String, record_id: String,
       target_uri: String, warc_date: String, content_type: String,
-      content_length: Long, text: String, bad_reason: String)
+      content_length: Long, text: String, http_status: java.lang.Integer,
+      http_content_type: String, bad_reason: String)
 
   /** WARC segment(s) at `path` → (records, quarantined). Records carry
     * (path, offset, warc_type, record_id, target_uri, warc_date,
@@ -103,7 +104,7 @@ object Warc {
   }
 
   private def bad(path: String, off: Long, reason: String): WarcRow =
-    WarcRow(path, off, null, null, null, null, null, -1L, null, reason)
+    WarcRow(path, off, null, null, null, null, null, -1L, null, null, null, reason)
 
   private def isGzipMagic(b: Array[Byte], off: Int): Boolean =
     off + 2 < b.length && b(off) == 0x1f.toByte && b(off + 1) == 0x8b.toByte &&
@@ -227,15 +228,23 @@ object Warc {
               return
             }
             val payload = java.util.Arrays.copyOfRange(data, bodyStart, bodyStart + len.toInt)
-            out += WarcRow(path, memberOff,
-              headers.getOrElse("warc-type", null),
+            val wtype = headers.getOrElse("warc-type", null)
+            val ctype = headers.getOrElse("content-type", null)
+            // raw-WARC response records carry an HTTP message as payload
+            // (§6.3 + RFC 9112): peel status line + headers so `text` is
+            // the BODY a pipeline wants, with status/Content-Type typed
+            // out; anything short of a parseable HTTP head falls back to
+            // the raw payload (never a throw, never silence)
+            val (text, st, hct) =
+              if (wtype == "response" && ctype != null &&
+                  ctype.toLowerCase(java.util.Locale.ROOT).startsWith("application/http"))
+                parseHttpPayload(payload)
+              else (new String(payload, StandardCharsets.UTF_8), null, null)
+            out += WarcRow(path, memberOff, wtype,
               headers.getOrElse("warc-record-id", null),
               headers.getOrElse("warc-target-uri", null),
               headers.getOrElse("warc-date", null),
-              headers.getOrElse("content-type", null),
-              len,
-              new String(payload, StandardCharsets.UTF_8),
-              null)
+              ctype, len, text, st, hct, null)
             emitted = true
             p = bodyStart + len.toInt
         }
@@ -243,6 +252,60 @@ object Warc {
     }
     if (!emitted && data.nonEmpty && p == 0)
       out += bad(path, memberOff, "member carries no WARC records")
+  }
+
+  /** Split a response record's HTTP message: (body text, status code,
+    * HTTP Content-Type). Handles `Transfer-Encoding: chunked` bodies
+    * (chunk-size lines reassembled, trailers dropped — RFC 9112 §7.1);
+    * a malformed head or chunk stream degrades to the raw payload /
+    * raw body rather than throwing — the quarantine-never-throw
+    * ingestion posture, at the payload grain.
+    */
+  private def parseHttpPayload(payload: Array[Byte]): (String, java.lang.Integer, String) = {
+    val s = new String(payload, StandardCharsets.ISO_8859_1)
+    val hdrEnd = s.indexOf("\r\n\r\n")
+    val firstLineEnd = s.indexOf("\r\n")
+    if (hdrEnd < 0 || firstLineEnd < 0 || !s.startsWith("HTTP/"))
+      return (new String(payload, StandardCharsets.UTF_8), null, null)
+    val statusParts = s.substring(0, firstLineEnd).split(" ", 3)
+    val status: java.lang.Integer =
+      if (statusParts.length >= 2) scala.util.Try(statusParts(1).toInt).toOption
+        .map(Int.box).orNull
+      else null
+    val httpHeaders = parseHeaders("X\r\n" + s.substring(firstLineEnd + 2, hdrEnd))
+    val hct = httpHeaders.getOrElse("content-type", null)
+    val rawBody = java.util.Arrays.copyOfRange(payload, hdrEnd + 4, payload.length)
+    val chunked = httpHeaders.get("transfer-encoding")
+      .exists(_.toLowerCase(java.util.Locale.ROOT).contains("chunked"))
+    val body =
+      if (!chunked) rawBody
+      else dechunk(rawBody).getOrElse(rawBody)
+    (new String(body, StandardCharsets.UTF_8), status, hct)
+  }
+
+  /** Reassemble a chunked body; None on any malformed chunk frame. */
+  private def dechunk(b: Array[Byte]): Option[Array[Byte]] = {
+    val s = new String(b, StandardCharsets.ISO_8859_1)
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var p = 0
+    while (true) {
+      val lineEnd = s.indexOf("\r\n", p)
+      if (lineEnd < 0) return None
+      // chunk-size line: hex digits, optional ;extensions
+      val sizeHex = s.substring(p, lineEnd).takeWhile(c =>
+        Character.digit(c, 16) >= 0)
+      if (sizeHex.isEmpty) return None
+      val size = scala.util.Try(java.lang.Long.parseLong(sizeHex, 16).toInt)
+        .getOrElse(return None)
+      if (size < 0 || lineEnd + 2 + size > b.length) return None
+      if (size == 0) return Some(out.toByteArray) // terminal chunk; trailers dropped
+      out.write(b, lineEnd + 2, size)
+      p = lineEnd + 2 + size
+      // chunk data is CRLF-terminated
+      if (!s.regionMatches(p, "\r\n", 0, 2)) return None
+      p += 2
+    }
+    None // unreachable
   }
 
   /** Header block → lowercase-name map; RFC 822 continuation lines

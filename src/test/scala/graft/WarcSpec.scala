@@ -129,6 +129,52 @@ class WarcSpec extends SparkSpec {
       .exists(_.contains("version line")))
   }
 
+  test("response records peel the HTTP message: status + Content-Type typed, text = body") {
+    val html = "<html><body>corpus text — naïve ☃</body></html>"
+    val httpMsg = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=UTF-8\r\n" +
+      "Server: test\r\n\r\n").getBytes(Iso) ++ html.getBytes(Utf8)
+    val resp = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://resp.org/\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${httpMsg.length}\r\n\r\n").getBytes(Iso) ++
+      httpMsg ++ "\r\n\r\n".getBytes(Iso)
+    val conv = record("conversion", "wet.org", "already text".getBytes(Utf8))
+    val path = writeFile("resp.warc.gz", gz(resp) ++ gz(conv))
+    val (good, bad) = Warc.readWarc(spark, path)
+    assert(bad.isEmpty)
+    val byType = good.collect().map(r => r.getAs[String]("warc_type") -> r).toMap
+    val r = byType("response")
+    assert(r.getAs[String]("text") == html, r.toString)
+    assert(r.getAs[Int]("http_status") == 200)
+    assert(r.getAs[String]("http_content_type") == "text/html; charset=UTF-8")
+    // non-response records keep the raw payload and NULL http columns
+    val c = byType("conversion")
+    assert(c.getAs[String]("text") == "already text")
+    assert(c.isNullAt(c.fieldIndex("http_status")))
+  }
+
+  test("chunked transfer-encoding reassembles; a malformed HTTP head falls back to raw payload") {
+    val chunkedBody = "7\r\nchunk A\r\n9\r\n, chunk B\r\n0\r\n\r\n"
+    val httpMsg = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n" + chunkedBody).getBytes(Iso)
+    val resp = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Type: application/http\r\n" +
+      s"Content-Length: ${httpMsg.length}\r\n\r\n").getBytes(Iso) ++
+      httpMsg ++ "\r\n\r\n".getBytes(Iso)
+    // response-typed record whose payload is NOT an HTTP message
+    val notHttp = "just bytes, no status line".getBytes(Utf8)
+    val broken = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Type: application/http\r\n" +
+      s"Content-Length: ${notHttp.length}\r\n\r\n").getBytes(Iso) ++
+      notHttp ++ "\r\n\r\n".getBytes(Iso)
+    val path = writeFile("chunk.warc.gz", gz(resp) ++ gz(broken))
+    val (good, bad) = Warc.readWarc(spark, path)
+    assert(bad.isEmpty)
+    val texts = good.orderBy("offset").collect().map(_.getAs[String]("text")).toSeq
+    assert(texts == Seq("chunk A, chunk B", "just bytes, no status line"), texts)
+  }
+
   test("a gzip bomb member is refused at the inflate cap, not expanded") {
     // 64 MB of zeros compresses to ~64 KB: the claimed expansion blows the
     // 64× cap and must quarantine without materializing the payload
