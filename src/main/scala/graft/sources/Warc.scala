@@ -68,6 +68,34 @@ object Warc {
         .select(col("path"), col("offset"), col("bad_reason").as("reason")))
   }
 
+  /** Bridge [[readWarc]] records into the engine's `documents` schema
+    * (doc_id, text, lang, source, n_chars) so a crawl segment feeds the
+    * dedup/curation/tokenizer operators directly. Only text-bearing
+    * record types carry corpus text (`conversion` = WET extraction,
+    * `response` = peeled HTTP body; warcinfo/request/metadata are crawl
+    * bookkeeping). doc_id is the 60-bit md5 of the record id (falling
+    * back to target URI + member offset when a writer omitted one) —
+    * the repo-wide `hs` discipline, so ids are DETERMINISTIC across
+    * re-reads and shards, never a zipWithIndex whose numbering depends
+    * on partition layout; `source` is the target URI's host, the
+    * per-source grain `source_dedup_matrix` / `tokenizer_drift_report`
+    * roll up on; `lang` is NULL — language id is a downstream operator
+    * (`lang_id`, `lang_id_nb`), not wire-format metadata.
+    */
+  def toDocuments(records: DataFrame): DataFrame =
+    records
+      .filter(col("warc_type").isin("conversion", "resource", "response") &&
+        col("text").isNotNull && org.apache.spark.sql.functions.length(col("text")) > 0)
+      .select(
+        org.apache.spark.sql.functions.expr(
+          "cast(conv(substr(md5(coalesce(record_id, concat(target_uri, ':', offset))), 1, 15), 16, 10) as bigint)")
+          .as("doc_id"),
+        col("text"),
+        org.apache.spark.sql.functions.lit(null: String).as("lang"),
+        org.apache.spark.sql.functions.expr(
+          "parse_url(target_uri, 'HOST')").as("source"),
+        org.apache.spark.sql.functions.length(col("text")).cast("long").as("n_chars"))
+
   // same untrusted-input guards as Ingestion's FlateDecode seam
   private val MaxInflateRatio = 64L
   private val MinInflateCap = 1L << 20

@@ -187,6 +187,32 @@ class WarcSpec extends SparkSpec {
     assert(bad.collect().exists(_.getAs[String]("reason").contains("bomb")))
   }
 
+  test("toDocuments: text-bearing records land in the documents schema with deterministic ids") {
+    val bytes =
+      gz(record("warcinfo", "info.org", "software: test-crawler".getBytes(Utf8))) ++
+      gz(record("conversion", "a.example.org", "alpha beta gamma".getBytes(Utf8))) ++
+      gz(record("conversion", "b.example.org", "delta epsilon".getBytes(Utf8)))
+    val path = writeFile("docs.warc.gz", bytes)
+    val (good, _) = Warc.readWarc(spark, path)
+    val docs = Warc.toDocuments(good)
+    assert(docs.columns.toSeq == Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = docs.orderBy("source").collect()
+    // warcinfo is crawl bookkeeping, not corpus text
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("source")).toSeq ==
+      Seq("a.example.org", "b.example.org"))
+    assert(rows.map(_.getAs[String]("text")).toSeq ==
+      Seq("alpha beta gamma", "delta epsilon"))
+    assert(rows.forall(_.isNullAt(rows.head.fieldIndex("lang"))))
+    assert(rows.map(_.getAs[Long]("n_chars")).toSeq == Seq(16L, 13L))
+    // ids are content-addressed (record id), not positional: a second
+    // read of the same bytes yields the SAME ids
+    val again = Warc.toDocuments(Warc.readWarc(spark, path)._1)
+      .orderBy("source").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(again == rows.map(_.getAs[Long]("doc_id")).toSeq)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 2)
+  }
+
   test("truncated payload at end of member quarantines with the offset in the reason") {
     val full = record("conversion", "cut.org", "0123456789".getBytes(Utf8))
     val cut = full.take(full.length - 8) // chop into the payload
