@@ -597,15 +597,26 @@ object Ingestion {
       * (show strings live inside content streams and come decrypted with
       * them; ObjStm-packed objects decrypt at the container grain, and
       * §7.6.2 exempts their inner strings from separate encryption).
+      * AES-256 (/V 5 /R 5-6, ISO 32000-2 §7.6.4) verifies the empty user
+      * password against /U's validation salt (R 6 through the Algorithm
+      * 2.B iterated hash) and unwraps the 256-bit file key from /UE; V5
+      * objects use the file key DIRECTLY (no per-object MD5 salt). A
+      * /StmF Identity crypt filter still verifies /U with the real
+      * /Length-derived key, then passes stream bytes through untouched.
       * A genuinely passworded document (/U verification fails against the
-      * empty padded password) still REFUSES with the tagged reason, as do
-      * unsupported handlers/revisions (AES-256 /R 5-6, custom filters).
+      * empty password) still REFUSES with the tagged reason, as do
+      * unsupported handlers (custom filters, public-key).
       */
-    private final class PdfCrypt(fileKey: Array[Byte], aes: Boolean) {
-      def decryptStream(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
-        val key = PdfCrypt.objectKey(fileKey, num, gen, aes)
-        if (aes) PdfCrypt.aesCbcDecrypt(key, data) else PdfCrypt.rc4(key, data)
-      }
+    private final class PdfCrypt(fileKey: Array[Byte], aes: Boolean,
+        passThrough: Boolean, directKey: Boolean) {
+      def decryptStream(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
+        if (passThrough) data
+        else {
+          val key =
+            if (directKey) fileKey
+            else PdfCrypt.objectKey(fileKey, num, gen, aes)
+          if (aes) PdfCrypt.aesCbcDecrypt(key, data) else PdfCrypt.rc4(key, data)
+        }
     }
 
     private object PdfCrypt {
@@ -654,16 +665,27 @@ object Ingestion {
           case PName("false") => false
           case _ => true
         }
-        val (keyBits, aes) = v match {
-          case 1 => (40, false)
-          case 2 if r == 2 || r == 3 => (num("Length", 40), false)
+        def stmFName: String =
+          resolve(enc.getOrElse("StmF", PName("Identity"))) match {
+            case PName(n) => n
+            case _ => "Identity"
+          }
+        if (v == 5 && (r == 5 || r == 6))
+          return buildV5(enc, resolve, r, u32,
+            strBytes(resolve(enc.getOrElse("UE", PNull)), "/UE"),
+            stmFName == "Identity")
+        val (keyBits, aes, passThrough) = v match {
+          case 1 => (40, false, false)
+          case 2 if r == 2 || r == 3 => (num("Length", 40), false, false)
           case 4 if r == 4 =>
             // crypt-filter indirection: the stream filter names a /CF entry
-            val stmF = resolve(enc.getOrElse("StmF", PName("Identity"))) match {
-              case PName(n) => n
-              case _ => "Identity"
-            }
-            if (stmF == "Identity") (0, false) // streams pass through
+            val stmF = stmFName
+            if (stmF == "Identity")
+              // streams pass through UNDECRYPTED — but /U verification
+              // below still runs against the real /Length-derived file
+              // key (a 0-length key would derive garbage and mis-refuse
+              // a perfectly readable document as "password required")
+              (num("Length", 40), false, true)
             else {
               val cfm = resolve(enc.getOrElse("CF", PNull)) match {
                 case PDict(cf) => resolve(cf.getOrElse(stmF, PNull)) match {
@@ -676,19 +698,19 @@ object Ingestion {
                 case _ => "?"
               }
               cfm match {
-                case "V2" => (num("Length", 128), false)
-                case "AESV2" => (128, true)
+                case "V2" => (num("Length", 128), false, false)
+                case "AESV2" => (128, true, false)
                 case other => throw PdfQuarantine(
                   s"encrypted: unsupported crypt filter method /$other")
               }
             }
           case _ => throw PdfQuarantine(
             s"encrypted: unsupported standard handler /V $v /R $r " +
-              "(empty-password RC4/AES-128 only)")
+              "(empty-password RC4/AES only)")
         }
-        require(keyBits % 8 == 0 && keyBits >= 0 && keyBits <= 128,
+        require(keyBits % 8 == 0 && keyBits >= 40 && keyBits <= 128,
           s"bad key length $keyBits")
-        val keyLen = math.max(keyBits / 8, 1) // 0-bit Identity still builds
+        val keyLen = keyBits / 8
         // Algorithm 2 with the empty user password = the bare pad
         val pLe = Array[Byte](
           (p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
@@ -711,7 +733,80 @@ object Ingestion {
         }
         if (!uOk) throw PdfQuarantine(
           "encrypted: password required (empty user password fails /U verification)")
-        new PdfCrypt(key, aes)
+        new PdfCrypt(key, aes, passThrough, directKey = false)
+      }
+
+      /** AES-256 handler build (ISO 32000-2 §7.6.4, /V 5 /R 5-6) for the
+        * empty user password. /U is 48 bytes: SHA hash(32) ‖ validation
+        * salt(8) ‖ key salt(8); /UE wraps the 256-bit file key under
+        * AES-256-CBC with a zero IV. R 5 hashes with one SHA-256; R 6
+        * runs Algorithm 2.B's data-dependent SHA-256/384/512 + AES-CBC
+        * iteration. All public arithmetic — the "password" is empty.
+        */
+      private def buildV5(enc: Map[String, PObj], resolve: PObj => PObj,
+          r: Int, u: Array[Byte], ue: Array[Byte],
+          stmIdentity: Boolean): PdfCrypt = {
+        if (u.length < 48) throw PdfQuarantine(
+          "encrypted: /U shorter than 48 bytes for /V 5")
+        if (ue.length < 32) throw PdfQuarantine(
+          "encrypted: /UE shorter than 32 bytes for /V 5")
+        val validationSalt = java.util.Arrays.copyOfRange(u, 32, 40)
+        val keySalt = java.util.Arrays.copyOfRange(u, 40, 48)
+        // Algorithm 11: hash the (empty) user password with the
+        // validation salt and compare to /U's leading 32 bytes
+        val uHash =
+          if (r == 6) hash2B(validationSalt) else sha(256, validationSalt)
+        if (!java.util.Arrays.equals(uHash, java.util.Arrays.copyOf(u, 32)))
+          throw PdfQuarantine(
+            "encrypted: password required (empty user password fails /U verification)")
+        // Algorithm 8 step b: intermediate key from the key salt unwraps
+        // /UE (AES-256-CBC, zero IV, no padding) into the file key
+        val ikey = if (r == 6) hash2B(keySalt) else sha(256, keySalt)
+        val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(ikey, "AES"),
+          new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+        val fileKey = cipher.doFinal(ue, 0, 32)
+        new PdfCrypt(fileKey, aes = true, passThrough = stmIdentity,
+          directKey = true)
+      }
+
+      private def sha(bits: Int, parts: Array[Byte]*): Array[Byte] = {
+        val d = java.security.MessageDigest.getInstance(s"SHA-$bits")
+        parts.foreach(d.update)
+        d.digest()
+      }
+
+      /** ISO 32000-2 Algorithm 2.B with the EMPTY password and no /O
+        * user-key suffix: K ← SHA-256(salt); then rounds of K1 = 64 ×
+        * (password ‖ K ‖ udata) = 64 × K here, E = AES-128-CBC-encrypt
+        * (key K[0,16), IV K[16,32)) of K1, next digest picked by
+        * (Σ E[0,16)) mod 3 ∈ {SHA-256, SHA-384, SHA-512}; stop after
+        * round ≥ 64 when E's last byte ≤ round − 32. Returns K[0,32).
+        */
+      private def hash2B(salt: Array[Byte]): Array[Byte] = {
+        var k = sha(256, salt)
+        var round = 0
+        var done = false
+        var lastE: Array[Byte] = null
+        while (!done) {
+          val k1 = new Array[Byte](k.length * 64)
+          var i = 0
+          while (i < 64) { System.arraycopy(k, 0, k1, i * k.length, k.length); i += 1 }
+          val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+          c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(java.util.Arrays.copyOf(k, 16), "AES"),
+            new javax.crypto.spec.IvParameterSpec(
+              java.util.Arrays.copyOfRange(k, 16, 32)))
+          lastE = c.doFinal(k1)
+          var sum = 0
+          i = 0
+          while (i < 16) { sum += lastE(i) & 0xff; i += 1 }
+          k = sha(256 + 128 * (sum % 3), lastE)
+          round += 1
+          done = round >= 64 && (lastE(lastE.length - 1) & 0xff) <= round - 32
+        }
+        java.util.Arrays.copyOf(k, 32)
       }
 
       /** §7.6.2 Algorithm 1: per-object key = MD5(file key ‖ objnum LE24

@@ -88,7 +88,11 @@ object Warc {
         col("text").isNotNull && org.apache.spark.sql.functions.length(col("text")) > 0)
       .select(
         org.apache.spark.sql.functions.expr(
-          "cast(conv(substr(md5(coalesce(record_id, concat(target_uri, ':', offset))), 1, 15), 16, 10) as bigint)")
+          // final coalesce arm is (path, offset) — both always non-null —
+          // so a record lacking BOTH record id and target URI still gets a
+          // deterministic non-null doc_id (NULL ids would poison every
+          // downstream doc_id % m carve / join / dedup key)
+          "cast(conv(substr(md5(coalesce(record_id, concat(target_uri, ':', offset), concat(path, ':', offset))), 1, 15), 16, 10) as bigint)")
           .as("doc_id"),
         col("text"),
         org.apache.spark.sql.functions.lit(null: String).as("lang"),
@@ -222,39 +226,44 @@ object Warc {
     // (the Ingestion.PdfTextDecoder discipline)
     val s = new String(data, StandardCharsets.ISO_8859_1)
     var p = 0
-    var emitted = false
-    while (p < s.length) {
+    // `produced` covers records AND quarantine rows: the never-vanish rule
+    // is that every non-empty member leaves SOME row behind, so the final
+    // no-records check fires on any path that emitted nothing — including
+    // a member whose decompressed bytes are only CRLFs (the leading-
+    // whitespace skip used to early-return past the check)
+    var produced = false
+    var done = false
+    def quarantine(reason: String): Unit = {
+      out += bad(path, memberOff, reason); produced = true
+    }
+    while (!done && p < s.length) {
       while (p < s.length && (s.charAt(p) == '\r' || s.charAt(p) == '\n')) p += 1
-      if (p >= s.length) return
-      if (!s.regionMatches(p, "WARC/", 0, 5)) {
-        out += bad(path, memberOff,
-          s"no WARC/ version line at member byte $p")
+      if (p >= s.length) done = true
+      else if (!s.regionMatches(p, "WARC/", 0, 5)) {
+        quarantine(s"no WARC/ version line at member byte $p")
         val nxt = s.indexOf("\r\nWARC/", p)
-        if (nxt < 0) return
-        p = nxt + 2
+        if (nxt < 0) done = true else p = nxt + 2
       } else {
         val hdrEnd = s.indexOf("\r\n\r\n", p)
         if (hdrEnd < 0) {
-          out += bad(path, memberOff, s"unterminated WARC header block at member byte $p")
-          return
-        }
+          quarantine(s"unterminated WARC header block at member byte $p")
+          done = true
+        } else {
         val headers = parseHeaders(s.substring(p, hdrEnd))
         val lenOk = headers.get("content-length").flatMap(v =>
           scala.util.Try(v.trim.toLong).toOption).filter(_ >= 0)
         lenOk match {
           case None =>
-            out += bad(path, memberOff,
-              s"missing or invalid Content-Length at member byte $p")
+            quarantine(s"missing or invalid Content-Length at member byte $p")
             val nxt = s.indexOf("\r\nWARC/", hdrEnd)
-            if (nxt < 0) return
-            p = nxt + 2
+            if (nxt < 0) done = true else p = nxt + 2
           case Some(len) =>
             val bodyStart = hdrEnd + 4
             if (bodyStart + len > s.length) {
-              out += bad(path, memberOff,
+              quarantine(
                 s"truncated payload at member byte $bodyStart (wants $len bytes)")
-              return
-            }
+              done = true
+            } else {
             val payload = java.util.Arrays.copyOfRange(data, bodyStart, bodyStart + len.toInt)
             val wtype = headers.getOrElse("warc-type", null)
             val ctype = headers.getOrElse("content-type", null)
@@ -273,12 +282,14 @@ object Warc {
               headers.getOrElse("warc-target-uri", null),
               headers.getOrElse("warc-date", null),
               ctype, len, text, st, hct, null)
-            emitted = true
+            produced = true
             p = bodyStart + len.toInt
+            }
+        }
         }
       }
     }
-    if (!emitted && data.nonEmpty && p == 0)
+    if (!produced && data.nonEmpty)
       out += bad(path, memberOff, "member carries no WARC records")
   }
 
@@ -323,12 +334,17 @@ object Warc {
       val sizeHex = s.substring(p, lineEnd).takeWhile(c =>
         Character.digit(c, 16) >= 0)
       if (sizeHex.isEmpty) return None
-      val size = scala.util.Try(java.lang.Long.parseLong(sizeHex, 16).toInt)
+      // size stays Long end-to-end: a hostile '7fffffff' (or wider) size
+      // line must fail the bounds check, not overflow Int arithmetic into
+      // a passing guard and throw from write(); parseLong overflow (>16
+      // hex digits) is equally malformed → None
+      val size = scala.util.Try(java.lang.Long.parseLong(sizeHex, 16))
         .getOrElse(return None)
-      if (size < 0 || lineEnd + 2 + size > b.length) return None
+      if (size < 0 || size > Int.MaxValue.toLong ||
+        lineEnd.toLong + 2L + size > b.length.toLong) return None
       if (size == 0) return Some(out.toByteArray) // terminal chunk; trailers dropped
-      out.write(b, lineEnd + 2, size)
-      p = lineEnd + 2 + size
+      out.write(b, lineEnd + 2, size.toInt)
+      p = lineEnd + 2 + size.toInt
       // chunk data is CRLF-terminated
       if (!s.regionMatches(p, "\r\n", 0, 2)) return None
       p += 2

@@ -2,16 +2,18 @@ package graft
 
 import graft.operators.Ingestion.PdfTextDecoder
 
-/** Empty-user-password /Encrypt decryption (ISO 32000-1 §7.6): an
-  * RC4-encrypted and an AES-128 document each extract bit-equal to their
-  * plaintext twin; a genuinely passworded document still refuses with the
-  * tagged reason; hex show strings decode (incl. UTF-16BE) now that the
-  * show layer owns text decoding.
+/** Empty-user-password /Encrypt decryption (ISO 32000-1 §7.6 + ISO
+  * 32000-2 §7.6.4): RC4, AES-128 and AES-256 (/R 5 and /R 6) documents
+  * each extract bit-equal to their plaintext twin; a /V 4 /StmF Identity
+  * document (streams unencrypted but /U still real) extracts rather than
+  * mis-refusing; genuinely passworded documents (classic AND AES-256)
+  * still refuse with the tagged reason; hex show strings decode (incl.
+  * UTF-16BE) now that the show layer owns text decoding.
   *
   * The spec carries its own §7.6 reference arithmetic (RC4, Algorithms
-  * 2/3/5, per-object keys) so the documents are REAL cipher text a
-  * conforming writer would produce, not fixtures tuned to the
-  * implementation.
+  * 2/3/5, per-object keys, the 2.B iterated hash, AES-256 key wrapping)
+  * so the documents are REAL cipher text a conforming writer would
+  * produce, not fixtures tuned to the implementation.
   */
 class PdfCryptSpec extends SparkSpec {
 
@@ -100,6 +102,48 @@ class PdfCryptSpec extends SparkSpec {
       new javax.crypto.spec.SecretKeySpec(key, "AES"),
       new javax.crypto.spec.IvParameterSpec(iv))
     iv ++ c.doFinal(padded)
+  }
+
+  // ---- ISO 32000-2 §7.6.4 reference arithmetic (AES-256, test-side) ----
+
+  private def sha(bits: Int, data: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance(s"SHA-$bits").digest(data)
+
+  /** Algorithm 2.B as the writer computes it: iterated SHA-256/384/512
+    * with an AES-128-CBC step, digest picked by Σ E[0,16) mod 3, stopping
+    * after round ≥ 64 once E's last byte ≤ round − 32.
+    */
+  private def hash2B(pwd: Array[Byte], salt: Array[Byte]): Array[Byte] = {
+    var k = sha(256, pwd ++ salt)
+    var n = 0
+    var e: Array[Byte] = null
+    while (n < 64 || (e.last & 0xff) > n - 32) {
+      val block = pwd ++ k
+      val k1 = Iterator.fill(64)(block).flatten.toArray
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+      e = c.doFinal(k1)
+      k = (e.take(16).map(_ & 0xff).sum % 3) match {
+        case 0 => sha(256, e)
+        case 1 => sha(384, e)
+        case 2 => sha(512, e)
+      }
+      n += 1
+    }
+    k.take(32)
+  }
+
+  /** Wrap the chosen 256-bit file key into /UE: AES-256-CBC under the
+    * key-salt hash, zero IV, no padding (Algorithm 8 as a writer).
+    */
+  private def wrapUE(ikey: Array[Byte], fileKey256: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(ikey, "AES"),
+      new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+    c.doFinal(fileKey256)
   }
 
   // ---- document assembly (PdfStructuredSpec's Builder shape) ----
@@ -225,17 +269,105 @@ class PdfCryptSpec extends SparkSpec {
     assert(PdfTextDecoder.blocks(enc).isEmpty)
   }
 
-  test("unsupported schemes refuse tagged: AES-256 /V 5 and a custom handler") {
-    val v5 = twoPageDoc(Some("<< /Filter /Standard /V 5 /R 6 " +
+  test("unsupported schemes refuse tagged: unknown /V and a custom handler") {
+    val v9 = twoPageDoc(Some("<< /Filter /Standard /V 9 /R 9 " +
       s"/O <${"00" * 48}> /U <${"00" * 48}> /P $P >>"), (_, d) => d)
-    val g5 = PdfTextDecoder.decode(v5)
-    assert(g5.isLeft && g5.swap.exists(r =>
-      r.startsWith("encrypted:") && r.contains("unsupported")), g5.toString)
+    val g9 = PdfTextDecoder.decode(v9)
+    assert(g9.isLeft && g9.swap.exists(r =>
+      r.startsWith("encrypted:") && r.contains("unsupported")), g9.toString)
     val custom = twoPageDoc(Some("<< /Filter /MyDRM /V 2 /R 3 " +
       s"/O <${"00" * 32}> /U <${"00" * 32}> /P $P >>"), (_, d) => d)
     val gc = PdfTextDecoder.decode(custom)
     assert(gc.isLeft && gc.swap.exists(r =>
       r.startsWith("encrypted:") && r.contains("non-standard")), gc.toString)
+  }
+
+  // ---- AES-256 (/V 5) and /StmF Identity ----
+
+  private val VSalt = Array.tabulate(8)(i => (i * 11 + 1).toByte)
+  private val KSalt = Array.tabulate(8)(i => (i * 13 + 5).toByte)
+  private val FileKey256 = Array.tabulate(32)(i => (i * 17 + 9).toByte)
+
+  /** Assemble the /V 5 /Encrypt dict: /U = hash ‖ vsalt ‖ ksalt, /UE =
+    * wrapped file key; /O//OE are unused by the user-password path but a
+    * conforming dict carries them (48 arbitrary bytes / 32 here).
+    */
+  private def v5Dict(r: Int, uHash: Array[Byte], ue: Array[Byte]): String = {
+    val u = uHash ++ VSalt ++ KSalt
+    s"<< /Filter /Standard /V 5 /R $r /Length 256 " +
+      s"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen >> >> " +
+      s"/StmF /StdCF /StrF /StdCF " +
+      s"/O <${"a5" * 48}> /OE <${"b6" * 32}> " +
+      s"/U <${hex(u)}> /UE <${hex(ue)}> /P $P >>"
+  }
+
+  test("AES-256 /V 5 /R 6 empty-user-password PDF extracts bit-equal to its plaintext twin") {
+    val none = Array.emptyByteArray
+    val uHash = hash2B(none, VSalt)
+    val ue = wrapUE(hash2B(none, KSalt), FileKey256)
+    // V5 streams encrypt under the FILE key directly — no per-object salt
+    val enc = twoPageDoc(Some(v5Dict(6, uHash, ue)),
+      (_, data) => aesEncrypt(FileKey256, data))
+    val plain = twoPageDoc(None, (_, data) => data)
+    val got = PdfTextDecoder.decode(enc)
+    assert(got.isRight, got.toString)
+    assert(got == PdfTextDecoder.decode(plain))
+    assert(got.toOption.get.map(_.text) == Seq("Secret one", "Secret two"))
+  }
+
+  test("AES-256 /V 5 /R 5 (single-SHA-256 hash, the deprecated revision) decrypts too") {
+    val uHash = sha(256, VSalt)
+    val ue = wrapUE(sha(256, KSalt), FileKey256)
+    val enc = twoPageDoc(Some(v5Dict(5, uHash, ue)),
+      (_, data) => aesEncrypt(FileKey256, data))
+    val got = PdfTextDecoder.decode(enc)
+    assert(got.isRight, got.toString)
+    assert(got.toOption.get.map(_.text) == Seq("Secret one", "Secret two"))
+  }
+
+  test("a genuinely passworded AES-256 document refuses; text never leaks") {
+    val pwd = "hunter2".getBytes(Latin1)
+    val uHash = hash2B(pwd, VSalt)
+    val ue = wrapUE(hash2B(pwd, KSalt), FileKey256)
+    val enc = twoPageDoc(Some(v5Dict(6, uHash, ue)),
+      (_, data) => aesEncrypt(FileKey256, data))
+    val got = PdfTextDecoder.decode(enc)
+    assert(got.isLeft, "a passworded AES-256 doc must refuse")
+    assert(got.swap.exists(r => r.startsWith("encrypted:") && r.contains("password")),
+      got.toString)
+    assert(PdfTextDecoder.blocks(enc).isEmpty)
+  }
+
+  test("/V 4 /StmF Identity: streams pass through but /U still verifies with the real key") {
+    val keyLen = 16
+    val o = computeO(keyLen)
+    val key = fileKey(o, P, Id0, keyLen, r = 4)
+    val u = computeU(key, Id0)
+    // streams are NOT encrypted (Identity), yet /O//U are the real
+    // /Length 128 values — a reader deriving a bogus short key would
+    // fail /U and mis-refuse this perfectly readable document
+    val encDict = s"<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+      s"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >> " +
+      s"/StmF /Identity /StrF /Identity " +
+      s"/O <${hex(o)}> /U <${hex(u)}> /P $P >>"
+    val enc = twoPageDoc(Some(encDict), (_, data) => data)
+    val got = PdfTextDecoder.decode(enc)
+    assert(got.isRight, got.toString)
+    assert(got.toOption.get.map(_.text) == Seq("Secret one", "Secret two"))
+    // and a passworded Identity doc still refuses: pass-through never
+    // skips authentication
+    val userPad = ("hunter2".getBytes(Latin1) ++ Pad).take(32)
+    var h = md5(userPad, o, le32(P), Id0)
+    for (_ <- 0 until 50) h = md5(h.take(keyLen))
+    val realKey = h.take(keyLen)
+    var x = rc4(realKey, md5(Pad, Id0))
+    for (i <- 1 to 19) x = rc4(realKey.map(b => (b ^ i).toByte), x)
+    val uBad = x ++ Array.fill(16)(0x5a.toByte)
+    val encBad = twoPageDoc(Some(s"<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+      s"/CF << /StdCF << /CFM /AESV2 >> >> /StmF /Identity " +
+      s"/O <${hex(o)}> /U <${hex(uBad)}> /P $P >>"), (_, data) => data)
+    val gotBad = PdfTextDecoder.decode(encBad)
+    assert(gotBad.isLeft && gotBad.swap.exists(_.contains("password")), gotBad.toString)
   }
 
   test("hex show strings decode at the show layer: plain bytes and UTF-16BE BOM") {

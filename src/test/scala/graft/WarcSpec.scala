@@ -213,6 +213,53 @@ class WarcSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 2)
   }
 
+  test("a member of only CRLFs quarantines as record-free — it never vanishes") {
+    val crlfs = gz("\r\n\r\n\r\n\r\n".getBytes(Iso))
+    val keeper = gz(record("conversion", "keep.org", "kept".getBytes(Utf8)))
+    val path = writeFile("crlf.warc.gz", crlfs ++ keeper)
+    val (good, bad) = Warc.readWarc(spark, path)
+    assert(good.collect().map(_.getAs[String]("text")).toSeq == Seq("kept"))
+    val q = bad.collect()
+    assert(q.length == 1 && q.head.getAs[String]("reason").contains("no WARC records"),
+      q.mkString("|"))
+  }
+
+  test("hostile chunk-size lines (Int.MaxValue, 64-bit overflow) degrade to raw body, never throw") {
+    // '7fffffff' = Int.MaxValue: Int arithmetic on lineEnd+2+size would
+    // overflow negative, pass the bounds guard, and throw from write();
+    // the Long-safe check must instead reject the frame → raw fallback
+    def respWith(chunked: String): Array[Byte] = {
+      val httpMsg = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n" + chunked).getBytes(Iso)
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: http://evil.org/\r\n" +
+        "Content-Type: application/http\r\n" +
+        s"Content-Length: ${httpMsg.length}\r\n\r\n").getBytes(Iso) ++
+        httpMsg ++ "\r\n\r\n".getBytes(Iso)
+    }
+    val intMax = "7fffffff\r\nsome bytes"
+    val wide = "10000000000000005\r\nfive!" // > 16 hex digits: parseLong overflow
+    val path = writeFile("hostile.warc.gz", gz(respWith(intMax)) ++ gz(respWith(wide)))
+    val (good, bad) = Warc.readWarc(spark, path)
+    assert(bad.isEmpty, bad.collect().mkString("|"))
+    val texts = good.orderBy("offset").collect().map(_.getAs[String]("text")).toSeq
+    // the malformed chunk stream falls back to the RAW body — frame intact
+    assert(texts == Seq(intMax, wide), texts)
+  }
+
+  test("toDocuments: a record with neither record id nor target URI still gets a non-null doc_id") {
+    val body = "orphan text".getBytes(Utf8)
+    val anon = (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      s"Content-Type: text/plain\r\nContent-Length: ${body.length}\r\n\r\n").getBytes(Iso) ++
+      body ++ "\r\n\r\n".getBytes(Iso)
+    val path = writeFile("anon.warc.gz", gz(anon))
+    val docs = Warc.toDocuments(Warc.readWarc(spark, path)._1).collect()
+    assert(docs.length == 1)
+    assert(!docs.head.isNullAt(docs.head.fieldIndex("doc_id")),
+      "doc_id must coalesce to (path, offset) when id and URI are both absent")
+    assert(docs.head.getAs[String]("text") == "orphan text")
+  }
+
   test("truncated payload at end of member quarantines with the offset in the reason") {
     val full = record("conversion", "cut.org", "0123456789".getBytes(Utf8))
     val cut = full.take(full.length - 8) // chop into the payload
