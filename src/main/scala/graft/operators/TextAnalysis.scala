@@ -1140,11 +1140,14 @@ object TextAnalysis {
        |ORDER BY n_docs DESC, n_occ DESC, g LIMIT $topN""".stripMargin
   }
 
-  /** Occurrence order key: (doc_id, offset) packed into one BIGINT so the
-    * "first occurrence" of a duplicated window is a plain min() aggregate
-    * (map-side combinable) in BOTH engines — no per-gram window sort over
-    * the corpus-scale gram table. 2^20 bounds the word offset (a 10⁶-word
-    * document; docs are KB-scale text) and keeps doc_id ≤ 2^43 overflow-free.
+  /** Occurrence order key for the ORACLE SQL only: (doc_id, offset)
+    * packed into one BIGINT so "first occurrence" of a duplicated window
+    * is a plain min() in DuckDB too. 2^20 bounds the word offset and
+    * keeps doc_id ≤ 2^43 overflow-free — true of the synthetic corpus
+    * the oracle runs on. The SPARK side instead min()s a
+    * `struct(doc_id, offset)` (same lexicographic order, still map-side
+    * combinable, no window sort): crawl-bridged corpora carry 60-bit
+    * hashed doc_ids, where the packed BIGINT would overflow ANSI-fatally.
     */
   private val OccKey = 1048576L
 
@@ -1183,11 +1186,11 @@ object TextAnalysis {
     // gram table; only duplicated grams survive to the join back
     val dup = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("nd"),
-        min(col("doc_id") * OccKey + col("i")).as("first_key"))
+        min(struct(col("doc_id"), col("i"))).as("first_key"))
       .filter(col("nd") >= 2)
       .select("g", "first_key")
     val cuts = grams.join(dup, "g")
-      .filter(col("doc_id") * OccKey + col("i") =!= col("first_key"))
+      .filter(struct(col("doc_id"), col("i")) =!= col("first_key"))
       .select(col("doc_id"), explode(expr(s"sequence(i, i + ${k - 1})")).as("pos"))
       .distinct()
     val kept = words.join(cuts, Seq("doc_id", "pos"), "left_anti")
@@ -1721,9 +1724,9 @@ object TextAnalysis {
     val matched = fppos.join(winnowOccOf(fppos), Seq("fp"))
     // globally first occurrence per fingerprint keeps its words
     val firstKeys = matched.groupBy(col("fp"))
-      .agg(min(col("doc_id") * OccKey + col("pos")).as("first_key"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first_key"))
     val cuts = matched.join(firstKeys, Seq("fp"))
-      .filter(col("doc_id") * OccKey + col("pos") =!= col("first_key"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first_key"))
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("p"))
       .distinct()
     val words = docs.withColumn("ws", split(col("text"), " "))
@@ -1901,13 +1904,13 @@ object TextAnalysis {
     */
   private def keepFirstUnits(units: DataFrame, sep: String): DataFrame = {
     val firstKeys = units.groupBy(col("h"))
-      .agg(min(col("doc_id") * OccKey + col("idx")).as("first_key"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first_key"))
     val sepLit = sep.flatMap {
       case '\n' => "\\n"; case '\\' => "\\\\"; case '\'' => "\\'"
       case c => c.toString
     }
     units.join(firstKeys, Seq("h"))
-      .withColumn("keep", col("doc_id") * OccKey + col("idx") === col("first_key"))
+      .withColumn("keep", struct(col("doc_id"), col("idx")) === col("first_key"))
       .groupBy(col("doc_id"))
       .agg(
         expr("array_join(transform(array_sort(collect_list(CASE WHEN keep THEN struct(idx, chunk) END)), " +
@@ -1954,9 +1957,9 @@ object TextAnalysis {
   def dedupLinesReportOf(docs: DataFrame): DataFrame = {
     val units = lineUnitsOf(docs)
     val firstKeys = units.groupBy(col("h"))
-      .agg(min(col("doc_id") * OccKey + col("idx")).as("first_key"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first_key"))
     units.join(firstKeys, Seq("h"))
-      .withColumn("cut", col("doc_id") * OccKey + col("idx") =!= col("first_key"))
+      .withColumn("cut", struct(col("doc_id"), col("idx")) =!= col("first_key"))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_units"),

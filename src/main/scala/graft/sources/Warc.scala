@@ -81,24 +81,51 @@ object Warc {
     * per-source grain `source_dedup_matrix` / `tokenizer_drift_report`
     * roll up on; `lang` is NULL — language id is a downstream operator
     * (`lang_id`, `lang_id_nb`), not wire-format metadata.
+    *
+    * HTML payloads go through [[HtmlText.extract]] on the way in: a raw-
+    * WARC `response` whose peeled HTTP Content-Type is HTML (or a
+    * `resource` record typed HTML) carries tag soup as `text`, and this
+    * bridge is exactly where the curation stack's contract ("text" =
+    * newline-delimited paragraphs) is established. Extraction may empty
+    * a document (a pure-script page has no corpus text): those rows drop
+    * here, the same no-text rule as the record-type filter. n_chars is
+    * the EXTRACTED length — the value every downstream length/quality
+    * filter should see.
     */
-  def toDocuments(records: DataFrame): DataFrame =
-    records
+  def toDocuments(records: DataFrame): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, length, lit}
+    val base = records
       .filter(col("warc_type").isin("conversion", "resource", "response") &&
-        col("text").isNotNull && org.apache.spark.sql.functions.length(col("text")) > 0)
+        col("text").isNotNull && length(col("text")) > 0)
       .select(
-        org.apache.spark.sql.functions.expr(
+        expr(
           // final coalesce arm is (path, offset) — both always non-null —
           // so a record lacking BOTH record id and target URI still gets a
           // deterministic non-null doc_id (NULL ids would poison every
           // downstream doc_id % m carve / join / dedup key)
           "cast(conv(substr(md5(coalesce(record_id, concat(target_uri, ':', offset), concat(path, ':', offset))), 1, 15), 16, 10) as bigint)")
           .as("doc_id"),
-        col("text"),
-        org.apache.spark.sql.functions.lit(null: String).as("lang"),
-        org.apache.spark.sql.functions.expr(
-          "parse_url(target_uri, 'HOST')").as("source"),
-        org.apache.spark.sql.functions.length(col("text")).cast("long").as("n_chars"))
+        col("text"), col("warc_type"),
+        col("content_type"), col("http_content_type"),
+        expr("parse_url(target_uri, 'HOST')").as("source"))
+    base.as[(Long, String, String, String, String, String)]
+      .mapPartitions(_.map { case (id, text, wtype, ctype, hct, src) =>
+        // for a response the HTML signal lives in the PEELED HTTP
+        // Content-Type (the WARC-level one is application/http); for
+        // conversion/resource records it is the WARC Content-Type
+        val ct = if (wtype == "response") hct else ctype
+        val t =
+          if (HtmlText.isHtmlContentType(ct)) HtmlText.extract(text) else text
+        (id, t, src)
+      })
+      .toDF("doc_id", "text", "source")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        lit(null: String).as("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
 
   // same untrusted-input guards as Ingestion's FlateDecode seam
   private val MaxInflateRatio = 64L

@@ -1,0 +1,189 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import graft.sources.{HtmlText, Warc}
+import graft.operators.{Curation, TextAnalysis}
+
+/** HTML → text extraction on REAL html bytes — nested and unclosed tags,
+  * entities, script/style payloads, hostile fragments — plus the
+  * composition proof: a raw-WARC segment of HTML responses flows through
+  * `toDocuments` into the paragraph-dedup and quality-filter stack with
+  * no adapter, the crawl → curation contract end-to-end.
+  */
+class HtmlTextSpec extends SparkSpec {
+
+  import HtmlText.extract
+
+  // ---- extraction core ----
+
+  test("block tags become newlines, inline tags vanish, text round-trips") {
+    val html =
+      """<!DOCTYPE html><html><head><title>The Title</title></head>
+        |<body><h1>Heading</h1>
+        |<p>First <b>bold</b> and <i>italic</i> paragraph.</p>
+        |<p>Second
+        |   paragraph spanning lines.</p>
+        |<ul><li>alpha</li><li>beta</li></ul>
+        |</body></html>""".stripMargin
+    assert(extract(html) ==
+      "The Title\nHeading\nFirst bold and italic paragraph.\n" +
+        "Second paragraph spanning lines.\nalpha\nbeta")
+  }
+
+  test("inline tags glue their text: a<b>b</b>c is abc; <br> breaks") {
+    assert(extract("a<b>b</b>c") == "abc")
+    assert(extract("one<br>two<br/>three") == "one\ntwo\nthree")
+    assert(extract("link: <a href='/x'>here</a> now") == "link: here now")
+  }
+
+  test("script, style, template payloads and comments never leak") {
+    val html =
+      """<p>before</p><script type="text/javascript">
+        |var x = "<p>not text</p>"; if (a < b) { alert('&amp;'); }
+        |</script><style>p { color: red; } /* <div> */</style>
+        |<!-- a comment with <p>markup</p> inside --><p>after</p>
+        |<template><p>shadow</p></template>done""".stripMargin
+    assert(extract(html) == "before\nafter\ndone")
+  }
+
+  test("entities decode: named, decimal, hex; unknown and bare & stay literal") {
+    assert(extract("fish &amp; chips &lt;now&gt; &quot;here&quot;") ==
+      "fish & chips <now> \"here\"")
+    assert(extract("caf&eacute; &#233;t&#xE9; snowman &#x2603;") ==
+      "café été snowman ☃")
+    assert(extract("AT&T and &unknownentity; stay") == "AT&T and &unknownentity; stay")
+    assert(extract("a &#xD800; surrogate and &#2; control stay literal") ==
+      "a &#xD800; surrogate and &#2; control stay literal")
+    assert(extract("non&shy;breaking&nbsp;space") == "nonbreaking space")
+  }
+
+  test("malformed fragments degrade to their raw characters, never vanish or throw") {
+    // literal '<' that opens no tag
+    assert(extract("5 < 6 and 7 <3 hearts") == "5 < 6 and 7 <3 hearts")
+    // unclosed comment swallows the rest (the HTML5 EOF rule)
+    assert(extract("kept <!-- never closed <p>gone</p>") == "kept")
+    // unclosed script drops to end: payload must not leak
+    assert(extract("kept <script>var a = 1; // no close") == "kept")
+    // unclosed tag at EOF
+    assert(extract("kept <a href=") == "kept")
+    // a '>' inside a quoted attribute does not end the tag
+    assert(extract("""<a href="x>y" title='p>q'>link</a>""") == "link")
+    // CDATA and processing instructions drop
+    assert(extract("a<![CDATA[ <p>raw</p> ]]>b<?php echo 1; ?>c") == "abc")
+    // empty and null are total
+    assert(extract("") == "")
+    assert(extract(null) == "")
+  }
+
+  test("whitespace collapses per paragraph; empty paragraphs never emit") {
+    val html = "<div>  </div><div>one   two\t three</div><p></p><p>four</p><div><span> </span></div>"
+    assert(extract(html) == "one two three\nfour")
+    // inter-tag newlines are whitespace, not breaks
+    assert(extract("<span>a</span>\n<span>b</span>") == "a b")
+  }
+
+  test("<pre> preserves its internal line structure") {
+    val html = "<p>intro</p><pre>line one\nline two</pre><p>outro</p>"
+    assert(extract(html) == "intro\nline one\nline two\noutro")
+    // outside pre the same newline is a space
+    assert(extract("<p>line one\nline two</p>") == "line one line two")
+  }
+
+  test("output paragraphs are exactly the unit grammar dedup_paragraphs splits on") {
+    val html = "<article><p>para one</p><p>para two</p><p>para one</p></article>"
+    val got = extract(html)
+    assert(got.split("\n").toSeq == Seq("para one", "para two", "para one"))
+    assert(!got.contains("\n\n"), "no empty paragraphs between blocks")
+  }
+
+  test("isHtmlContentType: mime match is case- and parameter-insensitive") {
+    assert(HtmlText.isHtmlContentType("text/html"))
+    assert(HtmlText.isHtmlContentType("Text/HTML; charset=UTF-8"))
+    assert(HtmlText.isHtmlContentType("application/xhtml+xml"))
+    assert(!HtmlText.isHtmlContentType("text/plain"))
+    assert(!HtmlText.isHtmlContentType("application/http; msgtype=response"))
+    assert(!HtmlText.isHtmlContentType(null))
+  }
+
+  // ---- WARC → documents → curation composition ----
+
+  private val Iso = StandardCharsets.ISO_8859_1
+  private val Utf8 = StandardCharsets.UTF_8
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bo = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bo)
+    g.write(b); g.close()
+    bo.toByteArray
+  }
+
+  private def htmlResponse(uri: String, html: String): Array[Byte] = {
+    val httpMsg = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=UTF-8\r\n\r\n").getBytes(Iso) ++
+      html.getBytes(Utf8)
+    (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$uri>\r\n" +
+      s"WARC-Target-URI: http://$uri/\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${httpMsg.length}\r\n\r\n").getBytes(Iso) ++
+      httpMsg ++ "\r\n\r\n".getBytes(Iso)
+  }
+
+  test("a raw-WARC segment of HTML pages feeds paragraph dedup and the quality filter end-to-end") {
+    val boiler = "Copyright Example Corp — all rights reserved"
+    val page1 =
+      s"""<html><head><title>Page One</title><script>track();</script></head>
+         |<body><p>the quick brown fox jumps over the lazy dog</p>
+         |<p>unique to page one with more of the words</p>
+         |<footer>$boiler</footer></body></html>""".stripMargin
+    val page2 =
+      s"""<html><body><p>an entirely different second document body</p>
+         |<footer>$boiler</footer></body></html>""".stripMargin
+    // a pure-script page: extraction leaves NO corpus text
+    val page3 = "<html><body><script>var only = 'code';</script></body></html>"
+    val bytes = gz(htmlResponse("one.example.org", page1)) ++
+      gz(htmlResponse("two.example.org", page2)) ++
+      gz(htmlResponse("three.example.org", page3))
+    val dir = Files.createTempDirectory("graft_html_warc")
+    val path = dir.resolve("seg.warc.gz")
+    Files.write(path, bytes)
+
+    val (records, bad) = Warc.readWarc(spark, path.toString)
+    assert(bad.isEmpty, bad.collect().mkString("|"))
+    val docs = Warc.toDocuments(records)
+    val rows = docs.orderBy("source").collect()
+    // the script-only page dropped at the bridge; the others carry
+    // extracted paragraphs, not tag soup
+    assert(rows.map(_.getAs[String]("source")).toSeq ==
+      Seq("one.example.org", "two.example.org"))
+    val t1 = rows(0).getAs[String]("text")
+    assert(t1 == "Page One\nthe quick brown fox jumps over the lazy dog\n" +
+      s"unique to page one with more of the words\n$boiler", t1)
+    assert(!t1.contains("<") && !t1.contains("track()"))
+    assert(rows.forall(r => r.getAs[Long]("n_chars") ==
+      r.getAs[String]("text").length.toLong))
+
+    // paragraph dedup: the shared footer boilerplate survives only in the
+    // first document (keep-first), page structure otherwise intact
+    val deduped = TextAnalysis.dedupParagraphsOf(docs)
+      .join(docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source")), Seq("doc_id"))
+      .orderBy("source").collect()
+    val bySource = deduped.map(r =>
+      r.getAs[String]("source") -> r.getAs[String]("clean_text")).toMap
+    assert(bySource("one.example.org").endsWith(boiler))
+    assert(!bySource("two.example.org").contains(boiler),
+      "second copy of the boilerplate footer must dedup away")
+    assert(bySource("two.example.org") == "an entirely different second document body")
+
+    // quality filter consumes the same relation unchanged: every doc
+    // scored, the word counters live on extracted text
+    val q = Curation.qualityFilterOf(docs).collect()
+    assert(q.length == 2)
+    assert(q.forall(_.getAs[Long]("n_words") > 0))
+  }
+}
