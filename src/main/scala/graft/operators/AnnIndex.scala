@@ -37,6 +37,11 @@ object AnnIndex {
     */
   def ivfPqFingerprint: String = fingerprint(residual = false)
 
+  /** The residual-store variant — keys the `ann_topk_ivfpq_r` train
+    * artifact so a raw-codebook store can never serve a residual query.
+    */
+  def ivfPqRFingerprint: String = fingerprint(residual = true)
+
   /** Live fingerprint matching a STORED stamp's encoding flag — the
     * catalog's way to compare a store against the live conf without
     * knowing a priori whether it holds residual codes.
@@ -142,9 +147,12 @@ object AnnIndex {
   def writeIvfPqR(spark: SparkSession, dir: String, path: String): Unit =
     writeIvfPqRFrom(Tables.embeddings(spark, dir), path)
 
-  /** [[writeIvfPqR]] over an explicit embeddings frame. */
-  def writeIvfPqRFrom(embs: DataFrame, path: String): Unit = {
-    val scaled = Clustering.scaledEmbOf(embs)
+  /** Residual TRAINING: coarse centroids + codebooks trained on each
+    * vector's offset from its centroid — the one arithmetic shared by
+    * [[writeIvfPqR]]'s full store and [[writeIvfPqRTrain]]'s train-only
+    * artifact, so their codebooks can never drift.
+    */
+  private def trainResidual(scaled: DataFrame): (DataFrame, DataFrame) = {
     val cents = Intermediates.persist(Clustering.trainedCentroidsOf(scaled))
     val assigned = assignCells(scaled, cents)
     val resid = scaled.join(assigned, "vec_id")
@@ -152,6 +160,36 @@ object AnnIndex {
       .select(col("vec_id"), expr("zip_with(se, ccemb, (a, b) -> a - b)").as("se"))
     val cb = Intermediates.persist(
       Clustering.pqCodebookArrays(Clustering.pqCodebooksOf(resid)))
+    (cents, cb)
+  }
+
+  /** Train-only half of the residual store — `centroids/` + `codebooks/`,
+    * NO corpus code table: the artifact `ann_topk_ivfpq_r` amortizes per
+    * bench session (production trains once per corpus snapshot; the row's
+    * measured work stays the full encode + probe + ADC query path, which
+    * at 100 TB is the per-query cost — training is not).
+    */
+  def writeIvfPqRTrain(spark: SparkSession, dir: String, path: String): Unit = {
+    val (cents, cb) = trainResidual(Clustering.scaledEmb(spark, dir))
+    stamp(cb, "cemb", residual = true).write.mode("overwrite").parquet(s"$path/codebooks")
+    stamp(cents, "cemb", residual = true).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+    Dedup.releaseIntermediates()
+  }
+
+  /** Read the train-only artifact back, conf-validated: (cents, cb). */
+  private[graft] def readIvfPqRTrain(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    validateConf(cents, "cemb", s"$path/centroids", residual = true)
+    val cb = spark.read.parquet(s"$path/codebooks")
+    validateConf(cb, "cemb", s"$path/codebooks", residual = true)
+    (cents, cb)
+  }
+
+  /** [[writeIvfPqR]] over an explicit embeddings frame. */
+  def writeIvfPqRFrom(embs: DataFrame, path: String): Unit = {
+    val scaled = Clustering.scaledEmbOf(embs)
+    val (cents, cb) = trainResidual(scaled)
     val codes = encodeWithArtifacts(scaled, cents, cb, residual = true)
     stamp(codes, "codes", residual = true).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$path/codes")

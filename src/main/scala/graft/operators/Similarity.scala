@@ -763,11 +763,46 @@ object Similarity {
     * ADC, tiny broadcast tables) plus one broadcast K-row join for the
     * residual computation and a queries×nprobe offset table.
     */
-  def annTopKIvfPqR(spark: SparkSession, dir: String): DataFrame =
-    annTopKIvfPqROf(Clustering.scaledEmb(spark, dir))
+  def annTopKIvfPqR(spark: SparkSession, dir: String): DataFrame = {
+    // bench-session amortization of the TRAIN half (coarse centroids +
+    // residual codebooks) through the directory-store cache — the same
+    // discipline as the three r16 retrieval stores, applied to the last
+    // retrieval row that still trained in-query. Verify never sets the
+    // cache → tmp-root unconditional build; answers are bit-equal either
+    // way (trained tables round-trip exactly; parity spec-asserted).
+    val path = storedStoreRoot(spark, "graft-ivfpqr-train", dir,
+      AnnIndex.ivfPqRFingerprint)(p => AnnIndex.writeIvfPqRTrain(spark, dir, p))
+    // NOT Intermediates.persist'd: the stored-table query paths broadcast
+    // the parquet reads directly (ivfPqTopKFrom's shape) — caching a
+    // parquet-backed relation trips Kryo task serialization under the
+    // bare-JVM bench classpath, and the tables are K-row tiny anyway
+    val (cents, cb) = AnnIndex.readIvfPqRTrain(spark, path)
+    annTopKIvfPqRCore(Clustering.scaledEmb(spark, dir), cents, cb)
+  }
 
   private[graft] def annTopKIvfPqROf(scaled: DataFrame): DataFrame = {
+    // in-memory train form (specs compare it against the stored paths)
     val cents = Intermediates.persist(Clustering.trainedCentroidsOf(scaled))
+    val assigned0 = scaled.crossJoin(broadcast(cents))
+      .withColumn("d2", expr("graft_l2sq(se, cemb)"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+    val resid0 = scaled.join(assigned0, "vec_id")
+      .join(broadcast(cents.select(col("cid").as("cell"), col("cemb").as("ccemb"))), "cell")
+      .select(col("vec_id"), expr("zip_with(se, ccemb, (a, b) -> a - b)").as("se"))
+    val cb = Intermediates.persist(
+      Clustering.pqCodebookArrays(Clustering.pqCodebooksOf(resid0)))
+    annTopKIvfPqRCore(scaled, cents, cb)
+  }
+
+  /** The query half under GIVEN trained artifacts — assignment, probes,
+    * residual encode, ADC with the per-(query, cell) centroid offset,
+    * exact re-rank. One body for the in-memory and stored-train forms so
+    * the arithmetic can never drift between them.
+    */
+  private def annTopKIvfPqRCore(scaled: DataFrame, cents: DataFrame,
+      cb: DataFrame): DataFrame = {
     val dAll = scaled.crossJoin(broadcast(cents))
       .withColumn("d2", expr("graft_l2sq(se, cemb)"))
     val assigned = dAll.groupBy(col("vec_id"))
@@ -782,8 +817,6 @@ object Similarity {
     val resid = scaled.join(assigned, "vec_id")
       .join(broadcast(cents.select(col("cid").as("cell"), col("cemb").as("ccemb"))), "cell")
       .select(col("vec_id"), expr("zip_with(se, ccemb, (a, b) -> a - b)").as("se"))
-    val cb = Intermediates.persist(
-      Clustering.pqCodebookArrays(Clustering.pqCodebooksOf(resid)))
     val codesArr = pqCodesArr(pqSubArrays(resid), cb)
     // dt: FULL query subvectors vs residual codebooks (q·r̂ decomposition)
     val dq = pqQueryDt(pqSubArrays(scaled.filter(col("vec_id") < NumQueries)), cb)
