@@ -326,6 +326,40 @@ object Classify {
        |ORDER BY e.lang, pred_nb, h.pred_heur""".stripMargin
   }
 
+  /** `langIdApply`: label a lang-less corpus with a STORED LID model —
+    * the crawl → curation language seam. [[graft.sources.Warc.toDocuments]]
+    * leaves `lang` NULL by design (wire formats carry no trustworthy
+    * language metadata), but `ccnet_filter` / `bpe_fertility` /
+    * `stratified_sample` key on `lang`: this is the one pass that closes
+    * the gap, exactly what CCNet does between its WARC reader and its
+    * per-language pipeline (Wenzek et al. 2020 §3.1, the fastText LID
+    * stage). Scoring rides [[NbIndex.nbScoreFrom]] — the oracle-checked
+    * sparse NB pass (one vocab join, one C-row broadcast, no training
+    * work), tokenizer resolved from the stored stamp, fail-fast on conf
+    * drift. An EXISTING label wins over the prediction (this is
+    * "fill the missing", not "overrule the source"), and a document the
+    * scorer ABSTAINS on (its empty-string prediction) keeps lang NULL
+    * rather than carrying a fake label — downstream per-lang operators
+    * treat NULL as its own stratum. Schema in = schema out, so the call
+    * drops into any pipeline between the front door and the first
+    * lang-keyed operator.
+    *
+    * Test-only seam (no oracle row): it composes two oracle-checked
+    * cores — `nb_classify`'s scoring arithmetic and the documents
+    * schema — through a left join + coalesce; LangIdApplySpec proves
+    * the WARC → label → ccnet_filter composition end-to-end.
+    */
+  def langIdApply(spark: SparkSession, modelPath: String,
+      docs: DataFrame): DataFrame = {
+    val preds = NbIndex.nbScoreFrom(spark, modelPath, docs)
+      .select(col("doc_id"), col("pred_lang"))
+    docs.join(preds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("lang"),
+          when(col("pred_lang") =!= "", col("pred_lang"))).as("lang"),
+        col("source"), col("n_chars"))
+  }
+
   /** Held-out modulus for `quality_classifier_nb`
     * (`spark.graft.qnb.evalMod`).
     */

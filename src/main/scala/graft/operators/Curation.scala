@@ -1387,6 +1387,55 @@ object Curation {
        |FROM c WHERE cum_before < budget
        |ORDER BY doc_id""".stripMargin
 
+  // ---- host_cap_sample ----------------------------------------------------
+
+  /** Per-host document cap (`spark.graft.curation.hostCap`). */
+  def HostCap: Int = GraftConf.hostCap
+
+  /** `host_cap_sample`: keep at most N documents per source host — the
+    * RefinedWeb/C4 anti-flooding rung (Penedo et al. 2023 §3.1 run URL
+    * and host-grain caps BEFORE content dedup), and the funnel step the
+    * curation stack was missing: a single spamming host must not
+    * dominate MinHash candidate generation or the training mix no
+    * matter how many URLs it serves. The keep is a deterministic
+    * HASH-ordered sample (u40 of doc_id under a dedicated salt, ties to
+    * doc_id — the `token_budget_sample` ordering discipline): crawl
+    * arrival order and sharding cannot change the kept set, and the
+    * sample is content-unbiased where a head-of-crawl prefix would
+    * favor whatever the frontier fetched first.
+    *
+    * Scale shape: the rank ≤ cap cut plans as `WindowGroupLimit`
+    * Partial+Final on this Spark build (HostCapSpec pins it): every map
+    * task keeps at most cap rows per host BEFORE the shuffle, so a
+    * billion-URL flooding host costs each of its input partitions cap
+    * rows — never a per-host corpus sort, never one reducer swallowing
+    * the flood.
+    */
+  def hostCapSample(spark: SparkSession, dir: String): DataFrame =
+    hostCapSampleOf(Tables.documents(spark, dir))
+
+  def hostCapSampleOf(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("u40").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("u40", expr(
+        "cast(conv(substr(md5(concat(cast(doc_id as string), '|hostcap')), 1, 10), 16, 10) as bigint)"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= HostCap)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .contractOrderBy("source", "rk")
+  }
+
+  def hostCapSampleSql: String =
+    s"""SELECT doc_id, source, rk FROM (
+       |  SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|hostcap'), 1, 10)) AS BIGINT),
+       |        doc_id) AS BIGINT) AS rk
+       |  FROM documents)
+       |WHERE rk <= $HostCap
+       |ORDER BY source, rk""".stripMargin
+
   // ---- quality_gate_report ------------------------------------------------
 
   /** `quality_gate_report` (r10): the RULE-SET agreement matrix — per

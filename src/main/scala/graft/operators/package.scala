@@ -483,6 +483,12 @@ package object operators {
       */
     def budgetTokens: Long = positive("spark.graft.budget.tokens", "4200").toLong
 
+    /** Per-host document cap for `host_cap_sample`
+      * (`spark.graft.curation.hostCap`): at most this many documents
+      * survive per source host before the dedup lanes run.
+      */
+    def hostCap: Int = positive("spark.graft.curation.hostCap", "12")
+
     /** Binary-quantization candidate pool per query
       * (`spark.graft.ann.bqRerank`): the exact re-rank touches this many
       * Hamming-nearest raw vectors per query.
