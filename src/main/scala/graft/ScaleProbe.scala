@@ -65,6 +65,7 @@ object ScaleProbe {
       if (want("semdecon")) semDecontamProbe(spark)
       if (want("retract")) retractProbes(spark, dir)
       if (want("lmstore")) lmStoreProbes(spark, dir)
+      if (want("warc")) warcProbes(spark)
       spark.stop()
       return
     }
@@ -103,7 +104,104 @@ object ScaleProbe {
     if (want("semdecon")) semDecontamProbe(spark)
     if (want("retract")) retractProbes(spark, dir)
     if (want("lmstore")) lmStoreProbes(spark, dir)
+    if (want("warc")) warcProbes(spark)
     spark.stop()
+  }
+
+  /** WARC front-door probe (round 17): decode throughput (members/s) on
+    * synthetic multi-member crawl segments. The front door is one
+    * file = one task, so the scaling claim is PER-FILE linearity:
+    * members ×1/×4/×16 at a fixed 32-file fleet must hold members/s
+    * flat (each file's decode is a single linear pass; the fleet is the
+    * parallelism axis, exactly Common Crawl's layout). The second sweep
+    * fixes volume and raises ROTTEN-member density 0/5/20% — quarantine
+    * cost is the resync scan to the next gzip magic, so throughput must
+    * degrade smoothly and every rotten member must surface as a
+    * quarantine row (never vanish, never throw). Segment text is
+    * LCG-generated (deterministic, incompressible enough to keep gzip
+    * honest); rotten members are mid-deflate truncations, the dominant
+    * real-world corruption (a cut-short PUT).
+    */
+  private def warcProbes(spark: SparkSession): Unit = {
+    val files = 32
+    def segText(f: Int, m: Int): String = {
+      val sb = new java.lang.StringBuilder(2400)
+      var x = (f * 100003L + m * 10007L + 12345L)
+      var i = 0
+      while (i < 300) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb.append('w').append(java.lang.Long.toHexString(x & 0xffffffL)).append(' ')
+        i += 1
+      }
+      sb.toString
+    }
+    def gzMember(f: Int, m: Int): Array[Byte] = {
+      val body = segText(f, m).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val rec = (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Record-ID: <urn:uuid:f$f-m$m>\r\n" +
+        s"WARC-Target-URI: http://h$f.example/$m\r\n" +
+        s"Content-Type: text/plain\r\nContent-Length: ${body.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+        body ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val bo = new java.io.ByteArrayOutputStream(rec.length)
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(rec); g.close()
+      bo.toByteArray
+    }
+    def writeSegments(mpf: Int, rottenPct: Int): (String, Long, Long) = {
+      val root = java.nio.file.Files.createTempDirectory("graft_warcprobe").toFile
+      var members = 0L
+      var rotten = 0L
+      for (f <- 0 until files) {
+        val out = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(new java.io.File(root, f"seg$f%03d.warc.gz")), 1 << 20)
+        for (m <- 0 until mpf) {
+          val g = gzMember(f, m)
+          if ((f.toLong * mpf + m) % 100 < rottenPct) {
+            out.write(g, 0, math.max(16, g.length / 2)) // mid-deflate cut
+            rotten += 1
+          } else out.write(g)
+          members += 1
+        }
+        out.close()
+      }
+      (root.getPath, members, rotten)
+    }
+    def time(path: String): (Double, Long, Long) = {
+      Dedup.releaseIntermediates()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val (rec, bad) = sources.Warc.readWarc(spark, s"$path/*.warc.gz")
+      val nRec = rec.count()
+      val nBad = bad.count()
+      ((System.nanoTime() - t0) / 1e9, nRec, nBad)
+    }
+    def cleanup(path: String): Unit = {
+      val d = new java.io.File(path)
+      Option(d.listFiles()).foreach(_.foreach(_.delete()))
+      d.delete()
+    }
+    // warm-up (codegen/JVM, not billed — the Bench policy)
+    locally { val (p, _, _) = writeSegments(16, 0); time(p); cleanup(p) }
+    for ((k, mpf) <- Seq((1, 256), (4, 1024), (16, 4096))) {
+      val (path, members, _) = writeSegments(mpf, 0)
+      val runs = (1 to 3).map(_ => time(path))
+      val best = runs.minBy(_._1)
+      println(s"""{"probe":"warc_x$k","members":$members,"sec_min":${best._1},""" +
+        s""""members_per_sec":${(members / best._1).round},"records":${best._2},""" +
+        s""""quarantined":${best._3},"runs":[${runs.map(_._1).mkString(",")}]}""")
+      cleanup(path)
+    }
+    for (pct <- Seq(0, 5, 20)) {
+      val (path, members, rotten) = writeSegments(1024, pct)
+      val runs = (1 to 3).map(_ => time(path))
+      val best = runs.minBy(_._1)
+      println(s"""{"probe":"warc_rot_$pct","members":$members,"rotten":$rotten,""" +
+        s""""sec_min":${best._1},"members_per_sec":${(members / best._1).round},""" +
+        s""""records":${best._2},"quarantined":${best._3},""" +
+        s""""runs":[${runs.map(_._1).mkString(",")}]}""")
+      cleanup(path)
+    }
   }
 
   /** Retract probe (round 14): takedown cost must track the ERASED set
