@@ -123,11 +123,43 @@ object AnnIndex {
   /** [[writeIvfPq]] over an explicit embeddings frame (specs carve
     * base/delta corpora from one table with it).
     */
-  def writeIvfPqFrom(embs: DataFrame, path: String): Unit = {
-    val scaled = Clustering.scaledEmbOf(embs)
+  /** RAW (cell-independent) training: coarse centroids + codebooks on
+    * the scaled vectors themselves — shared by [[writeIvfPq]]'s full
+    * store and [[writeIvfPqTrain]]'s train-only artifact.
+    */
+  private def trainRaw(scaled: DataFrame): (DataFrame, DataFrame) = {
     val cents = Intermediates.persist(Clustering.trainedCentroidsOf(scaled))
     val cb = Intermediates.persist(
       Clustering.pqCodebookArrays(Clustering.pqCodebooksOf(scaled)))
+    (cents, cb)
+  }
+
+  /** Train-only half of the raw store — `centroids/` + `codebooks/`, NO
+    * corpus code table: the artifact `ann_topk_ivfpq` and `ann_topk_pq`
+    * amortize per bench session (the `ann_topk_ivfpq_r` discipline —
+    * production trains once per corpus snapshot; the rows' measured work
+    * stays the full encode + probe/scan + ADC query path).
+    */
+  def writeIvfPqTrain(spark: SparkSession, dir: String, path: String): Unit = {
+    val (cents, cb) = trainRaw(Clustering.scaledEmb(spark, dir))
+    stamp(cb, "cemb", residual = false).write.mode("overwrite").parquet(s"$path/codebooks")
+    stamp(cents, "cemb", residual = false).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+    Dedup.releaseIntermediates()
+  }
+
+  /** Read the raw train-only artifact back, conf-validated: (cents, cb). */
+  private[graft] def readIvfPqTrain(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    validateConf(cents, "cemb", s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebooks")
+    validateConf(cb, "cemb", s"$path/codebooks")
+    (cents, cb)
+  }
+
+  def writeIvfPqFrom(embs: DataFrame, path: String): Unit = {
+    val scaled = Clustering.scaledEmbOf(embs)
+    val (cents, cb) = trainRaw(scaled)
     val codes = encodeWithArtifacts(scaled, cents, cb, residual = false)
     stamp(codes, "codes", residual = false).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$path/codes")

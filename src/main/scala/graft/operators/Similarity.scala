@@ -473,11 +473,22 @@ object Similarity {
     * rows, no shuffle before the per-query top-R window); the exact
     * re-rank touches queries×[[PqRerank]] raw vectors.
     */
-  def annTopKPq(spark: SparkSession, dir: String): DataFrame =
-    annTopKPqOf(Clustering.scaledEmbOf(Tables.embeddings(spark, dir)))
+  def annTopKPq(spark: SparkSession, dir: String): DataFrame = {
+    // bench-session amortization of the codebook TRAIN (the
+    // ann_topk_ivfpq_r discipline): the raw train store is SHARED with
+    // ann_topk_ivfpq — same centroids+codebooks artifact, built once
+    val path = storedStoreRoot(spark, "graft-ivfpq-train", dir,
+      AnnIndex.ivfPqFingerprint)(p => AnnIndex.writeIvfPqTrain(spark, dir, p))
+    val (_, cb) = AnnIndex.readIvfPqTrain(spark, path)
+    annTopKPqCore(Clustering.scaledEmb(spark, dir), cb)
+  }
 
-  private[graft] def annTopKPqOf(scaled: DataFrame): DataFrame = {
-    val idx = pqIndexOf(scaled)
+  private[graft] def annTopKPqOf(scaled: DataFrame): DataFrame =
+    annTopKPqCore(scaled, Intermediates.persist(
+      Clustering.pqCodebookArrays(Clustering.pqCodebooksOf(scaled))))
+
+  private def annTopKPqCore(scaled: DataFrame, cb: DataFrame): DataFrame = {
+    val idx = pqIndexWith(scaled, cb)
     // full-corpus ADC: every (query, code-row) pair is scored — the
     // baseline the IVF-restricted variant's recall is judged against
     val pairs = idx.codesArr.crossJoin(broadcast(idx.dq))
@@ -492,9 +503,7 @@ object Similarity {
     */
   private final case class PqIndex(codesArr: DataFrame, dq: DataFrame)
 
-  private def pqIndexOf(scaled: DataFrame): PqIndex = {
-    val cb = Intermediates.persist(
-      Clustering.pqCodebookArrays(Clustering.pqCodebooksOf(scaled)))
+  private def pqIndexWith(scaled: DataFrame, cb: DataFrame): PqIndex = {
     val sarr = pqSubArrays(scaled)
     PqIndex(pqCodesArr(sarr, cb), pqQueryDt(sarr, cb))
   }
@@ -611,13 +620,29 @@ object Similarity {
     * is one corpus scan; ADC is a map-side lookup-sum over the candidate
     * rows; the exact re-rank touches queries × [[PqRerank]] raw vectors.
     */
-  def annTopKIvfPq(spark: SparkSession, dir: String): DataFrame =
-    annTopKIvfPqOf(Clustering.scaledEmb(spark, dir))
+  def annTopKIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    // bench-session amortization of the TRAIN half through the SHARED
+    // raw train store (see annTopKPq); the query half — assignment,
+    // probes, encode, cell equi-join, ADC, exact re-rank — re-runs
+    val path = storedStoreRoot(spark, "graft-ivfpq-train", dir,
+      AnnIndex.ivfPqFingerprint)(p => AnnIndex.writeIvfPqTrain(spark, dir, p))
+    val (cents, cb) = AnnIndex.readIvfPqTrain(spark, path)
+    annTopKIvfPqCore(Clustering.scaledEmb(spark, dir), cents, cb)
+  }
 
-  private[graft] def annTopKIvfPqOf(scaled: DataFrame): DataFrame = {
+  private[graft] def annTopKIvfPqOf(scaled: DataFrame): DataFrame =
+    annTopKIvfPqCore(scaled,
+      Intermediates.persist(Clustering.trainedCentroidsOf(scaled)),
+      Intermediates.persist(
+        Clustering.pqCodebookArrays(Clustering.pqCodebooksOf(scaled))))
+
+  /** The query half under GIVEN trained artifacts — one body for the
+    * in-memory and stored-train forms so their arithmetic cannot drift.
+    */
+  private def annTopKIvfPqCore(scaled: DataFrame, cents: DataFrame,
+      cb: DataFrame): DataFrame = {
     // coarse quantizer + cell assignment + query probes — the same
     // trained-IVF discipline as ann_topk_ivf2
-    val cents = Intermediates.persist(Clustering.trainedCentroidsOf(scaled))
     val dAll = scaled.crossJoin(broadcast(cents))
       .withColumn("d2", expr("graft_l2sq(se, cemb)"))
     val assigned = dAll.groupBy(col("vec_id"))
@@ -628,7 +653,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= NProbe)
       .select(col("vec_id").as("query_id"), col("cid").as("pcell"))
-    val idx = pqIndexOf(scaled)
+    val idx = pqIndexWith(scaled, cb)
     // the cell equi-join comes FIRST: only probed-cell members reach ADC
     val cand = broadcast(probe).join(assigned, col("pcell") === col("cell"))
       .filter(col("vec_id") =!= col("query_id"))

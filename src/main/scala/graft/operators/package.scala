@@ -489,6 +489,19 @@ package object operators {
       */
     def hostCap: Int = positive("spark.graft.curation.hostCap", "12")
 
+    /** URL substring blocklist for `UrlFilter`
+      * (`spark.graft.url.blockWords`, comma-separated, matched on the
+      * lowercased URL). The default is the small high-precision core of
+      * the public C4 list; production swaps in the full list.
+      */
+    def urlBlockWords: Seq[String] =
+      get("spark.graft.url.blockWords", "porn,xxx,casino,viagra,escort,gambling")
+        .split(",").map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty).toSeq
+
+    /** Maximum URL length for `UrlFilter` (`spark.graft.url.maxLen`). */
+    def urlMaxLen: Int = positive("spark.graft.url.maxLen", "2048")
+
     /** Binary-quantization candidate pool per query
       * (`spark.graft.ann.bqRerank`): the exact re-rank touches this many
       * Hamming-nearest raw vectors per query.

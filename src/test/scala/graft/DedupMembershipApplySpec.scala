@@ -137,11 +137,15 @@ class DedupMembershipApplySpec extends SparkSpec {
         (graft.operators.Similarity.annMmrRerankStored _),
       "ann_topk_ivfpq_stored" ->
         (graft.operators.AnnIndex.annTopKIvfPqStored _),
-      // r17: the residual row's TRAIN half (centroids + residual
-      // codebooks) rides the cache; the query half re-runs — answers
-      // must match the in-query train bit for bit
+      // r17: the train halves (centroids + codebooks, raw AND residual)
+      // ride the cache; the query halves re-run — answers must match
+      // the in-query train bit for bit
       "ann_topk_ivfpq_r" ->
         (graft.operators.Similarity.annTopKIvfPqR _),
+      "ann_topk_ivfpq" ->
+        (graft.operators.Similarity.annTopKIvfPq _),
+      "ann_topk_pq" ->
+        (graft.operators.Similarity.annTopKPq _),
       // r16 LM/NB lifecycle rows: pristine stores amortize, the measured
       // mutation runs on a fresh copy — answers must be identical with
       // the cache on (copy path) and off (direct build)
