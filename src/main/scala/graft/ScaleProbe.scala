@@ -172,9 +172,16 @@ object ScaleProbe {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val (rec, bad) = sources.Warc.readWarc(spark, s"$path/*.warc.gz")
-      val nRec = rec.count()
-      val nBad = bad.count()
-      ((System.nanoTime() - t0) / 1e9, nRec, nBad)
+      // count BOTH sides in one job so members_per_sec reflects a single
+      // decode pass (two separate count() actions would bill the gzip
+      // decode — or at best a cache read — twice into the throughput)
+      import org.apache.spark.sql.functions.lit
+      val counts = rec.select(lit(1).as("g"))
+        .unionAll(bad.select(lit(0).as("g")))
+        .groupBy("g").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      ((System.nanoTime() - t0) / 1e9,
+        counts.getOrElse(1, 0L), counts.getOrElse(0, 0L))
     }
     def cleanup(path: String): Unit = {
       val d = new java.io.File(path)

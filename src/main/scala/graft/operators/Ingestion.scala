@@ -670,10 +670,29 @@ object Ingestion {
             case PName(n) => n
             case _ => "Identity"
           }
-        if (v == 5 && (r == 5 || r == 6))
+        if (v == 5 && (r == 5 || r == 6)) {
+          // /V 5 crypt-filter indirection mirrors the /V 4 path: a named
+          // StmF must resolve through /CF to /CFM AESV3 (the only method
+          // ISO 32000-2 defines for V5) — anything else (V2, custom) must
+          // refuse with a tagged reason, never silently decrypt as AES-256
+          if (stmFName != "Identity") {
+            val cfm = resolve(enc.getOrElse("CF", PNull)) match {
+              case PDict(cf) => resolve(cf.getOrElse(stmFName, PNull)) match {
+                case PDict(f) => resolve(f.getOrElse("CFM", PNull)) match {
+                  case PName(nm) => nm
+                  case _ => "?"
+                }
+                case _ => "?"
+              }
+              case _ => "?"
+            }
+            if (cfm != "AESV3") throw PdfQuarantine(
+              s"encrypted: unsupported crypt filter method /$cfm for /V 5")
+          }
           return buildV5(enc, resolve, r, u32,
             strBytes(resolve(enc.getOrElse("UE", PNull)), "/UE"),
             stmFName == "Identity")
+        }
         val (keyBits, aes, passThrough) = v match {
           case 1 => (40, false, false)
           case 2 if r == 2 || r == 3 => (num("Length", 40), false, false)

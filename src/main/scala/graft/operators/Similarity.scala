@@ -806,19 +806,23 @@ object Similarity {
   }
 
   private[graft] def annTopKIvfPqROf(scaled: DataFrame): DataFrame = {
-    // in-memory train form (specs compare it against the stored paths)
+    // in-memory train form (specs compare it against the stored paths).
+    // The corpus cell assignment — the most expensive step of this path —
+    // is computed ONCE, persisted, reused for residual codebook training
+    // AND passed into the core (which would otherwise re-derive it).
     val cents = Intermediates.persist(Clustering.trainedCentroidsOf(scaled))
-    val assigned0 = scaled.crossJoin(broadcast(cents))
-      .withColumn("d2", expr("graft_l2sq(se, cemb)"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cell"))
+    val assigned0 = Intermediates.persist(
+      scaled.crossJoin(broadcast(cents))
+        .withColumn("d2", expr("graft_l2sq(se, cemb)"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cell")))
     val resid0 = scaled.join(assigned0, "vec_id")
       .join(broadcast(cents.select(col("cid").as("cell"), col("cemb").as("ccemb"))), "cell")
       .select(col("vec_id"), expr("zip_with(se, ccemb, (a, b) -> a - b)").as("se"))
     val cb = Intermediates.persist(
       Clustering.pqCodebookArrays(Clustering.pqCodebooksOf(resid0)))
-    annTopKIvfPqRCore(scaled, cents, cb)
+    annTopKIvfPqRCore(scaled, cents, cb, Some(assigned0))
   }
 
   /** The query half under GIVEN trained artifacts — assignment, probes,
@@ -827,12 +831,16 @@ object Similarity {
     * the arithmetic can never drift between them.
     */
   private def annTopKIvfPqRCore(scaled: DataFrame, cents: DataFrame,
-      cb: DataFrame): DataFrame = {
+      cb: DataFrame, assignedPre: Option[DataFrame] = None): DataFrame = {
     val dAll = scaled.crossJoin(broadcast(cents))
       .withColumn("d2", expr("graft_l2sq(se, cemb)"))
-    val assigned = dAll.groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cell"))
+    // callers that already computed the corpus cell assignment (the
+    // in-memory train form needs it for residual training) pass it in
+    // rather than paying the scaled×centroids argmin a second time
+    val assigned = assignedPre.getOrElse(
+      dAll.groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cell")))
     val wq = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
     val probe = dAll.filter(col("vec_id") < NumQueries)
       .withColumn("rn", row_number().over(wq))

@@ -209,12 +209,22 @@ object HtmlText {
           else if (!closing && DropTags(name)) {
             // raw-text element: drop everything to its end tag (case-
             // insensitive); a missing end tag drops to end-of-input —
-            // never let a script payload leak into corpus text
+            // never let a script payload leak into corpus text. HTML5
+            // requires the close-tag NAME be followed by whitespace, '/'
+            // or '>' (end-of-input also closes): `</scripty>` must NOT
+            // terminate a `<script>` block.
             var m = end + 1
             var found = -1
             while (found < 0 && m < n) {
               if (html.charAt(m) == '<' && m + 1 < n && html.charAt(m + 1) == '/' &&
-                html.regionMatches(true, m + 2, name, 0, name.length)) found = m
+                html.regionMatches(true, m + 2, name, 0, name.length) && {
+                  val after = m + 2 + name.length
+                  after >= n || {
+                    val a = html.charAt(after)
+                    a == '>' || a == '/' || a == ' ' || a == '\t' ||
+                      a == '\n' || a == '\r' || a == '\f'
+                  }
+                }) found = m
               else m += 1
             }
             if (found < 0) i = n

@@ -298,12 +298,16 @@ object Warc {
             // (§6.3 + RFC 9112): peel status line + headers so `text` is
             // the BODY a pipeline wants, with status/Content-Type typed
             // out; anything short of a parseable HTTP head falls back to
-            // the raw payload (never a throw, never silence)
+            // the raw payload (never a throw, never silence). All decode
+            // paths run [[BodyCharset]]'s WHATWG resolution (BOM →
+            // declared charset → meta prescan → UTF-8 check →
+            // windows-1252) — undeclared valid UTF-8 (the WET lanes)
+            // decodes bit-identically to the old unconditional UTF-8.
             val (text, st, hct) =
               if (wtype == "response" && ctype != null &&
                   ctype.toLowerCase(java.util.Locale.ROOT).startsWith("application/http"))
                 parseHttpPayload(payload)
-              else (new String(payload, StandardCharsets.UTF_8), null, null)
+              else (BodyCharset.decode(payload, ctype), null, null)
             out += WarcRow(path, memberOff, wtype,
               headers.getOrElse("warc-record-id", null),
               headers.getOrElse("warc-target-uri", null),
@@ -332,7 +336,7 @@ object Warc {
     val hdrEnd = s.indexOf("\r\n\r\n")
     val firstLineEnd = s.indexOf("\r\n")
     if (hdrEnd < 0 || firstLineEnd < 0 || !s.startsWith("HTTP/"))
-      return (new String(payload, StandardCharsets.UTF_8), null, null)
+      return (BodyCharset.decode(payload, null), null, null)
     val statusParts = s.substring(0, firstLineEnd).split(" ", 3)
     val status: java.lang.Integer =
       if (statusParts.length >= 2) scala.util.Try(statusParts(1).toInt).toOption
@@ -346,7 +350,9 @@ object Warc {
     val body =
       if (!chunked) rawBody
       else dechunk(rawBody).getOrElse(rawBody)
-    (new String(body, StandardCharsets.UTF_8), status, hct)
+    // the PEELED Content-Type carries the charset= parameter a server
+    // actually sent — exactly what the WHATWG chain's transport step wants
+    (BodyCharset.decode(body, hct), status, hct)
   }
 
   /** Reassemble a chunked body; None on any malformed chunk frame. */

@@ -50,6 +50,17 @@ class HtmlTextSpec extends SparkSpec {
     assert(extract(html) == "before\nafter\ndone")
   }
 
+  test("a raw-text close tag requires a proper name terminator: </scripty> does not end <script>") {
+    // HTML5: the end-tag NAME must be followed by '>', '/', or whitespace;
+    // a prefix match alone (</scripty>, </scriptfoo>) stays inside the
+    // raw-text payload and must not leak what follows it as corpus text
+    assert(extract("<p>a</p><script>var x; </scripty> leaked?</script><p>b</p>") ==
+      "a\nb")
+    // whitespace and solidus terminators DO close it
+    assert(extract("<p>a</p><script>x</script ><p>b</p>") == "a\nb")
+    assert(extract("<p>a</p><style>p{}</style\t><p>b</p>") == "a\nb")
+  }
+
   test("entities decode: named, decimal, hex; unknown and bare & stay literal") {
     assert(extract("fish &amp; chips &lt;now&gt; &quot;here&quot;") ==
       "fish & chips <now> \"here\"")

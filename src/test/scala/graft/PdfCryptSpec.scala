@@ -325,6 +325,25 @@ class PdfCryptSpec extends SparkSpec {
     assert(got.toOption.get.map(_.text) == Seq("Secret one", "Secret two"))
   }
 
+  test("a /V 5 dict whose StdCF names a non-AESV3 method refuses tagged, never decrypts as AES-256") {
+    val none = Array.emptyByteArray
+    val uHash = hash2B(none, VSalt)
+    val ue = wrapUE(hash2B(none, KSalt), FileKey256)
+    // same conforming dict but /CFM /V2 — ISO 32000-2 defines only AESV3
+    // for V5; silently decrypting this as AES-256 would be a lie
+    val u = uHash ++ VSalt ++ KSalt
+    val dict = s"<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+      s"/CF << /StdCF << /CFM /V2 /AuthEvent /DocOpen >> >> " +
+      s"/StmF /StdCF /StrF /StdCF " +
+      s"/O <${"a5" * 48}> /OE <${"b6" * 32}> " +
+      s"/U <${hex(u)}> /UE <${hex(ue)}> /P $P >>"
+    val enc = twoPageDoc(Some(dict), (_, data) => aesEncrypt(FileKey256, data))
+    val got = PdfTextDecoder.decode(enc)
+    assert(got.isLeft, "non-AESV3 /CFM under /V 5 must refuse")
+    assert(got.swap.exists(r =>
+      r.startsWith("encrypted:") && r.contains("crypt filter method")), got.toString)
+  }
+
   test("a genuinely passworded AES-256 document refuses; text never leaks") {
     val pwd = "hunter2".getBytes(Latin1)
     val uHash = hash2B(pwd, VSalt)

@@ -268,4 +268,94 @@ class WarcSpec extends SparkSpec {
     assert(good.isEmpty)
     assert(bad.collect().exists(_.getAs[String]("reason").contains("truncated payload")))
   }
+
+  /** HTML response record with the given peeled Content-Type and raw body
+    * bytes — the shape the charset chain decodes.
+    */
+  private def htmlResp(uri: String, contentType: String, body: Array[Byte]): Array[Byte] = {
+    val httpMsg = ("HTTP/1.1 200 OK\r\n" +
+      s"Content-Type: $contentType\r\n\r\n").getBytes(Iso) ++ body
+    (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$uri>\r\n" +
+      s"WARC-Target-URI: http://$uri/\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${httpMsg.length}\r\n\r\n").getBytes(Iso) ++
+      httpMsg ++ "\r\n\r\n".getBytes(Iso)
+  }
+
+  test("declared charsets decode exactly: real Shift_JIS and windows-1251 bodies through toDocuments") {
+    val jp = "こんにちは世界 文字コード試験"
+    val ru = "Привет мир — проверка кодировки"
+    val jpHtml = s"<html><body><p>$jp</p></body></html>"
+    val ruHtml = s"<html><body><p>$ru</p></body></html>"
+    val bytes =
+      gz(htmlResp("jp.example.jp", "text/html; charset=Shift_JIS",
+        jpHtml.getBytes("windows-31j"))) ++
+      gz(htmlResp("ru.example.ru", "text/html; charset=windows-1251",
+        ruHtml.getBytes("windows-1251")))
+    val path = writeFile("charset.warc.gz", bytes)
+    val (good, bad) = Warc.readWarc(spark, path)
+    assert(bad.isEmpty, bad.collect().mkString("|"))
+    val texts = Warc.toDocuments(good).orderBy("source").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[String]("text")).toMap
+    // exact text through decode → HTTP peel → HtmlText extraction
+    assert(texts("jp.example.jp") == jp, texts("jp.example.jp"))
+    assert(texts("ru.example.ru") == ru, texts("ru.example.ru"))
+  }
+
+  test("charset-less windows-1252 HTML falls back via the UTF-8 validity gate; meta prescan wins when present") {
+    // curly quotes + en dash: 0x93/0x94/0x96 — invalid UTF-8, classic 1252
+    val w1252 = "café “quoted” – dash"
+    val noDecl = s"<html><body><p>$w1252</p></body></html>"
+      .getBytes("windows-1252")
+    // no transport charset, but a meta tag names windows-1251
+    val ru = "Ещё раз — привет"
+    val metaDecl = (s"<html><head><meta charset=windows-1251></head>" +
+      s"<body><p>$ru</p></body></html>").getBytes("windows-1251")
+    val bytes =
+      gz(htmlResp("fallback.example.org", "text/html", noDecl)) ++
+      gz(htmlResp("meta.example.org", "text/html", metaDecl))
+    val path = writeFile("sniff.warc.gz", bytes)
+    val (good, bad) = Warc.readWarc(spark, path)
+    assert(bad.isEmpty, bad.collect().mkString("|"))
+    val texts = Warc.toDocuments(good).orderBy("source").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[String]("text")).toMap
+    assert(texts("fallback.example.org") == w1252, texts("fallback.example.org"))
+    assert(texts("meta.example.org") == ru, texts("meta.example.org"))
+  }
+
+  test("UTF-8/WET lane stays bit-unchanged: undeclared valid UTF-8 never reroutes to windows-1252") {
+    // multi-byte UTF-8, no charset anywhere — exactly the WET shape; the
+    // validity gate must keep it on the UTF-8 path
+    val wet = "naïve café — déjà vu ☃ 日本語"
+    val path = writeFile("wet8.warc.gz",
+      gz(record("conversion", "wet8.org", wet.getBytes(Utf8))))
+    val (good, bad) = Warc.readWarc(spark, path)
+    assert(bad.isEmpty)
+    assert(good.collect().map(_.getAs[String]("text")).toSeq == Seq(wet))
+  }
+
+  test("BOMs win over declarations and are consumed; unknown labels degrade to the UTF-8 path") {
+    import graft.sources.BodyCharset
+    val s = "bom text — π"
+    // UTF-8 BOM beats a (wrong) declared windows-1251
+    val utf8Bom = Array(0xef, 0xbb, 0xbf).map(_.toByte) ++ s.getBytes(Utf8)
+    assert(BodyCharset.decode(utf8Bom, "text/html; charset=windows-1251") == s)
+    // UTF-16LE BOM
+    val le = Array(0xff, 0xfe).map(_.toByte) ++ s.getBytes(StandardCharsets.UTF_16LE)
+    assert(BodyCharset.decode(le, null) == s)
+    // unknown charset label → legacy UTF-8 decode, never a throw
+    assert(BodyCharset.decode(s.getBytes(Utf8), "text/html; charset=x-no-such-cs") == s)
+    // label normalization: quoted, mixed-case, Latin-1 → windows-1252 remap
+    assert(BodyCharset.resolveLabel("\"ISO-8859-1\"").map(_.name) ==
+      Some("windows-1252"))
+    // prescan UTF-16 self-refutation: markup decoded as ASCII → UTF-8
+    val lie = ("<html><head><meta charset=utf-16></head><body>" + s + "</body></html>")
+      .getBytes(Utf8)
+    assert(BodyCharset.decode(lie, null).contains(s))
+    // http-equiv spelling reaches the same label
+    assert(BodyCharset.prescanMeta(
+      ("<meta http-equiv=\"Content-Type\" content=\"text/html; charset=KOI8-R\">x")
+        .getBytes(Iso)) == Some("KOI8-R"))
+  }
 }
