@@ -543,6 +543,42 @@ package object operators {
       * (`spark.graft.quality.maxTopBigramPct`).
       */
     def qualityMaxTopBigramPct: Int = positive("spark.graft.quality.maxTopBigramPct", "10")
+
+    // -- line-grain quality rules (C4 terminal-punctuation / min-words /
+    //    brace-and-javascript drops; Gopher bullet-start and ellipsis-end
+    //    document ratios) — same integer-percent discipline --
+    /** Minimum words for a line to be kept (`spark.graft.quality.lineMinWords`,
+      * C4 §2.2 uses 3 in its word-count rule family).
+      */
+    def qualityLineMinWords: Int = positive("spark.graft.quality.lineMinWords", "3")
+    /** Percent of lines starting with a bullet above this ⇒ listing page,
+      * not prose (`spark.graft.quality.maxBulletPct`, Gopher A1.1 uses 90).
+      */
+    def qualityMaxBulletPct: Int = positive("spark.graft.quality.maxBulletPct", "90")
+    /** Percent of lines ending in an ellipsis above this ⇒ truncated
+      * teaser page (`spark.graft.quality.maxEllipsisPct`, Gopher uses 30).
+      */
+    def qualityMaxEllipsisPct: Int = positive("spark.graft.quality.maxEllipsisPct", "30")
+
+    // -- HTML boilerplate rung at the WARC bridge (jusText-lite) --
+    /** Prune link-dominated short paragraphs during `Warc.toDocuments`
+      * (`spark.graft.html.boilerplate`), default off — the bridge's
+      * paragraph grammar is bit-stable unless a deployment opts in.
+      */
+    def htmlBoilerplate: Boolean =
+      get("spark.graft.html.boilerplate", "false").toBoolean
+    /** Anchor-character percent above which a short paragraph counts as
+      * navigation chrome (`spark.graft.html.maxLinkPct`).
+      */
+    def htmlMaxLinkPct: Int = {
+      val v = positive("spark.graft.html.maxLinkPct", "40")
+      require(v <= 100, s"spark.graft.html.maxLinkPct must be <= 100, got $v")
+      v
+    }
+    /** Word-count ceiling under which a link-dominated paragraph drops
+      * (`spark.graft.html.shortWords`); longer paragraphs always survive.
+      */
+    def htmlShortWords: Int = positive("spark.graft.html.shortWords", "10")
   }
 
   /** Session-lifetime registry of persisted operator intermediates. An

@@ -29,6 +29,14 @@ package graft.sources
   *    buffering — the operator rides `mapPartitions` inside the one
   *    file = one task WARC read, so at 100 TB it scales with the file
   *    fleet exactly like the decode it follows.
+  *
+  * The same single scan also counts, per paragraph, the characters
+  * emitted inside `<a>…</a>` — the link-density signal jusText/boiler-
+  * pipe use to separate navigation chrome from body prose. [[extract]]
+  * returns every paragraph (byte-stable with prior rounds);
+  * [[extractPruned]] drops short, link-dominated paragraphs (the
+  * boilerplate_prune rung), thresholds passed in at PLAN time by the
+  * caller so executors never read session conf.
   */
 object HtmlText {
 
@@ -48,39 +56,97 @@ object HtmlText {
   /** Raw-text elements whose payload is dropped wholesale. */
   private val DropTags: Set[String] = Set("script", "style", "template")
 
-  /** HTML 4 named entities for the Latin-1 range plus the handful of
-    * punctuation names a crawl actually contains; numeric references
-    * cover the rest. `nbsp` maps to a plain space (it IS whitespace to
-    * the paragraph grammar) and `shy` (soft hyphen) to nothing.
+  /** HTML named character references — the full HTML4 table (Latin-1,
+    * Greek, math, arrows, letterlike, punctuation: the WHATWG HTML5
+    * table's ≤10-char core, which is what a crawl actually contains)
+    * plus the HTML5 additions a corpus meets (`apos`, `numero`).
+    * Matching is case-SENSITIVE like the spec table. Whitespace-class
+    * names map into the paragraph grammar: `nbsp`/`ensp`/`emsp`/
+    * `thinsp` are word separators, `shy` (soft hyphen) and the
+    * zero-width/bidi format controls (`zwnj`/`zwj`/`lrm`/`rlm`) are
+    * not corpus glyphs and decode to nothing. Unknown names stay
+    * literal (the HTML5 no-semicolon-match fallback).
     */
   private val Entities: Map[String, String] = Map(
+    // XML core + HTML5 apos
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
-    "nbsp" -> " ", "shy" -> "",
-    "copy" -> "©", "reg" -> "®", "trade" -> "™",
-    "deg" -> "°", "plusmn" -> "±", "micro" -> "µ",
-    "middot" -> "·", "laquo" -> "«", "raquo" -> "»",
-    "iexcl" -> "¡", "iquest" -> "¿", "sect" -> "§",
-    "para" -> "¶", "times" -> "×", "divide" -> "÷",
-    "cent" -> "¢", "pound" -> "£", "yen" -> "¥",
-    "euro" -> "€", "curren" -> "¤",
-    "hellip" -> "…", "mdash" -> "—", "ndash" -> "–",
-    "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“",
-    "rdquo" -> "”", "bull" -> "•", "dagger" -> "†",
-    "frac12" -> "½", "frac14" -> "¼", "frac34" -> "¾",
-    "sup1" -> "¹", "sup2" -> "²", "sup3" -> "³",
-    "agrave" -> "à", "aacute" -> "á", "acirc" -> "â",
-    "atilde" -> "ã", "auml" -> "ä", "aring" -> "å",
-    "aelig" -> "æ", "ccedil" -> "ç", "egrave" -> "è",
-    "eacute" -> "é", "ecirc" -> "ê", "euml" -> "ë",
-    "igrave" -> "ì", "iacute" -> "í", "icirc" -> "î",
-    "iuml" -> "ï", "ntilde" -> "ñ", "ograve" -> "ò",
-    "oacute" -> "ó", "ocirc" -> "ô", "otilde" -> "õ",
-    "ouml" -> "ö", "oslash" -> "ø", "ugrave" -> "ù",
-    "uacute" -> "ú", "ucirc" -> "û", "uuml" -> "ü",
-    "yacute" -> "ý", "yuml" -> "ÿ", "szlig" -> "ß",
-    "Agrave" -> "À", "Aacute" -> "Á", "Auml" -> "Ä",
-    "Ccedil" -> "Ç", "Eacute" -> "É", "Ntilde" -> "Ñ",
-    "Ouml" -> "Ö", "Uuml" -> "Ü")
+    // whitespace / format controls
+    "nbsp" -> " ", "ensp" -> " ", "emsp" -> " ", "thinsp" -> " ",
+    "shy" -> "", "zwnj" -> "", "zwj" -> "", "lrm" -> "", "rlm" -> "",
+    // Latin-1 punctuation & signs (U+00A1–U+00BF, U+00D7, U+00F7)
+    "iexcl" -> "¡", "cent" -> "¢", "pound" -> "£", "curren" -> "¤",
+    "yen" -> "¥", "brvbar" -> "¦", "sect" -> "§", "uml" -> "¨",
+    "copy" -> "©", "ordf" -> "ª", "laquo" -> "«", "not" -> "¬",
+    "reg" -> "®", "macr" -> "¯", "deg" -> "°", "plusmn" -> "±",
+    "sup2" -> "²", "sup3" -> "³", "acute" -> "´", "micro" -> "µ",
+    "para" -> "¶", "middot" -> "·", "cedil" -> "¸", "sup1" -> "¹",
+    "ordm" -> "º", "raquo" -> "»", "frac14" -> "¼", "frac12" -> "½",
+    "frac34" -> "¾", "iquest" -> "¿", "times" -> "×", "divide" -> "÷",
+    // Latin-1 letters, uppercase
+    "Agrave" -> "À", "Aacute" -> "Á", "Acirc" -> "Â", "Atilde" -> "Ã",
+    "Auml" -> "Ä", "Aring" -> "Å", "AElig" -> "Æ", "Ccedil" -> "Ç",
+    "Egrave" -> "È", "Eacute" -> "É", "Ecirc" -> "Ê", "Euml" -> "Ë",
+    "Igrave" -> "Ì", "Iacute" -> "Í", "Icirc" -> "Î", "Iuml" -> "Ï",
+    "ETH" -> "Ð", "Ntilde" -> "Ñ", "Ograve" -> "Ò", "Oacute" -> "Ó",
+    "Ocirc" -> "Ô", "Otilde" -> "Õ", "Ouml" -> "Ö", "Oslash" -> "Ø",
+    "Ugrave" -> "Ù", "Uacute" -> "Ú", "Ucirc" -> "Û", "Uuml" -> "Ü",
+    "Yacute" -> "Ý", "THORN" -> "Þ", "szlig" -> "ß",
+    // Latin-1 letters, lowercase
+    "agrave" -> "à", "aacute" -> "á", "acirc" -> "â", "atilde" -> "ã",
+    "auml" -> "ä", "aring" -> "å", "aelig" -> "æ", "ccedil" -> "ç",
+    "egrave" -> "è", "eacute" -> "é", "ecirc" -> "ê", "euml" -> "ë",
+    "igrave" -> "ì", "iacute" -> "í", "icirc" -> "î", "iuml" -> "ï",
+    "eth" -> "ð", "ntilde" -> "ñ", "ograve" -> "ò", "oacute" -> "ó",
+    "ocirc" -> "ô", "otilde" -> "õ", "ouml" -> "ö", "oslash" -> "ø",
+    "ugrave" -> "ù", "uacute" -> "ú", "ucirc" -> "û", "uuml" -> "ü",
+    "yacute" -> "ý", "thorn" -> "þ", "yuml" -> "ÿ",
+    // Latin Extended / letterlike
+    "OElig" -> "Œ", "oelig" -> "œ", "Scaron" -> "Š", "scaron" -> "š",
+    "Yuml" -> "Ÿ", "fnof" -> "ƒ", "circ" -> "ˆ", "tilde" -> "˜",
+    // Greek, uppercase
+    "Alpha" -> "Α", "Beta" -> "Β", "Gamma" -> "Γ", "Delta" -> "Δ",
+    "Epsilon" -> "Ε", "Zeta" -> "Ζ", "Eta" -> "Η", "Theta" -> "Θ",
+    "Iota" -> "Ι", "Kappa" -> "Κ", "Lambda" -> "Λ", "Mu" -> "Μ",
+    "Nu" -> "Ν", "Xi" -> "Ξ", "Omicron" -> "Ο", "Pi" -> "Π",
+    "Rho" -> "Ρ", "Sigma" -> "Σ", "Tau" -> "Τ", "Upsilon" -> "Υ",
+    "Phi" -> "Φ", "Chi" -> "Χ", "Psi" -> "Ψ", "Omega" -> "Ω",
+    // Greek, lowercase + symbol variants
+    "alpha" -> "α", "beta" -> "β", "gamma" -> "γ", "delta" -> "δ",
+    "epsilon" -> "ε", "zeta" -> "ζ", "eta" -> "η", "theta" -> "θ",
+    "iota" -> "ι", "kappa" -> "κ", "lambda" -> "λ", "mu" -> "μ",
+    "nu" -> "ν", "xi" -> "ξ", "omicron" -> "ο", "pi" -> "π",
+    "rho" -> "ρ", "sigmaf" -> "ς", "sigma" -> "σ", "tau" -> "τ",
+    "upsilon" -> "υ", "phi" -> "φ", "chi" -> "χ", "psi" -> "ψ",
+    "omega" -> "ω", "thetasym" -> "ϑ", "upsih" -> "ϒ", "piv" -> "ϖ",
+    // general punctuation
+    "ndash" -> "–", "mdash" -> "—", "lsquo" -> "‘", "rsquo" -> "’",
+    "sbquo" -> "‚", "ldquo" -> "“", "rdquo" -> "”", "bdquo" -> "„",
+    "dagger" -> "†", "Dagger" -> "‡", "bull" -> "•", "hellip" -> "…",
+    "permil" -> "‰", "prime" -> "′", "Prime" -> "″", "lsaquo" -> "‹",
+    "rsaquo" -> "›", "oline" -> "‾", "frasl" -> "⁄", "euro" -> "€",
+    "numero" -> "№",
+    // letterlike symbols
+    "weierp" -> "℘", "image" -> "ℑ", "real" -> "ℜ", "trade" -> "™",
+    "alefsym" -> "ℵ",
+    // arrows
+    "larr" -> "←", "uarr" -> "↑", "rarr" -> "→", "darr" -> "↓",
+    "harr" -> "↔", "crarr" -> "↵", "lArr" -> "⇐", "uArr" -> "⇑",
+    "rArr" -> "⇒", "dArr" -> "⇓", "hArr" -> "⇔",
+    // mathematical operators
+    "forall" -> "∀", "part" -> "∂", "exist" -> "∃", "empty" -> "∅",
+    "nabla" -> "∇", "isin" -> "∈", "notin" -> "∉", "ni" -> "∋",
+    "prod" -> "∏", "sum" -> "∑", "minus" -> "−", "lowast" -> "∗",
+    "radic" -> "√", "prop" -> "∝", "infin" -> "∞", "ang" -> "∠",
+    "and" -> "∧", "or" -> "∨", "cap" -> "∩", "cup" -> "∪",
+    "int" -> "∫", "there4" -> "∴", "sim" -> "∼", "cong" -> "≅",
+    "asymp" -> "≈", "ne" -> "≠", "equiv" -> "≡", "le" -> "≤",
+    "ge" -> "≥", "sub" -> "⊂", "sup" -> "⊃", "nsub" -> "⊄",
+    "sube" -> "⊆", "supe" -> "⊇", "oplus" -> "⊕", "otimes" -> "⊗",
+    "perp" -> "⊥", "sdot" -> "⋅",
+    // technical / geometric / misc symbols
+    "lceil" -> "⌈", "rceil" -> "⌉", "lfloor" -> "⌊", "rfloor" -> "⌋",
+    "lang" -> "⟨", "rang" -> "⟩", "loz" -> "◊", "spades" -> "♠",
+    "clubs" -> "♣", "hearts" -> "♥", "diams" -> "♦")
 
   /** True when an HTTP Content-Type names an HTML payload (`text/html`,
     * `application/xhtml+xml`), parameters and case ignored.
@@ -91,41 +157,104 @@ object HtmlText {
     mime == "text/html" || mime == "application/xhtml+xml"
   }
 
+  /** One extracted paragraph: entity-decoded text plus how many of its
+    * characters were emitted inside `<a>…</a>` — the link-density signal.
+    */
+  final case class Para(text: String, anchorChars: Int) {
+    def words: Int = if (text.isEmpty) 0 else text.count(_ == ' ') + 1
+  }
+
   /** HTML → newline-delimited paragraphs of entity-decoded text. Total
     * and deterministic on arbitrary (including malformed) input; never
-    * throws.
+    * throws. Byte-identical to joining [[extractParagraphs]] with `\n`.
     */
   def extract(html: String): String = {
-    if (html == null || html.isEmpty) return ""
+    val ps = extractParagraphs(html)
+    if (ps.isEmpty) return ""
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < ps.length) {
+      if (i > 0) sb.append('\n')
+      sb.append(ps(i).text)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** [[extract]] with the jusText-lite boilerplate rung: a paragraph
+    * whose anchor-character share exceeds `maxLinkPct` percent AND whose
+    * word count is at most `maxShortWords` is navigation chrome (menu,
+    * footer link row, breadcrumb), not body prose, and drops. Long
+    * paragraphs survive regardless (prose legitimately carries links);
+    * link-free short paragraphs survive (headings, captions). The
+    * comparison is exact integer math (`anchor·100 > len·pct`) — the
+    * quality_filter discipline. Thresholds arrive as ARGUMENTS, captured
+    * at plan time by the caller, so this stays a pure executor-side
+    * function.
+    */
+  def extractPruned(html: String, maxLinkPct: Int, maxShortWords: Int): String = {
+    val ps = extractParagraphs(html)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    var first = true
+    while (i < ps.length) {
+      val p = ps(i)
+      val linky = p.anchorChars.toLong * 100 > p.text.length.toLong * maxLinkPct
+      if (!(linky && p.words <= maxShortWords)) {
+        if (!first) sb.append('\n')
+        sb.append(p.text)
+        first = false
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** The single-scan core: HTML → non-empty paragraphs with per-paragraph
+    * anchor-character counts. Total and deterministic; never throws.
+    */
+  def extractParagraphs(html: String): Vector[Para] = {
+    if (html == null || html.isEmpty) return Vector.empty
     val n = html.length
-    val out = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    val out = Vector.newBuilder[Para]
+    val cur = new java.lang.StringBuilder(64)
     // paragraph-grain whitespace state: spaces collapse within a line,
-    // any number of breaks collapses to one '\n', and empty paragraphs
-    // never reach the output
+    // any number of breaks collapses to one paragraph boundary, and
+    // empty paragraphs never reach the output
     var pendingSpace = false
-    var pendingBreak = false
-    var lineHasText = false
+    var curAnchor = 0
     // inside <pre> a literal newline IS a line break; everywhere else
     // source newlines are ordinary inter-word whitespace (HTML collapses
     // them) -- only block TAGS make paragraphs
     var preDepth = 0
+    // <a> nesting depth — chars emitted while > 0 count toward the
+    // paragraph's anchorChars (anchors may span paragraph boundaries)
+    var anchorDepth = 0
+
+    def flush(): Unit = if (cur.length > 0) {
+      out += Para(cur.toString, curAnchor)
+      cur.setLength(0)
+      curAnchor = 0
+      pendingSpace = false
+    }
 
     def emitChar(c: Char): Unit = {
       if (c == '\n' || c == '\r') {
-        if (preDepth > 0) { if (lineHasText) { pendingBreak = true; lineHasText = false } }
-        else if (lineHasText) pendingSpace = true
+        if (preDepth > 0) flush()
+        else if (cur.length > 0) pendingSpace = true
       } else if (c == ' ' || c == '\t' || c == '\u000B' || c == '\f') {
-        if (lineHasText) pendingSpace = true
+        if (cur.length > 0) pendingSpace = true
       } else {
-        if (pendingBreak) { out.append('\n'); pendingBreak = false; pendingSpace = false }
-        else if (pendingSpace) { out.append(' '); pendingSpace = false }
-        out.append(c)
-        lineHasText = true
+        if (pendingSpace) {
+          cur.append(' ')
+          if (anchorDepth > 0) curAnchor += 1
+          pendingSpace = false
+        }
+        cur.append(c)
+        if (anchorDepth > 0) curAnchor += 1
       }
     }
-    // after a break, lineHasText restarts false so leading whitespace on
-    // the next paragraph is swallowed; emitChar sets it on the first glyph
-    def emitBreak(): Unit = if (lineHasText) { pendingBreak = true; lineHasText = false }
+    def emitBreak(): Unit = flush()
     def emitText(s: String): Unit = {
       var i = 0
       while (i < s.length) { emitChar(s.charAt(i)); i += 1 }
@@ -238,12 +367,17 @@ object HtmlText {
               if (closing) preDepth = math.max(0, preDepth - 1)
               else preDepth += 1
             }
+            if (name == "a") {
+              if (closing) anchorDepth = math.max(0, anchorDepth - 1)
+              else anchorDepth += 1
+            }
             if (BlockTags(name)) emitBreak()
             i = end + 1
           }
         }
       }
     }
-    out.toString
+    flush()
+    out.result()
   }
 }

@@ -110,6 +110,14 @@ object Warc {
         col("text"), col("warc_type"),
         col("content_type"), col("http_content_type"),
         expr("parse_url(target_uri, 'HOST')").as("source"))
+    // boilerplate rung, conf-read at PLAN time (executors see captured
+    // primitives, never session conf): off by default so the bridge's
+    // paragraph output is bit-stable; a deployment opting in drops
+    // link-dominated short paragraphs (nav menus, footer link rows)
+    // inside the same single extraction scan
+    val prune = graft.operators.GraftConf.htmlBoilerplate
+    val maxLinkPct = graft.operators.GraftConf.htmlMaxLinkPct
+    val shortWords = graft.operators.GraftConf.htmlShortWords
     base.as[(Long, String, String, String, String, String)]
       .mapPartitions(_.map { case (id, text, wtype, ctype, hct, src) =>
         // for a response the HTML signal lives in the PEELED HTTP
@@ -117,7 +125,9 @@ object Warc {
         // conversion/resource records it is the WARC Content-Type
         val ct = if (wtype == "response") hct else ctype
         val t =
-          if (HtmlText.isHtmlContentType(ct)) HtmlText.extract(text) else text
+          if (!HtmlText.isHtmlContentType(ct)) text
+          else if (prune) HtmlText.extractPruned(text, maxLinkPct, shortWords)
+          else HtmlText.extract(text)
         (id, t, src)
       })
       .toDF("doc_id", "text", "source")

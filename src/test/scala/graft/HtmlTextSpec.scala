@@ -72,6 +72,24 @@ class HtmlTextSpec extends SparkSpec {
     assert(extract("non&shy;breaking&nbsp;space") == "nonbreaking space")
   }
 
+  test("the full HTML4/5 named-entity blocks decode: Greek, math, arrows, letterlike, numero") {
+    assert(extract("&Alpha;&beta;&Gamma;&delta; &pi;r&sup2; &sigmaf;&thetasym;") ==
+      "ΑβΓδ πr² ςϑ")
+    assert(extract("&forall;x&isin;S: x&le;y &and; x&ne;&empty; &rArr; &sum;&radic;&infin;") ==
+      "∀x∈S: x≤y ∧ x≠∅ ⇒ ∑√∞")
+    assert(extract("&larr;&uarr;&rarr;&darr;&harr; &lArr;&hArr;") == "←↑→↓↔ ⇐⇔")
+    assert(extract("&numero;5 &trade; &alefsym; &real;&image;&weierp;") ==
+      "№5 ™ ℵ ℜℑ℘")
+    assert(extract("&lceil;x&rceil; &lang;a,b&rang; &spades;&clubs;&hearts;&diams;") ==
+      "⌈x⌉ ⟨a,b⟩ ♠♣♥♦")
+    assert(extract("&OElig;uf &scaron;&Yuml; &bdquo;quote&ldquo; &permil; &frasl;") ==
+      "Œuf šŸ „quote“ ‰ ⁄")
+    // entity names are case-sensitive like the WHATWG table
+    assert(extract("&Sigma; vs &sigma;") == "Σ vs σ")
+    // format controls decode to nothing; spacing entities are word breaks
+    assert(extract("a&zwnj;b&lrm;c d&ensp;e&thinsp;f") == "abc d e f")
+  }
+
   test("malformed fragments degrade to their raw characters, never vanish or throw") {
     // literal '<' that opens no tag
     assert(extract("5 < 6 and 7 <3 hearts") == "5 < 6 and 7 <3 hearts")
@@ -196,5 +214,71 @@ class HtmlTextSpec extends SparkSpec {
     val q = Curation.qualityFilterOf(docs).collect()
     assert(q.length == 2)
     assert(q.forall(_.getAs[Long]("n_words") > 0))
+  }
+
+  // ---- link-density boilerplate rung (jusText-lite) ----
+
+  private val NavFooterPage =
+    """<html><head><title>Widget Review</title></head><body>
+      |<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a> <a href="/blog">Blog</a></nav>
+      |<h1>The widget, reviewed honestly</h1>
+      |<p>The widget performs admirably under sustained load, and we
+      |measured its throughput against <a href="/bench">our benchmark</a>
+      |suite across fourteen distinct workloads over two weeks.</p>
+      |<p>Short but link-free caption line</p>
+      |<div><a href="/p">Prev</a> | <a href="/n">Next</a> | <a href="/i">Index</a></div>
+      |<footer><a href="/privacy">Privacy</a> <a href="/terms">Terms</a> <a href="/rss">RSS</a></footer>
+      |</body></html>""".stripMargin
+
+  test("extractParagraphs counts anchor characters per paragraph in the same scan") {
+    val ps = HtmlText.extractParagraphs(NavFooterPage)
+    val byText = ps.map(p => p.text -> p).toMap
+    // nav row: every glyph inside an <a> except the inter-link spaces
+    val nav = byText("Home About Contact Blog")
+    assert(nav.anchorChars >= "HomeAboutContactBlog".length, nav.toString)
+    assert(nav.anchorChars * 100 > nav.text.length * 40)
+    // heading: no anchors at all
+    assert(byText("The widget, reviewed honestly").anchorChars == 0)
+    // body prose: linky span counted, but a small share of the paragraph
+    val body = ps.find(_.text.startsWith("The widget performs")).get
+    // +1: the collapsed space before the link is flushed at the anchor's
+    // first glyph and adopts its anchor state — a deterministic tie-break
+    assert(body.anchorChars == "our benchmark".length + 1, body.toString)
+    assert(body.anchorChars * 100 < body.text.length * 40)
+    // joining paragraphs reproduces extract exactly — one scan, one grammar
+    assert(ps.map(_.text).mkString("\n") == extract(NavFooterPage))
+  }
+
+  test("extractPruned drops nav/footer link rows while body text and captions survive") {
+    val pruned = HtmlText.extractPruned(NavFooterPage, 40, 10)
+    val kept = pruned.split("\n").toSeq
+    assert(kept.exists(_.startsWith("The widget performs")), pruned)
+    assert(kept.contains("The widget, reviewed honestly"))
+    assert(kept.contains("Widget Review")) // title: short but link-free
+    assert(kept.contains("Short but link-free caption line"))
+    // menus, pager, footer chrome all drop
+    assert(!pruned.contains("Home About"), pruned)
+    assert(!pruned.contains("Prev | Next"), pruned)
+    assert(!pruned.contains("Privacy"), pruned)
+    // thresholds matter: with a 100% link ceiling nothing is "linky"
+    assert(HtmlText.extractPruned(NavFooterPage, 100, 10) == extract(NavFooterPage))
+  }
+
+  test("the WARC bridge prunes boilerplate only when the conf knob opts in") {
+    val bytes = gz(htmlResponse("review.example.org", NavFooterPage))
+    val dir = Files.createTempDirectory("graft_html_boiler")
+    val path = dir.resolve("seg.warc.gz")
+    Files.write(path, bytes)
+    val (records, _) = Warc.readWarc(spark, path.toString)
+    // default: bit-stable full extraction
+    val full = Warc.toDocuments(records).collect().head.getAs[String]("text")
+    assert(full == extract(NavFooterPage))
+    spark.conf.set("spark.graft.html.boilerplate", "true")
+    try {
+      val pruned = Warc.toDocuments(records).collect().head.getAs[String]("text")
+      assert(pruned == HtmlText.extractPruned(NavFooterPage, 40, 10))
+      assert(!pruned.contains("Home About") &&
+        pruned.contains("The widget, reviewed honestly"))
+    } finally spark.conf.unset("spark.graft.html.boilerplate")
   }
 }
