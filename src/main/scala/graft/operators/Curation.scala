@@ -89,6 +89,123 @@ object Curation {
       .contractOrderBy("doc_id")
   }
 
+  /** `line_quality_filter`: the LINE-grain C4/Gopher rule family — the
+    * rules [[gopherQuality]]'s Scaladoc documented as deliberately out
+    * while the corpus carried no newline structure. The WARC front door
+    * now emits real paragraphs ([[graft.sources.HtmlText]]'s `\n`
+    * grammar), so the line rules have a genuine unit to run on:
+    *
+    *  - C4 line keeps (Raffel et al. 2020 §2.2): a line is retained iff
+    *    it has ≥ [[GraftConf.qualityLineMinWords]] words, ends in a
+    *    terminal punctuation mark (optionally followed by a closing
+    *    quote), and carries neither a curly brace nor the word
+    *    "javascript" (the code/boilerplate drops);
+    *  - Gopher doc ratios (Rae et al. 2021 A1.1): a document whose
+    *    bullet-starting line share exceeds
+    *    [[GraftConf.qualityMaxBulletPct]]% or whose ellipsis-ending
+    *    share exceeds [[GraftConf.qualityMaxEllipsisPct]]% is a listing/
+    *    teaser page, not prose;
+    *  - doc verdict: at least one kept line AND both ratios in bounds
+    *    (the synthetic word-salad corpus, which has neither newlines nor
+    *    punctuation, correctly classifies as non-prose: n_lines = 1,
+    *    n_kept = 0 — the composition spec over WARC-bridged HTML pages
+    *    exercises every rule in both directions on real line structure).
+    *
+    * Output is LINE grain (doc_id, idx, per-line counters and keep) with
+    * the doc verdict window-joined on — richer parity surface than a
+    * constant doc-grain row, and the natural input for a downstream
+    * line-cut rewrite. All thresholds compare in exact integer math.
+    *
+    * Scale shape: one explode, then ONE hash shuffle on doc_id (window
+    * aggregates share a single partition pass; no self-join) — lines per
+    * doc are bounded by document size, so partition skew tracks doc
+    * length exactly like every other per-doc operator.
+    */
+  def lineQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    lineQualityFilterOf(Tables.documents(spark, dir))
+
+  def lineQualityFilterOf(docs: DataFrame): DataFrame = {
+    val minW = GraftConf.qualityLineMinWords
+    val maxB = GraftConf.qualityMaxBulletPct
+    val maxE = GraftConf.qualityMaxEllipsisPct
+    val scored = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+      .withColumn("idx", col("idx").cast("long"))
+      .withColumn("n_words",
+        when(col("line") === "", 0L)
+          .otherwise(size(split(col("line"), " ")).cast("long")))
+      .withColumn("terminal", col("line").rlike("[.!?][\"']?$"))
+      .withColumn("bullet", col("line").rlike("^[-*•]"))
+      .withColumn("ellipsis", col("line").rlike("(\\.\\.\\.|…)$"))
+      .withColumn("brace_js",
+        col("line").contains("{") || col("line").contains("}") ||
+          lower(col("line")).contains("javascript"))
+      .withColumn("line_keep",
+        col("n_words") >= minW && col("terminal") && !col("brace_js"))
+    val w = Window.partitionBy(col("doc_id"))
+    val agg = scored
+      .withColumn("n_lines", count(lit(1)).over(w))
+      .withColumn("n_kept", sum(when(col("line_keep"), 1L).otherwise(0L)).over(w))
+      .withColumn("n_bullet", sum(when(col("bullet"), 1L).otherwise(0L)).over(w))
+      .withColumn("n_ellipsis", sum(when(col("ellipsis"), 1L).otherwise(0L)).over(w))
+    val rNoKept = col("n_kept") < 1
+    val rBullet = col("n_bullet") * 100 > col("n_lines") * maxB
+    val rEllipsis = col("n_ellipsis") * 100 > col("n_lines") * maxE
+    agg
+      .withColumn("keep", !rNoKept && !rBullet && !rEllipsis)
+      .withColumn("reasons", array_join(concat(
+        when(rNoKept, array(lit("no_kept_lines"))).otherwise(array()),
+        when(rBullet, array(lit("bullet_heavy"))).otherwise(array()),
+        when(rEllipsis, array(lit("ellipsis_heavy"))).otherwise(array())), ","))
+      .select("doc_id", "idx", "n_words", "line_keep",
+        "n_lines", "n_kept", "n_bullet", "n_ellipsis", "keep", "reasons")
+      .contractOrderBy("doc_id", "idx")
+  }
+
+  def lineQualityFilterSql: String = {
+    val minW = GraftConf.qualityLineMinWords
+    val maxB = GraftConf.qualityMaxBulletPct
+    val maxE = GraftConf.qualityMaxEllipsisPct
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+       |), l AS (
+       |  SELECT doc_id,
+       |    CAST(unnest(generate_series(1, len(ls))) - 1 AS BIGINT) AS idx,
+       |    unnest(ls) AS line
+       |  FROM d
+       |), s AS (
+       |  SELECT doc_id, idx,
+       |    CAST(CASE WHEN line = '' THEN 0 ELSE len(string_split(line, ' ')) END AS BIGINT) AS n_words,
+       |    regexp_matches(line, '[.!?]["'']?${"$"}') AS terminal,
+       |    regexp_matches(line, '^[-*•]') AS bullet,
+       |    regexp_matches(line, '(\\.\\.\\.|…)${"$"}') AS ellipsis,
+       |    (contains(line, '{') OR contains(line, '}')
+       |      OR contains(lower(line), 'javascript')) AS brace_js
+       |  FROM l
+       |), k AS (
+       |  SELECT doc_id, idx, n_words,
+       |    (n_words >= $minW AND terminal AND NOT brace_js) AS line_keep,
+       |    bullet, ellipsis
+       |  FROM s
+       |), agg AS (
+       |  SELECT doc_id, idx, n_words, line_keep,
+       |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_lines,
+       |    CAST(sum(CASE WHEN line_keep THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id) AS BIGINT) AS n_kept,
+       |    CAST(sum(CASE WHEN bullet THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bullet,
+       |    CAST(sum(CASE WHEN ellipsis THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id) AS BIGINT) AS n_ellipsis
+       |  FROM k
+       |)
+       |SELECT doc_id, idx, n_words, line_keep, n_lines, n_kept, n_bullet, n_ellipsis,
+       |  NOT (n_kept < 1 OR n_bullet * 100 > n_lines * $maxB
+       |       OR n_ellipsis * 100 > n_lines * $maxE) AS keep,
+       |  coalesce(array_to_string(
+       |    (CASE WHEN n_kept < 1 THEN ['no_kept_lines'] ELSE [] END)
+       |    || (CASE WHEN n_bullet * 100 > n_lines * $maxB THEN ['bullet_heavy'] ELSE [] END)
+       |    || (CASE WHEN n_ellipsis * 100 > n_lines * $maxE THEN ['ellipsis_heavy'] ELSE [] END), ','), '') AS reasons
+       |FROM agg
+       |ORDER BY doc_id, idx""".stripMargin
+  }
+
   /** `gopher_quality`: the word-level Gopher quality rule set (Rae et al.
     * 2021 appendix A1.1) as a second, independent filter next to
     * [[qualityFilter]]'s C4-style rules — word-count bounds, mean word
@@ -96,9 +213,9 @@ object Curation {
     * words containing an alphabetic character, and ≥ 2 distinct stopwords
     * from [[GraftConf.gopherStops]] (production = Gopher's 8 function
     * words; default scaled to the synthetic vocabulary). The line-grain
-    * rules — bullet starts, ellipsis ends — need newline structure the
-    * synthetic corpus doesn't carry; they'd be vacuously green and are
-    * deliberately out.
+    * rules — bullet starts, ellipsis ends — live in
+    * [[lineQualityFilter]], which runs on the newline structure the
+    * WARC front door now emits.
     *
     * Every rule compares in INTEGER math (`chars < words·3`,
     * `sym·100 > words·10`, …) — the quality_filter discipline: no float

@@ -365,6 +365,54 @@ class CurationSpec extends SparkSpec {
     assert(real.exists(_.getAs[Boolean]("keep")) && real.exists(!_.getAs[Boolean]("keep")))
   }
 
+  test("line_quality_filter: C4 line keeps and Gopher doc ratios fire per planted violator") {
+    import spark.implicits._
+    val docs = Seq(
+      // prose: every line ≥3 words with terminal punctuation → kept doc
+      (1L, "The first sentence is here.\nAnother good line follows it!\nIs this a question?"),
+      // quoted terminal punctuation also keeps (the C4 closing-quote rule)
+      (2L, "He said the words \"it works.\"\nShe replied that it would hold.'"),
+      // a brace/javascript line drops but the doc survives on its prose
+      (3L, "This page mixes prose with code.\nfunction f() { return 1; }\nPlease enable javascript to continue.\nThe prose however is long enough to keep."),
+      // bullet-heavy listing page: every line a bullet → bullet_heavy
+      (4L, "- first item\n- second item\n- third item\n• fourth item"),
+      // teaser page: every line ends in an ellipsis → ellipsis_heavy
+      // (the lines themselves pass the C4 keep — '...' ends in '.')
+      (5L, "Read more about this story...\nThe article continues elsewhere…\nClick through for details..."),
+      // short fragments: no line reaches 3 words + terminal → no_kept_lines
+      (6L, "nav\nhome\nabout us"))
+      .toDF("doc_id", "text")
+    val out = Curation.lineQualityFilterOf(docs).collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    def docReasons(id: Long) =
+      byDoc(id).head.getAs[String]("reasons").split(",").filter(_.nonEmpty).toSet
+    assert(byDoc(1L).forall(_.getAs[Boolean]("keep")) && docReasons(1L).isEmpty)
+    assert(byDoc(1L).forall(_.getAs[Boolean]("line_keep")))
+    assert(byDoc(2L).head.getAs[Boolean]("keep"), byDoc(2L).mkString("|"))
+    // doc 3: the brace line and the javascript line are cut, prose kept
+    val d3 = byDoc(3L).sortBy(_.getAs[Long]("idx"))
+    assert(d3.map(_.getAs[Boolean]("line_keep")).toSeq ==
+      Seq(true, false, false, true), d3.mkString("|"))
+    assert(d3.head.getAs[Boolean]("keep"))
+    assert(docReasons(4L) == Set("no_kept_lines", "bullet_heavy"), docReasons(4L))
+    assert(byDoc(4L).head.getAs[Long]("n_bullet") == 4L)
+    assert(docReasons(5L).contains("ellipsis_heavy"))
+    assert(byDoc(5L).head.getAs[Long]("n_ellipsis") == 3L)
+    assert(docReasons(6L) == Set("no_kept_lines"))
+    // per-line counters agree with the doc verdict everywhere
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("keep") ==
+        (r.getAs[Long]("n_kept") >= 1 &&
+          r.getAs[Long]("n_bullet") * 100 <= r.getAs[Long]("n_lines") * 90 &&
+          r.getAs[Long]("n_ellipsis") * 100 <= r.getAs[Long]("n_lines") * 30))
+    }
+    // synthetic corpus (no newlines, no punctuation): uniformly non-prose,
+    // the honest verdict — never a throw, one row per doc
+    val real = Curation.lineQualityFilter(spark, sf).collect()
+    assert(real.nonEmpty && real.forall(r =>
+      r.getAs[Long]("n_lines") == 1L && !r.getAs[Boolean]("keep")))
+  }
+
   test("domain_temperature_mix: temperature flattens the mixture toward the tail") {
     import spark.implicits._
     // planted skew: src_big 800 docs, src_mid 150, src_tail 50

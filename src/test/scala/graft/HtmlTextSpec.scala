@@ -264,6 +264,39 @@ class HtmlTextSpec extends SparkSpec {
     assert(HtmlText.extractPruned(NavFooterPage, 100, 10) == extract(NavFooterPage))
   }
 
+  test("line_quality_filter runs on WARC-bridged HTML paragraphs: prose keeps, listing and code pages drop") {
+    val prose =
+      """<html><body><p>The crawl produced a real paragraph that ends properly.</p>
+        |<p>Its second paragraph also reads like prose, with enough words to keep!</p></body></html>""".stripMargin
+    val listing =
+      """<html><body><ul><li>- alpha entry</li><li>- beta entry</li>
+        |<li>- gamma entry</li></ul></body></html>""".stripMargin
+    val codey =
+      """<html><body><p>if (x) { return y; }</p><p>Please enable javascript now.</p></body></html>"""
+    val bytes = gz(htmlResponse("prose.example.org", prose)) ++
+      gz(htmlResponse("listing.example.org", listing)) ++
+      gz(htmlResponse("codey.example.org", codey))
+    val dir = Files.createTempDirectory("graft_html_lineq")
+    val path = dir.resolve("seg.warc.gz")
+    Files.write(path, bytes)
+    val (records, _) = Warc.readWarc(spark, path.toString)
+    val docs = Warc.toDocuments(records)
+    val out = Curation.lineQualityFilterOf(docs)
+      .join(docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source")), Seq("doc_id"))
+      .collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    assert(bySrc("prose.example.org").forall(_.getAs[Boolean]("keep")))
+    assert(bySrc("prose.example.org").forall(_.getAs[Boolean]("line_keep")))
+    val listRows = bySrc("listing.example.org")
+    assert(listRows.forall(!_.getAs[Boolean]("keep")))
+    assert(listRows.head.getAs[String]("reasons").contains("bullet_heavy"))
+    val codeRows = bySrc("codey.example.org")
+    assert(codeRows.forall(r => !r.getAs[Boolean]("line_keep")),
+      codeRows.mkString("|"))
+    assert(codeRows.head.getAs[String]("reasons").contains("no_kept_lines"))
+  }
+
   test("the WARC bridge prunes boilerplate only when the conf knob opts in") {
     val bytes = gz(htmlResponse("review.example.org", NavFooterPage))
     val dir = Files.createTempDirectory("graft_html_boiler")
