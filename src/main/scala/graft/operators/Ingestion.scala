@@ -463,6 +463,13 @@ object Ingestion {
     private final case class AtOffset(off: Int) extends Loc
     private final case class InStm(stm: Int, idx: Int) extends Loc
 
+    /** A font's show-string → text decoder: the /ToUnicode CMap when the
+      * font carries a usable one, else a 256-entry simple-encoding table
+      * (/WinAnsiEncoding, /MacRomanEncoding, /Differences — Annex D),
+      * else nothing and the caller keeps the byte path.
+      */
+    private sealed trait ShowDecoder { def decode(raw: String): String }
+
     /** §9.10.3 /ToUnicode CMap: maps show-string char CODES to Unicode
       * text — how most real-world non-Latin PDF text is encoded (a
       * subset font's codes are font-internal glyph ids; the embedded
@@ -477,7 +484,8 @@ object Ingestion {
     private final class ToUnicodeCMap(
         widths: Vector[(Int, Long, Long)],
         single: Map[Long, String],
-        ranges: Vector[(Long, Long, Either[String, Vector[String]])]) {
+        ranges: Vector[(Long, Long, Either[String, Vector[String]])])
+      extends ShowDecoder {
 
       def decode(raw: String): String = {
         val sb = new StringBuilder
@@ -583,6 +591,186 @@ object Ingestion {
           Some(new ToUnicodeCMap(widths, single, ranges))
         }
       } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** One-byte simple-font decode through a 256-entry table — the
+      * Annex D encodings for fonts WITHOUT /ToUnicode.
+      */
+    private final class TableShowDecoder(table: Array[String]) extends ShowDecoder {
+      def decode(raw: String): String = {
+        val sb = new StringBuilder(raw.length)
+        var i = 0
+        while (i < raw.length) { sb.append(table(raw.charAt(i) & 0xff)); i += 1 }
+        sb.toString
+      }
+    }
+
+    /** ISO 32000-1 Annex D simple-font encodings: /WinAnsiEncoding and
+      * /MacRomanEncoding base tables plus /Differences overrides — the
+      * text bridge for the large class of real PDFs whose fonts declare
+      * an /Encoding but embed no /ToUnicode CMap. WinAnsi IS windows-1252
+      * (Annex D.2 note 3) and MacRoman is the Mac OS Roman set, so the
+      * tables build from the JDK charsets byte-for-byte; codes either
+      * charset leaves unmapped keep byte identity (the pre-encoding
+      * behavior — degrade, never invent). /Differences names resolve
+      * through the Adobe Glyph List conventions: `uniXXXX`/`uXXXX[XX]`
+      * algorithmically, the common AGL names (Latin, accents,
+      * punctuation, the quote family) by table; an unknown glyph name
+      * leaves that code on byte identity. A garbage /Encoding value
+      * yields NO decoder — the byte path stays, unchanged.
+      */
+    private object SimpleEncoding {
+      private def charsetTable(name: String): Array[String] = {
+        val t = new Array[String](256)
+        val cs =
+          try Some(java.nio.charset.Charset.forName(name))
+          catch { case scala.util.control.NonFatal(_) => None }
+        var i = 0
+        while (i < 256) {
+          val decoded = cs.map { c =>
+            val d = c.newDecoder()
+              .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+              .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+            try d.decode(java.nio.ByteBuffer.wrap(Array(i.toByte))).toString
+            catch { case scala.util.control.NonFatal(_) => i.toChar.toString }
+          }
+          t(i) = decoded.getOrElse(i.toChar.toString)
+          i += 1
+        }
+        t
+      }
+      private lazy val WinAnsi: Array[String] = charsetTable("windows-1252")
+      private lazy val MacRoman: Array[String] = charsetTable("x-MacRoman")
+
+      /** The AGL names a crawl's /Differences arrays actually use —
+        * ASCII punctuation, Latin-1 letters/signs under their Adobe
+        * names, the typographic quote/dash family, Euro.
+        */
+      private val GlyphNames: Map[String, String] = {
+        val ascii = Map(
+          "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+          "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+          "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+          "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+          "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+          "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3",
+          "four" -> "4", "five" -> "5", "six" -> "6", "seven" -> "7",
+          "eight" -> "8", "nine" -> "9", "colon" -> ":", "semicolon" -> ";",
+          "less" -> "<", "equal" -> "=", "greater" -> ">", "question" -> "?",
+          "at" -> "@", "bracketleft" -> "[", "backslash" -> "\\",
+          "bracketright" -> "]", "asciicircum" -> "^", "underscore" -> "_",
+          "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+          "braceright" -> "}", "asciitilde" -> "~")
+        val letters = (('a' to 'z') ++ ('A' to 'Z'))
+          .map(c => c.toString -> c.toString).toMap
+        val latin1 = Map(
+          "exclamdown" -> "¡", "cent" -> "¢", "sterling" -> "£",
+          "currency" -> "¤", "yen" -> "¥", "brokenbar" -> "¦",
+          "section" -> "§", "dieresis" -> "¨", "copyright" -> "©",
+          "ordfeminine" -> "ª", "guillemotleft" -> "«", "logicalnot" -> "¬",
+          "registered" -> "®", "macron" -> "¯", "degree" -> "°",
+          "plusminus" -> "±", "twosuperior" -> "²", "threesuperior" -> "³",
+          "acute" -> "´", "mu" -> "µ", "paragraph" -> "¶",
+          "periodcentered" -> "·", "cedilla" -> "¸", "onesuperior" -> "¹",
+          "ordmasculine" -> "º", "guillemotright" -> "»",
+          "onequarter" -> "¼", "onehalf" -> "½", "threequarters" -> "¾",
+          "questiondown" -> "¿", "multiply" -> "×", "divide" -> "÷",
+          "Agrave" -> "À", "Aacute" -> "Á", "Acircumflex" -> "Â",
+          "Atilde" -> "Ã", "Adieresis" -> "Ä", "Aring" -> "Å", "AE" -> "Æ",
+          "Ccedilla" -> "Ç", "Egrave" -> "È", "Eacute" -> "É",
+          "Ecircumflex" -> "Ê", "Edieresis" -> "Ë", "Igrave" -> "Ì",
+          "Iacute" -> "Í", "Icircumflex" -> "Î", "Idieresis" -> "Ï",
+          "Eth" -> "Ð", "Ntilde" -> "Ñ", "Ograve" -> "Ò", "Oacute" -> "Ó",
+          "Ocircumflex" -> "Ô", "Otilde" -> "Õ", "Odieresis" -> "Ö",
+          "Oslash" -> "Ø", "Ugrave" -> "Ù", "Uacute" -> "Ú",
+          "Ucircumflex" -> "Û", "Udieresis" -> "Ü", "Yacute" -> "Ý",
+          "Thorn" -> "Þ", "germandbls" -> "ß",
+          "agrave" -> "à", "aacute" -> "á", "acircumflex" -> "â",
+          "atilde" -> "ã", "adieresis" -> "ä", "aring" -> "å", "ae" -> "æ",
+          "ccedilla" -> "ç", "egrave" -> "è", "eacute" -> "é",
+          "ecircumflex" -> "ê", "edieresis" -> "ë", "igrave" -> "ì",
+          "iacute" -> "í", "icircumflex" -> "î", "idieresis" -> "ï",
+          "eth" -> "ð", "ntilde" -> "ñ", "ograve" -> "ò", "oacute" -> "ó",
+          "ocircumflex" -> "ô", "otilde" -> "õ", "odieresis" -> "ö",
+          "oslash" -> "ø", "ugrave" -> "ù", "uacute" -> "ú",
+          "ucircumflex" -> "û", "udieresis" -> "ü", "yacute" -> "ý",
+          "thorn" -> "þ", "ydieresis" -> "ÿ")
+        val typo = Map(
+          "quoteleft" -> "‘", "quoteright" -> "’", "quotedblleft" -> "“",
+          "quotedblright" -> "”", "quotesinglbase" -> "‚",
+          "quotedblbase" -> "„", "endash" -> "–", "emdash" -> "—",
+          "ellipsis" -> "…", "dagger" -> "†", "daggerdbl" -> "‡",
+          "bullet" -> "•", "perthousand" -> "‰", "guilsinglleft" -> "‹",
+          "guilsinglright" -> "›", "fraction" -> "⁄", "Euro" -> "€",
+          "florin" -> "ƒ", "trademark" -> "™", "minus" -> "−",
+          "OE" -> "Œ", "oe" -> "œ", "Scaron" -> "Š", "scaron" -> "š",
+          "Ydieresis" -> "Ÿ", "Zcaron" -> "Ž", "zcaron" -> "ž",
+          "circumflex" -> "ˆ", "tilde" -> "˜", "dotlessi" -> "ı",
+          "lslash" -> "ł", "Lslash" -> "Ł")
+        ascii ++ letters ++ latin1 ++ typo
+      }
+
+      /** AGL resolution: `uniXXXX` (exactly 4 hex) and `uXXXX[XX]`
+        * (4–6 hex) algorithmically, then the name table; None leaves
+        * the code on byte identity.
+        */
+      def glyphToText(name: String): Option[String] = {
+        def hexCp(h: String): Option[String] =
+          try {
+            val cp = Integer.parseInt(h, 16)
+            if (cp >= 0 && cp <= 0x10ffff && !(cp >= 0xd800 && cp <= 0xdfff))
+              Some(new String(Character.toChars(cp)))
+            else None
+          } catch { case _: NumberFormatException => None }
+        if (name.length == 7 && name.startsWith("uni")) hexCp(name.substring(3))
+        else if (name.length >= 5 && name.length <= 7 && name.startsWith("u"))
+          hexCp(name.substring(1))
+        else GlyphNames.get(name)
+      }
+
+      /** The font's resolved /Encoding value → a table decoder, or None
+        * for anything that cannot honestly improve on the byte path.
+        * A bare name must be a KNOWN base; a dict applies /Differences
+        * over its /BaseEncoding (byte identity when the base is absent
+        * or unknown — /Differences carries meaning on its own).
+        */
+      def build(enc: PObj, resolve: PObj => PObj): Option[ShowDecoder] = {
+        def base(name: String): Option[Array[String]] = name match {
+          case "WinAnsiEncoding" => Some(WinAnsi)
+          case "MacRomanEncoding" => Some(MacRoman)
+          case _ => None
+        }
+        resolve(enc) match {
+          case PName(n) => base(n).map(t => new TableShowDecoder(t))
+          case d: PDict =>
+            val baseT = d.m.get("BaseEncoding").map(resolve) match {
+              case Some(PName(n)) => base(n)
+              case _ => None
+            }
+            val diffs = d.m.get("Differences").map(resolve) match {
+              case Some(PArr(items)) => Some(items)
+              case _ => None
+            }
+            if (baseT.isEmpty && diffs.isEmpty) None
+            else {
+              val table = baseT
+                .map(t => java.util.Arrays.copyOf(t, 256))
+                .getOrElse(Array.tabulate(256)(i => i.toChar.toString))
+              diffs.foreach { items =>
+                var code = -1
+                items.foreach {
+                  case PNum(v) if v >= 0 && v <= 255 => code = v.toInt
+                  case PName(g) if code >= 0 && code <= 255 =>
+                    glyphToText(g).foreach(table(code) = _)
+                    code += 1
+                  case _ => // out-of-range code or stray token: skip
+                }
+              }
+              Some(new TableShowDecoder(table))
+            }
+          case _ => None
+        }
+      }
     }
 
     /** Standard security handler decryption for the EMPTY-user-password
@@ -1209,12 +1397,15 @@ object Ingestion {
         out.result()
       }
 
-      /** The page's /Font resources → each font's parsed /ToUnicode CMap
-        * (only fonts carrying a usable one — the rest keep the byte
-        * path). /Resources is an INHERITABLE page attribute (§7.7.3.4):
-        * climb /Parent until found, hop-bounded like [[resolve]].
+      /** The page's /Font resources → each font's show-string decoder:
+        * a usable /ToUnicode CMap wins (§9.10.3's explicit bridge), else
+        * an Annex D simple-encoding table (/WinAnsiEncoding,
+        * /MacRomanEncoding, /Differences) when the font declares one,
+        * else no decoder and the byte path stays. /Resources is an
+        * INHERITABLE page attribute (§7.7.3.4): climb /Parent until
+        * found, hop-bounded like [[resolve]].
         */
-      def pageFonts(page: PDict): Map[String, ToUnicodeCMap] = {
+      def pageFonts(page: PDict): Map[String, ShowDecoder] = {
         var cur: PObj = page
         var res: Option[PDict] = None
         var hops = 0
@@ -1235,12 +1426,15 @@ object Ingestion {
           case Some(PDict(fm)) =>
             fm.iterator.flatMap { case (name, fo) =>
               resolve(fo) match {
-                case fd: PDict => fd.m.get("ToUnicode").map(resolve) match {
-                  case Some(ps: PStream) =>
-                    ToUnicodeCMap.parse(new String(decodeStream(ps), Latin1))
-                      .map(name -> _)
-                  case _ => None
-                }
+                case fd: PDict =>
+                  val cmap = fd.m.get("ToUnicode").map(resolve) match {
+                    case Some(ps: PStream) =>
+                      ToUnicodeCMap.parse(new String(decodeStream(ps), Latin1))
+                    case _ => None
+                  }
+                  cmap.orElse(fd.m.get("Encoding")
+                      .flatMap(e => SimpleEncoding.build(e, resolve)))
+                    .map(name -> _)
                 case _ => None
               }
             }.toMap
@@ -1338,11 +1532,11 @@ object Ingestion {
 
     private def parseContent(c: String, page: Int,
         out: scala.collection.mutable.ArrayBuffer[PdfBlock],
-        fonts: Map[String, ToUnicodeCMap] = Map.empty): Unit = {
+        fonts: Map[String, ShowDecoder] = Map.empty): Unit = {
       val tfs =
         if (fonts.isEmpty) Vector.empty
         else TfRe.findAllMatchIn(c).map(m => (m.start, m.group(1))).toVector
-      def cmapAt(pos: Int): Option[ToUnicodeCMap] = {
+      def cmapAt(pos: Int): Option[ShowDecoder] = {
         var sel: String = null
         var k = 0
         while (k < tfs.length && tfs(k)._1 < pos) { sel = tfs(k)._2; k += 1 }

@@ -135,4 +135,90 @@ class PdfCMapSpec extends SparkSpec {
     b.classicXref(Seq(1, 2, 3, 5, 7, 8), "<< /Size 9 /Root 1 0 R >>")
     assert(PdfTextDecoder.blocks(b.bytes).map(_.text) == Seq("Still here"))
   }
+
+  // ---- Annex D simple-font encodings (fonts WITHOUT /ToUnicode) ----
+
+  /** One-page doc whose single font carries the given /Encoding value
+    * (and no /ToUnicode); `showBytes` are the raw show-string bytes.
+    */
+  private def simpleFontDoc(encoding: String, showBytes: Array[Byte]): Array[Byte] = {
+    val b = new Builder
+    b.raw("%PDF-1.4\n")
+    b.obj(7, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      s"/Encoding $encoding >>")
+    val content = "BT /F1 12 Tf 72 720 Td (".getBytes(Latin1) ++
+      showBytes ++ ") Tj ET".getBytes(Latin1)
+    b.streamObj(5, "", content)
+    b.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 5 0 R " +
+      "/Resources << /Font << /F1 7 0 R >> >> >>")
+    b.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.classicXref(Seq(1, 2, 3, 5, 7), "<< /Size 8 /Root 1 0 R >>")
+    b.bytes
+  }
+
+  test("/WinAnsiEncoding: 0x80-0x9F typographic bytes extract their windows-1252 text") {
+    // € (0x80), “ ” (0x93/0x94), … (0x85), — (0x97): all Latin-1 holes
+    val bytes = "cost ".getBytes(Latin1) ++
+      Array(0x80, 0x93, 0x94, 0x85, 0x97).map(_.toByte)
+    val got = PdfTextDecoder.blocks(simpleFontDoc("/WinAnsiEncoding", bytes))
+    assert(got.map(_.text) == Seq("cost €“”…—"), got.toString)
+  }
+
+  test("/MacRomanEncoding: Mac-coded accents extract exactly") {
+    // MacRoman: 0x8E = é, 0x87 = á, 0x9F = ü
+    val bytes = "caf".getBytes(Latin1) ++ Array(0x8e.toByte) ++
+      " ".getBytes(Latin1) ++ Array(0x87.toByte, 0x9f.toByte)
+    val got = PdfTextDecoder.blocks(simpleFontDoc("/MacRomanEncoding", bytes))
+    assert(got.map(_.text) == Seq("café áü"), got.toString)
+  }
+
+  test("a /Differences font without /ToUnicode extracts exact non-ASCII text") {
+    // remap 0x41('A')→é by AGL name, 0x42('B')→€ via uniXXXX, 0x43('C')→α
+    // via uXXXX; consecutive names advance the code (0x44,0x45 follow 0x43)
+    val enc = "<< /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [65 /eacute /uni20AC 67 /u03B1 /quoteleft /quoteright] >>"
+    val got = PdfTextDecoder.blocks(simpleFontDoc(enc, "ABCDE ok".getBytes(Latin1)))
+    assert(got.map(_.text) == Seq("é€α‘’ ok"), got.toString)
+  }
+
+  test("/Differences over an absent base applies on byte identity; unknown glyph names degrade") {
+    // no BaseEncoding: unmapped codes keep their bytes; /nosuchglyph
+    // leaves its code untouched instead of guessing
+    val enc = "<< /Differences [66 /emdash /nosuchglyph] >>"
+    val got = PdfTextDecoder.blocks(simpleFontDoc(enc, "ABC".getBytes(Latin1)))
+    assert(got.map(_.text) == Seq("A—C"), got.toString)
+  }
+
+  test("garbage /Encoding values keep the byte path unchanged") {
+    for (enc <- Seq("/NoSuchEncoding", "<< /BaseEncoding /Bogus >>", "42")) {
+      val got = PdfTextDecoder.blocks(simpleFontDoc(enc, "plain text".getBytes(Latin1)))
+      assert(got.map(_.text) == Seq("plain text"), s"$enc -> $got")
+    }
+  }
+
+  test("/ToUnicode wins over /Encoding when a font carries both") {
+    val cmap =
+      """begincmap
+        |1 begincodespacerange
+        |<00> <FF>
+        |endcodespacerange
+        |1 beginbfchar
+        |<41> <0416>
+        |endbfchar
+        |endcmap""".stripMargin
+    val b = new Builder
+    b.raw("%PDF-1.4\n")
+    b.streamObj(8, "", cmap.getBytes(Latin1))
+    b.obj(7, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding /ToUnicode 8 0 R >>")
+    b.streamObj(5, "", "BT /F1 12 Tf 72 720 Td (A) Tj ET".getBytes(Latin1))
+    b.obj(3, "<< /Type /Page /Parent 2 0 R /Contents 5 0 R " +
+      "/Resources << /Font << /F1 7 0 R >> >> >>")
+    b.obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.classicXref(Seq(1, 2, 3, 5, 7, 8), "<< /Size 9 /Root 1 0 R >>")
+    // the CMap maps 'A' to Ж; WinAnsi would have said 'A'
+    assert(PdfTextDecoder.blocks(b.bytes).map(_.text) == Seq("Ж"))
+  }
 }
