@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -1140,16 +1140,32 @@ object TextAnalysis {
        |ORDER BY n_docs DESC, n_occ DESC, g LIMIT $topN""".stripMargin
   }
 
-  /** Occurrence order key for the ORACLE SQL only: (doc_id, offset)
-    * packed into one BIGINT so "first occurrence" of a duplicated window
-    * is a plain min() in DuckDB too. 2^20 bounds the word offset and
-    * keeps doc_id ≤ 2^43 overflow-free — true of the synthetic corpus
-    * the oracle runs on. The SPARK side instead min()s a
-    * `struct(doc_id, offset)` (same lexicographic order, still map-side
-    * combinable, no window sort): crawl-bridged corpora carry 60-bit
-    * hashed doc_ids, where the packed BIGINT would overflow ANSI-fatally.
+  /** Occurrence order key for the ORACLE SQL (always) and the Spark
+    * fast path (opt-in): (doc_id, offset) packed into one BIGINT so
+    * "first occurrence" of a duplicated window is a plain min(). 2^20
+    * bounds the word offset and keeps doc_id ≤ 2^43 overflow-free —
+    * true of the synthetic corpus the oracle runs on. The SPARK side
+    * DEFAULTS to min()ing a `struct(doc_id, offset)` (same
+    * lexicographic order, still map-side combinable, no window sort):
+    * crawl-bridged corpora carry 60-bit hashed doc_ids, where the
+    * packed BIGINT would overflow ANSI-fatally.
     */
   private val OccKey = 1048576L
+
+  /** The keep-first occurrence key, in whichever representation the
+    * session selected: `struct(doc_id, offset)` by default (correct for
+    * ANY id width), or the packed BIGINT when
+    * `spark.graft.dedup.packedOccKey` opts in — a codegen-primitive
+    * min/compare instead of interpreted struct ordering, measurably
+    * faster on the fingerprint-heavy `winnow_cut` lane (r18 A/B:
+    * 6.98 → 5.70 s min at sf0.1), valid ONLY where doc_id < 2^43 is a
+    * corpus invariant (the synthetic tables; never the 60-bit crawl
+    * bridge). Both representations order identically under the
+    * precondition, so the kept set — and the oracle, which always uses
+    * the packed form — cannot drift.
+    */
+  private def occFirstKey(d: Column, p: Column): Column =
+    if (GraftConf.dedupPackedOccKey) d * OccKey + p else struct(d, p)
 
   /** `dedup_substrings_cut`: the ACT step of exact-substring dedup (Lee et
     * al. 2022) — [[dupSubstrings]] *reports* cross-document duplicated
@@ -1186,11 +1202,11 @@ object TextAnalysis {
     // gram table; only duplicated grams survive to the join back
     val dup = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("nd"),
-        min(struct(col("doc_id"), col("i"))).as("first_key"))
+        min(occFirstKey(col("doc_id"), col("i"))).as("first_key"))
       .filter(col("nd") >= 2)
       .select("g", "first_key")
     val cuts = grams.join(dup, "g")
-      .filter(struct(col("doc_id"), col("i")) =!= col("first_key"))
+      .filter(occFirstKey(col("doc_id"), col("i")) =!= col("first_key"))
       .select(col("doc_id"), explode(expr(s"sequence(i, i + ${k - 1})")).as("pos"))
       .distinct()
     val kept = words.join(cuts, Seq("doc_id", "pos"), "left_anti")
@@ -1724,9 +1740,9 @@ object TextAnalysis {
     val matched = fppos.join(winnowOccOf(fppos), Seq("fp"))
     // globally first occurrence per fingerprint keeps its words
     val firstKeys = matched.groupBy(col("fp"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first_key"))
+      .agg(min(occFirstKey(col("doc_id"), col("pos"))).as("first_key"))
     val cuts = matched.join(firstKeys, Seq("fp"))
-      .filter(struct(col("doc_id"), col("pos")) =!= col("first_key"))
+      .filter(occFirstKey(col("doc_id"), col("pos")) =!= col("first_key"))
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("p"))
       .distinct()
     val words = docs.withColumn("ws", split(col("text"), " "))
@@ -1904,13 +1920,13 @@ object TextAnalysis {
     */
   private def keepFirstUnits(units: DataFrame, sep: String): DataFrame = {
     val firstKeys = units.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("idx"))).as("first_key"))
+      .agg(min(occFirstKey(col("doc_id"), col("idx"))).as("first_key"))
     val sepLit = sep.flatMap {
       case '\n' => "\\n"; case '\\' => "\\\\"; case '\'' => "\\'"
       case c => c.toString
     }
     units.join(firstKeys, Seq("h"))
-      .withColumn("keep", struct(col("doc_id"), col("idx")) === col("first_key"))
+      .withColumn("keep", occFirstKey(col("doc_id"), col("idx")) === col("first_key"))
       .groupBy(col("doc_id"))
       .agg(
         expr("array_join(transform(array_sort(collect_list(CASE WHEN keep THEN struct(idx, chunk) END)), " +
@@ -1957,9 +1973,9 @@ object TextAnalysis {
   def dedupLinesReportOf(docs: DataFrame): DataFrame = {
     val units = lineUnitsOf(docs)
     val firstKeys = units.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("idx"))).as("first_key"))
+      .agg(min(occFirstKey(col("doc_id"), col("idx"))).as("first_key"))
     units.join(firstKeys, Seq("h"))
-      .withColumn("cut", struct(col("doc_id"), col("idx")) =!= col("first_key"))
+      .withColumn("cut", occFirstKey(col("doc_id"), col("idx")) =!= col("first_key"))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_units"),

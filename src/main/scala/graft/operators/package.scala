@@ -97,6 +97,17 @@ package object operators {
     def cosineTau: Double = fraction("spark.graft.dedup.cosineTau", "0.35")
     /** Hot band-bucket cap (`spark.graft.dedup.hotBandDocs`). */
     def hotBandDocs: Int = positive("spark.graft.dedup.hotBandDocs", "64")
+    /** Packed-BIGINT occurrence-key fast path
+      * (`spark.graft.dedup.packedOccKey`): the keep-first lanes'
+      * (doc_id, offset) key as `doc_id·2^20 + offset` — a codegen-
+      * primitive min/compare — instead of the default `struct` key.
+      * OPT-IN with a stated precondition: valid only where doc_id < 2^43
+      * is a corpus invariant (synthetic tables; NEVER the 60-bit crawl
+      * bridge, where the packed form overflows). Orders identically to
+      * the struct under the precondition, so results cannot drift.
+      */
+    def dedupPackedOccKey: Boolean =
+      get("spark.graft.dedup.packedOccKey", "false").toBoolean
     /** SemDeDup within-cell cosine threshold
       * (`spark.graft.dedup.semTau`): pairs at or above it inside one
       * trained kmeans cell are semantic duplicates (Abbas et al. 2023 use

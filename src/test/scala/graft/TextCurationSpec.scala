@@ -290,6 +290,24 @@ class TextCurationSpec extends SparkSpec {
     assert(out(3L) == ((t3, 0L)), s"bystander modified: ${out(3L)}")
   }
 
+  test("packedOccKey fast path: keep-first lanes bit-identical under struct and packed keys") {
+    import graft.operators.TextAnalysis
+    // the synthetic corpus satisfies the doc_id < 2^43 precondition, so
+    // both key representations must order — and therefore keep — alike
+    def snap(): (Seq[String], Seq[String], Seq[String]) = (
+      TextAnalysis.winnowCut(spark, sf).collect().map(_.toString).toSeq,
+      TextAnalysis.dedupSubstringsCut(spark, sf).collect().map(_.toString).toSeq,
+      TextAnalysis.dedupLines(spark, sf).collect().map(_.toString).toSeq)
+    val slow = snap()
+    spark.conf.set("spark.graft.dedup.packedOccKey", "true")
+    try {
+      val fast = snap()
+      assert(fast._1 == slow._1, "winnow_cut drifted under the packed key")
+      assert(fast._2 == slow._2, "dedup_substrings_cut drifted under the packed key")
+      assert(fast._3 == slow._3, "dedup_lines drifted under the packed key")
+    } finally spark.conf.unset("spark.graft.dedup.packedOccKey")
+  }
+
   test("perplexity_buckets: labels are monotone in nll and cuts are sample order statistics") {
     // 9 docs with strictly increasing rarity (doc k repeats a common token
     // 8 times then carries k distinct rare tokens), all in the sample
