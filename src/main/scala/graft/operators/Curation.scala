@@ -124,11 +124,12 @@ object Curation {
   def lineQualityFilter(spark: SparkSession, dir: String): DataFrame =
     lineQualityFilterOf(Tables.documents(spark, dir))
 
-  def lineQualityFilterOf(docs: DataFrame): DataFrame = {
+  /** The scored line table both line-grain operators share: one explode,
+    * per-line counters and rule flags, `line_keep` per the C4 keep.
+    */
+  private def lineScoredOf(docs: DataFrame): DataFrame = {
     val minW = GraftConf.qualityLineMinWords
-    val maxB = GraftConf.qualityMaxBulletPct
-    val maxE = GraftConf.qualityMaxEllipsisPct
-    val scored = docs
+    docs
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
       .withColumn("idx", col("idx").cast("long"))
       .withColumn("n_words",
@@ -142,6 +143,12 @@ object Curation {
           lower(col("line")).contains("javascript"))
       .withColumn("line_keep",
         col("n_words") >= minW && col("terminal") && !col("brace_js"))
+  }
+
+  def lineQualityFilterOf(docs: DataFrame): DataFrame = {
+    val maxB = GraftConf.qualityMaxBulletPct
+    val maxE = GraftConf.qualityMaxEllipsisPct
+    val scored = lineScoredOf(docs)
     val w = Window.partitionBy(col("doc_id"))
     val agg = scored
       .withColumn("n_lines", count(lit(1)).over(w))
@@ -162,11 +169,13 @@ object Curation {
       .contractOrderBy("doc_id", "idx")
   }
 
-  def lineQualityFilterSql: String = {
+  /** The shared scored-line CTE prelude (`d` → `l` → `s` → `k`) — one
+    * generator for both line-grain oracles so the rule arithmetic
+    * cannot drift between them.
+    */
+  private def lineScoredCtes: String = {
     val minW = GraftConf.qualityLineMinWords
-    val maxB = GraftConf.qualityMaxBulletPct
-    val maxE = GraftConf.qualityMaxEllipsisPct
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
        |), l AS (
        |  SELECT doc_id,
@@ -174,7 +183,7 @@ object Curation {
        |    unnest(ls) AS line
        |  FROM d
        |), s AS (
-       |  SELECT doc_id, idx,
+       |  SELECT doc_id, idx, line,
        |    CAST(CASE WHEN line = '' THEN 0 ELSE len(string_split(line, ' ')) END AS BIGINT) AS n_words,
        |    regexp_matches(line, '[.!?]["'']?${"$"}') AS terminal,
        |    regexp_matches(line, '^[-*•]') AS bullet,
@@ -183,11 +192,17 @@ object Curation {
        |      OR contains(lower(line), 'javascript')) AS brace_js
        |  FROM l
        |), k AS (
-       |  SELECT doc_id, idx, n_words,
+       |  SELECT doc_id, idx, line, n_words,
        |    (n_words >= $minW AND terminal AND NOT brace_js) AS line_keep,
        |    bullet, ellipsis
        |  FROM s
-       |), agg AS (
+       |)""".stripMargin
+  }
+
+  def lineQualityFilterSql: String = {
+    val maxB = GraftConf.qualityMaxBulletPct
+    val maxE = GraftConf.qualityMaxEllipsisPct
+    s"""WITH $lineScoredCtes, agg AS (
        |  SELECT doc_id, idx, n_words, line_keep,
        |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_lines,
        |    CAST(sum(CASE WHEN line_keep THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id) AS BIGINT) AS n_kept,
@@ -204,6 +219,71 @@ object Curation {
        |    || (CASE WHEN n_ellipsis * 100 > n_lines * $maxE THEN ['ellipsis_heavy'] ELSE [] END), ','), '') AS reasons
        |FROM agg
        |ORDER BY doc_id, idx""".stripMargin
+  }
+
+  /** `line_quality_cut`: the ACT step over [[lineQualityFilter]]'s line
+    * verdicts — what C4 actually DOES (Raffel et al. 2020 §2.2 removes
+    * failing lines, then drops pages that keep too little): kept lines
+    * reassemble in order into `clean_text` (the paragraph grammar's own
+    * `\n` join, so an uncut doc round-trips byte-identically — the
+    * `winnow_cut`/`dedup_substrings_cut` act-step contract), and a doc
+    * failing the document verdict (no kept line, bullet/ellipsis ratio
+    * breach) empties entirely. Every input doc emits exactly one row
+    * with removal accounting.
+    *
+    * Scale shape: ONE hash aggregation on doc_id over the shared scored
+    * line table — conditional aggregates compute the counters and the
+    * kept-line reassembly in the same partial+final pass (collect_list
+    * skips the NULLs the CASE leaves for cut lines); no join, no
+    * window, no corpus sort.
+    */
+  def lineQualityCut(spark: SparkSession, dir: String): DataFrame =
+    lineQualityCutOf(Tables.documents(spark, dir))
+
+  def lineQualityCutOf(docs: DataFrame): DataFrame = {
+    val maxB = GraftConf.qualityMaxBulletPct
+    val maxE = GraftConf.qualityMaxEllipsisPct
+    val agg = lineScoredOf(docs).groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("line_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("bullet"), 1L).otherwise(0L)).as("n_bullet"),
+        sum(when(col("ellipsis"), 1L).otherwise(0L)).as("n_ellipsis"),
+        expr("""array_join(transform(array_sort(
+              |  collect_list(CASE WHEN line_keep THEN struct(idx, line) END)),
+              |  x -> x.line), '\n')""".stripMargin.replace("\n", ""))
+          .as("kept_text"))
+    val docKeep = col("n_kept") >= 1 &&
+      col("n_bullet") * 100 <= col("n_lines") * maxB &&
+      col("n_ellipsis") * 100 <= col("n_lines") * maxE
+    agg
+      .withColumn("keep", docKeep)
+      .withColumn("clean_text", when(docKeep, col("kept_text")).otherwise(lit("")))
+      .select("doc_id", "clean_text", "n_lines", "n_kept", "keep")
+      .contractOrderBy("doc_id")
+  }
+
+  def lineQualityCutSql: String = {
+    val maxB = GraftConf.qualityMaxBulletPct
+    val maxE = GraftConf.qualityMaxEllipsisPct
+    s"""WITH $lineScoredCtes, agg AS (
+       |  SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_lines,
+       |    CAST(sum(CASE WHEN line_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(sum(CASE WHEN bullet THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet,
+       |    CAST(sum(CASE WHEN ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis,
+       |    coalesce(string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE line_keep), '') AS kept_text
+       |  FROM k GROUP BY doc_id
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN n_kept >= 1 AND n_bullet * 100 <= n_lines * $maxB
+       |            AND n_ellipsis * 100 <= n_lines * $maxE
+       |       THEN kept_text ELSE '' END AS clean_text,
+       |  n_lines, n_kept,
+       |  (n_kept >= 1 AND n_bullet * 100 <= n_lines * $maxB
+       |    AND n_ellipsis * 100 <= n_lines * $maxE) AS keep
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** `gopher_quality`: the word-level Gopher quality rule set (Rae et al.

@@ -411,6 +411,21 @@ class CurationSpec extends SparkSpec {
     val real = Curation.lineQualityFilter(spark, sf).collect()
     assert(real.nonEmpty && real.forall(r =>
       r.getAs[Long]("n_lines") == 1L && !r.getAs[Boolean]("keep")))
+
+    // the ACT step rewrites per the same verdicts: every doc one row,
+    // kept lines reassemble in order, failing docs empty entirely
+    val cut = Curation.lineQualityCutOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Boolean]("keep"))).toMap
+    assert(cut.keySet == (1L to 6L).toSet)
+    // an all-kept doc round-trips byte-identically (the act-step contract)
+    assert(cut(1L) == ((docs.filter($"doc_id" === 1L).head.getAs[String]("text"), true)))
+    // doc 3 loses exactly its brace and javascript lines, order intact
+    assert(cut(3L)._1 == "This page mixes prose with code.\n" +
+      "The prose however is long enough to keep.", cut(3L)._1)
+    // doc-verdict failures empty entirely, whatever their line verdicts
+    assert(cut(4L) == (("", false)) && cut(5L) == (("", false)) &&
+      cut(6L) == (("", false)), cut.toString)
   }
 
   test("domain_temperature_mix: temperature flattens the mixture toward the tail") {
