@@ -4,7 +4,7 @@ import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{BottomK, DotProduct, L2Squared, MisraGries, SimhashAgg}
+import graft.functions.{BottomK, DotProduct, GramHash, L2Squared, MaxRun, Md5PrefixLong, MinOne, MisraGries, SimhashAgg}
 
 /** Session extensions: registers graft's native expressions so they're
   * callable from SQL / `expr(...)` in any session built with
@@ -88,6 +88,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         requireArity("graft_might_contain", 2, exprs)
         BloomFilterMightContain(exprs.head, exprs(1))
+      }))
+    def foldableInt(name: String, param: String, e: Expression): Int = {
+      if (!e.foldable)
+        throw new AnalysisException(
+          errorClass = "NON_FOLDABLE_ARGUMENT",
+          messageParameters = Map(
+            "funcName" -> s"`$name`",
+            "paramName" -> s"`$param`",
+            "paramType" -> "\"INT\""))
+      e.eval().asInstanceOf[Number].intValue()
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("graft_md5_long"),
+      new ExpressionInfo(classOf[Md5PrefixLong].getName, "graft_md5_long"),
+      (exprs: Seq[Expression]) => {
+        requireArity("graft_md5_long", 3, exprs)
+        Md5PrefixLong(exprs.head,
+          foldableInt("graft_md5_long", "start", exprs(1)),
+          foldableInt("graft_md5_long", "len", exprs(2)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_gram_hash"),
+      new ExpressionInfo(classOf[GramHash].getName, "graft_gram_hash"),
+      (exprs: Seq[Expression]) => {
+        requireArity("graft_gram_hash", 3, exprs)
+        GramHash(exprs.head,
+          foldableInt("graft_gram_hash", "k", exprs(1)),
+          foldableInt("graft_gram_hash", "len", exprs(2)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_min1"),
+      new ExpressionInfo(classOf[MinOne].getName, "graft_min1"),
+      (exprs: Seq[Expression]) => {
+        requireArity("graft_min1", 1, exprs)
+        MinOne(exprs.head).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_max_run"),
+      new ExpressionInfo(classOf[MaxRun].getName, "graft_max_run"),
+      (exprs: Seq[Expression]) => {
+        requireArity("graft_max_run", 1, exprs)
+        MaxRun(exprs.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
