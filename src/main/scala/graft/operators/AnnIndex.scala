@@ -161,11 +161,13 @@ object AnnIndex {
     val scaled = Clustering.scaledEmbOf(embs)
     val (cents, cb) = trainRaw(scaled)
     val codes = encodeWithArtifacts(scaled, cents, cb, residual = false)
-    stamp(codes, "codes", residual = false).write.mode("overwrite")
-      .partitionBy("cell").parquet(s"$path/codes")
-    stamp(cb, "cemb", residual = false).write.mode("overwrite").parquet(s"$path/codebooks")
-    stamp(cents, "cemb", residual = false).write.mode("overwrite")
-      .parquet(s"$path/centroids")
+    graft.sources.Sinks.writeAllParallel(Seq(
+      () => stamp(codes, "codes", residual = false).write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$path/codes"),
+      () => stamp(cb, "cemb", residual = false).write.mode("overwrite")
+        .parquet(s"$path/codebooks"),
+      () => stamp(cents, "cemb", residual = false).write.mode("overwrite")
+        .parquet(s"$path/centroids")))
     Dedup.releaseIntermediates()
   }
 
@@ -223,11 +225,13 @@ object AnnIndex {
     val scaled = Clustering.scaledEmbOf(embs)
     val (cents, cb) = trainResidual(scaled)
     val codes = encodeWithArtifacts(scaled, cents, cb, residual = true)
-    stamp(codes, "codes", residual = true).write.mode("overwrite")
-      .partitionBy("cell").parquet(s"$path/codes")
-    stamp(cb, "cemb", residual = true).write.mode("overwrite").parquet(s"$path/codebooks")
-    stamp(cents, "cemb", residual = true).write.mode("overwrite")
-      .parquet(s"$path/centroids")
+    graft.sources.Sinks.writeAllParallel(Seq(
+      () => stamp(codes, "codes", residual = true).write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$path/codes"),
+      () => stamp(cb, "cemb", residual = true).write.mode("overwrite")
+        .parquet(s"$path/codebooks"),
+      () => stamp(cents, "cemb", residual = true).write.mode("overwrite")
+        .parquet(s"$path/centroids")))
     Dedup.releaseIntermediates()
   }
 

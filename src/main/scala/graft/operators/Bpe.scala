@@ -121,17 +121,35 @@ object Bpe {
     * aggregation; nothing about the merge loop re-runs per document.
     */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
-    bpeEncodeOf(Tables.documents(spark, dir))
+    bpeTokensFromVocab(storedTrainedVocab(spark, dir),
+      Tables.documents(spark, dir)).contractOrderBy("doc_id")
 
   def bpeEncodeOf(docs: DataFrame): DataFrame =
     bpeTokensOf(docs).contractOrderBy("doc_id")
+
+  /** The trained (word, w, enc) vocabulary table through the bench-session
+    * artifact cache (r18) — "train once, encode many" applied to the four
+    * encode-side rows (`bpe_encode`, `bpe_vocab`, `bpe_fertility`,
+    * `pack_sequences_bpe`), the [[Unigram.storedSegmentTable]] discipline;
+    * `bpe_train` itself stays the in-query training row. The merge budget
+    * rides in the artifact name; Verify never sets the cache, so parity is
+    * the oracle gate itself.
+    */
+  private[graft] def storedTrainedVocab(spark: SparkSession, dir: String): DataFrame =
+    Dedup.storedIndex(spark, s"bpevocab-m${GraftConf.bpeMerges}", dir)(
+      bpeTrainedOf(Tables.documents(spark, dir))._1)
 
   /** Unordered (doc_id, n_words, n_bpe_tokens) core — shared by
     * [[bpeEncodeOf]] and `pack_sequences_bpe` so packing and accounting
     * can never disagree on a word's price.
     */
-  private[graft] def bpeTokensOf(docs: DataFrame): DataFrame = {
-    val (vocab, _) = bpeTrainedOf(docs)
+  private[graft] def bpeTokensOf(docs: DataFrame): DataFrame =
+    bpeTokensFromVocab(bpeTrainedOf(docs)._1, docs)
+
+  /** The encode pass over an ALREADY-trained vocabulary table — the seam
+    * the stored artifact feeds, same arithmetic by construction.
+    */
+  private[graft] def bpeTokensFromVocab(vocab: DataFrame, docs: DataFrame): DataFrame = {
     val tok = vocab.select(col("word"),
       size(filter(split(col("enc"), "\\|\\|"), x => x =!= lit(""))).cast("long").as("n_tok"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -149,7 +167,7 @@ object Bpe {
     * is never rescanned.
     */
   def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
-    val (vocab, _) = bpeTrainedOf(Tables.documents(spark, dir))
+    val vocab = storedTrainedVocab(spark, dir)
     vocab
       .select(col("w"),
         explode(filter(split(col("enc"), "\\|\\|"), x => x =!= lit(""))).as("sym"))
@@ -176,7 +194,7 @@ object Bpe {
     */
   def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    bpeTokensOf(docs)
+    bpeTokensFromVocab(storedTrainedVocab(spark, dir), docs)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),

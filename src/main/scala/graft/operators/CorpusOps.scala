@@ -22,7 +22,7 @@ object CorpusOps {
     * keep their split across corpus versions.
     */
   private val bucketExpr =
-    "pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), 100)"
+    "pmod(graft_md5_long(cast(doc_id as string), 1, 8), 100)"
   private val bucketSql =
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
 

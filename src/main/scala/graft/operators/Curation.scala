@@ -59,21 +59,31 @@ object Curation {
       |                i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))
       | ELSE array() END""".stripMargin.replace("\n", "")
 
+  /** Max bigram multiplicity of the doc's own `ws`, in-row: sort the
+    * bigram array, take the longest equal-adjacent run. One expression
+    * shared by the batch filter and the streaming twin so the rule
+    * arithmetic cannot drift.
+    */
+  private[graft] val topBigramRunExpr: String =
+    // graft_max_run: native max-equal-adjacent-run (the interpreted
+    // aggregate-with-named_struct lambda this replaces allocated a 3-field
+    // struct per element per row — measured slower than the explode path
+    // it was meant to beat)
+    s"graft_max_run(array_sort($bigramsExpr))"
+
   def qualityFilterOf(docs: DataFrame): DataFrame = {
     val stopList = TextAnalysis.EnStopwords.map("'" + _ + "'").mkString(",")
-    val base = docs
+    // top_bg in-row (r18): the max bigram multiplicity as a sort + max-run
+    // aggregate over the doc's own bigram array — the exact expression the
+    // streaming twin ([[graft.streaming.StreamOps.curateStream]]) has used
+    // since r15, spec-asserted equal to the old explode → two-groupBy →
+    // join-back path, which shuffled the corpus's bigrams twice per funnel
+    val joined = docs
       .withColumn("ws", split(col("text"), " "))
       .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("n_stop",
         expr(s"size(filter(ws, w -> w IN ($stopList)))").cast("long"))
-    val bigrams = base.select(col("doc_id"),
-        explode(expr(bigramsExpr)).as("bg"))
-    val topBg = bigrams.groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("cnt")).as("top_bg"))
-    val joined = base.join(topBg, Seq("doc_id"), "left")
-      .withColumn("top_bg", coalesce(col("top_bg"), lit(0L)))
+      .withColumn("top_bg", expr(topBigramRunExpr))
     val rShort = col("n_words") < MinWords
     val rLong = col("n_words") > MaxWords
     val rStop = col("n_stop") * 100 < col("n_words") * MinStopPct
@@ -124,41 +134,50 @@ object Curation {
   def lineQualityFilter(spark: SparkSession, dir: String): DataFrame =
     lineQualityFilterOf(Tables.documents(spark, dir))
 
-  /** The scored line table both line-grain operators share: one explode,
-    * per-line counters and rule flags, `line_keep` per the C4 keep.
+  /** The scored line STRUCT ARRAY both line-grain operators share (r18 —
+    * was an explode followed by a doc_id window/groupBy shuffle): one
+    * stateless projection computes every per-line counter and rule flag
+    * INSIDE the doc row, so the doc-grain aggregates are array sizes over
+    * the same column and neither operator shuffles at all. The rule
+    * arithmetic is byte-identical to the exploded form it replaces.
     */
-  private def lineScoredOf(docs: DataFrame): DataFrame = {
+  private def lineScoredArrOf(docs: DataFrame): DataFrame = {
     val minW = GraftConf.qualityLineMinWords
     docs
-      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
-      .withColumn("idx", col("idx").cast("long"))
-      .withColumn("n_words",
-        when(col("line") === "", 0L)
-          .otherwise(size(split(col("line"), " ")).cast("long")))
-      .withColumn("terminal", col("line").rlike("[.!?][\"']?$"))
-      .withColumn("bullet", col("line").rlike("^[-*•]"))
-      .withColumn("ellipsis", col("line").rlike("(\\.\\.\\.|…)$"))
-      .withColumn("brace_js",
-        col("line").contains("{") || col("line").contains("}") ||
-          lower(col("line")).contains("javascript"))
-      .withColumn("line_keep",
-        col("n_words") >= minW && col("terminal") && !col("brace_js"))
+      .withColumn("ls", split(col("text"), "\n"))
+      .withColumn("sc", transform(col("ls"), line => struct(
+        when(line === "", 0L)
+          .otherwise(size(split(line, " ")).cast("long")).as("n_words"),
+        line.rlike("^[-*•]").as("bullet"),
+        line.rlike("(\\.\\.\\.|…)$").as("ellipsis"),
+        (when(line === "", 0L)
+          .otherwise(size(split(line, " ")).cast("long")) >= minW &&
+          line.rlike("[.!?][\"']?$") &&
+          !(line.contains("{") || line.contains("}") ||
+            lower(line).contains("javascript"))).as("line_keep"),
+        line.as("line"))))
+      .withColumn("n_lines", size(col("sc")).cast("long"))
+      .withColumn("n_kept",
+        size(filter(col("sc"), _.getField("line_keep"))).cast("long"))
+      .withColumn("n_bullet",
+        size(filter(col("sc"), _.getField("bullet"))).cast("long"))
+      .withColumn("n_ellipsis",
+        size(filter(col("sc"), _.getField("ellipsis"))).cast("long"))
   }
 
   def lineQualityFilterOf(docs: DataFrame): DataFrame = {
     val maxB = GraftConf.qualityMaxBulletPct
     val maxE = GraftConf.qualityMaxEllipsisPct
-    val scored = lineScoredOf(docs)
-    val w = Window.partitionBy(col("doc_id"))
-    val agg = scored
-      .withColumn("n_lines", count(lit(1)).over(w))
-      .withColumn("n_kept", sum(when(col("line_keep"), 1L).otherwise(0L)).over(w))
-      .withColumn("n_bullet", sum(when(col("bullet"), 1L).otherwise(0L)).over(w))
-      .withColumn("n_ellipsis", sum(when(col("ellipsis"), 1L).otherwise(0L)).over(w))
     val rNoKept = col("n_kept") < 1
     val rBullet = col("n_bullet") * 100 > col("n_lines") * maxB
     val rEllipsis = col("n_ellipsis") * 100 > col("n_lines") * maxE
-    agg
+    lineScoredArrOf(docs)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("n_bullet"),
+        col("n_ellipsis"),
+        posexplode(col("sc")).as(Seq("idx0", "s")))
+      .withColumn("idx", col("idx0").cast("long"))
+      .withColumn("n_words", col("s.n_words"))
+      .withColumn("line_keep", col("s.line_keep"))
       .withColumn("keep", !rNoKept && !rBullet && !rEllipsis)
       .withColumn("reasons", array_join(concat(
         when(rNoKept, array(lit("no_kept_lines"))).otherwise(array()),
@@ -186,8 +205,8 @@ object Curation {
        |  SELECT doc_id, idx, line,
        |    CAST(CASE WHEN line = '' THEN 0 ELSE len(string_split(line, ' ')) END AS BIGINT) AS n_words,
        |    regexp_matches(line, '[.!?]["'']?${"$"}') AS terminal,
-       |    regexp_matches(line, '^[-*•]') AS bullet,
-       |    regexp_matches(line, '(\\.\\.\\.|…)${"$"}') AS ellipsis,
+       |    regexp_matches(line, '^[-*' || chr(8226) || ']') AS bullet,
+       |    regexp_matches(line, '(\\.\\.\\.|' || chr(8230) || ')${"$"}') AS ellipsis,
        |    (contains(line, '{') OR contains(line, '}')
        |      OR contains(lower(line), 'javascript')) AS brace_js
        |  FROM l
@@ -243,20 +262,17 @@ object Curation {
   def lineQualityCutOf(docs: DataFrame): DataFrame = {
     val maxB = GraftConf.qualityMaxBulletPct
     val maxE = GraftConf.qualityMaxEllipsisPct
-    val agg = lineScoredOf(docs).groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_lines"),
-        sum(when(col("line_keep"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("bullet"), 1L).otherwise(0L)).as("n_bullet"),
-        sum(when(col("ellipsis"), 1L).otherwise(0L)).as("n_ellipsis"),
-        expr("""array_join(transform(array_sort(
-              |  collect_list(CASE WHEN line_keep THEN struct(idx, line) END)),
-              |  x -> x.line), '\n')""".stripMargin.replace("\n", ""))
-          .as("kept_text"))
+    // zero-shuffle act step (r18): the scored struct array already holds
+    // every line in order, so kept-line reassembly is a filter+transform
+    // over the doc row — the explode → collect_list(struct) round trip
+    // (a full shuffle of the corpus text) is gone
     val docKeep = col("n_kept") >= 1 &&
       col("n_bullet") * 100 <= col("n_lines") * maxB &&
       col("n_ellipsis") * 100 <= col("n_lines") * maxE
-    agg
+    lineScoredArrOf(docs)
+      .withColumn("kept_text",
+        array_join(transform(filter(col("sc"), _.getField("line_keep")),
+          _.getField("line")), "\n"))
       .withColumn("keep", docKeep)
       .withColumn("clean_text", when(docKeep, col("kept_text")).otherwise(lit("")))
       .select("doc_id", "clean_text", "n_lines", "n_kept", "keep")
@@ -430,16 +446,19 @@ object Curation {
   def evalNgramHashesOf(docs: DataFrame, isEval: Column): DataFrame =
     docs.filter(isEval)
       .withColumn("ws", split(col("text"), " "))
-      .select(explode(expr(ngramExpr(ContamNgram))).as("ng"))
-      .select(expr("substr(md5(ng), 1, 16)").as("h"))
+      .select(explode(expr(hashedNgramExpr(ContamNgram))).as("h"))
       .distinct()
 
-  private[graft] def ngramExpr(k: Int): String = {
-    val parts = (1 to k).map(j => s"element_at(ws, i + $j)").mkString(", ")
-    s"""CASE WHEN size(ws) >= $k
-       | THEN array_distinct(transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', $parts)))
-       | ELSE array() END""".stripMargin.replace("\n", "")
-  }
+  /** Distinct [[ContamNgram]]-gram 64-bit md5 keys per doc (r18): the
+    * fused native form of `transform(ngramExpr, g -> substr(md5(g), 1,
+    * 16))` — the full-width first-8-bytes key as a LONG instead of a
+    * 16-hex string (same 64 bits, half the join/broadcast bytes, no
+    * hex/substr churn; distinct moves after hashing by the repo's
+    * distinct-strings ↔ distinct-hashes identity). The oracle keeps the
+    * 16-hex string form — a bijection of the same key.
+    */
+  private[graft] def hashedNgramExpr(k: Int): String =
+    s"array_distinct(graft_gram_hash(ws, $k, 16))"
 
   private def ngramSqlExpr(k: Int): String = {
     val parts = (0 until k).map(j => s"ws[i + $j]").mkString(" || ' ' || ")
@@ -456,7 +475,8 @@ object Curation {
     * Scale shape: the eval side is benchmark-sized (thousands of docs, not
     * billions), so its distinct n-gram set is BROADCAST and the 100 TB
     * train side streams through a broadcast hash join — no shuffle of the
-    * corpus. N-grams travel as 16-hex md5 prefixes, not raw strings.
+    * corpus. N-grams travel as 64-bit md5-prefix longs, not raw strings
+    * (the oracle keeps the equivalent 16-hex string form — same 64 bits).
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminateFrom(Tables.documents(spark, dir),
@@ -469,7 +489,7 @@ object Curation {
   def decontaminateFrom(rawDocs: DataFrame, isEval: Column): DataFrame = {
     val docs = rawDocs
       .withColumn("ws", split(col("text"), " "))
-      .withColumn("ngs", expr(ngramExpr(ContamNgram)))
+      .withColumn("ngs", expr(hashedNgramExpr(ContamNgram)))
       .withColumn("is_eval", isEval)
     // explode_outer, not explode: plain explode pushes a `size(ngs) > 0 AND
     // isnotnull(ngs)` filter below the Generate, and because higher-order
@@ -479,12 +499,10 @@ object Curation {
     // count(h)/count-non-null aggregates below ignore — and it keeps the doc
     // in the output without a second corpus scan for the left join.
     val evalNgrams = docs.filter(col("is_eval"))
-      .select(explode(col("ngs")).as("ng"))
-      .select(expr("substr(md5(ng), 1, 16)").as("h"))
+      .select(explode(col("ngs")).as("h"))
       .distinct()
     val trainNgrams = docs.filter(!col("is_eval"))
-      .select(col("doc_id"), explode_outer(col("ngs")).as("ng"))
-      .select(col("doc_id"), expr("substr(md5(ng), 1, 16)").as("h"))
+      .select(col("doc_id"), explode_outer(col("ngs")).as("h"))
     trainNgrams
       .join(broadcast(evalNgrams.withColumn("hit", lit(1))), Seq("h"), "left")
       .groupBy(col("doc_id"))
@@ -592,16 +610,18 @@ object Curation {
         round(col("inter").cast("double") /
           (size(col("hs")) + size(col("ehs")) - col("inter")), 4))
       .filter(col("jaccard") >= FuzzyTau)
-    // per-doc rollup: hit count + worst offender. Window partitions carry
-    // one train doc's hits each (bounded by the eval set), never the corpus
-    val byDoc = Window.partitionBy(col("doc_id"))
-    val top = verified
-      .withColumn("n_eval_hits", count(lit(1)).over(byDoc))
-      .withColumn("rn", row_number().over(
-        byDoc.orderBy(col("jaccard").desc, col("eval_id"))))
-      .filter(col("rn") === 1)
+    // per-doc rollup: hit count + worst offender, as ONE hash aggregation
+    // (r18 — was a count window + a row_number window, shuffle + sort):
+    // graft_min1(struct(-jaccard, eval_id)) is exactly "jaccard desc,
+    // eval_id asc" (jaccard ≥ τ > 0, so double negation is a pure sign
+    // flip), with map-side partial aggregation (graft_min1 routes through
+    // ObjectHashAggregate; the builtin min(struct) would SortAggregate)
+    val top = verified.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        call_function("graft_min1",
+          struct((-col("jaccard")).as("nj"), col("eval_id").as("eval_id"))).as("m"))
       .select(col("doc_id"), col("n_eval_hits"),
-        col("eval_id").as("top_eval_id"), col("jaccard").as("top_jaccard"))
+        col("m.eval_id").as("top_eval_id"), (-col("m.nj")).as("top_jaccard"))
     docs.filter(!isEval).select("doc_id")
       .join(top, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -694,16 +714,16 @@ object Curation {
       .crossJoin(broadcast(ev))
       .withColumn("cos", round(expr("graft_dot(emb, eemb)"), 4))
       .filter(col("cos") >= SemDecontamTau)
-    // per-train-doc rollup: hit count + worst offender — window partitions
-    // carry one train doc's hits (bounded by the benchmark), never the corpus
-    val byDoc = Window.partitionBy(col("vec_id"))
-    val top = hits
-      .withColumn("n_sem_hits", count(lit(1)).over(byDoc))
-      .withColumn("rn", row_number().over(
-        byDoc.orderBy(col("cos").desc, col("eval_id"))))
-      .filter(col("rn") === 1)
+    // per-train-doc rollup: hit count + worst offender, as ONE hash
+    // aggregation (r18 — the decontaminate_fuzzy rewrite): cos ≥ τ > 0,
+    // so graft_min1(struct(-cos, eval_id)) is exactly "cos desc, eval_id
+    // asc"
+    val top = hits.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_sem_hits"),
+        call_function("graft_min1",
+          struct((-col("cos")).as("nc"), col("eval_id").as("eval_id"))).as("m"))
       .select(col("vec_id"), col("n_sem_hits"),
-        col("eval_id").as("top_eval_id"), col("cos").as("top_cos"))
+        col("m.eval_id").as("top_eval_id"), (-col("m.nc")).as("top_cos"))
     embs.filter(!isEval).select("vec_id")
       .join(top, Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -771,7 +791,7 @@ object Curation {
     */
   def corpusCurate(spark: SparkSession, dir: String): DataFrame =
     corpusCurateFromPairs(Tables.documents(spark, dir),
-      Dedup.storedTaggedPairs(spark, dir).select("doc_a", "doc_b").distinct(),
+      Dedup.storedUnifiedPairs(spark, dir),
       col("doc_id") % FuzzyEvalMod === 0)
 
   def corpusCurateFrom(docs: DataFrame, embs: DataFrame,
@@ -1011,7 +1031,7 @@ object Curation {
       expectedItems: Long = 1000000L, numBits: Long = 1L << 23): DataFrame = {
     val docs = rawDocs
       .withColumn("ws", split(col("text"), " "))
-      .withColumn("ngs", expr(ngramExpr(ContamNgram)))
+      .withColumn("ngs", expr(hashedNgramExpr(ContamNgram)))
       .withColumn("is_eval", isEval)
     val bf = docs.filter(col("is_eval"))
       .select(explode(col("ngs")).as("ng"))
@@ -1192,7 +1212,7 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, -1)
     docsTok
       .withColumn("shard",
-        expr(s"pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), $PackShards)"))
+        expr(s"pmod(graft_md5_long(cast(doc_id as string), 1, 8), $PackShards)"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
   }
 
@@ -1236,7 +1256,8 @@ object Curation {
     * merge table (`Bpe.encodeFrom`), not a retrain.
     */
   def packSequencesBpe(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Bpe.bpeTokensOf(Tables.documents(spark, dir))
+    val tok = Bpe.bpeTokensFromVocab(Bpe.storedTrainedVocab(spark, dir),
+      Tables.documents(spark, dir))
       .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
     packPlacedOf(tok)
       .withColumn("seq_id", expr(s"cum_before div $SeqBudget"))
@@ -1369,7 +1390,7 @@ object Curation {
         expr(s"(${MixBudget}L * 1099511627776L * weight - 1L) div (src_count * $MixWeightTotal) + 1L")) // 2^40
     docs.join(broadcast(counts), "source")
       .withColumn("u40",
-        expr("cast(conv(substr(md5(concat(cast(doc_id as string), '|mix')), 1, 10), 16, 10) as bigint)"))
+        expr("graft_md5_long(concat(cast(doc_id as string), '|mix'), 1, 10)"))
       .filter(col("u40") < col("keep_thresh"))
       .withColumn("rate",
         round(least(lit(1.0),
@@ -1424,7 +1445,7 @@ object Curation {
       .select(col("source"), col("src_count"), col("q"), col("rate"), col("keep_thresh"))
     docs.join(broadcast(rates), Seq("source"))
       .withColumn("u40",
-        expr("cast(conv(substr(md5(concat(cast(doc_id as string), '|tmix')), 1, 10), 16, 10) as bigint)"))
+        expr("graft_md5_long(concat(cast(doc_id as string), '|tmix'), 1, 10)"))
       .filter(col("u40") < col("keep_thresh"))
       .select(col("doc_id"), col("source"), col("src_count"),
         round(col("q"), 6).as("q"), round(col("rate"), 6).as("rate"))
@@ -1538,7 +1559,7 @@ object Curation {
     val toks = docs.select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .withColumn("u40",
-        expr("cast(conv(substr(md5(concat(cast(doc_id as string), '|budget')), 1, 10), 16, 10) as bigint)"))
+        expr("graft_md5_long(concat(cast(doc_id as string), '|budget'), 1, 10)"))
       .withColumn("bkt", expr("u40 div 1073741824")) // 2^30: 1024 coarse ranges
       .withColumn("budget", budget)
     // per-(source, bucket) token histogram; the cut = last bucket whose
@@ -1616,7 +1637,7 @@ object Curation {
       .orderBy(col("u40").asc, col("doc_id").asc)
     docs.select(col("doc_id"), col("source"))
       .withColumn("u40", expr(
-        "cast(conv(substr(md5(concat(cast(doc_id as string), '|hostcap')), 1, 10), 16, 10) as bigint)"))
+        "graft_md5_long(concat(cast(doc_id as string), '|hostcap'), 1, 10)"))
       .withColumn("rk", row_number().over(w).cast("bigint"))
       .filter(col("rk") <= HostCap)
       .select(col("doc_id"), col("source"), col("rk"))

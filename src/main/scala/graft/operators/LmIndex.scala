@@ -83,9 +83,11 @@ object LmIndex {
   def writeSboDocs(docs: DataFrame, path: String): Unit = {
     val d = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
     val (c1, c2, c3) = TextAnalysis.sboCountsOf(d)
-    stamp(c1, "word").write.mode("overwrite").parquet(s"$path/c1")
-    stamp(c2, "w1").write.mode("overwrite").parquet(s"$path/c2")
-    stamp(c3, "w1").write.mode("overwrite").parquet(s"$path/c3")
+    // three independent tables → concurrent write jobs (guide §2.6)
+    graft.sources.Sinks.writeAllParallel(Seq(
+      () => stamp(c1, "word").write.mode("overwrite").parquet(s"$path/c1"),
+      () => stamp(c2, "w1").write.mode("overwrite").parquet(s"$path/c2"),
+      () => stamp(c3, "w1").write.mode("overwrite").parquet(s"$path/c3")))
   }
 
   /** APPEND a crawl's contribution to the stored count tables — the

@@ -136,8 +136,9 @@ object NbIndex {
     val m = evalModFor(tok)
     val train = labeled.filter(col("doc_id") % m =!= 0)
     val (cw, cdc) = Classify.nbCountsOf(train, Classify.tokArrFor(tok))
-    stamp(cw, "lang", tok).write.mode("overwrite").parquet(s"$path/cw")
-    stamp(cdc, "lang", tok).write.mode("overwrite").parquet(s"$path/cdc")
+    graft.sources.Sinks.writeAllParallel(Seq(
+      () => stamp(cw, "lang", tok).write.mode("overwrite").parquet(s"$path/cw"),
+      () => stamp(cdc, "lang", tok).write.mode("overwrite").parquet(s"$path/cdc")))
   }
 
   /** `nb_classify_incr` (r15): the NB APPEND lifecycle as an oracle row —

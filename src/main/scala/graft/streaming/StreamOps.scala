@@ -564,18 +564,8 @@ object StreamOps {
       .withColumn("n_words", size(col("ws")).cast("long"))
       .withColumn("n_stop",
         expr(s"size(filter(ws, w -> w IN ($stopList)))").cast("long"))
-      .withColumn("bgs", expr(Curation.bigramsExpr))
-      .withColumn("top_bg", expr(
-        """aggregate(array_sort(bgs),
-          | named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
-          | (a, x) -> named_struct(
-          |   'prev', x,
-          |   'run', CASE WHEN a.prev <=> x THEN a.run + 1 ELSE 1L END,
-          |   'best', greatest(a.best,
-          |           CASE WHEN a.prev <=> x THEN a.run + 1 ELSE 1L END)),
-          | a -> a.best)""".stripMargin.replace("\n", "")))
-      .withColumn("ng_hs", expr(
-        s"transform(${Curation.ngramExpr(Curation.ContamNgram)}, g -> substr(md5(g), 1, 16))"))
+      .withColumn("top_bg", expr(Curation.topBigramRunExpr))
+      .withColumn("ng_hs", expr(Curation.hashedNgramExpr(Curation.ContamNgram)))
       .withColumn("jk", lit(1))
       .join(broadcast(evalRow), "jk")
       .withColumn("n_ngrams", size(col("ng_hs")).cast("long"))
@@ -611,9 +601,8 @@ object StreamOps {
       .withColumn("jk", lit(1))
     docsStream
       .withColumn("ws", split(col("text"), " "))
-      .withColumn("bgs", expr(Curation.bigramsExpr))
       .withColumn("bkts", expr(
-        s"transform(bgs, g -> cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint) % ${Selection.DsirBuckets})"))
+        s"transform(graft_gram_hash(ws, 2, 8), h -> h % ${Selection.DsirBuckets})"))
       .withColumn("jk", lit(1))
       .join(broadcast(ratioRow), "jk")
       .withColumn("score", expr(
